@@ -1,0 +1,272 @@
+"""Query registry: every SURVEY.md §2 operator as a (PySpark builder,
+DuckDB oracle SQL) pair.
+
+This is the engine's user-visible query surface and the driver's
+correctness gate: each entry's Spark DataFrame and oracle SQL must
+produce identical (row-count, schema, value-hash) results at sf0.01.
+
+Conventions:
+- every computed column is aliased identically on both sides;
+- every float column is rounded to 6 decimals on both sides (Spark and
+  DuckDB agree to ~1e-15 relative; rounding absorbs summation-order
+  noise);
+- rank-ish ints are cast to the same width on both sides.
+
+The "points" table of the reference (id, label, features) is projected
+from the driver ``embeddings`` parquet (FIXTURES.md §1); fixed seed ids
+make every query fully deterministic (I2 init mode, KMeans.java:598-607).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from k_means_hadoop_spark.functions.vector import euclidean
+from k_means_hadoop_spark.operators.assign import assign_expr, assign_join
+from k_means_hadoop_spark.operators.evaluation import jaccard_reference
+from k_means_hadoop_spark.operators.kmeans import init_ids, lloyd_kmeans
+from k_means_hadoop_spark.operators.recompute import recompute_centroids, recompute_exploded
+from k_means_hadoop_spark.sources.points import points_from_embeddings
+
+# Fixed I2 seed ids (all < 500 so the same queries run at sf0.001).
+SEEDS = [1, 51, 101, 151, 201, 251, 301, 351]
+_SEEDS_SQL = ", ".join(str(s) for s in SEEDS)
+
+# ---------------------------------------------------------------- Spark side
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return points_from_embeddings(spark, sf_dir)
+
+
+def _seed_centroids_df(pts: DataFrame) -> DataFrame:
+    """Seed rows renumbered 1..k in id order, as a DataFrame (J1 build side)."""
+    w = Window.orderBy("id")
+    return (
+        pts.filter(F.col("id").isin(SEEDS))
+        .select(
+            F.row_number().over(w).cast("int").alias("cluster"),
+            F.col("features").alias("centroid"),
+        )
+    )
+
+
+def _assigned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment via broadcast join, carrying label (J1+J2)."""
+    pts = _points(spark, sf_dir)
+    return assign_join(pts, _seed_centroids_df(pts), carry_cols=("label",))
+
+
+def _assigned_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment via the no-shuffle literal-fold path (the scale path)."""
+    pts = _points(spark, sf_dir)
+    return assign_expr(pts, init_ids(pts, SEEDS))
+
+
+def q_s2_points_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _points(spark, sf_dir).select(
+        "id", "label", F.size("features").alias("dim")
+    )
+
+
+def q_p1_drop_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P1/P2: label never touched — Catalyst prunes the parquet scan to 2 cols.
+    return _points(spark, sf_dir).select(
+        "id", F.round(F.col("features")[0], 6).alias("f0")
+    )
+
+
+def q_p3_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _points(spark, sf_dir)
+        .filter(F.col("label") != -1)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_p4_lookup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _points(spark, sf_dir).filter(F.col("id").isin(SEEDS)).select("id", "label")
+
+
+def q_f1_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _points(spark, sf_dir)
+    seed = pts.filter(F.col("id") == SEEDS[0]).select(
+        F.col("features").alias("centroid")
+    )
+    return pts.crossJoin(F.broadcast(seed)).select(
+        "id", F.round(euclidean("features", "centroid"), 6).alias("dist")
+    )
+
+
+def q_i2_init_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _seed_centroids_df(_points(spark, sf_dir)).select(
+        "cluster", F.element_at("centroid", 1).alias("c0")
+    ).withColumn("c0", F.round("c0", 6))
+
+
+def q_j1_assign_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _assigned_join(spark, sf_dir).select(
+        "id", "cluster", F.round("dist", 6).alias("dist")
+    )
+
+
+def q_j2_assign_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _assigned_expr(spark, sf_dir).select(
+        "id", "cluster", F.round("dist", 6).alias("dist")
+    )
+
+
+def q_a1_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _assigned_expr(spark, sf_dir).groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_a3_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = recompute_exploded(_assigned_expr(spark, sf_dir))
+    return out.select("cluster", "pos", F.round("mean_val", 6).alias("mean_val"))
+
+
+def q_a4_member_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F4 parity: pipe-joined member-id list (sorted for determinism).
+    return (
+        _assigned_expr(spark, sf_dir)
+        .groupBy("cluster")
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("id")), lambda x: x.cast("string")),
+                "|",
+            ).alias("members")
+        )
+    )
+
+
+def q_a6_distinct_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _points(spark, sf_dir).select("label").distinct()
+
+
+def q_a7_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asg = _assigned_join(spark, sf_dir)
+    return jaccard_reference(asg).select(
+        "m1", "m0", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_c1_one_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One full Lloyd step: assign with seed centroids → recompute →
+    # reassign against the new centroids → report the new cluster sizes.
+    pts = _points(spark, sf_dir)
+    new_cents = [
+        (int(r["cluster"]), list(r["centroid"]))
+        for r in recompute_centroids(_assigned_expr(spark, sf_dir)).collect()
+    ]
+    reassigned = assign_expr(pts, new_cents)
+    return reassigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd loop (fixed 10 iterations) — non-SQL-expressible (C1-C5),
+    rows-only driver check; golden-tested in tests/."""
+    pts = _points(spark, sf_dir)
+    res = lloyd_kmeans(pts, init_ids(pts, SEEDS), max_iter=10)
+    return res.assignments.select("id", "label", "cluster", F.round("dist", 6).alias("dist"))
+
+
+# --------------------------------------------------------------- oracle SQL
+
+_PTS = (
+    "SELECT vec_id::INTEGER AS id, label::INTEGER AS label, "
+    "embedding::DOUBLE[] AS features FROM embeddings"
+)
+_CENTS = (
+    "SELECT CAST(row_number() OVER (ORDER BY id) AS INTEGER) AS cluster, "
+    f"features AS centroid FROM pts WHERE id IN ({_SEEDS_SQL})"
+)
+_ASSIGN = (
+    "SELECT id, label, cluster, dist FROM ("
+    "  SELECT p.id, p.label, c.cluster, list_distance(p.features, c.centroid) AS dist,"
+    "         row_number() OVER (PARTITION BY p.id"
+    "                            ORDER BY list_distance(p.features, c.centroid), c.cluster) AS rn"
+    "  FROM pts p CROSS JOIN cents c) WHERE rn = 1"
+)
+_WITH_ASSIGN = f"WITH pts AS ({_PTS}), cents AS ({_CENTS}), asg AS ({_ASSIGN})"
+
+ORACLES: dict[str, str] = {
+    "s2_points_scan": f"WITH pts AS ({_PTS}) SELECT id, label, len(features)::INTEGER AS dim FROM pts",
+    "p1_drop_label": f"WITH pts AS ({_PTS}) SELECT id, round(features[1], 6) AS f0 FROM pts",
+    "p3_outlier_filter": (
+        f"WITH pts AS ({_PTS}) SELECT label, count(*)::BIGINT AS n "
+        "FROM pts WHERE label != -1 GROUP BY label"
+    ),
+    "p4_lookup_ids": f"WITH pts AS ({_PTS}) SELECT id, label FROM pts WHERE id IN ({_SEEDS_SQL})",
+    "f1_euclidean": (
+        f"WITH pts AS ({_PTS}), seed AS (SELECT features AS centroid FROM pts WHERE id = {SEEDS[0]}) "
+        "SELECT p.id, round(list_distance(p.features, s.centroid), 6) AS dist "
+        "FROM pts p CROSS JOIN seed s"
+    ),
+    "i2_init_seeds": (
+        f"WITH pts AS ({_PTS}), cents AS ({_CENTS}) "
+        "SELECT cluster, round(centroid[1], 6) AS c0 FROM cents"
+    ),
+    "j1_assign_join": f"{_WITH_ASSIGN} SELECT id, cluster, round(dist, 6) AS dist FROM asg",
+    "j2_assign_expr": f"{_WITH_ASSIGN} SELECT id, cluster, round(dist, 6) AS dist FROM asg",
+    "a1_cluster_sizes": f"{_WITH_ASSIGN} SELECT cluster, count(*)::BIGINT AS n FROM asg GROUP BY cluster",
+    "a3_recompute": (
+        f"WITH pts AS ({_PTS}), cents AS ({_CENTS}), asg AS ({_ASSIGN}), "
+        "j AS (SELECT a.cluster, p.features FROM asg a JOIN pts p ON a.id = p.id), "
+        "expl AS (SELECT cluster, (generate_subscripts(features, 1) - 1)::INTEGER AS pos, "
+        "         unnest(features) AS v FROM j) "
+        "SELECT cluster, pos, round(avg(v), 6) AS mean_val FROM expl GROUP BY cluster, pos"
+    ),
+    "a4_member_ids": (
+        f"{_WITH_ASSIGN} SELECT cluster, string_agg(id::VARCHAR, '|' ORDER BY id) AS members "
+        "FROM asg GROUP BY cluster"
+    ),
+    "a6_distinct_labels": f"WITH pts AS ({_PTS}) SELECT DISTINCT label FROM pts",
+    "a7_jaccard": (
+        f"WITH pts AS ({_PTS}), cents AS ({_CENTS}), asg AS ({_ASSIGN}), "
+        "cells AS (SELECT label, cluster, count(*)::BIGINT AS n FROM asg GROUP BY label, cluster), "
+        "g AS (SELECT sum(s * s) AS ground1 FROM (SELECT sum(n) AS s FROM cells WHERE label != -1 GROUP BY label) t), "
+        "p AS (SELECT sum(s * s) AS pred1 FROM (SELECT sum(n) AS s FROM cells WHERE cluster != -1 GROUP BY cluster) t), "
+        "b AS (SELECT sum(n * n) AS both1 FROM cells WHERE label != -1 AND cluster != -1) "
+        "SELECT both1::BIGINT AS m1, (ground1 + pred1 - 2 * both1)::BIGINT AS m0, "
+        "round(both1::DOUBLE / (ground1 + pred1 - both1)::DOUBLE, 6) AS jaccard "
+        "FROM g, p, b"
+    ),
+    "c1_one_iteration": (
+        f"WITH pts AS ({_PTS}), cents AS ({_CENTS}), asg AS ({_ASSIGN}), "
+        "j AS (SELECT a.cluster, p.features FROM asg a JOIN pts p ON a.id = p.id), "
+        "expl AS (SELECT cluster, generate_subscripts(features, 1) AS pos, unnest(features) AS v FROM j), "
+        "means AS (SELECT cluster, pos, avg(v) AS m FROM expl GROUP BY cluster, pos), "
+        "cents2 AS (SELECT cluster, list(m ORDER BY pos) AS centroid FROM means GROUP BY cluster), "
+        "asg2 AS (SELECT id, cluster FROM ("
+        "  SELECT p.id, c.cluster, row_number() OVER (PARTITION BY p.id"
+        "         ORDER BY list_distance(p.features, c.centroid), c.cluster) AS rn"
+        "  FROM pts p CROSS JOIN cents2 c) WHERE rn = 1) "
+        "SELECT cluster, count(*)::BIGINT AS n FROM asg2 GROUP BY cluster"
+    ),
+}
+
+QUERIES: dict[str, QueryFn] = {
+    "s2_points_scan": q_s2_points_scan,
+    "p1_drop_label": q_p1_drop_label,
+    "p3_outlier_filter": q_p3_outlier_filter,
+    "p4_lookup_ids": q_p4_lookup_ids,
+    "f1_euclidean": q_f1_euclidean,
+    "i2_init_seeds": q_i2_init_seeds,
+    "j1_assign_join": q_j1_assign_join,
+    "j2_assign_expr": q_j2_assign_expr,
+    "a1_cluster_sizes": q_a1_cluster_sizes,
+    "a3_recompute": q_a3_recompute,
+    "a4_member_ids": q_a4_member_ids,
+    "a6_distinct_labels": q_a6_distinct_labels,
+    "a7_jaccard": q_a7_jaccard,
+    "c1_one_iteration": q_c1_one_iteration,
+    "kmeans_lloyd": q_kmeans_lloyd,  # rows-only: full iterative loop (C1-C5)
+}

@@ -1,0 +1,39 @@
+"""Final labeled-output sinks (S6) — reference ``printOutputFile``
+(KMeans.java:348-372).
+
+Two projections of the final assignment table, both tab-separated text:
+
+- ``finalOutput.txt``            :  id \t cluster \t f1..fd   (:353-357)
+- ``*_cluster_data_toPlot.txt``  :  f1..fd \t cluster         (:360-365)
+
+The reference writes them driver-side from the in-memory DataStore; the
+engine writes them distributed (``df.write``).  Order is unspecified in
+the reference (HashMap iteration, :352).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def final_output_lines(assignments: DataFrame) -> DataFrame:
+    return assignments.select(
+        F.concat_ws(
+            "\t", F.col("id"), F.col("cluster"), F.array_join(F.col("features"), "\t")
+        ).alias("value")
+    )
+
+
+def plot_output_lines(assignments: DataFrame) -> DataFrame:
+    return assignments.select(
+        F.concat_ws("\t", F.array_join(F.col("features"), "\t"), F.col("cluster")).alias("value")
+    )
+
+
+def write_final_output(assignments: DataFrame, path: str) -> None:
+    final_output_lines(assignments).write.mode("overwrite").text(path)
+
+
+def write_plot_output(assignments: DataFrame, path: str) -> None:
+    plot_output_lines(assignments).write.mode("overwrite").text(path)

@@ -1,0 +1,50 @@
+"""Local mimic of the driver's correctness gate: run each queries()[name]
+in Spark and oracle_sql()[name] in DuckDB over the same parquet tables,
+compare row count, column names, and order-insensitive values.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 / 0.0 and format stably
+        if v == 0:
+            return "0"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def compare(spark_df, con, sql: str) -> tuple[bool, str]:
+    sdf = spark_df.toPandas()
+    odf = con.execute(sql).df()
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return False, f"schema mismatch: spark={list(sdf.columns)} oracle={list(odf.columns)}"
+    if len(sdf) != len(odf):
+        return False, f"rowcount mismatch: spark={len(sdf)} oracle={len(odf)}"
+    cols = sorted(sdf.columns)
+    s_rows = sorted(tuple(_norm(v) for v in row) for row in sdf[cols].itertuples(index=False))
+    o_rows = sorted(tuple(_norm(v) for v in row) for row in odf[cols].itertuples(index=False))
+    if s_rows != o_rows:
+        diff = [(a, b) for a, b in zip(s_rows, o_rows) if a != b][:3]
+        return False, f"value mismatch, first diffs: {diff}"
+    return True, "ok"
