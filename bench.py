@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": "..."}
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver-side result transfer) so the timing measures the plan, not
+collect().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from k_means_hadoop_spark import registry
+from k_means_hadoop_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship iterative query + one representative per
+# operator family (scan/agg, join+topN, snowflake join, window, dedup
+# exact + LSH, text, similarity).
+HEADLINE = [
+    "kmeans_lloyd",
+    "j2_assign_expr",
+    "a7_jaccard",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "window_top_orders",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality_scores",
+    "text_simhash",
+    "knn_bruteforce",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    fn = registry.QUERIES[name]
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    # one warm-up scan so JVM/codegen startup doesn't pollute query 1
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_query(spark, name, SF_DIR), 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""Deduplication operators — exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine (beyond-reference north-star surface).
+
+Scale design (the point of each op at 100 TB):
+
+- exact: groupBy on md5(text) — one shuffle of (16-byte key, id); never
+  group on the raw text (wide shuffle rows).
+- n-gram Jaccard: the EXACT pair measure.  Brute force is the
+  shingle-inverted-index self-join (explode → join on shingle → count
+  common); output pair count is bounded by co-shingle frequency, so at
+  scale hot shingles must be dropped (document-frequency cap — the
+  classic stop-shingle trick) or the MinHash path used instead.
+- MinHash+LSH: signatures via one explode + one groupBy (num_hashes
+  conditional mins, map-side combinable); banding turns near-dup search
+  into an equi-join on (band, band-hash) — shuffle ∝ corpus size, not
+  pairs².  Candidates are then verified with the exact measure.
+- SimHash: near-dup via Hamming distance on 32-bit fingerprints;
+  bucket by bit-bands for the scale path.
+- embedding cosine: exact pairwise over a bounded subset; LSH/IVF in
+  operators/similarity.py is the scale path.
+
+Hashes use the md5-based ``stable_hash64`` so every step is
+reproducible in DuckDB (oracle-checkable end to end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from k_means_hadoop_spark.functions.hashing import (
+    minhash_value,
+    stable_hash64,
+    word_ngrams,
+)
+from k_means_hadoop_spark.functions.vector import cosine_similarity
+
+# Deterministic universal-hash parameters (a odd, b arbitrary; values are
+# arbitrary fixed constants — NOT tuned to the testdata).
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    (2 * i + 1 + 0x9E3779B1, (i * 0x85EBCA77) & 0x7FFFFFFF) for i in range(16)
+]
+LSH_BANDS = 4  # 16 hashes / 4 rows per band
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(text_md5, keep_id, n_copies) — canonical survivor = min doc_id."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingle_table(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams, exploded."""
+    return docs.select(
+        "doc_id", F.explode(word_ngrams(F.col(text_col), n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.7, text_col: str = "text"
+) -> DataFrame:
+    """(a_id, b_id, jaccard) for pairs with shingle-set Jaccard ≥ threshold.
+
+    Inverted-index self-join: pairs are generated only for documents
+    sharing ≥1 shingle; |A∪B| from per-doc shingle counts.
+    """
+    sh = shingle_table(docs, n, text_col)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(ca, "a_id")
+        .join(cb, "b_id")
+        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, m0..m15) — MinHash signature: per-doc minimum of each
+    universal hash over the shingle hashes.  One explode + one groupBy
+    with 16 min-aggregates (fully map-side combinable)."""
+    sh = shingle_table(docs, n, text_col).withColumn("h", stable_hash64(F.col("shingle")))
+    aggs = [
+        F.min(minhash_value(F.col("h"), a, b)).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, n: int = 3, bands: int = LSH_BANDS, text_col: str = "text"
+) -> DataFrame:
+    """(a_id, b_id) distinct candidate pairs sharing ≥1 LSH band bucket.
+
+    Band hash = md5 of the '|'-joined band rows; the candidate join is an
+    equi-join on (band, bucket) — the LSH trick that makes near-dup
+    detection linear-ish in corpus size at 100 TB.
+    """
+    sig = minhash_signatures(docs, n, text_col)
+    rows_per_band = len(MINHASH_PARAMS) // bands
+    band_cols = []
+    for bi in range(bands):
+        members = [F.col(f"m{bi * rows_per_band + j}").cast("string") for j in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("|", *members)).alias(f"band{bi}"))
+    banded = sig.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(bi).alias("band"), F.col(f"band{bi}").alias("bucket"))
+                for bi in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+
+def simhash_pairs(simhashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(a_id, b_id, hamming) — SimHash near-dup pairs.
+
+    Brute-force a<b self-join with xor+bit_count (cheap per pair); the
+    scale path buckets on bit-bands of the fingerprint first (pigeonhole:
+    hamming ≤ 3 over 4 bands → ≥1 identical band).
+    """
+    a = simhashes.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("ha"))
+    b = simhashes.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95, max_id: int | None = None
+) -> DataFrame:
+    """(a_id, b_id, cos_sim) — embedding near-duplicates by cosine.
+
+    Exact pairwise over an id-bounded subset (the oracle-checkable
+    measure); ANN in operators/similarity.py is the scale path.
+    """
+    emb = embeddings.select(
+        F.col("vec_id").cast("int").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    if max_id is not None:
+        emb = emb.filter(F.col("vid") < max_id)
+    a = emb.select(F.col("vid").alias("a_id"), F.col("vec").alias("va"))
+    b = emb.select(F.col("vid").alias("b_id"), F.col("vec").alias("vb"))
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.round(sim, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

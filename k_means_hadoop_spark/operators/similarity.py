@@ -1,0 +1,156 @@
+"""Similarity search over the ``embeddings`` table (beyond-reference).
+
+Three tiers, one semantic (top-k by cosine):
+
+- ``knn_bruteforce`` — exact: broadcast the (small) query set against
+  every candidate; one narrow map + one per-query top-k.  The correct
+  baseline and the oracle-checkable measure.
+- ``knn_lsh``  — random-hyperplane LSH: candidates share a signature
+  bucket with the query (recall < 1, cost ∝ bucket size).  Hyperplanes
+  are seeded-deterministic and live in the plan as literals.
+- ``knn_ivf``  — IVF: coarse k-means quantizer (our own lloyd_kmeans),
+  probe the ``nprobe`` nearest cells only.  The canonical 100 TB layout:
+  partition the corpus by cell id so a query touches nprobe partitions.
+
+All distance math is Catalyst expressions (functions/vector.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from k_means_hadoop_spark.functions.vector import cosine_similarity
+from k_means_hadoop_spark.operators.assign import assign_expr
+from k_means_hadoop_spark.operators.kmeans import init_random, lloyd_kmeans
+
+
+def _vectors(embeddings: DataFrame) -> DataFrame:
+    return embeddings.select(
+        F.col("vec_id").cast("int").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+
+
+def knn_bruteforce(
+    embeddings: DataFrame, query_ids: Sequence[int], k: int = 5
+) -> DataFrame:
+    """(qid, nid, cos_sim, rank) — exact top-k by cosine, self excluded.
+
+    The query side is k rows → broadcast; candidates stream through one
+    codegen'd stage; per-query top-k via window (rank ties broken by nid).
+    """
+    vecs = _vectors(embeddings)
+    queries = vecs.filter(F.col("vid").isin(list(query_ids))).select(
+        F.col("vid").alias("qid"), F.col("vec").alias("qvec")
+    )
+    sim = cosine_similarity(F.col("qvec"), F.col("vec"))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        vecs.crossJoin(F.broadcast(queries))
+        .filter(F.col("vid") != F.col("qid"))
+        .select(F.col("qid"), F.col("vid").alias("nid"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", F.round("sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Seeded deterministic random hyperplanes (numpy RNG, plan literals)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_signature(vec_col, planes: list[list[float]]):
+    """Bit-signature column: bit i = sign(vec · plane_i)."""
+    sig = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(vec_col, F.array(*[F.lit(float(v)) for v in plane]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return sig
+
+
+def knn_lsh(
+    embeddings: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(qid, nid, cos_sim, rank) — approximate top-k within the query's
+    LSH bucket.  Recall < 1 by construction; at scale the table is
+    pre-partitioned by signature so a query reads one bucket."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    vecs = _vectors(embeddings).withColumn("sig", lsh_signature(F.col("vec"), planes))
+    queries = vecs.filter(F.col("vid").isin(list(query_ids))).select(
+        F.col("vid").alias("qid"), F.col("vec").alias("qvec"), F.col("sig").alias("qsig")
+    )
+    sim = cosine_similarity(F.col("qvec"), F.col("vec"))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        vecs.join(F.broadcast(queries), F.col("sig") == F.col("qsig"))
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", F.col("vid").alias("nid"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", F.round("sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """(qid, nid, cos_sim, rank) — IVF approximate top-k.
+
+    Train a coarse quantizer with our Lloyd loop, assign every vector to
+    its cell (zero-shuffle literal fold), then for each query search only
+    the ``nprobe`` nearest cells.  At 100 TB: persist the corpus
+    bucketed/partitioned by ``cell`` so each query's probe is a partition-
+    pruned scan, and train the quantizer on a sample, not the corpus.
+    """
+    vecs = _vectors(embeddings)
+    pts = vecs.select(F.col("vid").alias("id"), F.col("vec").alias("features"))
+    model = lloyd_kmeans(pts, init_random(pts, n_cells, seed=seed), max_iter=5)
+    cells = model.centroids  # k×d driver-local
+    assigned = assign_expr(pts, cells).select(
+        F.col("id").alias("vid"), F.col("features").alias("vec"), F.col("cluster").alias("cell")
+    )
+    # nprobe nearest cells per query, driver-side (queries are few, cells k×d)
+    queries = {r["vid"]: list(r["vec"]) for r in vecs.filter(F.col("vid").isin(list(query_ids))).collect()}
+    probe_rows = []
+    for qid, qvec in queries.items():
+        by_dist = sorted(
+            cells,
+            key=lambda c: sum((a - b) * (a - b) for a, b in zip(c[1], qvec)),
+        )[:nprobe]
+        for cid, _ in by_dist:
+            probe_rows.append((qid, qvec, cid))
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, "qid int, qvec array<double>, cell int"
+    )
+    sim = cosine_similarity(F.col("qvec"), F.col("vec"))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", F.col("vid").alias("nid"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", F.round("sim", 6).alias("cos_sim"), "rank")
+    )

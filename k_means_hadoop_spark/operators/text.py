@@ -1,0 +1,148 @@
+"""Text-analysis operators over the ``documents`` table (beyond-reference
+north-star surface; BASELINE.json mandates an LLM-training-data pipeline).
+
+All pure Catalyst expressions — no Python UDFs — so every operator is
+DuckDB-oracle-checkable and stays inside whole-stage codegen at 100 TB.
+Documents are embarrassingly parallel here (no shuffle in any of these
+except the final aggregation a caller might add).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from k_means_hadoop_spark.functions.hashing import stable_hash64
+
+# Marker stopwords per language for the n-gram/marker-word heuristic
+# language-ID.  Deliberately tiny and deterministic; the CASE order below
+# is the documented tie-break (first language in LANGS wins ties).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "with", "for"),
+    "es": ("el", "la", "de", "que", "los", "con", "por"),
+    "fr": ("le", "la", "les", "des", "est", "dans", "pour"),
+    "de": ("der", "die", "das", "und", "ist", "mit", "von"),
+}
+LANGS = tuple(LANG_MARKERS)
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+# BPE-ish tokenization: runs of letters, runs of digits, or single other
+# non-space chars — a crude but deterministic proxy for subword counts.
+BPE_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_CLASS = r"[.,!?;:]"
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, ws_tokens, bpe_tokens) — whitespace + BPE-ish counts."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(_tokens(t)).alias("ws_tokens"),
+        F.regexp_count(t, F.lit(BPE_REGEX)).cast("bigint").alias("bpe_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + combined score.
+
+    Features: char length, token count, mean token length, punctuation
+    ratio, stopword ratio, digit ratio.  ``quality`` is a fixed linear
+    combination clamped to [0,1] — heuristic gate for pretraining-data
+    filtering (longer docs with sane punctuation and some stopwords
+    score higher).
+    """
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_chars = F.length(t).cast("double")
+    n_toks = F.size(toks).cast("double")
+    punct = (F.length(t) - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))).cast("double")
+    digits = (F.length(t) - F.length(F.regexp_replace(t, "[0-9]", ""))).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stops = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).cast("double")
+    avg_tok = (n_chars - (n_toks - 1)) / n_toks  # chars net of separators
+    punct_ratio = punct / n_chars
+    stop_ratio = stops / n_toks
+    digit_ratio = digits / n_chars
+    quality = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(1.0),
+            F.lit(0.25)
+            + F.least(n_toks / 400.0, F.lit(0.35))
+            + F.least(stop_ratio * 2.0, F.lit(0.25))
+            - punct_ratio * 2.0
+            - digit_ratio * 1.5,
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars"),
+        n_toks.cast("bigint").alias("n_tokens"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang) — marker-word language ID.
+
+    Scores each language by occurrences of its marker words among the
+    document's tokens; winner by nested CASE in LANGS order (ties go to
+    the earlier language); all-zero → 'und'.
+    """
+    toks = _tokens(F.col(text_col))
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
+    # nested CASE, built innermost-out so earlier LANGS win ties
+    expr = F.lit("und")
+    for lang in reversed(LANGS):
+        others = [scores[o] for o in LANGS if o != lang]
+        cond = (scores[lang] > 0) & (scores[lang] >= F.greatest(*others))
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return docs.select("doc_id", expr.alias("pred_lang"))
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp) — deterministic document fingerprint: 60-bit stable
+    hash of the whitespace-normalized lower-cased text."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return docs.select("doc_id", stable_hash64(norm).alias("fp"))
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash BIGINT) — classic SimHash over token hashes.
+
+    Every token occurrence votes ±1 on each of ``bits`` bit positions of
+    its stable hash; the fingerprint sets bits with positive tallies.
+    Shape: explode tokens → one groupBy(doc_id) with ``bits`` conditional
+    sums (single partial-agg shuffle; at 100 TB this is the canonical
+    map-side-combinable form).
+    """
+    tok = docs.select(
+        "doc_id", F.explode(_tokens(F.col(text_col))).alias("w")
+    ).withColumn("h", stable_hash64(F.col("w")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    tallies = tok.groupBy("doc_id").agg(*aggs)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        fp = term if fp is None else fp + term
+    return tallies.select("doc_id", fp.alias("simhash"))

@@ -253,6 +253,14 @@ ORACLES: dict[str, str] = {
     ),
 }
 
+from k_means_hadoop_spark.operators.relational import RELATIONAL_QUERIES
+from k_means_hadoop_spark.registry_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES
+
+for _name, (_fn, _sql) in RELATIONAL_QUERIES.items():
+    ORACLES[_name] = _sql
+
+ORACLES.update(PIPELINE_ORACLES)
+
 QUERIES: dict[str, QueryFn] = {
     "s2_points_scan": q_s2_points_scan,
     "p1_drop_label": q_p1_drop_label,
@@ -270,3 +278,6 @@ QUERIES: dict[str, QueryFn] = {
     "c1_one_iteration": q_c1_one_iteration,
     "kmeans_lloyd": q_kmeans_lloyd,  # rows-only: full iterative loop (C1-C5)
 }
+
+QUERIES.update({name: fn for name, (fn, _sql) in RELATIONAL_QUERIES.items()})
+QUERIES.update(PIPELINE_QUERIES)

@@ -1,0 +1,267 @@
+"""Registry entries for the training-data-pipeline surface: text
+analysis, dedup, similarity search (operators/{text,dedup,similarity}.py)
+with DuckDB oracle SQL generated from the SAME constants as the Spark
+side (hash params, marker words, thresholds), so the two can't drift.
+
+DuckDB gotcha encoded here once: ``regexp_replace`` needs the 'g' flag
+(Spark replaces all matches by default).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k_means_hadoop_spark.functions.hashing import (
+    minhash_value_sql,
+    stable_hash64_sql,
+    word_ngrams_sql,
+)
+from k_means_hadoop_spark.operators import dedup, similarity, text
+
+# ------------------------------------------------------------------ queries
+
+KNN_QUERY_IDS = [1, 51, 101, 151, 201, 251, 301, 351]
+NEARDUP_COS_THRESHOLD = 0.9
+NEARDUP_MAX_ID = 500  # id-bounded subset: brute-force stays O(500²) at any sf
+NGRAM_N = 3
+NGRAM_THRESHOLD = 0.7
+SIMHASH_MAX_HAMMING = 3
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_token_counts(spark, sf_dir):
+    return text.token_counts(_docs(spark, sf_dir))
+
+
+def q_quality_scores(spark, sf_dir):
+    return text.quality_scores(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    return text.fingerprints(_docs(spark, sf_dir))
+
+
+def q_simhash(spark, sf_dir):
+    return text.simhash(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=NGRAM_N, threshold=NGRAM_THRESHOLD)
+
+
+def q_minhash_candidates(spark, sf_dir):
+    return dedup.minhash_lsh_candidates(_docs(spark, sf_dir), n=NGRAM_N)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_pairs(text.simhash(_docs(spark, sf_dir)), max_hamming=SIMHASH_MAX_HAMMING)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return dedup.embedding_neardup_pairs(
+        _emb(spark, sf_dir), threshold=NEARDUP_COS_THRESHOLD, max_id=NEARDUP_MAX_ID
+    )
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    return similarity.knn_bruteforce(_emb(spark, sf_dir), KNN_QUERY_IDS, k=5)
+
+
+def q_knn_lsh(spark, sf_dir):
+    return similarity.knn_lsh(_emb(spark, sf_dir), KNN_QUERY_IDS, k=5)
+
+
+def q_knn_ivf(spark, sf_dir):
+    return similarity.knn_ivf(_emb(spark, sf_dir), KNN_QUERY_IDS, k=5)
+
+
+# --------------------------------------------------------------- oracle SQL
+
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+def _marker_filter_sql(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_TOKS}, w -> list_contains([{lst}], w)))"
+
+
+def _lang_id_sql() -> str:
+    score_cols = ", ".join(
+        f"{_marker_filter_sql(text.LANG_MARKERS[lang])} AS s_{lang}" for lang in text.LANGS
+    )
+    case = "CASE "
+    for lang in text.LANGS:
+        others = [f"s_{o}" for o in text.LANGS if o != lang]
+        case += f"WHEN s_{lang} > 0 AND s_{lang} >= greatest({', '.join(others)}) THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"WITH s AS (SELECT doc_id, {score_cols} FROM documents) SELECT doc_id, {case} AS pred_lang FROM s"
+
+
+def _quality_sql() -> str:
+    stop_lst = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         length(text)::DOUBLE AS n_chars,
+         len({_TOKS})::DOUBLE AS n_toks,
+         (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE AS punct,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE AS digits,
+         len(list_filter({_TOKS}, w -> list_contains([{stop_lst}], w)))::DOUBLE AS stops
+  FROM documents)
+SELECT doc_id,
+       n_chars::BIGINT AS n_chars,
+       n_toks::BIGINT AS n_tokens,
+       round((n_chars - (n_toks - 1)) / n_toks, 6) AS avg_token_len,
+       round(punct / n_chars, 6) AS punct_ratio,
+       round(stops / n_toks, 6) AS stop_ratio,
+       round(digits / n_chars, 6) AS digit_ratio,
+       round(greatest(0.0, least(1.0,
+             0.25 + least(n_toks / 400.0, 0.35) + least(stops / n_toks * 2.0, 0.25)
+             - punct / n_chars * 2.0 - digits / n_chars * 1.5)), 6) AS quality
+FROM f"""
+
+
+def _simhash_cte() -> str:
+    """CTE 'sh' computing (doc_id, simhash) — mirrors text.simhash."""
+    h = stable_hash64_sql("w")
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(text.SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b}::BIGINT ELSE 0::BIGINT END)"
+        for b in range(text.SIMHASH_BITS)
+    )
+    return (
+        f"tok AS (SELECT doc_id, {h} AS h FROM "
+        f"  (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)), "
+        f"tallies AS (SELECT doc_id, {sums} FROM tok GROUP BY doc_id), "
+        f"sh AS (SELECT doc_id, {fp} AS simhash FROM tallies)"
+    )
+
+
+def _shingle_cte(n: int) -> str:
+    """CTE 'sh_tbl' of (doc_id, shingle) distinct word n-grams."""
+    return (
+        f"sh_tbl AS (SELECT doc_id, unnest({word_ngrams_sql('text', n)}) AS shingle "
+        "FROM documents)"
+    )
+
+
+def _ngram_jaccard_sql(n: int, threshold: float) -> str:
+    return f"""
+WITH {_shingle_cte(n)},
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh_tbl GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS common
+          FROM sh_tbl a JOIN sh_tbl b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT a_id, b_id, round(common::DOUBLE / (ca.n_sh + cb.n_sh - common), 6) AS jaccard
+FROM pairs JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
+WHERE round(common::DOUBLE / (ca.n_sh + cb.n_sh - common), 6) >= {threshold}"""
+
+
+def _minhash_sql(n: int) -> str:
+    h = stable_hash64_sql("shingle")
+    mins = ", ".join(
+        f"min({minhash_value_sql('h', a, b)}) AS m{i}"
+        for i, (a, b) in enumerate(dedup.MINHASH_PARAMS)
+    )
+    rows_per_band = len(dedup.MINHASH_PARAMS) // dedup.LSH_BANDS
+    band_exprs = []
+    for bi in range(dedup.LSH_BANDS):
+        members = " || '|' || ".join(
+            f"m{bi * rows_per_band + j}::VARCHAR" for j in range(rows_per_band)
+        )
+        band_exprs.append(f"SELECT doc_id, {bi} AS band, md5({members}) AS bucket FROM sig")
+    stacked = " UNION ALL ".join(band_exprs)
+    return f"""
+WITH {_shingle_cte(n)},
+hashed AS (SELECT doc_id, {h} AS h FROM sh_tbl),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+stacked AS ({stacked})
+SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+FROM stacked a JOIN stacked b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
+
+
+def _simhash_pairs_sql(max_hamming: int) -> str:
+    return f"""
+WITH {_simhash_cte()}
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+_KNN_IDS_SQL = ", ".join(str(i) for i in KNN_QUERY_IDS)
+
+PIPELINE_ORACLES: dict[str, str] = {
+    "text_token_counts": (
+        f"SELECT doc_id, len({_TOKS})::INTEGER AS ws_tokens, "
+        "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens "
+        "FROM documents"
+    ),
+    "text_quality_scores": _quality_sql(),
+    "text_lang_id": _lang_id_sql(),
+    "text_fingerprints": (
+        "SELECT doc_id, "
+        + stable_hash64_sql("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")
+        + " AS fp FROM documents"
+    ),
+    "text_simhash": f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM sh",
+    "dedup_exact": (
+        "SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS keep_id, "
+        "count(*)::BIGINT AS n_copies FROM documents GROUP BY md5(text)"
+    ),
+    "dedup_ngram_jaccard": _ngram_jaccard_sql(NGRAM_N, NGRAM_THRESHOLD),
+    "dedup_minhash_lsh": _minhash_sql(NGRAM_N),
+    "dedup_simhash_pairs": _simhash_pairs_sql(SIMHASH_MAX_HAMMING),
+    "dedup_embedding_cosine": f"""
+WITH v AS (SELECT vec_id::INTEGER AS vid, embedding::DOUBLE[] AS vec FROM embeddings
+           WHERE vec_id < {NEARDUP_MAX_ID})
+SELECT a.vid AS a_id, b.vid AS b_id,
+       round(list_cosine_similarity(a.vec, b.vec), 6) AS cos_sim
+FROM v a JOIN v b ON a.vid < b.vid
+WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= {NEARDUP_COS_THRESHOLD}""",
+    "knn_bruteforce": f"""
+WITH v AS (SELECT vec_id::INTEGER AS vid, embedding::DOUBLE[] AS vec FROM embeddings),
+q AS (SELECT vid AS qid, vec AS qvec FROM v WHERE vid IN ({_KNN_IDS_SQL})),
+sims AS (SELECT q.qid, v.vid AS nid, list_cosine_similarity(q.qvec, v.vec) AS sim
+         FROM v CROSS JOIN q WHERE v.vid != q.qid),
+ranked AS (SELECT qid, nid, sim,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INTEGER) AS rank
+           FROM sims)
+SELECT qid, nid, round(sim, 6) AS cos_sim, rank FROM ranked WHERE rank <= 5""",
+}
+
+PIPELINE_QUERIES = {
+    "text_token_counts": q_token_counts,
+    "text_quality_scores": q_quality_scores,
+    "text_lang_id": q_lang_id,
+    "text_fingerprints": q_fingerprints,
+    "text_simhash": q_simhash,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_minhash_lsh": q_minhash_candidates,
+    "dedup_simhash_pairs": q_simhash_pairs,
+    "dedup_embedding_cosine": q_embedding_neardup,
+    "knn_bruteforce": q_knn_bruteforce,
+    "knn_lsh": q_knn_lsh,  # rows-only: recall<1 approximate op
+    "knn_ivf": q_knn_ivf,  # rows-only: depends on iterative k-means quantizer
+}
