@@ -47,15 +47,19 @@ def recompute_centroids(
     """
     if d is None:
         d = feature_dim(assignments, features_col)
-    aggs = [F.avg(F.col(features_col)[i]).alias(f"_m{i}") for i in range(d)]
-    aggs.append(F.count(F.lit(1)).alias("size"))
+    # One JVM-parsed expression instead of d Column-API avg() builders:
+    # the Py4J round-trips otherwise dominate driver time in the Lloyd
+    # loop (see assign._centroid_literal).
+    mean_arr = "array({}) AS centroid".format(
+        ", ".join(f"avg(`{features_col}`[{i}])" for i in range(d))
+    )
+    aggs = [F.expr(mean_arr), F.count(F.lit(1)).alias("size")]
     if with_members:
         aggs.append(F.sort_array(F.collect_list(F.col(id_col))).alias("member_ids"))
-    out = assignments.groupBy(cluster_col).agg(*aggs)
-    keep = [cluster_col, F.array(*[F.col(f"_m{i}") for i in range(d)]).alias("centroid"), "size"]
+    keep = [cluster_col, "centroid", "size"]
     if with_members:
         keep.append("member_ids")
-    return out.select(*keep)
+    return assignments.groupBy(cluster_col).agg(*aggs).select(*keep)
 
 
 def recompute_exploded(

@@ -18,6 +18,7 @@ from k_means_hadoop_spark.functions.hashing import (
     word_ngrams_sql,
 )
 from k_means_hadoop_spark.operators import dedup, similarity, text
+from k_means_hadoop_spark.partitioning import fan_out
 
 # ------------------------------------------------------------------ queries
 
@@ -30,11 +31,13 @@ SIMHASH_MAX_HAMMING = 3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # fan_out: the test parquet is a single row-group (one input split);
+    # without it every shingle/hash pipeline below runs on ONE core.
+    return fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def q_token_counts(spark, sf_dir):
