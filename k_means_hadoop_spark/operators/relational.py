@@ -266,7 +266,257 @@ SELECT (json_extract_string(props, '$.k')::INTEGER % 10) AS k_mod, count(*)::BIG
 FROM events GROUP BY 1
 """
 
+def asof_join_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (absent in reference; classic time-series operator the
+    DataFrame API lacks natively): for every 'click' event, the most
+    recent 'purchase' by the same user at-or-before the click.
+
+    Scale-correct composition — union + running last_value over a window
+    keyed by user: ONE shuffle on user_id, no range-pair explosion
+    (the naive t1⋈t2 ON ts<=ts join is quadratic per key).  Ties at
+    identical ts: purchase sorts before click (at-or-before includes
+    equal ts); among equal-ts purchases the highest event_id wins —
+    deterministic on both engines.
+    """
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("p_event_id"),
+        F.col("value").alias("p_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("p_event_id"),
+        F.lit(None).cast("double").alias("p_value"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = purchases.withColumn("click_id", F.lit(None).cast("long"))
+    merged = purchases.unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "p_event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        merged.withColumn("asof_purchase", F.last("p_event_id", ignorenulls=True).over(w))
+        .withColumn("asof_value", F.last("p_value", ignorenulls=True).over(w))
+        .filter(F.col("side") == 1)
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_us"),
+        F.coalesce("asof_purchase", F.lit(-1)).alias("purchase_id"),
+        F.round(F.coalesce("asof_value", F.lit(0.0)), 6).alias("purchase_value"),
+    )
+
+
+ASOF_SQL = """
+WITH clicks AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
+purch AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+ranked AS (
+  SELECT c.click_id, c.user_id, c.ts AS cts, p.event_id, p.value,
+         row_number() OVER (PARTITION BY c.click_id ORDER BY p.ts DESC, p.event_id DESC) AS rn
+  FROM clicks c JOIN purch p ON c.user_id = p.user_id AND p.ts <= c.ts)
+SELECT c.click_id, c.user_id, epoch_us(c.ts) AS click_us,
+       coalesce(r.event_id, -1) AS purchase_id,
+       round(coalesce(r.value, 0.0), 6) AS purchase_value
+FROM clicks c LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON c.click_id = r.click_id
+"""
+
+
+def range_join_views_near_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (absent in reference): per click, number of 'view'
+    events by the same user within ±10 minutes.  Expressed as equi-join
+    on user_id + range predicate — the shuffle is keyed, so the range
+    condition only scans within a user's partition (never a cross
+    product at scale)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("cu") == F.col("vu"))
+        & (F.col("vts") >= F.col("cts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("vts") <= F.col("cts") + F.expr("INTERVAL 10 MINUTES")),
+        "left",
+    )
+    return joined.groupBy("click_id").agg(
+        F.count(F.col("vts")).alias("n_views_nearby")
+    )
+
+
+RANGE_JOIN_SQL = """
+SELECT c.event_id AS click_id, count(v.ts)::BIGINT AS n_views_nearby
+FROM events c
+LEFT JOIN events v
+  ON v.event_type = 'view' AND v.user_id = c.user_id
+ AND v.ts BETWEEN c.ts - INTERVAL 10 MINUTE AND c.ts + INTERVAL 10 MINUTE
+WHERE c.event_type = 'click'
+GROUP BY c.event_id
+"""
+
+
+def except_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set-op: customers who ordered in 1995 but not in 1996."""
+    orders = _t(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    # subtract == EXCEPT DISTINCT (exceptAll's bag semantics would keep a
+    # customer that ordered in both years whenever 1995 had more orders)
+    return y95.subtract(y96)
+
+
+EXCEPT_SQL = """
+SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+
+def intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT set-op: customers who ordered in both 1995 and 1996."""
+    orders = _t(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+INTERSECT_SQL = """
+SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over two order dimensions (all 4 grouping sets)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*)::BIGINT AS n,
+       sum(o_totalprice::DECIMAL(18,4))::DOUBLE AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither pure rollup nor cube): totals by
+    returnflag alone and by linestatus alone, in one pass over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return li.sparkSession.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(1) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*)::BIGINT AS n,
+       sum(l_quantity::DECIMAL(18,4))::DOUBLE AS sum_qty
+FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
+def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p25/p50/p75) of extendedprice per
+    returnflag — F.percentile is the exact (sort-based) aggregate;
+    approx_percentile is the sketch path for 100 TB (registered
+    separately, rows-only)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar subquery, decorrelated as a
+    per-key aggregate join): revenue from lineitems with quantity below
+    20% of their part's average quantity."""
+    li = _t(spark, sf_dir, "lineitem")
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
+    )
+    return (
+        li.join(thresholds, li.l_partkey == thresholds.t_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")) / F.lit(7).cast("decimal(18,4)"))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+Q17_SQL = """
+SELECT (sum(l_extendedprice::DECIMAL(18,4)) / 7::DECIMAL(18,4))::DOUBLE AS avg_yearly
+FROM lineitem l
+WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem WHERE l_partkey = l.l_partkey)
+"""
+
+
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch path of distinct_agg_parts (rows-only: sketch
+    estimates differ across engines by design; accuracy is asserted in
+    tests/ against the exact count instead)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx")
+    )
+
+
 RELATIONAL_QUERIES = {
+    "asof_join_purchase_click": (asof_join_purchase_before_click, ASOF_SQL),
+    "range_join_views_clicks": (range_join_views_near_clicks, RANGE_JOIN_SQL),
+    "except_custkeys": (except_custkeys, EXCEPT_SQL),
+    "intersect_custkeys": (intersect_custkeys, INTERSECT_SQL),
+    "cube_orders": (cube_orders, CUBE_SQL),
+    "grouping_sets_lineitem": (grouping_sets_lineitem, GROUPING_SETS_SQL),
+    "percentiles_by_flag": (percentiles_by_flag, PERCENTILES_SQL),
+    "q17_small_qty_revenue": (q17_small_quantity_revenue, Q17_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_revenue_orders": (q3_top_revenue_orders, Q3_SQL),
     "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
@@ -277,4 +527,10 @@ RELATIONAL_QUERIES = {
     "distinct_agg_parts": (distinct_agg_parts_per_flag, DISTINCT_AGG_SQL),
     "events_daily_windows": (events_daily_windows, EVENTS_WINDOW_SQL),
     "events_json_props": (events_json_props, EVENTS_JSON_SQL),
+}
+
+# No oracle: sketch estimates are engine-specific by design (accuracy vs
+# the exact count is asserted in tests/test_relational_ext.py instead).
+RELATIONAL_ROWS_ONLY = {
+    "approx_distinct_parts": approx_distinct_parts,
 }

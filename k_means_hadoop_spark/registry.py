@@ -253,7 +253,7 @@ ORACLES: dict[str, str] = {
     ),
 }
 
-from k_means_hadoop_spark.operators.relational import RELATIONAL_QUERIES
+from k_means_hadoop_spark.operators.relational import RELATIONAL_QUERIES, RELATIONAL_ROWS_ONLY
 from k_means_hadoop_spark.registry_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES
 
 for _name, (_fn, _sql) in RELATIONAL_QUERIES.items():
@@ -280,4 +280,5 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 QUERIES.update({name: fn for name, (fn, _sql) in RELATIONAL_QUERIES.items()})
+QUERIES.update(RELATIONAL_ROWS_ONLY)
 QUERIES.update(PIPELINE_QUERIES)

@@ -94,6 +94,88 @@ def q_knn_ivf(spark, sf_dir):
     return similarity.knn_ivf(_emb(spark, sf_dir), KNN_QUERY_IDS, k=5)
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """Arrow-batched mapInPandas media decode (deterministic fake kernel —
+    operators/multimodal.py); the oracle checks the oracle-expressible
+    projection (id/kind/byte-length/md5), proving the Python-batch
+    plumbing produces exactly what the declarative engine computes."""
+    from k_means_hadoop_spark.operators.multimodal import decode_media, media_from_documents
+
+    feats = decode_media(media_from_documents(_docs(spark, sf_dir)))
+    return feats.select("media_id", "kind", "payload_bytes", "content_hash")
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT] AS kind,
+       octet_length(encode(text))::BIGINT AS payload_bytes,
+       md5(text) AS content_hash
+FROM documents
+"""
+
+
+def q_pca_project(spark, sf_dir):
+    """N1-N5 PCA(k=2) over the k-means assignments (rows-only: eigenvector
+    sign is implementation-defined — PCA_Plot.ipynb inherits numpy's;
+    magnitude parity is asserted in tests/test_pca_streaming_multimodal.py)."""
+    from k_means_hadoop_spark.operators.pca import pca_project
+    from k_means_hadoop_spark.operators.assign import assign_expr
+    from k_means_hadoop_spark.operators.kmeans import init_ids
+    from k_means_hadoop_spark.sources.points import points_from_embeddings
+
+    pts = points_from_embeddings(spark, sf_dir)
+    asg = assign_expr(pts, init_ids(pts, KNN_QUERY_IDS))
+    proj, _model = pca_project(asg, k=2)
+    return proj.select(
+        "id",
+        "cluster",
+        F.round(F.abs(F.col("pc")[0]), 6).alias("abs_pc1"),
+        F.round(F.abs(F.col("pc")[1]), 6).alias("abs_pc2"),
+    )
+
+
+def q_streaming_window_stats(spark, sf_dir):
+    """Structured Streaming watermarked tumbling-window aggregation,
+    driven to completion with trigger(availableNow) + complete-mode
+    memory sink, then returned as a batch DataFrame.  Single-batch
+    availableNow over one file admits no late data, so the result is
+    deterministic and equals the batch oracle SQL — the strongest
+    possible check of the streaming plan."""
+    import tempfile
+    import uuid
+
+    from k_means_hadoop_spark.streaming.stream_kmeans import (
+        read_event_stream,
+        windowed_event_stats,
+    )
+
+    name = f"stream_win_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    q = (
+        windowed_event_stats(stream, window="1 hour", watermark="2 hours")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_micros("window_start").alias("window_us"),
+        "event_type",
+        "n",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+STREAMING_WINDOW_SQL = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_us, event_type,
+       count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------- oracle SQL
 
 _TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
@@ -251,6 +333,8 @@ ranked AS (SELECT qid, nid, sim,
            CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INTEGER) AS rank
            FROM sims)
 SELECT qid, nid, round(sim, 6) AS cos_sim, rank FROM ranked WHERE rank <= 5""",
+    "multimodal_decode": MULTIMODAL_SQL,
+    "streaming_window_stats": STREAMING_WINDOW_SQL,
 }
 
 PIPELINE_QUERIES = {
@@ -267,4 +351,7 @@ PIPELINE_QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,  # rows-only: recall<1 approximate op
     "knn_ivf": q_knn_ivf,  # rows-only: depends on iterative k-means quantizer
+    "multimodal_decode": q_multimodal_decode,
+    "streaming_window_stats": q_streaming_window_stats,
+    "pca_project": q_pca_project,  # rows-only: eigenvector sign is impl-defined
 }

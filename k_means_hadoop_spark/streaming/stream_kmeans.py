@@ -42,7 +42,18 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
-    """File-source stream over event parquet files (ts nanos → timestamp)."""
+    """File-source stream over event parquet files (ts nanos → timestamp).
+
+    Accepts a directory or glob; a single *file* path (the shape of the
+    local test fixtures) is staged as a symlink inside a temp directory,
+    because the file stream source only monitors directories."""
+    import os
+    import tempfile
+
+    if path.endswith(".parquet") and os.path.isfile(path):
+        staging = tempfile.mkdtemp(prefix="event_stream_")
+        os.symlink(path, os.path.join(staging, os.path.basename(path)))
+        path = staging
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
