@@ -175,6 +175,53 @@ SELECT epoch_us(date_trunc('hour', ts)) AS window_us, event_type,
 FROM events GROUP BY 1, 2
 """
 
+# Fixed 2-d centroids for the streaming assignment (features = [value,
+# hour-of-day]); arbitrary constants, shared by Spark and oracle.
+STREAM_CENTROIDS = [(1, [25.0, 6.0]), (2, [50.0, 12.0]), (3, [75.0, 18.0])]
+
+
+def q_streaming_kmeans_assign(spark, sf_dir):
+    """Stateless streaming k-means assignment: the SAME zero-shuffle
+    literal-fold expression as the batch path applied to a readStream
+    source, drained with availableNow into a memory sink.  Append mode
+    (no state, no watermark) — every input row appears exactly once, so
+    the batch SQL oracle is an exact check of the streaming plan."""
+    import tempfile
+    import uuid
+
+    from k_means_hadoop_spark.streaming.stream_kmeans import read_event_stream, stream_assign
+
+    name = f"stream_asg_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    q = (
+        stream_assign(stream, STREAM_CENTROIDS)
+        .select("id", "cluster", F.round("dist", 6).alias("dist"))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _stream_assign_sql() -> str:
+    cents = ", ".join(f"({cid}, {v[0]!r}, {v[1]!r})" for cid, v in STREAM_CENTROIDS)
+    return f"""
+WITH cents(cluster, c0, c1) AS (VALUES {cents}),
+feat AS (SELECT event_id AS id, value AS f0, hour(ts)::DOUBLE AS f1 FROM events),
+scored AS (
+  SELECT f.id, c.cluster,
+         sqrt((f.f0 - c.c0) * (f.f0 - c.c0) + (f.f1 - c.c1) * (f.f1 - c.c1)) AS dist,
+         row_number() OVER (PARTITION BY f.id
+                            ORDER BY (f.f0 - c.c0) * (f.f0 - c.c0) + (f.f1 - c.c1) * (f.f1 - c.c1),
+                                     c.cluster) AS rn
+  FROM feat f CROSS JOIN cents c)
+SELECT id, cluster, round(dist, 6) AS dist FROM scored WHERE rn = 1
+"""
+
 
 # --------------------------------------------------------------- oracle SQL
 
@@ -335,6 +382,7 @@ ranked AS (SELECT qid, nid, sim,
 SELECT qid, nid, round(sim, 6) AS cos_sim, rank FROM ranked WHERE rank <= 5""",
     "multimodal_decode": MULTIMODAL_SQL,
     "streaming_window_stats": STREAMING_WINDOW_SQL,
+    "streaming_kmeans_assign": _stream_assign_sql(),
 }
 
 PIPELINE_QUERIES = {
@@ -353,5 +401,6 @@ PIPELINE_QUERIES = {
     "knn_ivf": q_knn_ivf,  # rows-only: depends on iterative k-means quantizer
     "multimodal_decode": q_multimodal_decode,
     "streaming_window_stats": q_streaming_window_stats,
+    "streaming_kmeans_assign": q_streaming_kmeans_assign,
     "pca_project": q_pca_project,  # rows-only: eigenvector sign is impl-defined
 }

@@ -1,0 +1,96 @@
+"""Physical-plan regression tests — the 100 TB design properties.
+
+Each assertion pins a plan shape that keeps the engine scalable: filters
+reaching the parquet scan, column pruning, dimension broadcast, and the
+zero-shuffle assignment map.  A refactor that silently trades one of
+these away (e.g. a filter that stops pushing down, a join that starts
+shuffling lineitem) fails here long before it shows up in a benchmark.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from k_means_hadoop_spark import registry
+
+
+def n_nodes(plan: str, op: str) -> int:
+    """Count physical nodes by their detail header '(N) Op' — the tree
+    section repeats every node, so a raw substring count double-counts."""
+    return len(re.findall(rf"\(\d+\) {op}\b", plan))
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    def get(name: str) -> str:
+        return plan_of(registry.QUERIES[name](spark, sf_dir))
+
+    return get
+
+
+def test_q1_filter_pushdown_and_pruning(plans):
+    p = plans("q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # projection pruned to the 7 needed columns — no l_orderkey/partkey/suppkey
+    assert "l_orderkey" not in p
+    assert "l_partkey" not in p
+
+
+def test_q3_broadcasts_dimensions(plans):
+    p = plans("q3_top_revenue_orders")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # at this SF everything joinable broadcasts
+    assert "EqualTo(c_mktsegment,BUILDING)" in p  # dim filter pushed to scan
+
+
+def test_q5_snowflake_all_dims_broadcast(plans):
+    p = plans("q5_nation_revenue")
+    assert n_nodes(p, "BroadcastHashJoin") == 3
+    assert "EqualTo(r_name,ASIA)" in p
+
+
+def test_assign_expr_zero_shuffle(plans):
+    """The k-means assignment map must stay a single narrow projection:
+    no Exchange, no join — the centroid table is a plan literal."""
+    p = plans("j2_assign_expr")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "label" not in p  # P1: ground-truth column pruned at the scan
+
+
+def test_p1_column_pruning(plans):
+    p = plans("p1_drop_label")
+    assert "ReadSchema: struct<vec_id:bigint,embedding:array<float>>" in p
+
+
+def test_lloyd_iteration_single_exchange(spark, sf_dir):
+    """One Lloyd iteration = assignment map + k-row partial agg: exactly
+    one shuffle (the groupBy('cluster') exchange), nothing else."""
+    from k_means_hadoop_spark.operators.assign import assign_expr
+    from k_means_hadoop_spark.operators.kmeans import init_ids
+    from k_means_hadoop_spark.operators.recompute import recompute_centroids
+    from k_means_hadoop_spark.sources.points import points_from_embeddings
+
+    pts = points_from_embeddings(spark, sf_dir)
+    cents = init_ids(pts, [1, 51, 101])
+    p = plan_of(recompute_centroids(assign_expr(pts, cents), d=64))
+    assert n_nodes(p, "Exchange") == 1
+    assert "partial_avg" in p or "HashAggregate" in p  # map-side combine
+
+
+def test_dedup_exact_groups_on_hash_not_text(plans):
+    """The exact-dedup shuffle key must be the 16-byte md5, never the
+    raw document text (wide rows through the exchange kill it at scale)."""
+    p = plans("dedup_exact")
+    assert "md5" in p
