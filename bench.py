@@ -47,6 +47,9 @@ HEADLINE = [
     "text_quality_scores",
     "text_simhash",
     "knn_bruteforce",
+    "asof_join_purchase_click",
+    "session_windows_events",
+    "q17_small_qty_revenue",
 ]
 
 

@@ -498,6 +498,73 @@ WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem WHERE l_partkey =
 """
 
 
+def session_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user via the native
+    ``F.session_window`` aggregation — the same operator Structured
+    Streaming uses for stateful sessionization; here exercised in batch
+    so the DuckDB gaps-and-islands formulation can check it exactly."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+       count(*)::BIGINT AS n_events,
+       sum(value::DECIMAL(18,4))::DOUBLE AS sum_value
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
+def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation — the manual skew-mitigation pattern
+    (AQE's skew handling covers joins; a single hot GROUP BY key still
+    needs salting at 100 TB).  Phase 1 aggregates on (key, salt) spreading
+    a hot key over 16 reducers; phase 2 merges the partials.  The result
+    is identical to a plain GROUP BY, which is exactly what the oracle
+    checks."""
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", (F.pmod(F.xxhash64("event_id"), F.lit(16))).cast("int"))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(_dec("value")).alias("psum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psum").cast("double").alias("sum_value"),
+    )
+
+
+SALTED_AGG_SQL = """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(value::DECIMAL(18,4))::DOUBLE AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ sketch path of distinct_agg_parts (rows-only: sketch
     estimates differ across engines by design; accuracy is asserted in
@@ -517,6 +584,8 @@ RELATIONAL_QUERIES = {
     "grouping_sets_lineitem": (grouping_sets_lineitem, GROUPING_SETS_SQL),
     "percentiles_by_flag": (percentiles_by_flag, PERCENTILES_SQL),
     "q17_small_qty_revenue": (q17_small_quantity_revenue, Q17_SQL),
+    "session_windows_events": (session_windows_events, SESSION_WINDOW_SQL),
+    "salted_event_counts": (salted_event_counts, SALTED_AGG_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_revenue_orders": (q3_top_revenue_orders, Q3_SQL),
     "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),

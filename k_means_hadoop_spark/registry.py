@@ -170,6 +170,42 @@ def q_c1_one_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reassigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_j3_comembership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: co-membership pair counts via self equi-join on cluster —
+    the reference materializes n×n 0/1 matrices (KMeans.java:624-644);
+    this is the O(n·k) contingency form: per cluster, the number of
+    ordered co-member pairs including the diagonal is n²."""
+    sizes = _assigned_expr(spark, sf_dir).groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return sizes.select(
+        "cluster", (F.col("n") * F.col("n")).alias("ordered_pairs")
+    )
+
+
+def q_i1_init_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1 seeded-uniform init (rows-only: xxhash64 ordering has no DuckDB
+    mirror; determinism is asserted in tests/test_kmeans_core.py)."""
+    from k_means_hadoop_spark.operators.kmeans import init_random
+
+    pts = _points(spark, sf_dir)
+    cents = init_random(pts, k=8, seed=42)
+    return spark.createDataFrame(
+        [(c, round(v[0], 6)) for c, v in cents], "cluster int, c0 double"
+    )
+
+
+def q_kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3: MLlib k-means|| scale path (rows-only: init and tie-handling
+    are MLlib-internal; agreement with the DataFrame loop is asserted in
+    tests/test_kmeans_core.py)."""
+    from k_means_hadoop_spark.operators.kmeans import mllib_kmeans
+
+    pts = _points(spark, sf_dir)
+    out, _model = mllib_kmeans(pts, k=8, seed=42, max_iter=10)
+    return out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Lloyd loop (fixed 10 iterations) — non-SQL-expressible (C1-C5),
     rows-only driver check; golden-tested in tests/."""
@@ -229,6 +265,10 @@ ORACLES: dict[str, str] = {
         "FROM asg GROUP BY cluster"
     ),
     "a6_distinct_labels": f"WITH pts AS ({_PTS}) SELECT DISTINCT label FROM pts",
+    "j3_comembership": (
+        f"{_WITH_ASSIGN} SELECT cluster, (count(*) * count(*))::BIGINT AS ordered_pairs "
+        "FROM asg GROUP BY cluster"
+    ),
     "a7_jaccard": (
         f"WITH pts AS ({_PTS}), cents AS ({_CENTS}), asg AS ({_ASSIGN}), "
         "cells AS (SELECT label, cluster, count(*)::BIGINT AS n FROM asg GROUP BY label, cluster), "
@@ -275,8 +315,11 @@ QUERIES: dict[str, QueryFn] = {
     "a4_member_ids": q_a4_member_ids,
     "a6_distinct_labels": q_a6_distinct_labels,
     "a7_jaccard": q_a7_jaccard,
+    "j3_comembership": q_j3_comembership,
     "c1_one_iteration": q_c1_one_iteration,
     "kmeans_lloyd": q_kmeans_lloyd,  # rows-only: full iterative loop (C1-C5)
+    "i1_init_random": q_i1_init_random,  # rows-only: no portable xxhash64 oracle
+    "kmeans_mllib": q_kmeans_mllib,  # rows-only: I3 scale path, MLlib-internal init
 }
 
 QUERIES.update({name: fn for name, (fn, _sql) in RELATIONAL_QUERIES.items()})

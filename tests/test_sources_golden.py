@@ -64,6 +64,31 @@ def test_iris_golden_clustering(spark):
     assert res2.centroids == res.centroids
 
 
+def test_cho_golden_clustering(spark):
+    """Golden end-to-end on cho.txt (386×16, CRLF endings, 5 classes).
+    Every value independently verified with a NumPy Lloyd implementation
+    (same seeds, tol=0, empty-cluster-drop): 16 iterations, k intact,
+    m1=16268, m0=31834."""
+    pts = read_points_tsv(spark, os.path.join(REF_DATA, "cho.txt"))
+    res = lloyd_kmeans(pts, init_ids(pts, [1, 78, 156, 234, 312]), max_iter=-1)
+    assert res.converged and res.iterations == 16 and len(res.centroids) == 5
+    jac = jaccard_reference(res.assignments).first()
+    assert (jac["m1"], jac["m0"]) == (16268, 31834), jac
+
+
+def test_iyer_golden_clustering(spark):
+    """Golden end-to-end on iyer.txt (517×12, labels incl. -1 outliers,
+    k=10).  NumPy-verified: 38 iterations, m1=34610, m0=65111 — the -1
+    rows are clustered but excluded from the ground-truth pair matrix
+    (KMeans.java:559-561,:629,:640)."""
+    pts = read_points_tsv(spark, os.path.join(REF_DATA, "iyer.txt"))
+    seeds = [1, 52, 104, 156, 208, 260, 312, 364, 416, 468]
+    res = lloyd_kmeans(pts, init_ids(pts, seeds), max_iter=-1)
+    assert res.converged and res.iterations == 38 and len(res.centroids) == 10
+    jac = jaccard_reference(res.assignments).first()
+    assert (jac["m1"], jac["m0"]) == (34610, 65111), jac
+
+
 def test_centroid_wire_roundtrip(spark, tmp_path):
     """S3/S5/S7: wire format write → read is the identity (member-id list
     with trailing pipe, negated count — KMeans.java:516-526)."""
