@@ -39,27 +39,37 @@ def contingency(assignments: DataFrame, label_col: str = "label", cluster_col: s
 
 def jaccard_reference(assignments: DataFrame, label_col: str = "label", cluster_col: str = "cluster") -> DataFrame:
     """Single-row (m1 BIGINT, m0 BIGINT, jaccard DOUBLE) —
-    bit-identical to the reference's ordered-pairs-with-diagonal counts."""
+    bit-identical to the reference's ordered-pairs-with-diagonal counts.
+
+    Plan shape (this matters at scale — a naive three-branch formulation
+    re-aggregates the full assignment table three times and cost ~14
+    exchanges): ONE pass over the assignments builds the contingency
+    cells; the marginals n_l, m_c are window sums over the tiny cell
+    table; the three pair-sums collapse into a single global aggregate
+    using  Σ_l n_l² = Σ_cells n·n_l  (and likewise for m_c).
+    """
+    from pyspark.sql import Window
+
     cells = contingency(assignments, label_col, cluster_col)
-    lbl = F.col(label_col)
-    ground_ok = lbl != -1
-    # Predicted-side guard mirrors the reference's `clus1 != -1` check on
-    # the prediction matrix (clusters are 1..k so it never fires, but the
-    # formula stays exact if a -1 cluster ever appears).
+    ground_ok = F.col(label_col) != -1
+    # Mirrors the reference's `clus1 != -1` guard on the prediction matrix
+    # (clusters are 1..k so it never fires, but the formula stays exact).
     pred_ok = F.col(cluster_col) != -1
-
-    n_l = cells.filter(ground_ok).groupBy(label_col).agg(F.sum("n").alias("n_l"))
-    m_c = cells.filter(pred_ok).groupBy(cluster_col).agg(F.sum("n").alias("m_c"))
-
-    ground1 = n_l.agg(F.sum(F.col("n_l") * F.col("n_l")).alias("v"))
-    pred1 = m_c.agg(F.sum(F.col("m_c") * F.col("m_c")).alias("v"))
-    both1 = cells.filter(ground_ok & pred_ok).agg(F.sum(F.col("n") * F.col("n")).alias("v"))
-
-    g = ground1.select(F.col("v").alias("ground1"))
-    p = pred1.select(F.col("v").alias("pred1"))
-    b = both1.select(F.col("v").alias("both1"))
-    joined = g.crossJoin(p).crossJoin(b)
-    return joined.select(
+    stats = cells.select(
+        F.col("n"),
+        ground_ok.alias("g_ok"),
+        pred_ok.alias("p_ok"),
+        F.sum("n").over(Window.partitionBy(label_col)).alias("n_l"),
+        F.sum("n").over(Window.partitionBy(cluster_col)).alias("m_c"),
+    )
+    totals = stats.agg(
+        F.sum(F.when(F.col("g_ok"), F.col("n") * F.col("n_l")).otherwise(0)).alias("ground1"),
+        F.sum(F.when(F.col("p_ok"), F.col("n") * F.col("m_c")).otherwise(0)).alias("pred1"),
+        F.sum(
+            F.when(F.col("g_ok") & F.col("p_ok"), F.col("n") * F.col("n")).otherwise(0)
+        ).alias("both1"),
+    )
+    return totals.select(
         F.col("both1").cast("bigint").alias("m1"),
         (F.col("ground1") + F.col("pred1") - 2 * F.col("both1")).cast("bigint").alias("m0"),
         (

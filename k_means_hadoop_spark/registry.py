@@ -152,7 +152,9 @@ def q_a6_distinct_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_a7_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    asg = _assigned_join(spark, sf_dir)
+    # literal-fold assignment: keeps label without the join path's extra
+    # groupBy(id) shuffle of all n rows (J1 itself is covered by j1_*)
+    asg = _assigned_expr(spark, sf_dir)
     return jaccard_reference(asg).select(
         "m1", "m0", F.round("jaccard", 6).alias("jaccard")
     )

@@ -89,6 +89,16 @@ def test_lloyd_iteration_single_exchange(spark, sf_dir):
     assert "partial_avg" in p or "HashAggregate" in p  # map-side combine
 
 
+def test_a7_jaccard_single_pass(plans):
+    """The contingency-based Jaccard must aggregate the assignments ONCE:
+    1 big exchange (groupBy label,cluster) + 2 tiny window exchanges over
+    the k×L cell table + the single-row final agg.  A naive three-branch
+    formulation costs 14 exchanges and three scans."""
+    p = plans("a7_jaccard")
+    assert n_nodes(p, "Exchange") <= 4
+    assert n_nodes(p, "BroadcastNestedLoopJoin") == 0
+
+
 def test_dedup_exact_groups_on_hash_not_text(plans):
     """The exact-dedup shuffle key must be the 16-byte md5, never the
     raw document text (wide rows through the exchange kill it at scale)."""
