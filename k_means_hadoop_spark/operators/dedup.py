@@ -51,25 +51,51 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingle_table(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams, exploded."""
-    return docs.select(
+def shingle_table(
+    docs: DataFrame, n: int = 3, text_col: str = "text", max_doc_freq: int | None = None
+) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams, exploded.
+
+    ``max_doc_freq`` is the stop-shingle cap: shingles appearing in more
+    than that many documents are dropped BEFORE any self-join.  At 100 TB
+    a single boilerplate shingle shared by 1M docs otherwise generates
+    5·10¹¹ candidate pairs; the cap bounds per-shingle join fan-out at
+    max_doc_freq².  Default None = exact semantics (oracle parity)."""
+    sh = docs.select(
         "doc_id", F.explode(word_ngrams(F.col(text_col), n)).alias("shingle")
+    )
+    if max_doc_freq is None:
+        return sh
+    from pyspark.sql import Window
+
+    df_count = Window.partitionBy("shingle")
+    return (
+        sh.withColumn("_df", F.count(F.lit(1)).over(df_count))
+        .filter(F.col("_df") <= max_doc_freq)
+        .drop("_df")
     )
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.7, text_col: str = "text"
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """(a_id, b_id, jaccard) for pairs with shingle-set Jaccard ≥ threshold.
 
     Inverted-index self-join: pairs are generated only for documents
-    sharing ≥1 shingle; |A∪B| from per-doc shingle counts.
+    sharing ≥1 shingle; |A∪B| from per-doc shingle counts.  At scale pass
+    ``max_doc_freq`` (stop-shingle cap, see shingle_table) — candidate
+    recall drops only for pairs whose every shared shingle is hot, while
+    the denominator counts stay exact.
     """
     sh = shingle_table(docs, n, text_col)
+    join_side = sh if max_doc_freq is None else shingle_table(docs, n, text_col, max_doc_freq)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    a = join_side.alias("a")
+    b = join_side.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))

@@ -22,6 +22,53 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         assert abs(approx[flag] - n) <= max(3, 0.06 * n), (flag, approx[flag], n)
 
 
+def test_lloyd_partition_invariance(spark, sf_dir):
+    """Cluster sizes and membership must not depend on the input's
+    physical partitioning; centroids agree to float-roundoff (the
+    per-partition partial sums legally reassociate)."""
+    from k_means_hadoop_spark.operators.kmeans import init_ids, lloyd_kmeans
+    from k_means_hadoop_spark.sources.points import points_from_embeddings
+
+    pts = points_from_embeddings(spark, sf_dir)
+    seeds = [1, 51, 101]
+    r1 = lloyd_kmeans(pts, init_ids(pts, seeds), max_iter=5)
+    r7 = lloyd_kmeans(pts.repartition(7), init_ids(pts, seeds), max_iter=5)
+    sizes = lambda r: sorted(
+        (row["cluster"], row["n"])
+        for row in r.assignments.groupBy("cluster").count().withColumnRenamed("count", "n").collect()
+    )
+    assert sizes(r1) == sizes(r7)
+    for (c1, v1), (c7, v7) in zip(r1.centroids, r7.centroids):
+        assert c1 == c7
+        assert all(abs(a - b) < 1e-9 for a, b in zip(v1, v7))
+
+
+def test_stop_shingle_cap(spark):
+    """max_doc_freq drops hot shingles from the candidate join but keeps
+    the Jaccard denominators exact."""
+    from k_means_hadoop_spark.operators.dedup import ngram_jaccard_pairs, shingle_table
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high"),
+            (2, "the quick brown fox jumps low"),
+            (3, "the quick brown cat sits here"),
+            (4, "completely different words entirely now yes"),
+        ],
+        "doc_id long, text string",
+    )
+    # 'the quick brown' appears in 3 docs; cap=2 drops it
+    capped = shingle_table(docs, n=3, max_doc_freq=2)
+    assert capped.filter(F.col("shingle") == "the quick brown").count() == 0
+    exact = {(r["a_id"], r["b_id"]) for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    pruned = {
+        (r["a_id"], r["b_id"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, max_doc_freq=2).collect()
+    }
+    assert pruned <= exact  # pruning only removes candidates
+    assert (1, 2) in pruned  # docs 1-2 still share non-hot shingles
+
+
 def test_asof_join_matches_naive(spark, sf_dir):
     """The union+window as-of join must equal the naive per-click argmax
     (computed driver-side over one user's events)."""
