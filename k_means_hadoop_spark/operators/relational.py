@@ -498,6 +498,35 @@ WHERE l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem WHERE l_partkey =
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate — every predicate must
+    reach the parquet reader (range on date, band on discount, cap on
+    quantity), making this the canonical pushdown benchmark."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+Q6_SQL = """
+SELECT sum(l_extendedprice::DECIMAL(18,4) * l_discount::DECIMAL(18,4))::DOUBLE AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 25
+"""
+
+
 def session_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min inactivity gap) per user via the native
     ``F.session_window`` aggregation — the same operator Structured
@@ -584,6 +613,7 @@ RELATIONAL_QUERIES = {
     "grouping_sets_lineitem": (grouping_sets_lineitem, GROUPING_SETS_SQL),
     "percentiles_by_flag": (percentiles_by_flag, PERCENTILES_SQL),
     "q17_small_qty_revenue": (q17_small_quantity_revenue, Q17_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "session_windows_events": (session_windows_events, SESSION_WINDOW_SQL),
     "salted_event_counts": (salted_event_counts, SALTED_AGG_SQL),
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),

@@ -207,6 +207,46 @@ def q_streaming_kmeans_assign(spark, sf_dir):
     return spark.table(name)
 
 
+def q_streaming_stateful_totals(spark, sf_dir):
+    """applyInPandasWithState per-user running totals, drained with
+    availableNow.  Update-mode emits one refreshed row per user per
+    micro-batch; the final state (row with max n_events per user) must
+    equal the batch GROUP BY — which is exactly what the oracle checks."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from k_means_hadoop_spark.streaming.stateful import stateful_user_totals
+    from k_means_hadoop_spark.streaming.stream_kmeans import read_event_stream
+
+    name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    q = (
+        stateful_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", F.round("sum_value", 6).alias("sum_value"))
+    )
+
+
+STREAMING_STATEFUL_SQL = """
+SELECT user_id, count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
 def _stream_assign_sql() -> str:
     cents = ", ".join(f"({cid}, {v[0]!r}, {v[1]!r})" for cid, v in STREAM_CENTROIDS)
     return f"""
@@ -383,6 +423,7 @@ SELECT qid, nid, round(sim, 6) AS cos_sim, rank FROM ranked WHERE rank <= 5""",
     "multimodal_decode": MULTIMODAL_SQL,
     "streaming_window_stats": STREAMING_WINDOW_SQL,
     "streaming_kmeans_assign": _stream_assign_sql(),
+    "streaming_stateful_totals": STREAMING_STATEFUL_SQL,
 }
 
 PIPELINE_QUERIES = {
@@ -402,5 +443,6 @@ PIPELINE_QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "streaming_window_stats": q_streaming_window_stats,
     "streaming_kmeans_assign": q_streaming_kmeans_assign,
+    "streaming_stateful_totals": q_streaming_stateful_totals,
     "pca_project": q_pca_project,  # rows-only: eigenvector sign is impl-defined
 }

@@ -139,6 +139,51 @@ def test_streaming_kmeans_update(spark, event_dir, tmp_path):
     assert all(len(v) == 2 for _, v in state.centroids)
 
 
+def test_stateful_user_totals_across_batches(spark, tmp_path, sf_dir):
+    """applyInPandasWithState: per-user (count, sum) state must accumulate
+    ACROSS micro-batches — events are split into two files consumed one
+    per trigger, and each user's final row must equal the plain batch
+    aggregate over all events."""
+    import pandas as pd
+
+    from k_means_hadoop_spark.sources.events import load_events
+    from k_means_hadoop_spark.streaming.stateful import stateful_user_totals
+    from k_means_hadoop_spark.streaming.stream_kmeans import read_event_stream
+
+    ev = load_events(spark, sf_dir)
+    # split into two parquet files -> two micro-batches
+    d = tmp_path / "events_split"
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw.filter(F.col("event_id") % 2 == 0).write.parquet(str(d / "a"))
+    raw.filter(F.col("event_id") % 2 == 1).write.parquet(str(d / "b"))
+
+    stream = read_event_stream(spark, str(d / "*" / "*.parquet"))
+    q = (
+        stateful_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_totals")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM user_totals").toPandas()
+    assert rows["user_id"].duplicated().any(), "expected >1 micro-batch (update rows per user)"
+    # final state per user = row with the max n_events
+    final = rows.sort_values("n_events").groupby("user_id").last()
+    expected = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(expected)
+    joined = final.join(expected, lsuffix="_got")
+    assert (joined["n_events_got"] == joined["n_events"]).all()
+    assert (abs(joined["sum_value_got"] - joined["sum_value"]) < 1e-6).all()
+
+
 # -------------------------------------------------------------- multimodal
 
 
