@@ -304,6 +304,97 @@ GROUP BY c_nationkey
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery → window min-per-group.
+
+    For each small part, the supplier quoting the lowest unit price.
+    The correlated ``price = (SELECT min ...)`` of the original is
+    rewritten as one window pass over the joined fact — a single shuffle
+    on partkey instead of a re-aggregation per outer row.  Ties break on
+    suppkey, so the winner is deterministic.
+    """
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    sup = _t(spark, sf_dir, "supplier")
+    unit_price = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    w = Window.partitionBy("p_partkey").orderBy(F.col("unit_price"), F.col("l_suppkey"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("p_partkey", "p_brand", "l_suppkey", unit_price)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select(
+            "p_partkey", "p_brand", "s_name",
+            F.round("unit_price", 6).alias("min_unit_price"),
+        )
+    )
+
+
+Q2_SQL = """
+SELECT p_partkey, p_brand, s_name, round(unit_price, 6) AS min_unit_price
+FROM (SELECT p_partkey, p_brand, l_suppkey,
+             l_extendedprice / l_quantity AS unit_price,
+             row_number() OVER (PARTITION BY p_partkey
+                                ORDER BY l_extendedprice / l_quantity, l_suppkey) AS rn
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size <= 5)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1
+"""
+
+
+def q21_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the double-correlated EXISTS / NOT-EXISTS
+    ("another supplier on the order exists; no OTHER supplier was late")
+    rewritten as ONE aggregation pass per order.
+
+    The rewrite matters at scale: the correlated form re-probes lineitem
+    twice per outer row; this form shuffles lineitem once on orderkey,
+    reduces each order to (distinct suppliers, distinct late suppliers),
+    and keeps orders with >=2 suppliers where exactly one was late.  The
+    oracle deliberately uses the textbook EXISTS form, so parity also
+    proves the rewrite correct.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    sup = _t(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.collect_set(F.when(late, F.col("l_suppkey"))).alias("late_supps"),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.size("late_supps") == 1))
+        .select(F.element_at("late_supps", 1).alias("suppkey"))
+    )
+    return (
+        per_order.groupBy("suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(sup), F.col("suppkey") == sup.s_suppkey)
+        .select("s_name", "numwait")
+    )
+
+
+Q21_SQL = """
+SELECT s_name, count(DISTINCT l1.l_orderkey)::BIGINT AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey != l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey != l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY s_name
+"""
+
+
 TPCH_EXTRA_QUERIES = {
     "q4_priority_late_ships": (q4_priority_late_ships, Q4_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
@@ -312,4 +403,6 @@ TPCH_EXTRA_QUERIES = {
     "q18_large_volume_customers": (q18_large_volume_customers, Q18_SQL),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
     "q22_idle_rich_customers": (q22_idle_rich_customers, Q22_SQL),
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "q21_sole_late_suppliers": (q21_sole_late_suppliers, Q21_SQL),
 }

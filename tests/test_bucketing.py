@@ -9,19 +9,10 @@ every night" — shuffle once at write time, never again at read time.
 
 from __future__ import annotations
 
-import contextlib
-import io
-import re
-
 import pytest
 from pyspark.sql import functions as F
 
-
-def plan_of(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+from k_means_hadoop_spark.plans import n_nodes, plan_of
 
 
 @pytest.fixture(scope="module")
@@ -52,11 +43,11 @@ def test_bucketed_join_no_shuffle(spark, bucketed_tables):
         "o_orderstatus"
     ).agg(F.count(F.lit(1)).alias("n"))
     p = plan_of(joined)
-    joins = len(re.findall(r"\(\d+\) SortMergeJoin", p))
+    joins = n_nodes(p, "SortMergeJoin")
     assert joins == 1, p
     # the ONLY exchange allowed is the final groupBy aggregation — the
     # join itself must consume bucket-aligned scans with no shuffle
-    n_exchanges = len(re.findall(r"\(\d+\) Exchange", p))
+    n_exchanges = n_nodes(p, "Exchange")
     assert n_exchanges == 1, f"expected only the agg exchange, got {n_exchanges}:\n{p}"
 
 

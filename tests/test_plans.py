@@ -9,26 +9,10 @@ shuffling lineitem) fails here long before it shows up in a benchmark.
 
 from __future__ import annotations
 
-import contextlib
-import io
-import re
-
 import pytest
 
 from k_means_hadoop_spark import registry
-
-
-def n_nodes(plan: str, op: str) -> int:
-    """Count physical nodes by their detail header '(N) Op' — the tree
-    section repeats every node, so a raw substring count double-counts."""
-    return len(re.findall(rf"\(\d+\) {op}\b", plan))
-
-
-def plan_of(df) -> str:
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+from k_means_hadoop_spark.plans import n_nodes, plan_of
 
 
 @pytest.fixture(scope="module")
@@ -104,3 +88,52 @@ def test_dedup_exact_groups_on_hash_not_text(plans):
     raw document text (wide rows through the exchange kill it at scale)."""
     p = plans("dedup_exact")
     assert "md5" in p
+
+
+def test_q4_semi_join_no_fanout(plans):
+    """EXISTS must plan as a semi join (one output row per order max),
+    with the quarter filter pushed into the orders scan."""
+    p = plans("q4_priority_late_ships")
+    assert "LeftSemi" in p
+    assert "GreaterThanOrEqual(o_orderdate,1996-07-01" in p
+    assert n_nodes(p, "Exchange") <= 3  # join sides (if SMJ) + final agg
+
+
+def test_q7_derived_dim_filters_reach_all_scans(plans):
+    """The nationkey<5 predicates must propagate through the equi-joins
+    into supplier, customer AND both nation scans (4 scans filtered)."""
+    p = plans("q7_volume_shipping")
+    from k_means_hadoop_spark.plans import pushed_filters
+
+    filtered = [f for f in pushed_filters(p) if "LessThan" in f and "nationkey,5)" in f]
+    assert len(filtered) == 4, p
+
+
+def test_q19_or_predicates_push_to_both_scans(plans):
+    """Catalyst must derive per-side OR-filters from the OR-of-ANDs:
+    the quantity bands into the lineitem scan, brand/size into part."""
+    p = plans("q19_disjunctive_revenue")
+    from k_means_hadoop_spark.plans import pushed_filters
+
+    fs = pushed_filters(p)
+    assert any("l_quantity" in f and "Or(" in f for f in fs), fs
+    assert any("p_brand" in f and "Or(" in f for f in fs), fs
+
+
+def test_q22_anti_join_and_folded_threshold(plans):
+    """NOT EXISTS plans as LeftAnti; the scalar avg-balance threshold is
+    collected once and folded into the customer scan as a literal."""
+    p = plans("q22_idle_rich_customers")
+    assert "LeftAnti" in p
+    assert "GreaterThan(c_acctbal," in p
+
+
+def test_q18_preaggregates_before_join(plans):
+    """The per-order quantity agg must run BEFORE any join: the only
+    shuffle in the plan is the groupBy(l_orderkey) exchange feeding the
+    partial→final agg (lineitem shrinks to one row per order pre-join);
+    orders/customer enter via broadcast only."""
+    p = plans("q18_large_volume_customers")
+    assert n_nodes(p, "Exchange") == 1, p
+    assert "hashpartitioning(l_orderkey" in p
+    assert n_nodes(p, "SortMergeJoin") == 0
