@@ -37,3 +37,20 @@ def write_final_output(assignments: DataFrame, path: str) -> None:
 
 def write_plot_output(assignments: DataFrame, path: str) -> None:
     plot_output_lines(assignments).write.mode("overwrite").text(path)
+
+
+def write_events_partitioned(events: DataFrame, path: str) -> None:
+    """Date-partitioned parquet sink (beyond-reference; the reference's
+    only sinks are the flat text files above).
+
+    ``partitionBy(event_date)`` is the 100 TB layout: readers with a
+    date predicate prune whole directories before any I/O (the plan
+    shows it under ``PartitionFilters``, not ``PushedFilters``), and
+    daily ingest appends one directory without touching the rest.
+    """
+    (
+        events.withColumn("event_date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )

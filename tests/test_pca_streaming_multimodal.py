@@ -69,7 +69,7 @@ def event_dir(tmp_path, sf_dir):
 CENTS_2D = [(1, [50.0, 6.0]), (2, [150.0, 18.0])]
 
 
-def test_stream_assign(spark, event_dir, tmp_path):
+def test_stream_assign(spark, event_dir, tmp_path, sf_dir):
     stream = read_event_stream(spark, event_dir)
     assert stream.isStreaming
     out = stream_assign(stream, CENTS_2D)
@@ -83,14 +83,14 @@ def test_stream_assign(spark, event_dir, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT * FROM assigned_events")
     n = got.count()
-    assert n == 1000  # sf0.001 events
+    assert n == spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert {r["cluster"] for r in got.select("cluster").distinct().collect()} <= {1, 2}
     # batch/stream parity: same expression on the same rows, same result
     from k_means_hadoop_spark.sources.events import load_events
     from k_means_hadoop_spark.streaming.stream_kmeans import featurize_events
     from k_means_hadoop_spark.operators.assign import nearest_centroid
 
-    batch = featurize_events(load_events(spark, "/root/testdata/sf0.001"))
+    batch = featurize_events(load_events(spark, sf_dir))
     best = nearest_centroid("features", CENTS_2D)
     batch_out = batch.withColumn("cluster", best["cluster"])
     b = {r["id"]: r["cluster"] for r in batch_out.collect()}
@@ -98,7 +98,7 @@ def test_stream_assign(spark, event_dir, tmp_path):
     assert b == s
 
 
-def test_windowed_event_stats(spark, event_dir, tmp_path):
+def test_windowed_event_stats(spark, event_dir, tmp_path, sf_dir):
     stream = read_event_stream(spark, event_dir)
     out = windowed_event_stats(stream, window="1 day", watermark="1 day")
     q = (
@@ -116,7 +116,7 @@ def test_windowed_event_stats(spark, event_dir, tmp_path):
     # against a batch recomputation.
     from k_means_hadoop_spark.sources.events import load_events
 
-    ev = load_events(spark, "/root/testdata/sf0.001")
+    ev = load_events(spark, sf_dir)
     batch = (
         ev.groupBy(F.date_trunc("day", "ts").alias("window_start"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -212,3 +212,63 @@ def test_media_real_decode_is_stubbed(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1)
     with pytest.raises(NotImplementedError):
         decode_media_real(media_from_documents(docs))
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed agg with a 1h watermark across three
+    sequential micro-batches.  Spark enforces the watermark at state
+    EVICTION, not at ingestion: a late row still merges while its window
+    sits in state.  So the drop is only guaranteed once the window has
+    been evicted — batch 1 advances the watermark past the 10:00 window,
+    batch 2 evicts+emits it, and batch 3's 10:15 straggler must then be
+    dropped (no second 10:00 row, count stays 2)."""
+    import time
+
+    from k_means_hadoop_spark.streaming.stream_kmeans import (
+        read_event_stream,
+        windowed_event_stats,
+    )
+
+    def nanos(hhmm: str) -> int:
+        h, m = map(int, hhmm.split(":"))
+        base = 1700000000  # fixed epoch day, irrelevant which
+        day0 = base - (base % 86400)
+        return (day0 + h * 3600 + m * 60) * 1_000_000_000
+
+    def write_file(subdir: str, rows):
+        df = spark.createDataFrame(
+            [(i, nanos(t), 1, "click", 1.0, "{}") for i, t in enumerate(rows)],
+            "event_id long, ts long, user_id long, event_type string, value double, props string",
+        )
+        df.coalesce(1).write.parquet(str(tmp_path / "wm" / subdir))
+        time.sleep(1.1)  # file source orders batches by modification time
+
+    # batch 0: two rows in [10:00,11:00) + one at 13:00 -> wm becomes 12:00
+    write_file("a", ["10:00", "10:30", "13:00"])
+    # batch 1: wm 12:00 now in effect -> evicts+emits the 10:00 window (n=2)
+    write_file("b", ["14:00"])
+    # batch 2: straggler at 10:15 — its window is gone; must be dropped
+    write_file("c", ["10:15"])
+
+    stream = read_event_stream(spark, str(tmp_path / "wm" / "*" / "*.parquet"))
+    q = (
+        windowed_event_stats(stream, window="1 hour", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_stats")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = [
+        (r["window_start"].strftime("%H:%M"), r["n"])
+        for r in spark.table("wm_stats").collect()
+    ]
+    assert emitted.count(("10:00", 2)) == 1, emitted  # emitted once, straggler excluded
+    assert not any(w == "10:00" and n != 2 for w, n in emitted), emitted
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1, "the straggler must be counted as dropped-by-watermark"

@@ -132,3 +132,24 @@ def test_output_sinks(spark):
     )
     assert final_output_lines(asg).first()["value"] == "7\t2\t1.5\t2.5"
     assert plot_output_lines(asg).first()["value"] == "1.5\t2.5\t2"
+
+
+def test_partitioned_sink_prunes_on_read(spark, sf_dir, tmp_path):
+    """Date-partitioned parquet: a date filter on read-back must become a
+    PartitionFilter (directory pruning, zero data I/O for other days) and
+    return exactly the rows of that day."""
+    from k_means_hadoop_spark.plans import plan_of
+    from k_means_hadoop_spark.sources.events import load_events
+    from k_means_hadoop_spark.sources.sinks import write_events_partitioned
+
+    ev = load_events(spark, sf_dir)
+    out = str(tmp_path / "events_by_date")
+    write_events_partitioned(ev, out)
+
+    some_day = ev.select(F.to_date("ts").alias("d")).groupBy("d").count().orderBy(
+        F.col("count").desc()
+    ).first()
+    back = spark.read.parquet(out).filter(F.col("event_date") == F.lit(some_day["d"]))
+    p = plan_of(back)
+    assert "PartitionFilters" in p and "event_date" in p.split("PartitionFilters", 1)[1][:200]
+    assert back.count() == some_day["count"]
