@@ -50,6 +50,8 @@ HEADLINE = [
     "asof_join_purchase_click",
     "session_windows_events",
     "q17_small_qty_revenue",
+    "q7_volume_shipping",
+    "q18_large_volume_customers",
 ]
 
 
