@@ -247,6 +247,65 @@ FROM events GROUP BY user_id
 """
 
 
+def _drain(stream_df, prefix: str):
+    """availableNow → memory sink, return the drained table (append mode)."""
+    import tempfile
+    import uuid
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+def q_streaming_dedup_keys(spark, sf_dir):
+    """Stateful streaming dedup: first-seen (user_id, event_type) pairs.
+    Output order is nondeterministic but the SET of emitted keys equals
+    batch DISTINCT — exactly what the hash compare checks."""
+    from k_means_hadoop_spark.streaming.relational import dedup_stream_keys
+    from k_means_hadoop_spark.streaming.stream_kmeans import read_event_stream
+
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    name = _drain(dedup_stream_keys(stream, ["user_id", "event_type"]), "stream_dedup")
+    return spark.table(name)
+
+
+STREAMING_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def q_streaming_enrich_join(spark, sf_dir):
+    """Stream-static broadcast join: arriving events pick up customer
+    dimension columns; stateless, so append mode emits each event once
+    and the batch join SQL is an exact oracle."""
+    from k_means_hadoop_spark.streaming.relational import enrich_events_with_customer
+    from k_means_hadoop_spark.streaming.stream_kmeans import read_event_stream
+
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    enriched = enrich_events_with_customer(stream, customers).select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value"),
+        "c_nationkey", "c_mktsegment",
+    )
+    name = _drain(enriched, "stream_enrich")
+    return spark.table(name)
+
+
+STREAMING_ENRICH_SQL = """
+SELECT event_id, user_id, event_type, round(value, 6) AS value,
+       c_nationkey, c_mktsegment
+FROM events JOIN customer ON user_id = c_custkey
+"""
+
+
 def _stream_assign_sql() -> str:
     cents = ", ".join(f"({cid}, {v[0]!r}, {v[1]!r})" for cid, v in STREAM_CENTROIDS)
     return f"""
@@ -424,6 +483,8 @@ SELECT qid, nid, round(sim, 6) AS cos_sim, rank FROM ranked WHERE rank <= 5""",
     "streaming_window_stats": STREAMING_WINDOW_SQL,
     "streaming_kmeans_assign": _stream_assign_sql(),
     "streaming_stateful_totals": STREAMING_STATEFUL_SQL,
+    "streaming_dedup_keys": STREAMING_DEDUP_SQL,
+    "streaming_enrich_join": STREAMING_ENRICH_SQL,
 }
 
 PIPELINE_QUERIES = {
@@ -444,5 +505,7 @@ PIPELINE_QUERIES = {
     "streaming_window_stats": q_streaming_window_stats,
     "streaming_kmeans_assign": q_streaming_kmeans_assign,
     "streaming_stateful_totals": q_streaming_stateful_totals,
+    "streaming_dedup_keys": q_streaming_dedup_keys,
+    "streaming_enrich_join": q_streaming_enrich_join,
     "pca_project": q_pca_project,  # rows-only: eigenvector sign is impl-defined
 }
