@@ -137,3 +137,44 @@ def test_q18_preaggregates_before_join(plans):
     assert n_nodes(p, "Exchange") == 1, p
     assert "hashpartitioning(l_orderkey" in p
     assert n_nodes(p, "SortMergeJoin") == 0
+
+
+def test_q13_outer_join_preserved(plans):
+    """Q13's LEFT OUTER is semantically required (zero-order customers
+    are the point); nothing may rewrite it to inner.  Two agg exchanges
+    (per-customer, then histogram) are the only shuffles."""
+    p = plans("q13_order_count_distribution")
+    assert "LeftOuter" in p
+    assert n_nodes(p, "Exchange") == 2, p
+
+
+def test_q15_single_fact_scan(plans):
+    """The 'revenue = global max' scalar must reuse the aggregated
+    per-supplier table via a window — exactly two scans total (lineitem
+    once, supplier once), never a second lineitem pass."""
+    p = plans("q15_top_supplier")
+    assert n_nodes(p, "Scan parquet") == 2, p
+    assert n_nodes(p, "Window") == 1
+
+
+def test_q16_anti_join_broadcast(plans):
+    """The excluded-supplier NOT-IN is a broadcast anti join on the tiny
+    filtered supplier set, not a shuffle."""
+    p = plans("q16_supplier_part_counts")
+    assert "LeftAnti" in p
+    assert n_nodes(p, "SortMergeJoin") == 0
+
+
+def test_q20_nested_semi_joins(plans):
+    """Both membership tests plan as semi joins (promo parts into
+    lineitem; qualifying suppkeys into supplier) — no fan-out anywhere."""
+    p = plans("q20_promo_part_suppliers")
+    assert p.count("LeftSemi") >= 2, p
+
+
+def test_q8_snowflake_single_shuffle(plans):
+    """Seven broadcast joins, one exchange: the 6-way snowflake + ratio
+    agg reads lineitem once and shuffles only the year-grouped rows."""
+    p = plans("q8_market_share")
+    assert n_nodes(p, "BroadcastHashJoin") == 7, p
+    assert n_nodes(p, "Exchange") == 1, p
