@@ -146,3 +146,34 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
         term = F.when(F.col(f"_b{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         fp = term if fp is None else fp + term
     return tallies.select("doc_id", fp.alias("simhash"))
+
+
+def chunk_documents(
+    docs: DataFrame, text_col: str = "text", window: int = 32, stride: int = 24
+) -> DataFrame:
+    """Overlapping token-window chunking — the canonical LLM-pretraining
+    preprocessing step (context-length splitting with overlap).
+
+    Pure expression: tokenize → start offsets via ``sequence(0, n-1,
+    stride)`` → ``posexplode`` → per-chunk slice.  The explode is the
+    only fan-out (bounded by ~n/stride per doc); no shuffle, no Python.
+    Chunks are emitted as (token count, md5 of the joined tokens) so the
+    output stays narrow even for book-sized documents.
+    """
+    toks = _tokens(F.col(text_col))
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride))
+    return (
+        docs.select("doc_id", toks.alias("toks"), starts.alias("starts"))
+        .select("doc_id", "toks", F.posexplode("starts").alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.slice("toks", F.col("start") + 1, window).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk").alias("n_tokens"),
+            F.md5(F.array_join("chunk", " ")).alias("chunk_hash"),
+        )
+    )

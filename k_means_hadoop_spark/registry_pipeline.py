@@ -94,6 +94,24 @@ def q_knn_ivf(spark, sf_dir):
     return similarity.knn_ivf(_emb(spark, sf_dir), KNN_QUERY_IDS, k=5)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (W=32, stride=24) — explode-only
+    fan-out, narrow output (count + md5 per chunk)."""
+    return text.chunk_documents(_docs(spark, sf_dir), window=32, stride=24)
+
+
+CHUNK_SQL = """
+WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+s AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 24)) AS start,
+             (generate_subscripts(range(0, greatest(len(toks), 1), 24), 1) - 1)::INTEGER AS chunk_idx
+      FROM t)
+SELECT doc_id, chunk_idx,
+       len(array_slice(toks, start + 1, start + 32))::INTEGER AS n_tokens,
+       md5(array_to_string(array_slice(toks, start + 1, start + 32), ' ')) AS chunk_hash
+FROM s
+"""
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched mapInPandas media decode (deterministic fake kernel —
     operators/multimodal.py); the oracle checks the oracle-expressible
@@ -479,6 +497,7 @@ ranked AS (SELECT qid, nid, sim,
            CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INTEGER) AS rank
            FROM sims)
 SELECT qid, nid, round(sim, 6) AS cos_sim, rank FROM ranked WHERE rank <= 5""",
+    "chunk_documents": CHUNK_SQL,
     "multimodal_decode": MULTIMODAL_SQL,
     "streaming_window_stats": STREAMING_WINDOW_SQL,
     "streaming_kmeans_assign": _stream_assign_sql(),
@@ -501,6 +520,7 @@ PIPELINE_QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,  # rows-only: recall<1 approximate op
     "knn_ivf": q_knn_ivf,  # rows-only: depends on iterative k-means quantizer
+    "chunk_documents": q_chunk_documents,
     "multimodal_decode": q_multimodal_decode,
     "streaming_window_stats": q_streaming_window_stats,
     "streaming_kmeans_assign": q_streaming_kmeans_assign,

@@ -153,3 +153,31 @@ def test_partitioned_sink_prunes_on_read(spark, sf_dir, tmp_path):
     p = plan_of(back)
     assert "PartitionFilters" in p and "event_date" in p.split("PartitionFilters", 1)[1][:200]
     assert back.count() == some_day["count"]
+
+
+def test_cli_end_to_end(tmp_path):
+    """python -m k_means_hadoop_spark on the Iris-shaped dataset must
+    reproduce the golden iteration/Jaccard numbers and write both S6
+    sinks — the script.sh-equivalent UX (SURVEY.md §3.1)."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "run"
+    r = subprocess.run(
+        [sys.executable, "-m", "k_means_hadoop_spark",
+         "--input", os.path.join(REF_DATA, "new_dataset_1.txt"),
+         "-k", "3", "--seeds", "1,51,101", "--max-iter", "-1",
+         "--out", str(out)],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Total Number of Iterations - " in r.stdout
+    jac_line = [l for l in r.stdout.splitlines() if l.startswith("Jaccard")][0]
+    assert abs(float(jac_line.split("- ")[1].rstrip("%")) - 48.31660731628359) < 1e-9
+    final = list((out / "finalOutput").glob("part-*.txt")) or list((out / "finalOutput").glob("part-*"))
+    plot = list((out / "cluster_data_toPlot").glob("part-*"))
+    assert final and plot
+    # finalOutput rows: id \t cluster \t f1..fd  (150 points)
+    lines = [l for f in final for l in f.read_text().splitlines() if l]
+    assert len(lines) == 150
+    assert all(len(l.split("\t")) >= 3 for l in lines)
