@@ -59,10 +59,14 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     fn = registry.QUERIES[name]
     for _ in range(2):  # warm-ups (codegen compile + JIT)
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-    t0 = time.perf_counter()
-    df = fn(spark, sf_dir)
-    df.write.mode("overwrite").format("noop").save()
-    return time.perf_counter() - t0
+    # min of 2 timed runs: transient machine load (e.g. a test suite's JVM
+    # winding down) can inflate a single run several-fold
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main() -> None:

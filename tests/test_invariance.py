@@ -42,3 +42,48 @@ def test_shuffle_partition_invariance(spark, sf_dir, name):
     finally:
         spark.conf.set(key, before)
     assert low == high
+
+
+def test_aqe_splits_skewed_join_partition(spark, tmp_path):
+    """AQE skew-join handling — the runtime lever for hot keys at 100 TB.
+
+    A sort-merge join where one key holds ~99% of the rows must be
+    re-planned by AQE into split sub-partitions (the executed plan marks
+    the join 'skew=true').  Thresholds are lowered so the tiny fixture
+    triggers the same code path production data would."""
+    from pyspark.sql import functions as F
+
+    skewed = spark.range(50_000).select(
+        F.when(F.col("id") < 49_500, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    other = spark.range(100).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+    conf = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # AQE declines the split if it must add a shuffle for downstream
+        # requirements; force it so the assertion is shape-independent
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        joined = skewed.join(other, "k")
+        # collect() THIS DataFrame: a sink (e.g. noop write) executes a
+        # copy of the plan, and queryExecution here would stay unfinalized
+        assert len(joined.collect()) == 50_000
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "isFinalPlan=true" in executed
+    assert "skew=true" in executed, executed[:3000]
