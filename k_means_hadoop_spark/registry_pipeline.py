@@ -112,6 +112,54 @@ FROM s
 """
 
 
+def q_prepare_corpus(spark, sf_dir):
+    """End-to-end corpus preparation — the operators COMPOSED the way a
+    pretraining pipeline runs them: quality gate (score >= 0.5) →
+    exact-dedup survivors only → token-window chunking → per-doc chunk
+    stats.  One declarative plan: Catalyst fuses the gate + semi-join
+    before the explode, so low-quality and duplicate docs never fan out."""
+    docs = _docs(spark, sf_dir)
+    quality = text.quality_scores(docs).select("doc_id", "quality")
+    survivors = dedup.exact_duplicates(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = (
+        docs.join(quality, "doc_id")
+        .filter(F.col("quality") >= 0.5)
+        .join(survivors, "doc_id", "left_semi")
+    )
+    return (
+        text.chunk_documents(kept)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("chunk_hash").alias("n_distinct_chunks"),
+        )
+    )
+
+
+def _prepare_corpus_sql() -> str:
+    stop_lst = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+    return f"""
+WITH f AS (
+  SELECT doc_id, text,
+         length(text)::DOUBLE AS n_chars,
+         len({_TOKS})::DOUBLE AS n_toks,
+         (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE AS punct,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE AS digits,
+         len(list_filter({_TOKS}, w -> list_contains([{stop_lst}], w)))::DOUBLE AS stops
+  FROM documents),
+kept AS (
+  SELECT doc_id, text FROM f
+  WHERE round(greatest(0.0, least(1.0,
+          0.25 + least(n_toks / 400.0, 0.35) + least(stops / n_toks * 2.0, 0.25)
+          - punct / n_chars * 2.0 - digits / n_chars * 1.5)), 6) >= 0.5
+    AND doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))),
+t AS (SELECT doc_id, {_TOKS} AS toks FROM kept),
+s AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 24)) AS start FROM t)
+SELECT doc_id, count(*)::BIGINT AS n_chunks,
+       count(DISTINCT md5(array_to_string(array_slice(toks, start + 1, start + 32), ' ')))::BIGINT AS n_distinct_chunks
+FROM s GROUP BY doc_id"""
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched mapInPandas media decode (deterministic fake kernel —
     operators/multimodal.py); the oracle checks the oracle-expressible
@@ -498,6 +546,7 @@ ranked AS (SELECT qid, nid, sim,
            FROM sims)
 SELECT qid, nid, round(sim, 6) AS cos_sim, rank FROM ranked WHERE rank <= 5""",
     "chunk_documents": CHUNK_SQL,
+    "prepare_corpus": _prepare_corpus_sql(),
     "multimodal_decode": MULTIMODAL_SQL,
     "streaming_window_stats": STREAMING_WINDOW_SQL,
     "streaming_kmeans_assign": _stream_assign_sql(),
@@ -521,6 +570,7 @@ PIPELINE_QUERIES = {
     "knn_lsh": q_knn_lsh,  # rows-only: recall<1 approximate op
     "knn_ivf": q_knn_ivf,  # rows-only: depends on iterative k-means quantizer
     "chunk_documents": q_chunk_documents,
+    "prepare_corpus": q_prepare_corpus,
     "multimodal_decode": q_multimodal_decode,
     "streaming_window_stats": q_streaming_window_stats,
     "streaming_kmeans_assign": q_streaming_kmeans_assign,
