@@ -604,7 +604,33 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistical aggregates per returnflag: Pearson
+    correlation, sample covariance/stddev/variance.  Each is a
+    sum-of-co-moments aggregate, so Catalyst plans the same single
+    partial→final hash agg (one Exchange) as a plain count — no extra
+    pass over the 100 TB scan to get the full moment profile."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("std_discount"),
+        F.round(F.var_samp("l_tax"), 6).alias("var_tax"),
+    )
+
+
+STATS_SQL = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       round(stddev_samp(l_discount), 6) AS std_discount,
+       round(var_samp(l_tax), 6) AS var_tax
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 RELATIONAL_QUERIES = {
+    "stats_by_flag": (stats_by_flag, STATS_SQL),
     "asof_join_purchase_click": (asof_join_purchase_before_click, ASOF_SQL),
     "range_join_views_clicks": (range_join_views_near_clicks, RANGE_JOIN_SQL),
     "except_custkeys": (except_custkeys, EXCEPT_SQL),
