@@ -629,8 +629,42 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def running_spend_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative + lag window analytics: per-customer running spend and
+    order-over-order delta, ordered by (orderdate, orderkey).  One window
+    spec serves both frames, so the plan is a single hash-partition
+    Exchange on o_custkey + one sort — the canonical sessionized-history
+    shape for per-entity time series at scale (partition by entity, never
+    a global sort)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(_dec("o_totalprice")).over(w).cast("double"), 4
+        ).alias("running_spend"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 4
+        ).alias("delta_vs_prev"),
+    )
+
+
+RUNNING_SPEND_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice::DECIMAL(18,4))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)::DOUBLE,
+             4) AS running_spend,
+       round(o_totalprice - lag(o_totalprice, 1, 0.0)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             4) AS delta_vs_prev
+FROM orders
+"""
+
+
 RELATIONAL_QUERIES = {
     "stats_by_flag": (stats_by_flag, STATS_SQL),
+    "running_spend_customer": (running_spend_per_customer, RUNNING_SPEND_SQL),
     "asof_join_purchase_click": (asof_join_purchase_before_click, ASOF_SQL),
     "range_join_views_clicks": (range_join_views_near_clicks, RANGE_JOIN_SQL),
     "except_custkeys": (except_custkeys, EXCEPT_SQL),

@@ -157,6 +157,19 @@ def test_q15_single_fact_scan(plans):
     assert n_nodes(p, "Window") == 1
 
 
+def test_running_spend_one_shuffle_one_window(plans):
+    """Both window frames (cumulative RANGE sum + ROWS lag) share one
+    window spec: exactly one hash Exchange on o_custkey, one Sort, ONE
+    Window node — and the scan prunes to the 4 needed columns (never a
+    global sort, which would not scale past one executor)."""
+    p = plans("running_spend_customer")
+    assert n_nodes(p, "Exchange") == 1, p
+    assert "hashpartitioning(o_custkey" in p
+    assert n_nodes(p, "Sort") == 1
+    assert n_nodes(p, "Window") == 1
+    assert "o_orderstatus" not in p  # ReadSchema pruned
+
+
 def test_q16_anti_join_broadcast(plans):
     """The excluded-supplier NOT-IN is a broadcast anti join on the tiny
     filtered supplier set, not a shuffle."""
