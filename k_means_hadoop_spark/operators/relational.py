@@ -662,8 +662,48 @@ FROM orders
 """
 
 
+def pivot_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT / cross-tab: order counts and spend per priority, fanned
+    across status columns.  Values are ENUMERATED (['F','O','P']) so the
+    pivot compiles to one pass of conditional aggregates — omitting the
+    list makes Spark run an extra distinct-collect job over the 100 TB
+    fact table just to discover the columns."""
+    orders = _t(spark, sf_dir, "orders")
+    piv = orders.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"])
+    return (
+        piv.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("spend"),
+        )
+        .select(
+            "o_orderpriority",
+            # empty pivot cells: Spark count yields NULL, SQL's count FILTER
+            # yields 0 — coalesce so sparse SFs stay oracle-equal
+            F.coalesce("F_n", F.lit(0)).alias("n_f"),
+            F.round("F_spend", 4).alias("spend_f"),
+            F.coalesce("O_n", F.lit(0)).alias("n_o"),
+            F.round("O_spend", 4).alias("spend_o"),
+            F.coalesce("P_n", F.lit(0)).alias("n_p"),
+            F.round("P_spend", 4).alias("spend_p"),
+        )
+    )
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'F')::BIGINT AS n_f,
+       round(sum(o_totalprice::DECIMAL(18,4)) FILTER (o_orderstatus = 'F')::DOUBLE, 4) AS spend_f,
+       count(*) FILTER (o_orderstatus = 'O')::BIGINT AS n_o,
+       round(sum(o_totalprice::DECIMAL(18,4)) FILTER (o_orderstatus = 'O')::DOUBLE, 4) AS spend_o,
+       count(*) FILTER (o_orderstatus = 'P')::BIGINT AS n_p,
+       round(sum(o_totalprice::DECIMAL(18,4)) FILTER (o_orderstatus = 'P')::DOUBLE, 4) AS spend_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 RELATIONAL_QUERIES = {
     "stats_by_flag": (stats_by_flag, STATS_SQL),
+    "pivot_orders_status": (pivot_orders_by_status, PIVOT_SQL),
     "running_spend_customer": (running_spend_per_customer, RUNNING_SPEND_SQL),
     "asof_join_purchase_click": (asof_join_purchase_before_click, ASOF_SQL),
     "range_join_views_clicks": (range_join_views_near_clicks, RANGE_JOIN_SQL),
