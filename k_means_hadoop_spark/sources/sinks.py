@@ -39,6 +39,28 @@ def write_plot_output(assignments: DataFrame, path: str) -> None:
     plot_output_lines(assignments).write.mode("overwrite").text(path)
 
 
+def write_documents_jsonl(documents: DataFrame, path: str) -> None:
+    """JSONL corpus sink (beyond-reference) — the interchange format
+    training-data pipelines exchange: one JSON object per line,
+    gzip-compressed so each output file is a self-contained splittable-
+    by-file shard.  Writes distributed (one file per partition); at
+    100 TB the shard count is the write parallelism, so repartition
+    upstream to the shard size you want.
+    """
+    documents.write.mode("overwrite").option("compression", "gzip").json(path)
+
+
+def read_documents_jsonl(spark, path: str, schema=None) -> DataFrame:
+    """JSONL corpus source.  An EXPLICIT schema skips Spark's inference
+    pass (a full extra read of the corpus) and is mandatory at scale;
+    falls back to inference only for ad-hoc use.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def write_events_partitioned(events: DataFrame, path: str) -> None:
     """Date-partitioned parquet sink (beyond-reference; the reference's
     only sinks are the flat text files above).

@@ -155,6 +155,25 @@ def test_partitioned_sink_prunes_on_read(spark, sf_dir, tmp_path):
     assert back.count() == some_day["count"]
 
 
+def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
+    """JSONL corpus sink/source: write the documents table as gzip JSONL,
+    read it back with an explicit schema (no inference pass), and get the
+    identical bag of rows."""
+    from k_means_hadoop_spark.sources.sinks import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(docs, out)
+
+    back = read_documents_jsonl(spark, out, schema=docs.schema)
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    assert back.exceptAll(docs).isEmpty() and docs.exceptAll(back).isEmpty()
+
+
 def test_cli_end_to_end(tmp_path):
     """python -m k_means_hadoop_spark on the Iris-shaped dataset must
     reproduce the golden iteration/Jaccard numbers and write both S6
