@@ -701,9 +701,42 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def latest_event_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction / upsert-view: collapse a keyed change log to the
+    newest record per key (`row_number` over key ORDER BY ts DESC, with
+    the unique event_id as tiebreak).  One hash Exchange on the key and
+    a per-partition sort — the batch MERGE-snapshot pattern for a 100 TB
+    change stream; never a global sort or a self-join on max(ts)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("last_ts_us"),
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 6).alias("last_value"),
+        )
+    )
+
+
+SNAPSHOT_SQL = """
+SELECT user_id, epoch_us(ts) AS last_ts_us,
+       event_type AS last_event_type, round(value, 6) AS last_value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
 RELATIONAL_QUERIES = {
     "stats_by_flag": (stats_by_flag, STATS_SQL),
     "pivot_orders_status": (pivot_orders_by_status, PIVOT_SQL),
+    "latest_event_snapshot": (latest_event_snapshot, SNAPSHOT_SQL),
     "running_spend_customer": (running_spend_per_customer, RUNNING_SPEND_SQL),
     "asof_join_purchase_click": (asof_join_purchase_before_click, ASOF_SQL),
     "range_join_views_clicks": (range_join_views_near_clicks, RANGE_JOIN_SQL),
