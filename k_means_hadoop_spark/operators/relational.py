@@ -733,10 +733,85 @@ WHERE rn = 1
 """
 
 
+def full_outer_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation: per-user click vs purchase counts,
+    keeping users present on only one side (the join type Q13's left
+    outer can't express).  Both inputs are pre-aggregated per key before
+    the join, so the full-outer matches k rows against k rows — never
+    raw events against raw events."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("p_user_id"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        clicks.join(
+            purchases, clicks.user_id == purchases.p_user_id, "full_outer"
+        )
+        .select(
+            F.coalesce("user_id", "p_user_id").alias("user_id"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+    )
+
+
+FULL_OUTER_SQL = """
+WITH c AS (SELECT user_id, count(*)::BIGINT AS n_clicks FROM events
+           WHERE event_type = 'click' GROUP BY user_id),
+p AS (SELECT user_id, count(*)::BIGINT AS n_purchases FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT coalesce(c.user_id, p.user_id) AS user_id,
+       coalesce(c.n_clicks, 0) AS n_clicks,
+       coalesce(p.n_purchases, 0) AS n_purchases
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+"""
+
+
+def top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (arg-extrema) aggregates: richest and poorest
+    customer per nation in ONE hash aggregate — no self-join on max(),
+    no window sort.  The ordering scalar folds c_custkey into the
+    cents-scaled balance so extrema are unique by construction
+    (tie-proof at any scale factor)."""
+    cust = _t(spark, sf_dir, "customer")
+    key = (F.round(F.col("c_acctbal") * 100) * 10_000_000 + F.col("c_custkey")).alias(
+        "ord_key"
+    )
+    return (
+        cust.select("c_nationkey", "c_name", "c_acctbal", key)
+        .groupBy("c_nationkey")
+        .agg(
+            F.max_by("c_name", "ord_key").alias("richest_customer"),
+            F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+            F.min_by("c_name", "ord_key").alias("poorest_customer"),
+            F.round(F.min("c_acctbal"), 2).alias("min_acctbal"),
+        )
+    )
+
+
+ARG_EXTREMA_SQL = """
+SELECT c_nationkey,
+       arg_max(c_name, round(c_acctbal * 100) * 10000000 + c_custkey) AS richest_customer,
+       round(max(c_acctbal), 2) AS max_acctbal,
+       arg_min(c_name, round(c_acctbal * 100) * 10000000 + c_custkey) AS poorest_customer,
+       round(min(c_acctbal), 2) AS min_acctbal
+FROM customer GROUP BY c_nationkey
+"""
+
+
 RELATIONAL_QUERIES = {
     "stats_by_flag": (stats_by_flag, STATS_SQL),
     "pivot_orders_status": (pivot_orders_by_status, PIVOT_SQL),
     "latest_event_snapshot": (latest_event_snapshot, SNAPSHOT_SQL),
+    "full_outer_click_purchase": (full_outer_click_purchase, FULL_OUTER_SQL),
+    "top_customer_per_nation": (top_customer_per_nation, ARG_EXTREMA_SQL),
     "running_spend_customer": (running_spend_per_customer, RUNNING_SPEND_SQL),
     "asof_join_purchase_click": (asof_join_purchase_before_click, ASOF_SQL),
     "range_join_views_clicks": (range_join_views_near_clicks, RANGE_JOIN_SQL),
