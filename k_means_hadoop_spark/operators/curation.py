@@ -1,0 +1,194 @@
+"""Corpus-curation operators: the selection/splitting/outlier-control
+steps a large-scale training-data pipeline runs between dedup and
+tokenization (beyond-reference — SURVEY.md §2.9; the reference engine
+has no document pipeline at all).
+
+Scale notes:
+- the train/val/test split is a *deterministic arithmetic hash* on the
+  document key (Knuth multiplicative), NOT ``rand()``: reproducible
+  across runs, partitionings, and engines, and needs zero shuffles —
+  each row decides its split locally.  At 100 TB the same expression
+  runs inside whole-stage codegen on every executor; swap the
+  multiplier for ``xxhash64`` when cross-engine parity is not needed;
+- per-source quota capping is one window (hash-partition by the quota
+  key) followed by a groupBy on the SAME key — Catalyst reuses the
+  window's hashpartitioning, so the whole query is a single Exchange;
+- winsorization broadcasts a 1-row percentile aggregate to the clamp —
+  the big side is never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ------------------------------------------------------------- split / mix
+
+# Knuth multiplicative hash: bucket in [0, 1000) from the doc key alone.
+# Pure BIGINT arithmetic → bit-identical in Spark, DuckDB, or any engine.
+_SPLIT_MULT = 2654435761
+_SPLIT_BUCKETS = 1000
+_TRAIN_LT = 900   # buckets [0,900) → train (90%)
+_VAL_LT = 950     # buckets [900,950) → val (5%); rest → test (5%)
+
+
+def split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split of the corpus, reported
+    as per-(source, split) document counts and character volume.  The
+    split column is a pure row-local expression (no shuffle, no RNG
+    state); the only Exchange is the final small aggregation."""
+    docs = _docs(spark, sf_dir)
+    bucket = (F.col("doc_id") * F.lit(_SPLIT_MULT)) % F.lit(_SPLIT_BUCKETS)
+    split = (
+        F.when(bucket < _TRAIN_LT, "train")
+        .when(bucket < _VAL_LT, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("source", "n_chars", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+SPLIT_SQL = f"""
+SELECT source,
+       CASE WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TRAIN_LT} THEN 'train'
+            WHEN (doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_VAL_LT} THEN 'val'
+            ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM documents
+GROUP BY source, split
+"""
+
+
+# ------------------------------------------------------------ quota capping
+
+_QUOTA = 5  # max documents kept per (source, lang)
+
+
+def quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) quota cap — keep the top-5 longest documents
+    per group (doc_id ascending tiebreak), the standard guard against a
+    single domain dominating a web-scale corpus.  One hash partitioning
+    serves both the ranking window and the final aggregate."""
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("source", "lang", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _QUOTA)
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.min("n_chars").alias("shortest_kept"),
+        )
+    )
+
+
+QUOTA_SQL = f"""
+SELECT source, lang,
+       count(*)::BIGINT AS n_kept,
+       sum(n_chars)::BIGINT AS kept_chars,
+       min(n_chars)::BIGINT AS shortest_kept
+FROM (
+  SELECT source, lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= {_QUOTA}
+GROUP BY source, lang
+"""
+
+
+# --------------------------------------------------------- length histogram
+
+_BUCKET_CHARS = 50
+
+
+def histogram_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length histogram: 50-char buckets with count and mean
+    length — the distribution check run before choosing chunking /
+    truncation limits.  Integer ``div`` on both engines (float division
+    would bucket 49.999… differently)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            F.expr(f"n_chars div {_BUCKET_CHARS}").alias("bucket"),
+            "n_chars",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+HISTOGRAM_SQL = f"""
+SELECT n_chars // {_BUCKET_CHARS} AS bucket,
+       count(*)::BIGINT AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents
+GROUP BY bucket
+"""
+
+
+# ------------------------------------------------------------- winsorizing
+
+def winsorize_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization: clamp account balances to [p05, p95]
+    before averaging per nation — outlier-robust feature scaling.  The
+    two exact percentiles are a 1-row aggregate broadcast to the clamp;
+    at 100 TB substitute approx_percentile for the sketch path."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pcts = cust.agg(
+        F.percentile("c_acctbal", F.lit(0.05)).alias("p05"),
+        F.percentile("c_acctbal", F.lit(0.95)).alias("p95"),
+    )
+    clamped = F.least(F.greatest(F.col("c_acctbal"), F.col("p05")), F.col("p95"))
+    return (
+        cust.select("c_nationkey", "c_acctbal")
+        .crossJoin(F.broadcast(pcts))
+        .groupBy("c_nationkey")
+        .agg(
+            F.round(F.avg(clamped), 6).alias("avg_winsorized"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_raw"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+WINSORIZE_SQL = """
+WITH b AS (
+  SELECT quantile_cont(c_acctbal, 0.05) AS p05,
+         quantile_cont(c_acctbal, 0.95) AS p95
+  FROM customer
+)
+SELECT c_nationkey,
+       round(avg(least(greatest(c_acctbal, p05), p95)), 6) AS avg_winsorized,
+       round(avg(c_acctbal), 6) AS avg_raw,
+       count(*)::BIGINT AS n_customers
+FROM customer, b
+GROUP BY c_nationkey
+"""
+
+
+CURATION_QUERIES = {
+    "split_train_val": (split_train_val, SPLIT_SQL),
+    "quota_per_source": (quota_per_source, QUOTA_SQL),
+    "histogram_doc_lengths": (histogram_doc_lengths, HISTOGRAM_SQL),
+    "winsorize_acctbal": (winsorize_acctbal, WINSORIZE_SQL),
+}

@@ -806,11 +806,104 @@ FROM customer GROUP BY c_nationkey
 """
 
 
+def gap_fill_daily_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: a calendar scaffold spanning the events
+    table's full date range (built with sequence+explode from a 1-row
+    min/max aggregate — never a driver-side loop), left-joined to daily
+    purchase aggregates with zero-fill.  Missing days appear as explicit
+    zero rows — the shape every downstream forecasting job expects.
+    The scaffold side is a few thousand rows even at 100 TB (it scales
+    with the DATE RANGE, not the row count), so the join broadcasts."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 6).alias("purchase_value"),
+        )
+    )
+    return (
+        days.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+        )
+    )
+
+
+GAP_FILL_SQL = """
+WITH b AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events),
+cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b),
+daily AS (
+  SELECT ts::DATE AS day, count(*)::BIGINT AS n_purchases,
+         round(sum(value), 6) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT strftime(cal.day, '%Y-%m-%d') AS day,
+       coalesce(daily.n_purchases, 0) AS n_purchases,
+       coalesce(daily.purchase_value, 0.0) AS purchase_value
+FROM cal LEFT JOIN daily ON cal.day = daily.day
+"""
+
+
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: one hash
+    aggregate computes each user's first timestamp per stage
+    (conditional min — no per-stage self-joins), then a 1-row rollup
+    counts users whose stages happened in order.  Two Exchanges total
+    regardless of data size; the per-user state is three timestamps."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_ts(ev_type: str):
+        return F.min(F.when(F.col("event_type") == ev_type, F.col("ts")))
+
+    per_user = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    clicked = F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_viewed"),
+        F.count(F.when(clicked, 1)).alias("n_clicked_after_view"),
+        F.count(F.when(purchased, 1)).alias("n_purchased_after_click"),
+    )
+
+
+FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(ts) FILTER (event_type = 'view') AS t_view,
+         min(ts) FILTER (event_type = 'click') AS t_click,
+         min(ts) FILTER (event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) FILTER (t_view IS NOT NULL)::BIGINT AS n_viewed,
+       count(*) FILTER (t_view IS NOT NULL AND t_click > t_view)::BIGINT
+         AS n_clicked_after_view,
+       count(*) FILTER (t_view IS NOT NULL AND t_click > t_view
+                        AND t_purchase > t_click)::BIGINT
+         AS n_purchased_after_click
+FROM per_user
+"""
+
+
 RELATIONAL_QUERIES = {
     "stats_by_flag": (stats_by_flag, STATS_SQL),
     "pivot_orders_status": (pivot_orders_by_status, PIVOT_SQL),
     "latest_event_snapshot": (latest_event_snapshot, SNAPSHOT_SQL),
     "full_outer_click_purchase": (full_outer_click_purchase, FULL_OUTER_SQL),
+    "gap_fill_daily_purchases": (gap_fill_daily_purchases, GAP_FILL_SQL),
+    "funnel_view_click_purchase": (funnel_view_click_purchase, FUNNEL_SQL),
     "top_customer_per_nation": (top_customer_per_nation, ARG_EXTREMA_SQL),
     "running_spend_customer": (running_spend_per_customer, RUNNING_SPEND_SQL),
     "asof_join_purchase_click": (asof_join_purchase_before_click, ASOF_SQL),

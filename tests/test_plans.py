@@ -191,3 +191,29 @@ def test_q8_snowflake_single_shuffle(plans):
     p = plans("q8_market_share")
     assert n_nodes(p, "BroadcastHashJoin") == 7, p
     assert n_nodes(p, "Exchange") == 1, p
+
+
+def test_quota_window_and_agg_share_one_exchange(plans):
+    """quota_per_source ranks with a window partitioned by (source, lang)
+    and then aggregates on the same keys: Catalyst must reuse the
+    window's hashpartitioning so the whole query has ONE shuffle."""
+    p = plans("quota_per_source")
+    assert n_nodes(p, "Exchange") == 1
+    assert "hashpartitioning(source" in p
+
+
+def test_split_train_val_is_row_local(plans):
+    """The split expression must be computed map-side: the only Exchange
+    is the final (source, split) aggregation — no shuffle to decide a
+    row's split, no rand()."""
+    p = plans("split_train_val")
+    assert n_nodes(p, "Exchange") == 1
+    assert "rand" not in p
+
+
+def test_winsorize_broadcasts_percentiles(plans):
+    """The 1-row percentile aggregate must broadcast to the clamp — the
+    customer scan itself is never shuffled for the join."""
+    p = plans("winsorize_acctbal")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
