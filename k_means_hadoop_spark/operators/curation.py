@@ -186,9 +186,53 @@ GROUP BY c_nationkey
 """
 
 
+# ----------------------------------------------------------- source mixing
+
+# Per-source keep rate in per-mille: src0 keeps everything, each later
+# source keeps 45‰ less.  ONE Python literal drives both the Spark
+# broadcast dim and the SQL VALUES list.
+_MIX_WEIGHTS = {f"src{i}": 1000 - 45 * i for i in range(20)}
+
+
+def mix_sources_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture downsampling: each source keeps a configured
+    fraction of its documents, selected by the same deterministic
+    arithmetic hash as the split (reproducible, row-local).  The weights
+    are a 20-row dimension broadcast to the scan — the corpus itself is
+    only shuffled once, for the final report aggregate.  This is the
+    'data mixing' step that rebalances web-crawl dumps before training."""
+    docs = _docs(spark, sf_dir)
+    weights = spark.createDataFrame(
+        [(s, w) for s, w in sorted(_MIX_WEIGHTS.items())], "source string, keep_pm int"
+    )
+    bucket = (F.col("doc_id") * F.lit(_SPLIT_MULT)) % F.lit(_SPLIT_BUCKETS)
+    return (
+        docs.join(F.broadcast(weights), "source")
+        .filter(bucket < F.col("keep_pm"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )
+
+
+_MIX_VALUES = ", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))
+MIX_SQL = f"""
+SELECT d.source,
+       count(*)::BIGINT AS n_kept,
+       sum(d.n_chars)::BIGINT AS kept_chars
+FROM documents d
+JOIN (VALUES {_MIX_VALUES}) AS w(source, keep_pm) ON d.source = w.source
+WHERE (d.doc_id * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < w.keep_pm
+GROUP BY d.source
+"""
+
+
 CURATION_QUERIES = {
     "split_train_val": (split_train_val, SPLIT_SQL),
     "quota_per_source": (quota_per_source, QUOTA_SQL),
     "histogram_doc_lengths": (histogram_doc_lengths, HISTOGRAM_SQL),
     "winsorize_acctbal": (winsorize_acctbal, WINSORIZE_SQL),
+    "mix_sources_weighted": (mix_sources_weighted, MIX_SQL),
 }

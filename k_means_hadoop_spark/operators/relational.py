@@ -897,6 +897,175 @@ FROM per_user
 """
 
 
+def decile_customers_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile decile analysis of customer balances WITHIN each nation —
+    the window is partitioned (each nation ranks independently), so it
+    scales horizontally; a global ntile would funnel 100 TB through one
+    partition and is deliberately avoided.  custkey tiebreak makes the
+    bucketing deterministic under ties."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_acctbal",
+            F.ntile(10).over(w).cast("int").alias("decile"),
+        )
+        .groupBy("c_nationkey", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+
+
+DECILE_SQL = """
+SELECT c_nationkey, decile,
+       count(*)::BIGINT AS n_customers,
+       round(avg(c_acctbal), 6) AS avg_acctbal
+FROM (
+  SELECT c_nationkey, c_acctbal,
+         ntile(10) OVER (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal ASC, c_custkey ASC)::INTEGER AS decile
+  FROM customer
+)
+GROUP BY c_nationkey, decile
+"""
+
+
+def moving_avg_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-then-window rolling statistics: daily event counts per
+    type, 7-day trailing moving average (ROWS BETWEEN 6 PRECEDING) and
+    next-day delta (lead).  The window's input is the DAILY aggregate —
+    days × types rows, not raw events — so at 100 TB the expensive pass
+    is a plain partial-aggregated groupBy and the ordered window runs on
+    a few thousand rows per event_type partition."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.round(F.avg("n_events").over(w.rowsBetween(-6, 0)), 6).alias("ma7"),
+        (F.lead("n_events").over(w) - F.col("n_events")).alias("next_day_delta"),
+    )
+
+
+MOVING_AVG_SQL = """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n_events,
+       round(avg(n_events) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7,
+       lead(n_events) OVER (PARTITION BY event_type ORDER BY day) - n_events
+         AS next_day_delta
+FROM daily
+"""
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics over the embedding column via
+    higher-order functions (transform → aggregate fold), entirely
+    JVM-side — the vector math never leaves codegen, no UDF, no
+    explode (an explode would multiply the shuffle by the dimension)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sq_sum = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(sq_sum)
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(norm), 6).alias("avg_norm"),
+        F.round(F.min(norm), 6).alias("min_norm"),
+        F.round(F.max(norm), 6).alias("max_norm"),
+    )
+
+
+EMB_NORM_SQL = """
+SELECT label,
+       count(*)::BIGINT AS n_vectors,
+       round(avg(nrm), 6) AS avg_norm,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm
+FROM (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+)
+GROUP BY label
+"""
+
+
+def sessionize_by_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the lag + cumulative-sum idiom): a new
+    session starts after >30 min of inactivity; session ids are the
+    running count of session starts per user.  Both windows and the
+    final aggregate partition on user_id, so Catalyst plans ONE
+    Exchange for the whole query — the canonical scalable sessionize.
+    Complements `session_windows_events` (Spark's built-in
+    session_window) with the portable window-function formulation.
+    Gap math is integer microseconds — no interval-type comparisons."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    new_sess = F.when(
+        us - F.lag(us).over(w) > 30 * 60 * 1_000_000, 1
+    ).otherwise(F.lit(0))
+    with_sess = (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("is_start", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    per_session = with_sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("n_events").alias("longest_session"),
+    )
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id, count(*)::BIGINT AS n_events
+  FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_sessions,
+       sum(n_events)::BIGINT AS n_events,
+       max(n_events)::BIGINT AS longest_session
+FROM per_session
+GROUP BY user_id
+"""
+
+
 RELATIONAL_QUERIES = {
     "stats_by_flag": (stats_by_flag, STATS_SQL),
     "pivot_orders_status": (pivot_orders_by_status, PIVOT_SQL),
@@ -904,6 +1073,10 @@ RELATIONAL_QUERIES = {
     "full_outer_click_purchase": (full_outer_click_purchase, FULL_OUTER_SQL),
     "gap_fill_daily_purchases": (gap_fill_daily_purchases, GAP_FILL_SQL),
     "funnel_view_click_purchase": (funnel_view_click_purchase, FUNNEL_SQL),
+    "sessionize_by_gap": (sessionize_by_gap, SESSIONIZE_SQL),
+    "decile_customers_by_nation": (decile_customers_by_nation, DECILE_SQL),
+    "moving_avg_daily_events": (moving_avg_daily_events, MOVING_AVG_SQL),
+    "embedding_norm_stats": (embedding_norm_stats, EMB_NORM_SQL),
     "top_customer_per_nation": (top_customer_per_nation, ARG_EXTREMA_SQL),
     "running_spend_customer": (running_spend_per_customer, RUNNING_SPEND_SQL),
     "asof_join_purchase_click": (asof_join_purchase_before_click, ASOF_SQL),

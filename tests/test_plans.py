@@ -217,3 +217,20 @@ def test_winsorize_broadcasts_percentiles(plans):
     p = plans("winsorize_acctbal")
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_sessionize_single_exchange(plans):
+    """Gap sessionization: both windows and both aggregates partition on
+    user_id — the whole query must plan exactly ONE shuffle."""
+    p = plans("sessionize_by_gap")
+    assert n_nodes(p, "Exchange") == 1
+    assert "hashpartitioning(user_id" in p
+
+
+def test_mix_weights_dim_broadcasts(plans):
+    """Weighted source mixing joins a 20-row weights dim: it must
+    broadcast; the corpus scan shuffles only for the report aggregate."""
+    p = plans("mix_sources_weighted")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert n_nodes(p, "Exchange") == 1
