@@ -1066,6 +1066,171 @@ GROUP BY user_id
 """
 
 
+def scd2_user_purchase_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build: turn each user's
+    purchase event stream into validity intervals [valid_from,
+    valid_to) via lead() — the batch pattern that materializes a
+    temporal dimension from a change log.  One window partitioned by
+    user_id = one shuffle; timestamps exported as epoch micros
+    (cross-engine-stable, no string formats)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("valid_from_us"),
+            F.round("value", 6).alias("value"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "valid_from_us",
+            F.lead("valid_from_us").over(
+                Window.partitionBy("user_id").orderBy("valid_from_us", "event_id")
+            ).alias("valid_to_us"),
+            "value",
+        )
+        .withColumn("is_current", F.col("valid_to_us").isNull())
+    )
+
+
+SCD2_SQL = """
+SELECT user_id, event_id,
+       epoch_us(ts) AS valid_from_us,
+       lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS valid_to_us,
+       round(value, 6) AS value,
+       lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) IS NULL
+         AS is_current
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+def ri_audit_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every foreign-key
+    edge of the star schema, each as a LEFT ANTI join (the build side
+    is the key projection of the parent — broadcast when small,
+    shuffled-exchange otherwise; never a fan-out join).  The four
+    checks run as one unioned plan so a scheduler sees a single job."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    ev = _t(spark, sf_dir, "events")
+
+    def check(name: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str):
+        orphans = child.select(F.col(ckey).alias("k")).join(
+            parent.select(F.col(pkey).alias("k")), "k", "left_anti"
+        )
+        return orphans.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_orphans"),
+        )
+
+    return (
+        check("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionByName(check("orders->customer", orders, "o_custkey", cust, "c_custkey"))
+        .unionByName(check("customer->nation", cust, "c_nationkey", nation, "n_nationkey"))
+        .unionByName(check("events->customer", ev, "user_id", cust, "c_custkey"))
+    )
+
+
+RI_AUDIT_SQL = """
+SELECT 'lineitem->orders' AS check_name, count(*)::BIGINT AS n_orphans
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'orders->customer', count(*)::BIGINT
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'customer->nation', count(*)::BIGINT
+FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+UNION ALL
+SELECT 'events->customer', count(*)::BIGINT
+FROM events WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler over the corpus: row count, per-column
+    null counts, exact distinct cardinalities, length extrema and mean
+    — all in a single hash aggregate (one scan, one 1-row result).
+    At 100 TB swap the exact distincts for approx_count_distinct; the
+    shape of the plan is unchanged."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("text").isNull().cast("bigint")).alias("null_text"),
+        F.sum(F.col("lang").isNull().cast("bigint")).alias("null_lang"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+PROFILE_SQL = """
+SELECT count(*)::BIGINT AS n_rows,
+       sum((text IS NULL)::BIGINT)::BIGINT AS null_text,
+       sum((lang IS NULL)::BIGINT)::BIGINT AS null_lang,
+       count(DISTINCT source)::BIGINT AS n_sources,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       min(n_chars)::BIGINT AS min_chars,
+       max(n_chars)::BIGINT AS max_chars,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents
+"""
+
+
+_JOIN_SALT = 8
+
+
+def salted_join_event_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted JOIN — the manual skew fix when ONE join key is hot and
+    the dimension is too big to broadcast: the fact side gets a salt in
+    [0, 8), the dimension is replicated 8× (explode over a sequence
+    literal — no driver loop), and the join key becomes (key, salt), so
+    a hot user's rows spread over 8 reducers instead of one.  Semantics
+    are exactly the unsalted inner join, which is what the oracle
+    asserts.  Complements `salted_event_counts` (salted aggregation)
+    and AQE's automatic skew-join split (asserted in
+    tests/test_relational_ext.py) with the fully manual form."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    ev_s = ev.select("user_id", "value", "event_id").withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(_JOIN_SALT)).cast("int")
+    )
+    cust_r = (
+        cust.select("c_custkey", "c_nationkey")
+        .withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(_JOIN_SALT - 1)))
+        )
+    )
+    return (
+        ev_s.join(
+            cust_r,
+            (ev_s.user_id == cust_r.c_custkey) & (ev_s._salt == cust_r._salt),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+SALTED_JOIN_SQL = """
+SELECT c.c_nationkey,
+       count(*)::BIGINT AS n_events,
+       sum(e.value::DECIMAL(18,4))::DOUBLE AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+
 RELATIONAL_QUERIES = {
     "stats_by_flag": (stats_by_flag, STATS_SQL),
     "pivot_orders_status": (pivot_orders_by_status, PIVOT_SQL),
@@ -1074,6 +1239,10 @@ RELATIONAL_QUERIES = {
     "gap_fill_daily_purchases": (gap_fill_daily_purchases, GAP_FILL_SQL),
     "funnel_view_click_purchase": (funnel_view_click_purchase, FUNNEL_SQL),
     "sessionize_by_gap": (sessionize_by_gap, SESSIONIZE_SQL),
+    "scd2_user_purchase_history": (scd2_user_purchase_history, SCD2_SQL),
+    "ri_audit_orphans": (ri_audit_orphans, RI_AUDIT_SQL),
+    "profile_documents": (profile_documents, PROFILE_SQL),
+    "salted_join_event_nations": (salted_join_event_nations, SALTED_JOIN_SQL),
     "decile_customers_by_nation": (decile_customers_by_nation, DECILE_SQL),
     "moving_avg_daily_events": (moving_avg_daily_events, MOVING_AVG_SQL),
     "embedding_norm_stats": (embedding_norm_stats, EMB_NORM_SQL),

@@ -22,6 +22,10 @@ CASES = [
     "q15_top_supplier",       # max-equality on decimal
     "a7_jaccard",             # contingency counts
     "dedup_exact",            # hash-groupBy
+    "sessionize_by_gap",      # two windows + two aggs, explicit tie-break
+    "quota_per_source",       # ranking window with custkey tiebreak
+    "salted_join_event_nations",  # decimal sums across 8 salt shards
+    "mix_sources_weighted",   # row-local arithmetic hash sampling
 ]
 
 

@@ -234,3 +234,11 @@ def test_mix_weights_dim_broadcasts(plans):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert n_nodes(p, "Exchange") == 1
+
+
+def test_salted_join_spreads_key(plans):
+    """The salted join must actually join on (key, salt): the plan keys
+    include _salt and the dimension side carries the explode Generate."""
+    p = plans("salted_join_event_nations")
+    assert "_salt" in p
+    assert "Generate explode" in p or "Generate" in p
