@@ -229,10 +229,62 @@ GROUP BY d.source
 """
 
 
+# ------------------------------------------------- temperature resampling
+
+# Independent hash stream from the split/mix bucket (prime offset): a doc's
+# sampling fate must not correlate with its train/val/test assignment.
+_SAMPLE_OFFSET = 7919
+
+
+def temperature_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (alpha = 0.5): the
+    multilingual-pretraining step that downsamples dominant languages
+    toward balance.  Per-language keep rate = sqrt(min_count / count) —
+    the rarest language keeps 100%, a 4×-bigger one keeps 50%.
+
+    Rates are DATA-DEPENDENT: pass 1 is a lang-only aggregate (at 100 TB
+    a column-pruned scan of one dictionary-encoded column), whose tiny
+    result is broadcast back onto pass 2; membership is the same
+    row-local arithmetic hash as the split (reproducible, no RNG state).
+    All threshold math is IEEE correctly-rounded ops (divide, sqrt,
+    multiply, floor), so Spark and DuckDB agree bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    min_cnt = counts.agg(F.min("n_total").alias("min_total"))
+    rates = counts.crossJoin(F.broadcast(min_cnt)).select(
+        "lang",
+        "n_total",
+        F.floor(
+            1000 * F.sqrt(F.col("min_total").cast("double") / F.col("n_total").cast("double"))
+        ).cast("int").alias("keep_pm"),
+    )
+    bucket = (F.col("doc_id") * F.lit(_SPLIT_MULT) + F.lit(_SAMPLE_OFFSET)) % F.lit(_SPLIT_BUCKETS)
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("keep_pm"))
+        .groupBy("lang", "n_total", "keep_pm")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+TEMPERATURE_SQL = f"""
+WITH c AS (SELECT lang, count(*)::BIGINT AS n_total FROM documents GROUP BY lang),
+t AS (SELECT lang, n_total,
+             CAST(floor(1000 * sqrt((SELECT min(n_total) FROM c)::DOUBLE / n_total::DOUBLE)) AS INT)
+               AS keep_pm
+      FROM c)
+SELECT d.lang, t.n_total, t.keep_pm, count(*)::BIGINT AS n_kept
+FROM documents d JOIN t ON d.lang = t.lang
+WHERE (d.doc_id * {_SPLIT_MULT} + {_SAMPLE_OFFSET}) % {_SPLIT_BUCKETS} < t.keep_pm
+GROUP BY d.lang, t.n_total, t.keep_pm
+"""
+
+
 CURATION_QUERIES = {
     "split_train_val": (split_train_val, SPLIT_SQL),
     "quota_per_source": (quota_per_source, QUOTA_SQL),
     "histogram_doc_lengths": (histogram_doc_lengths, HISTOGRAM_SQL),
     "winsorize_acctbal": (winsorize_acctbal, WINSORIZE_SQL),
     "mix_sources_weighted": (mix_sources_weighted, MIX_SQL),
+    "temperature_sample_langs": (temperature_sample_langs, TEMPERATURE_SQL),
 }

@@ -204,3 +204,55 @@ def embedding_neardup_pairs(
         .select("a_id", "b_id", F.round(sim, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def duplicate_components(
+    pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id", max_iter: int = 20
+) -> DataFrame:
+    """(doc_id, comp_id) — connected components over duplicate pairs:
+    the step that turns pairwise near-dup hits into dedup CLUSTERS (keep
+    one representative per component, drop the rest).
+
+    Iterative min-label propagation: every node starts as its own
+    component; each round a node adopts the minimum component id among
+    itself and its neighbors; converged when no label changes.  Rounds
+    needed = graph diameter — tiny for LSH duplicate clusters (near-dups
+    of a common source chain together within a few hops).
+
+    Scale shape per round: one equi-join (edges ⨝ labels on dst) + one
+    groupBy(node) min — both hash-partition on the node id, so Catalyst
+    reuses one Exchange per round.  ``localCheckpoint`` truncates the
+    lineage so plans don't grow with iterations (same trick as
+    kmeans.lloyd_kmeans).  This is the standard "small-star" style
+    MapReduce CC; for billion-edge graphs swap in the two-phase
+    large-star/small-star variant — the per-round plan is unchanged.
+    """
+    e1 = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    e2 = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    edges = e1.unionByName(e2).distinct().localCheckpoint(eager=True)
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), F.col("comp"))
+            .unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            neighbor_min.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = neighbor_min
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("comp_id"))

@@ -148,6 +148,27 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
     return tallies.select("doc_id", fp.alias("simhash"))
 
 
+def top_terms(docs: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    """Corpus-level term-frequency top-k — the canonical "wordcount"
+    vocabulary query every tokenizer-training pipeline starts with.
+
+    Shape: explode tokens → one partial-aggregated groupBy(term) →
+    global top-k.  The ``orderBy().limit(k)`` pair compiles to
+    ``TakeOrderedAndProject`` — each partition keeps only its local
+    top-k and the driver merges k·P rows, so there is never a global
+    sort shuffle no matter the corpus size.  Tie-break (count DESC,
+    term ASC) makes the k-set deterministic.
+    """
+    tok = docs.select(F.explode(_tokens(F.col(text_col))).alias("term"))
+    return (
+        tok.filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
 def chunk_documents(
     docs: DataFrame, text_col: str = "text", window: int = 32, stride: int = 24
 ) -> DataFrame:

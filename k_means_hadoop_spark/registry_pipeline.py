@@ -372,6 +372,93 @@ FROM events JOIN customer ON user_id = c_custkey
 """
 
 
+def q_streaming_interval_join(spark, sf_dir):
+    """Stream-STREAM interval join (view→click attribution) with
+    watermark-bounded state on both sides, drained with availableNow.
+    Inner join + append → each matched pair exactly once, so the batch
+    interval-join SQL is an exact oracle."""
+    from k_means_hadoop_spark.streaming.relational import join_view_click_streams
+    from k_means_hadoop_spark.streaming.stream_kmeans import read_event_stream
+
+    views = read_event_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "view"
+    )
+    clicks = read_event_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "click"
+    )
+    name = _drain(join_view_click_streams(views, clicks), "stream_ssj")
+    return spark.table(name)
+
+
+STREAMING_INTERVAL_JOIN_SQL = """
+SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+       (epoch_us(c.ts) - epoch_us(v.ts))::BIGINT AS gap_us
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+"""
+
+
+def q_top_terms(spark, sf_dir):
+    return text.top_terms(_docs(spark, sf_dir), k=50)
+
+
+def q_unpivot_quality(spark, sf_dir):
+    """Wide→long melt of the per-document quality features via
+    DataFrame.unpivot — row-local (zero shuffle), fan-out bounded by the
+    fixed metric count."""
+    qs = text.quality_scores(_docs(spark, sf_dir))
+    return qs.unpivot(
+        ["doc_id"], _QUALITY_METRICS, "metric", "value"
+    ).withColumn("value", F.round("value", 6))
+
+
+_QUALITY_METRICS = [
+    "n_chars", "n_tokens", "avg_token_len", "punct_ratio",
+    "stop_ratio", "digit_ratio", "quality",
+]
+
+
+def q_dedup_components(spark, sf_dir):
+    """MinHash candidate pairs → connected components: pairwise hits
+    become dedup clusters (iterative min-label propagation; converges in
+    diameter rounds)."""
+    pairs = dedup.minhash_lsh_candidates(_docs(spark, sf_dir), n=NGRAM_N)
+    return dedup.duplicate_components(pairs)
+
+
+def _components_sql() -> str:
+    """Transitive closure of the minhash pair list as a recursive CTE —
+    exact on the sf0.01 pair count; the Spark side scales instead via
+    per-round joins."""
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT * FROM ({_minhash_sql(NGRAM_N)}) q),
+edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+reach(n, r) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT rr.n, e.d FROM reach rr JOIN edges e ON e.s = rr.r
+)
+SELECT n::BIGINT AS doc_id, min(r)::BIGINT AS comp_id FROM reach GROUP BY n"""
+
+
+def _top_terms_sql(k: int) -> str:
+    return f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS term FROM documents)
+SELECT term, count(*)::BIGINT AS n FROM tok WHERE term != ''
+GROUP BY term ORDER BY n DESC, term LIMIT {k}"""
+
+
+def _unpivot_quality_sql() -> str:
+    cols = ", ".join(_QUALITY_METRICS)
+    return f"""
+SELECT doc_id, metric, round(value::DOUBLE, 6) AS value
+FROM ({_quality_sql()}) UNPIVOT (value FOR metric IN ({cols}))"""
+
+
 def _stream_assign_sql() -> str:
     cents = ", ".join(f"({cid}, {v[0]!r}, {v[1]!r})" for cid, v in STREAM_CENTROIDS)
     return f"""
@@ -553,6 +640,10 @@ SELECT qid, nid, round(sim, 6) AS cos_sim, rank FROM ranked WHERE rank <= 5""",
     "streaming_stateful_totals": STREAMING_STATEFUL_SQL,
     "streaming_dedup_keys": STREAMING_DEDUP_SQL,
     "streaming_enrich_join": STREAMING_ENRICH_SQL,
+    "streaming_interval_join": STREAMING_INTERVAL_JOIN_SQL,
+    "top_terms_corpus": _top_terms_sql(50),
+    "unpivot_quality_metrics": _unpivot_quality_sql(),
+    "dedup_components": _components_sql(),
 }
 
 PIPELINE_QUERIES = {
@@ -577,5 +668,9 @@ PIPELINE_QUERIES = {
     "streaming_stateful_totals": q_streaming_stateful_totals,
     "streaming_dedup_keys": q_streaming_dedup_keys,
     "streaming_enrich_join": q_streaming_enrich_join,
+    "streaming_interval_join": q_streaming_interval_join,
+    "top_terms_corpus": q_top_terms,
+    "unpivot_quality_metrics": q_unpivot_quality,
+    "dedup_components": q_dedup_components,
     "pca_project": q_pca_project,  # rows-only: eigenvector sign is impl-defined
 }

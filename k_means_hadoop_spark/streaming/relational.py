@@ -44,3 +44,44 @@ def enrich_events_with_customer(events: DataFrame, customers: DataFrame) -> Data
     return events.join(dim, events.user_id == dim.c_custkey).select(
         "event_id", "user_id", "event_type", "value", "c_nationkey", "c_mktsegment"
     )
+
+
+def join_view_click_streams(
+    views: DataFrame, clicks: DataFrame, within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM interval join: each click pairs with the same
+    user's view events from the preceding ``within`` interval — the
+    online attribution join (which impression led to this click?).
+
+    Both sides carry a watermark and the join condition bounds
+    click_ts - view_ts, so Spark can size the join state: a buffered
+    view is dropped once the watermark passes view_ts + within (state
+    is O(rate × interval), NOT O(stream length)).  Inner join + append
+    mode → each matched pair is emitted exactly once; drained with
+    availableNow over a finite source this equals the batch interval
+    join, which is what the oracle asserts.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", watermark)
+    return v.join(
+        c,
+        F.expr(
+            f"""v_user = c_user
+            AND click_ts >= view_ts
+            AND click_ts <= view_ts + INTERVAL {within}"""
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )

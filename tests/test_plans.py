@@ -242,3 +242,61 @@ def test_salted_join_spreads_key(plans):
     p = plans("salted_join_event_nations")
     assert "_salt" in p
     assert "Generate explode" in p or "Generate" in p
+
+
+def test_q9_three_dims_broadcast_one_fact_shuffle(plans):
+    """Q9: part/supplier/nation broadcast; the only SortMergeJoin (if
+    any) is lineitem⨝orders — the fact-fact edge."""
+    p = plans("q9_product_profit")
+    assert n_nodes(p, "BroadcastHashJoin") >= 3
+    assert "StringContains(p_name,1)" in p  # LIKE filter reaches the part scan
+
+
+def test_q14_case_inside_single_aggregate(plans):
+    """Q14: numerator and denominator in ONE aggregate over one scan —
+    no self-join, and the one-month range reaches the parquet scan."""
+    p = plans("q14_promo_revenue")
+    assert n_nodes(p, "Scan parquet") == 2  # lineitem + part, each once
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_q12_date_range_pushdown(plans):
+    p = plans("q12_priority_shipping")
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_shipdate" in p
+    # two conditional sums, one aggregate: a single pass over the join
+    assert n_nodes(p, "HashAggregate") <= 4  # partial+final, no extra pass
+
+
+def test_q21_single_lineitem_scan(plans):
+    """The Q21 EXISTS/NOT-EXISTS rewrite must stay one lineitem pass —
+    the textbook correlated form would scan it three times."""
+    p = plans("q21_sole_late_suppliers")
+    assert n_nodes(p, "Scan parquet") == 3  # lineitem, orders, supplier: once each
+
+
+def test_top_terms_uses_partial_topk(plans):
+    """Global top-k must compile to TakeOrderedAndProject (per-partition
+    heap + driver merge), never a global sort Exchange."""
+    p = plans("top_terms_corpus")
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p
+
+
+def test_temperature_sample_broadcasts_rates(plans):
+    """The data-dependent rate table must broadcast back onto the corpus
+    scan — the corpus itself is only shuffled for the report aggregate."""
+    p = plans("temperature_sample_langs")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_unpivot_is_row_local(plans):
+    """Wide→long melt must stay a row-local Expand over the scan: the
+    only Exchange is the single-row-group fan_out round-robin (a no-op
+    on real multi-split data) — never a hash shuffle."""
+    p = plans("unpivot_quality_metrics")
+    assert "Expand" in p
+    assert n_nodes(p, "Exchange") == 1
+    assert "REPARTITION_BY_NUM" in p and "hashpartitioning" not in p
