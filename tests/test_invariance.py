@@ -26,6 +26,9 @@ CASES = [
     "quota_per_source",       # ranking window with custkey tiebreak
     "salted_join_event_nations",  # decimal sums across 8 salt shards
     "mix_sources_weighted",   # row-local arithmetic hash sampling
+    "top_terms_corpus",       # global top-k with term tie-break
+    "dedup_components",       # iterative propagation, per-round shuffles
+    "temperature_sample_langs",  # data-dependent rates + hash membership
 ]
 
 

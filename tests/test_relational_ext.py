@@ -87,3 +87,38 @@ def test_asof_join_matches_naive(spark, sf_dir):
         for r in asof_join_purchase_before_click(spark, sf_dir).filter(F.col("user_id") == uid).collect()
     }
     assert got == expected
+
+
+# ------------------------------------------------- duplicate_components
+
+def test_duplicate_components_topologies(spark):
+    """Min-label propagation on a known graph: a 4-chain (worst-case
+    diameter for its size), a triangle, and a disjoint pair must each
+    collapse to their minimum id — and converge, not just stop at
+    max_iter."""
+    from k_means_hadoop_spark.operators.dedup import duplicate_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4, triangle 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a_id bigint, b_id bigint",
+    )
+    got = {
+        (r.doc_id, r.comp_id) for r in duplicate_components(pairs).collect()
+    }
+    want = {(1, 1), (2, 1), (3, 1), (4, 1),
+            (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)}
+    assert got == want
+
+
+def test_duplicate_components_chain_needs_propagation(spark):
+    """A straight 6-chain given in worst order still converges to one
+    component (labels must travel the full diameter, proving the loop
+    iterates rather than doing a single neighbor pass)."""
+    from k_means_hadoop_spark.operators.dedup import duplicate_components
+
+    pairs = spark.createDataFrame(
+        [(5, 6), (4, 5), (3, 4), (2, 3), (1, 2)], "a_id bigint, b_id bigint"
+    )
+    got = {(r.doc_id, r.comp_id) for r in duplicate_components(pairs).collect()}
+    assert got == {(n, 1) for n in range(1, 7)}
