@@ -1231,6 +1231,94 @@ GROUP BY c.c_nationkey
 """
 
 
+def _docs_v2(docs: DataFrame) -> DataFrame:
+    """Simulated next corpus snapshot, derived deterministically from v1:
+    doc_id % 13 == 0 deleted, % 7 == 0 revised, % 17 == 0 cloned in as a
+    new id — so the diff result is scale-factor-proof and oracle-able."""
+    base = docs.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % 17 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return base.unionByName(added)
+
+
+def diff_table_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (data-diff): classify every key across
+    two table versions as added / removed / changed / unchanged and
+    report counts — the audit run after every backfill or migration.
+
+    One-pass shape: tag each side, reduce to (key, side-flags,
+    side-row-hashes) in a single groupBy — ONE shuffle of (key, 16-byte
+    md5), never a full-outer join of wide rows, never two scans of
+    either side.  At 100 TB the row hash is computed at the scan and
+    the shuffle carries 24 bytes/row."""
+    docs = _t(spark, sf_dir, "documents")
+    rh = F.md5(F.concat_ws("|", "text", "lang", "source", "n_chars"))
+    v1 = docs.select("doc_id", rh.alias("rh"), F.lit(1).alias("side"))
+    v2 = _docs_v2(docs).select("doc_id", rh.alias("rh"), F.lit(2).alias("side"))
+    status = (
+        F.when(F.bool_or(F.col("side") == 1) & ~F.bool_or(F.col("side") == 2), "removed")
+        .when(~F.bool_or(F.col("side") == 1) & F.bool_or(F.col("side") == 2), "added")
+        .when(
+            F.max(F.when(F.col("side") == 1, F.col("rh")))
+            == F.max(F.when(F.col("side") == 2, F.col("rh"))),
+            "unchanged",
+        )
+        .otherwise("changed")
+    )
+    return (
+        v1.unionByName(v2)
+        .groupBy("doc_id")
+        .agg(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
+DIFF_SQL = """
+WITH v1 AS (SELECT doc_id, md5(concat_ws('|', text, lang, source, n_chars)) AS rh
+            FROM documents),
+v2_rows AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 13 != 0
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 17 = 0),
+v2 AS (SELECT doc_id, md5(concat_ws('|', text, lang, source, n_chars)) AS rh
+       FROM v2_rows),
+tagged AS (SELECT doc_id, rh, 1 AS side FROM v1
+           UNION ALL SELECT doc_id, rh, 2 FROM v2),
+per_key AS (
+  SELECT doc_id,
+         CASE WHEN bool_or(side = 1) AND NOT bool_or(side = 2) THEN 'removed'
+              WHEN NOT bool_or(side = 1) AND bool_or(side = 2) THEN 'added'
+              WHEN max(CASE WHEN side = 1 THEN rh END)
+                   = max(CASE WHEN side = 2 THEN rh END) THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM tagged GROUP BY doc_id)
+SELECT status, count(*)::BIGINT AS n_keys FROM per_key GROUP BY status
+"""
+
+
+def approx_percentile_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles of event value per type via the
+    KLL-style ``approx_percentile`` sketch (rows-only: sketch outputs
+    are engine-specific by design; accuracy vs the exact quantiles is
+    asserted in tests/test_relational_ext.py).  The sketch is the 100 TB
+    path — mergeable fixed-size state per group instead of a full sort."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("pcts")
+    )
+
+
 RELATIONAL_QUERIES = {
     "stats_by_flag": (stats_by_flag, STATS_SQL),
     "pivot_orders_status": (pivot_orders_by_status, PIVOT_SQL),
@@ -1243,6 +1331,7 @@ RELATIONAL_QUERIES = {
     "ri_audit_orphans": (ri_audit_orphans, RI_AUDIT_SQL),
     "profile_documents": (profile_documents, PROFILE_SQL),
     "salted_join_event_nations": (salted_join_event_nations, SALTED_JOIN_SQL),
+    "diff_table_versions": (diff_table_versions, DIFF_SQL),
     "decile_customers_by_nation": (decile_customers_by_nation, DECILE_SQL),
     "moving_avg_daily_events": (moving_avg_daily_events, MOVING_AVG_SQL),
     "embedding_norm_stats": (embedding_norm_stats, EMB_NORM_SQL),
@@ -1275,4 +1364,5 @@ RELATIONAL_QUERIES = {
 # the exact count is asserted in tests/test_relational_ext.py instead).
 RELATIONAL_ROWS_ONLY = {
     "approx_distinct_parts": approx_distinct_parts,
+    "approx_percentile_values": approx_percentile_values,
 }

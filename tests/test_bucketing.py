@@ -69,3 +69,35 @@ def test_bucketed_join_matches_plain(spark, sf_dir, bucketed_tables):
         .count()
     )
     assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_clustered_write_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """write_clustered_parquet must produce files owning DISJOINT key
+    ranges (checked via parquet footer stats) — the property that lets a
+    range predicate skip whole files at 100 TB — and read back exactly."""
+    import pyarrow.parquet as pq
+
+    from k_means_hadoop_spark.sources.sinks import write_clustered_parquet
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = str(tmp_path / "clustered")
+    write_clustered_parquet(ev.select("event_id", "user_id", "value"), out, "user_id")
+
+    import glob
+
+    ranges = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx["user_id"]).statistics
+            los.append(st.min)
+            his.append(st.max)
+        ranges.append((min(los), max(his)))
+    ranges.sort()
+    assert len(ranges) >= 2  # the range partitioner actually split
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {hi1} vs {lo2}"
+    # roundtrip: nothing lost or duplicated
+    assert spark.read.parquet(out).count() == ev.count()

@@ -300,3 +300,12 @@ def test_unpivot_is_row_local(plans):
     assert "Expand" in p
     assert n_nodes(p, "Exchange") == 1
     assert "REPARTITION_BY_NUM" in p and "hashpartitioning" not in p
+
+
+def test_diff_versions_no_join(plans):
+    """Snapshot diff must be the union+groupBy shape — zero Join nodes
+    (a full-outer join of wide rows would shuffle both sides' payloads;
+    this shuffles (key, md5) only)."""
+    p = plans("diff_table_versions")
+    assert "Join" not in p
+    assert n_nodes(p, "Exchange") == 2  # per-key reduce + status rollup

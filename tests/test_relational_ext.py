@@ -122,3 +122,24 @@ def test_duplicate_components_chain_needs_propagation(spark):
     )
     got = {(r.doc_id, r.comp_id) for r in duplicate_components(pairs).collect()}
     assert got == {(n, 1) for n in range(1, 7)}
+
+
+def test_approx_percentiles_rank_accuracy(spark, sf_dir):
+    """The percentile sketch's guarantee is on RANK, not value (a long
+    tail can make adjacent ranks far apart in value): each sketch output
+    must sit within 0.5% of its target quantile in the empirical CDF
+    (rows-only query: the sketch output is engine-specific, so accuracy
+    IS its correctness check)."""
+    from k_means_hadoop_spark import registry
+
+    approx = {
+        r.event_type: r.pcts
+        for r in registry.QUERIES["approx_percentile_values"](spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_type", "value")
+    for et, pcts in approx.items():
+        vals = [r.value for r in ev.filter(F.col("event_type") == et).collect()]
+        n = len(vals)
+        for q, a in zip((0.5, 0.9, 0.99), pcts):
+            cdf = sum(v <= a for v in vals) / n
+            assert abs(cdf - q) <= 0.005, (et, q, a, cdf)
