@@ -200,3 +200,47 @@ def test_cli_end_to_end(tmp_path):
     lines = [l for f in final for l in f.read_text().splitlines() if l]
     assert len(lines) == 150
     assert all(len(l.split("\t")) >= 3 for l in lines)
+
+
+def test_dynamic_partition_pruning_via_dim_join(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: joining the date-partitioned fact to a
+    FILTERED dim table must inject a runtime partition filter (the plan
+    carries dynamicpruningexpression) — at 100 TB this is what turns
+    "join events to this week's calendar" into a 7-directory read
+    instead of a full scan."""
+    from k_means_hadoop_spark.plans import plan_of
+    from k_means_hadoop_spark.sources.events import load_events
+    from k_means_hadoop_spark.sources.sinks import write_events_partitioned
+
+    ev = load_events(spark, sf_dir)
+    out = str(tmp_path / "events_dpp")
+    write_events_partitioned(ev, out)
+
+    days = [r["d"] for r in ev.select(F.to_date("ts").alias("d")).distinct().collect()]
+    dim = spark.createDataFrame([(d, 1) for d in days], "d date, keep int").filter(
+        F.col("keep") == 1
+    )
+    fact = spark.read.parquet(out)
+    joined = fact.join(dim.hint("broadcast"), fact.event_date == dim.d).groupBy().count()
+    p = plan_of(joined)
+    assert "dynamicpruningexpression" in p or "dynamicpruning" in p.lower(), p
+    assert joined.first()["count"] == ev.count()
+
+
+def test_orc_roundtrip_events(spark, sf_dir, tmp_path):
+    """ORC sink/source (second columnar format, built into Spark): write
+    the events table as snappy ORC, read it back, identical bag of rows
+    — and a value predicate reaches the ORC reader as a pushed filter."""
+    from k_means_hadoop_spark.plans import plan_of
+    from k_means_hadoop_spark.sources.events import load_events
+
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    out = str(tmp_path / "events_orc")
+    ev.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == ev.count()
+    assert sorted(back.columns) == sorted(ev.columns)
+    filtered = back.filter(F.col("value") > 50.0)
+    p = plan_of(filtered)
+    assert "GreaterThan(value,50.0)" in p, p
+    assert filtered.count() == ev.filter(F.col("value") > 50.0).count()
