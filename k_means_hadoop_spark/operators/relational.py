@@ -1319,6 +1319,92 @@ def approx_percentile_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def trailing_hour_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1-hour activity (event-time RANGE frame): for
+    every event, how many events and how much value the same user
+    produced in the preceding hour INCLUDING this one — the online
+    feature a rate limiter or fraud score reads.
+
+    The frame is RANGE over epoch-micros (value-based, so same-timestamp
+    ties land in the same frame regardless of row order — deterministic
+    without a row tie-break).  One hash partition by user, one sort;
+    DECIMAL sums keep the sliding aggregation order-exact."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_prev_hour"),
+        F.sum(_dec("value")).over(w).cast("double").alias("value_prev_hour"),
+    )
+
+
+TRAILING_SQL = """
+SELECT user_id, event_id,
+       count(*) OVER w AS n_prev_hour,
+       sum(value::DECIMAL(18,4)) OVER w::DOUBLE AS value_prev_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+_PATH_LEN = 8
+_PATH_TOP = 20
+
+
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: each user's first 8 event types (by
+    time) joined into a '>' path, then the 20 most common paths — the
+    onboarding-funnel shape product analytics runs daily.
+
+    Shape: one ranking window (hash partition by user) → per-user
+    ordered reassembly via array_sort over (rank, type) structs —
+    collect_list alone has NO order guarantee across partitions; sorting
+    by the rank we just computed makes it deterministic — → path counts
+    → TakeOrderedAndProject top-k (no global sort)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_n = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PATH_LEN)
+    )
+    paths = first_n.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(_PATH_TOP)
+    )
+
+
+PATHS_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+paths AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= {_PATH_LEN} GROUP BY user_id)
+SELECT path, count(*)::BIGINT AS n_users FROM paths
+GROUP BY path ORDER BY n_users DESC, path LIMIT {_PATH_TOP}
+"""
+
+
 RELATIONAL_QUERIES = {
     "stats_by_flag": (stats_by_flag, STATS_SQL),
     "pivot_orders_status": (pivot_orders_by_status, PIVOT_SQL),
@@ -1332,6 +1418,8 @@ RELATIONAL_QUERIES = {
     "profile_documents": (profile_documents, PROFILE_SQL),
     "salted_join_event_nations": (salted_join_event_nations, SALTED_JOIN_SQL),
     "diff_table_versions": (diff_table_versions, DIFF_SQL),
+    "trailing_hour_user_stats": (trailing_hour_user_stats, TRAILING_SQL),
+    "top_event_paths": (top_event_paths, PATHS_SQL),
     "decile_customers_by_nation": (decile_customers_by_nation, DECILE_SQL),
     "moving_avg_daily_events": (moving_avg_daily_events, MOVING_AVG_SQL),
     "embedding_norm_stats": (embedding_norm_stats, EMB_NORM_SQL),

@@ -18,6 +18,7 @@ from k_means_hadoop_spark.functions.hashing import (
     word_ngrams_sql,
 )
 from k_means_hadoop_spark.operators import dedup, similarity, text
+from k_means_hadoop_spark.operators.relational import SESSION_WINDOW_SQL
 from k_means_hadoop_spark.partitioning import fan_out
 
 # ------------------------------------------------------------------ queries
@@ -400,6 +401,47 @@ WHERE v.event_type = 'view' AND c.event_type = 'click'
 """
 
 
+def q_streaming_session_windows(spark, sf_dir):
+    """Stateful streaming sessionization via the native session_window
+    aggregation (gap-merged windows in the state store; watermark bounds
+    state growth).  Drained with availableNow in complete mode, the
+    merged sessions must equal the batch gaps-and-islands SQL — the same
+    oracle as the batch `session_windows_events`, checking the streaming
+    MERGING state machine against a closed-form formulation."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as SF
+
+    from k_means_hadoop_spark.streaming.stream_kmeans import read_event_stream
+
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    sess = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id", SF.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            SF.count(SF.lit(1)).alias("n_events"),
+            SF.sum(SF.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+    q = (
+        sess.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros("w.start").alias("session_start_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_top_terms(spark, sf_dir):
     return text.top_terms(_docs(spark, sf_dir), k=50)
 
@@ -642,6 +684,7 @@ SELECT qid, nid, round(sim, 6) AS cos_sim, rank FROM ranked WHERE rank <= 5""",
     "streaming_enrich_join": STREAMING_ENRICH_SQL,
     "streaming_interval_join": STREAMING_INTERVAL_JOIN_SQL,
     "top_terms_corpus": _top_terms_sql(50),
+    "streaming_session_windows": SESSION_WINDOW_SQL,
     "unpivot_quality_metrics": _unpivot_quality_sql(),
     "dedup_components": _components_sql(),
 }
@@ -670,6 +713,7 @@ PIPELINE_QUERIES = {
     "streaming_enrich_join": q_streaming_enrich_join,
     "streaming_interval_join": q_streaming_interval_join,
     "top_terms_corpus": q_top_terms,
+    "streaming_session_windows": q_streaming_session_windows,
     "unpivot_quality_metrics": q_unpivot_quality,
     "dedup_components": q_dedup_components,
     "pca_project": q_pca_project,  # rows-only: eigenvector sign is impl-defined

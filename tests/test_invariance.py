@@ -29,6 +29,8 @@ CASES = [
     "top_terms_corpus",       # global top-k with term tie-break
     "dedup_components",       # iterative propagation, per-round shuffles
     "temperature_sample_langs",  # data-dependent rates + hash membership
+    "top_event_paths",        # ordered reassembly + top-k path tie-break
+    "trailing_hour_user_stats",  # value-based RANGE frame, decimal sums
 ]
 
 

@@ -309,3 +309,22 @@ def test_diff_versions_no_join(plans):
     p = plans("diff_table_versions")
     assert "Join" not in p
     assert n_nodes(p, "Exchange") == 2  # per-key reduce + status rollup
+
+
+def test_trailing_window_single_exchange(plans):
+    """The RANGE-frame trailing window must be one hash Exchange on
+    user_id + one Window — never a global sort."""
+    p = plans("trailing_hour_user_stats")
+    assert n_nodes(p, "Exchange") == 1
+    assert "hashpartitioning(user_id" in p
+    assert n_nodes(p, "Window") == 1
+    assert "rangepartitioning" not in p
+
+
+def test_event_paths_topk_no_global_sort(plans):
+    """Path mining ends in TakeOrderedAndProject (per-partition heap),
+    and the ranking window + per-user reassembly share the user_id
+    hash partitioning."""
+    p = plans("top_event_paths")
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p
