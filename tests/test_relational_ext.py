@@ -143,3 +143,42 @@ def test_approx_percentiles_rank_accuracy(spark, sf_dir):
         for q, a in zip((0.5, 0.9, 0.99), pcts):
             cdf = sum(v <= a for v in vals) / n
             assert abs(cdf - q) <= 0.005, (et, q, a, cdf)
+
+
+def test_duplicate_components_random_graphs_match_union_find(spark):
+    """Randomized adversary for the distributed CC: 30 seeded random
+    graphs (disjoint id spaces, all in ONE Spark run) must match a
+    driver-side union-find exactly — catches propagation bugs no
+    hand-built topology covers."""
+    import random
+
+    from k_means_hadoop_spark.operators.dedup import duplicate_components
+
+    rnd = random.Random(42)
+    edges = []
+    for g in range(30):
+        base = g * 1000
+        n = rnd.randint(2, 12)
+        for _ in range(rnd.randint(1, 18)):
+            a, b = rnd.randint(0, n - 1), rnd.randint(0, n - 1)
+            if a != b:
+                edges.append((base + min(a, b), base + max(a, b)))
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "a_id bigint, b_id bigint")
+    got = {r.doc_id: r.comp_id for r in duplicate_components(pairs).collect()}
+    assert got == want

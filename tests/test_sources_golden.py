@@ -244,3 +244,41 @@ def test_orc_roundtrip_events(spark, sf_dir, tmp_path):
     p = plan_of(filtered)
     assert "GreaterThan(value,50.0)" in p, p
     assert filtered.count() == ev.filter(F.col("value") > 50.0).count()
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution: a newer shard adds a column; mergeSchema read
+    unifies the schemas and backfills NULL — the append-only data-lake
+    contract (no rewrite of old shards)."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, v string").write.parquet(f"{out}/day=1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, v string, score double"
+    ).write.parquet(f"{out}/day=2")
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    assert {"id", "v", "score", "day"} == set(back.columns)
+    rows = {r.id: (r.v, r.score) for r in back.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_jsonl_corrupt_records_quarantined(spark, tmp_path):
+    """Malformed JSONL lines must not kill a 100 TB ingest: PERMISSIVE
+    mode with columnNameOfCorruptRecord loads the good rows and
+    quarantines the bad line for inspection."""
+    import pathlib
+
+    f = pathlib.Path(tmp_path) / "mixed.jsonl"
+    f.write_text('{"doc_id": 1, "text": "ok"}\n{BROKEN\n{"doc_id": 2, "text": "fine"}\n')
+    schema = "doc_id bigint, text string, _corrupt string"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(str(f))
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt").isNull())
+    bad = df.filter(F.col("_corrupt").isNotNull())
+    assert {r.doc_id for r in good.collect()} == {1, 2}
+    assert bad.count() == 1 and "{BROKEN" in bad.first()["_corrupt"]
+    df.unpersist()
