@@ -328,3 +328,44 @@ def test_event_paths_topk_no_global_sort(plans):
     p = plans("top_event_paths")
     assert "TakeOrderedAndProject" in p
     assert "rangepartitioning" not in p
+
+
+def test_runtime_bloom_filter_prefilters_fact_side(spark, sf_dir):
+    """Runtime bloom-filter join filter — the engine's answer to
+    "semi-join pushdown" at 100 TB: a selective dim predicate builds a
+    bloom_filter_agg whose might_contain() is injected into the FACT
+    scan, cutting shuffle volume before the SortMergeJoin.  Off by
+    default locally only because the application side must be ≥10 GB to
+    pay for the sketch — this test zeroes that threshold to pin the
+    plan shape the 100 TB configuration relies on."""
+    from pyspark.sql import functions as F
+
+    from k_means_hadoop_spark.plans import plan_of
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+    }
+    before = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        p = plan_of(j)
+        assert "might_contain" in p, p
+        assert "bloom_filter_agg" in p
+        # the injected filter must sit on the fact (lineitem) side
+        assert "l_orderkey" in p.split("might_contain", 1)[1][:200]
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -282,3 +282,27 @@ def test_jsonl_corrupt_records_quarantined(spark, tmp_path):
     assert {r.doc_id for r in good.collect()} == {1, 2}
     assert bad.count() == 1 and "{BROKEN" in bad.first()["_corrupt"]
     df.unpersist()
+
+
+def test_observe_metrics_piggyback_on_action(spark, sf_dir):
+    """df.observe(): ingest counters (rows, nulls, value sum) ride along
+    the existing action — at 100 TB this replaces a separate validation
+    scan with zero extra I/O."""
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_metrics")
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").isNull().cast("bigint")).alias("null_values"),
+        )
+        .filter(F.col("event_type") == "click")
+    )
+    n_clicks = ev.count()
+    got = obs.get
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert got["n_rows"] == total  # observed pre-filter, full input
+    assert got["null_values"] == 0
+    assert 0 < n_clicks < total
