@@ -18,6 +18,14 @@ from pyspark.sql import types as T
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if isinstance(ev.schema["ts"].dataType, T.LongType):
+    ts_type = ev.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # Spark 4.1+ reads TIMESTAMP(NANOS) as TIMESTAMP_NTZ (micros,
+        # truncated) and ignores nanosAsLong.  Normalize to TIMESTAMP so
+        # unix_micros/window/watermark code downstream is type-stable;
+        # session tz is pinned to UTC, so the wall-clock value is
+        # preserved and epoch math matches the DuckDB oracle.
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev

@@ -29,20 +29,27 @@ from pyspark.sql import types as T
 
 from k_means_hadoop_spark.operators.assign import Centroids, nearest_centroid
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (see sources/events.py)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over event parquet files (ts nanos → timestamp).
+
+    The fixture parquet stores ``ts`` as TIMESTAMP(NANOS).  How that
+    surfaces depends on the Spark version (nanosAsLong BIGINT on 3.x vs
+    native TIMESTAMP_NTZ on 4.1+), so the stream schema mirrors whatever
+    a batch footer-read of the same path reports, then normalizes to
+    TIMESTAMP (session tz is UTC — wall clock preserved).
 
     Accepts a directory or glob; a single *file* path (the shape of the
     local test fixtures) is staged as a symlink inside a temp directory,
@@ -50,16 +57,19 @@ def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int
     import os
     import tempfile
 
+    batch_ts = spark.read.parquet(path).schema["ts"].dataType
     if path.endswith(".parquet") and os.path.isfile(path):
         staging = tempfile.mkdtemp(prefix="event_stream_")
         os.symlink(path, os.path.join(staging, os.path.basename(path)))
         path = staging
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(batch_ts))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(batch_ts, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def featurize_events(events: DataFrame) -> DataFrame:
