@@ -280,6 +280,127 @@ GROUP BY d.lang, t.n_total, t.keep_pm
 """
 
 
+# ------------------------------------------------------ sequence packing
+
+_PACK_BUDGET = 64  # tokens per pack; production values (2k-8k) change nothing structurally
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-offset sequence packing: concatenate each source's documents
+    (doc_id order) into one token stream and cut it every _PACK_BUDGET
+    tokens — the step that turns a curated corpus into fixed-size
+    training sequences.  A document's pack is the one containing its
+    start offset (greedy streaming packing without per-bin state, so it
+    stays a pure prefix-sum).
+
+    Scale shape: ONE Exchange (hash by source) feeding a running-sum
+    window; every downstream column is row-local arithmetic.  At 100 TB
+    the per-source streams are independent — exactly how a tokenizer
+    sharding job would consume them."""
+    docs = _docs(spark, sf_dir)
+    n_toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_toks").over(w), F.lit(0)).cast("bigint")
+    return (
+        docs.select("doc_id", "source", n_toks.alias("n_toks"))
+        .withColumn("stream_offset", offset)
+        .withColumn("pack_id", F.floor(F.col("stream_offset") / _PACK_BUDGET).cast("bigint"))
+    )
+
+
+PACK_SQL = f"""
+WITH t AS (SELECT doc_id, source,
+                  len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS n_toks
+           FROM documents)
+SELECT doc_id, source, n_toks,
+       COALESCE(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0)::BIGINT AS stream_offset,
+       CAST(floor(COALESCE(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) / {_PACK_BUDGET}) AS BIGINT) AS pack_id
+FROM t
+"""
+
+
+# ------------------------------------------- benchmark decontamination
+
+_BENCH_MOD = 97   # doc_id % 97 == 0 → the held-out "benchmark" set
+_DECON_N = 5      # n-gram size for contamination overlap
+
+
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    5-gram with a held-out benchmark set (here: doc_id % 97 == 0,
+    a deterministic stand-in for an eval suite).  Returns
+    (doc_id, matched_shingles) for contaminated documents only — the
+    kill-list a pretraining pipeline subtracts before tokenization.
+
+    Scale shape: the benchmark shingle set is tiny relative to the corpus
+    → broadcast LEFT SEMI join against the exploded corpus shingles (no
+    corpus-side shuffle), then one groupBy(doc_id).  For benchmark sets
+    too big to broadcast, the same plan degrades gracefully to a
+    shuffled semi join; shingles are distinct per doc (word_ngrams), so
+    count(*) is exactly the distinct overlap count."""
+    from k_means_hadoop_spark.functions.hashing import word_ngrams
+
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), _DECON_N)).alias("shingle")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % _BENCH_MOD == 0).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(F.broadcast(bench), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("matched_shingles"))
+    )
+
+
+def _decontam_sql() -> str:
+    from k_means_hadoop_spark.functions.hashing import word_ngrams_sql
+
+    grams = word_ngrams_sql("text", _DECON_N)
+    return f"""
+WITH sh AS (SELECT doc_id, unnest({grams}) AS shingle FROM documents),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0)
+SELECT doc_id, count(*)::BIGINT AS matched_shingles
+FROM sh
+WHERE doc_id % {_BENCH_MOD} <> 0 AND shingle IN (SELECT shingle FROM bench)
+GROUP BY doc_id
+"""
+
+
+# -------------------------------------------------- payload scrubbing
+
+def scrub_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-identifier scrubbing of raw event payloads: mask every
+    digit run in ``props`` and report how many were masked — the
+    PII-redaction shape (same plan applies to email/phone/SSN regexes).
+    Row-local regex expressions only: zero shuffles, full codegen; at
+    100 TB this is a pure map over the scan."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        F.regexp_replace(F.col("props"), "[0-9]+", "#").alias("masked_props"),
+        F.regexp_count(F.col("props"), F.lit("[0-9]+")).cast("int").alias("n_masked"),
+    )
+
+
+SCRUB_SQL = """
+SELECT event_id,
+       regexp_replace(props, '[0-9]+', '#', 'g') AS masked_props,
+       len(regexp_extract_all(props, '[0-9]+'))::INTEGER AS n_masked
+FROM events
+"""
+
+
 CURATION_QUERIES = {
     "split_train_val": (split_train_val, SPLIT_SQL),
     "quota_per_source": (quota_per_source, QUOTA_SQL),
@@ -287,4 +408,7 @@ CURATION_QUERIES = {
     "winsorize_acctbal": (winsorize_acctbal, WINSORIZE_SQL),
     "mix_sources_weighted": (mix_sources_weighted, MIX_SQL),
     "temperature_sample_langs": (temperature_sample_langs, TEMPERATURE_SQL),
+    "pack_sequences": (pack_sequences, PACK_SQL),
+    "decontaminate_corpus": (decontaminate_corpus, _decontam_sql()),
+    "scrub_event_props": (scrub_event_props, SCRUB_SQL),
 }

@@ -163,6 +163,45 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_verified_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.7,
+    bands: int = LSH_BANDS,
+    text_col: str = "text",
+) -> DataFrame:
+    """(a_id, b_id, jaccard) — the production near-dedup output: LSH
+    candidate pairs verified with the EXACT n-gram Jaccard and filtered
+    at ``threshold``.
+
+    This is the two-stage pipeline every web-scale dedup runs: banding
+    bounds the candidate set (shuffle ∝ corpus, not pairs²), then the
+    exact measure is computed ONLY for candidates — the common-shingle
+    count joins the candidate list back to the shingle table on doc_id,
+    so the quadratic verification cost collapses to
+    O(candidates · shingles/doc)."""
+    cand = minhash_lsh_candidates(docs, n, bands, text_col)
+    sh = shingle_table(docs, n, text_col)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a_sh = sh.select(F.col("doc_id").alias("a_id"), F.col("shingle").alias("sa"))
+    b_sh = sh.select(F.col("doc_id").alias("bid"), F.col("shingle").alias("sb"))
+    common = (
+        cand.join(a_sh, "a_id")
+        .join(b_sh, (F.col("b_id") == F.col("bid")) & (F.col("sa") == F.col("sb")))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(ca, "a_id")
+        .join(cb, "b_id")
+        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_pairs(simhashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     """(a_id, b_id, hamming) — SimHash near-dup pairs.
 

@@ -169,6 +169,49 @@ def top_terms(docs: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame
     )
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Per-document top-k TF-IDF keywords — the relevance-scored variant
+    of ``top_terms`` (document fingerprinting / keyword extraction for
+    corpus exploration and near-dup triage).
+
+    tf = term count within the doc; idf = ln((N+1)/(df+1)) with N from a
+    1-row corpus-count aggregate broadcast onto the term table (same
+    broadcast-a-scalar shape as curation.winsorize_acctbal — the big
+    side never reshuffles for it).  Document frequencies are a second
+    aggregate of the tf table (already partitioned by term after the
+    groupBy — at corpus scale the df table is vocabulary-sized and
+    broadcastable).  Ties broken (score DESC, term ASC) so the k-set is
+    deterministic.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(_tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1).cast("double")),
+                6,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def chunk_documents(
     docs: DataFrame, text_col: str = "text", window: int = 32, stride: int = 24
 ) -> DataFrame:

@@ -29,6 +29,7 @@ NEARDUP_MAX_ID = 500  # id-bounded subset: brute-force stays O(500²) at any sf
 NGRAM_N = 3
 NGRAM_THRESHOLD = 0.7
 SIMHASH_MAX_HAMMING = 3
+TFIDF_TOP_K = 3
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,6 +72,16 @@ def q_ngram_jaccard(spark, sf_dir):
 
 def q_minhash_candidates(spark, sf_dir):
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir), n=NGRAM_N)
+
+
+def q_minhash_verified(spark, sf_dir):
+    return dedup.minhash_verified_pairs(
+        _docs(spark, sf_dir), n=NGRAM_N, threshold=NGRAM_THRESHOLD
+    )
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    return text.tfidf_top_terms(_docs(spark, sf_dir), k=TFIDF_TOP_K)
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -602,7 +613,9 @@ FROM pairs JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
 WHERE round(common::DOUBLE / (ca.n_sh + cb.n_sh - common), 6) >= {threshold}"""
 
 
-def _minhash_sql(n: int) -> str:
+def _minhash_ctes(n: int) -> str:
+    """CTE chain sh_tbl → hashed → sig → stacked shared by the LSH
+    candidate and verified-pair oracles."""
     h = stable_hash64_sql("shingle")
     mins = ", ".join(
         f"min({minhash_value_sql('h', a, b)}) AS m{i}"
@@ -616,14 +629,53 @@ def _minhash_sql(n: int) -> str:
         )
         band_exprs.append(f"SELECT doc_id, {bi} AS band, md5({members}) AS bucket FROM sig")
     stacked = " UNION ALL ".join(band_exprs)
-    return f"""
-WITH {_shingle_cte(n)},
+    return f"""{_shingle_cte(n)},
 hashed AS (SELECT doc_id, {h} AS h FROM sh_tbl),
 sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
-stacked AS ({stacked})
+stacked AS ({stacked})"""
+
+
+def _minhash_sql(n: int) -> str:
+    return f"""
+WITH {_minhash_ctes(n)}
 SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
 FROM stacked a JOIN stacked b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
+
+
+def _minhash_verified_sql(n: int, threshold: float) -> str:
+    jac = "common::DOUBLE / (ca.n_sh + cb.n_sh - common)"
+    return f"""
+WITH {_minhash_ctes(n)},
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM stacked a JOIN stacked b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh_tbl GROUP BY doc_id),
+common AS (SELECT c.a_id, c.b_id, count(*)::BIGINT AS common
+           FROM cand c
+           JOIN sh_tbl a ON a.doc_id = c.a_id
+           JOIN sh_tbl b ON b.doc_id = c.b_id AND a.shingle = b.shingle
+           GROUP BY c.a_id, c.b_id)
+SELECT a_id, b_id, round({jac}, 6) AS jaccard
+FROM common JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
+WHERE round({jac}, 6) >= {threshold}"""
+
+
+def _tfidf_sql(k: int) -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM tok WHERE term != '' GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+scored AS (SELECT doc_id, term, tf,
+                  round(tf * ln((n_docs + 1)::DOUBLE / (df + 1)::DOUBLE), 6) AS score
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+ranked AS (SELECT doc_id, term, tf, score,
+                  CAST(row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, term ASC) AS INTEGER) AS rank
+           FROM scored)
+SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= {k}"""
 
 
 def _simhash_pairs_sql(max_hamming: int) -> str:
@@ -657,6 +709,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     ),
     "dedup_ngram_jaccard": _ngram_jaccard_sql(NGRAM_N, NGRAM_THRESHOLD),
     "dedup_minhash_lsh": _minhash_sql(NGRAM_N),
+    "dedup_minhash_verified": _minhash_verified_sql(NGRAM_N, NGRAM_THRESHOLD),
+    "tfidf_top_terms": _tfidf_sql(TFIDF_TOP_K),
     "dedup_simhash_pairs": _simhash_pairs_sql(SIMHASH_MAX_HAMMING),
     "dedup_embedding_cosine": f"""
 WITH v AS (SELECT vec_id::INTEGER AS vid, embedding::DOUBLE[] AS vec FROM embeddings
@@ -698,6 +752,8 @@ PIPELINE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_minhash_lsh": q_minhash_candidates,
+    "dedup_minhash_verified": q_minhash_verified,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "dedup_simhash_pairs": q_simhash_pairs,
     "dedup_embedding_cosine": q_embedding_neardup,
     "knn_bruteforce": q_knn_bruteforce,

@@ -369,3 +369,39 @@ def test_runtime_bloom_filter_prefilters_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pack_sequences_single_exchange(plans):
+    """Sequence packing is one running-sum window over the per-source
+    stream: exactly ONE shuffle (hash by source); pack_id/offset are
+    row-local arithmetic on the window output."""
+    p = plans("pack_sequences")
+    assert n_nodes(p, "Exchange") == 1
+    assert "hashpartitioning(source" in p
+
+
+def test_decontaminate_broadcasts_benchmark(plans):
+    """The benchmark shingle set must broadcast into a LEFT SEMI join —
+    the corpus-side shingle table is never shuffled for the membership
+    probe (its only Exchange is the final per-doc aggregate)."""
+    p = plans("decontaminate_corpus")
+    assert "BroadcastHashJoin" in p
+    assert "LeftSemi" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_scrub_event_props_row_local(plans):
+    """Payload scrubbing is a pure map: no Exchange, no join — regex
+    masking runs inside the scan's codegen stage."""
+    p = plans("scrub_event_props")
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
+def test_tfidf_broadcasts_vocabulary(plans):
+    """Per-doc TF-IDF joins the vocabulary df table and the 1-row corpus
+    count: both must broadcast — the (doc, term) table never reshuffles
+    for them; SortMergeJoin anywhere means the scale design regressed."""
+    p = plans("tfidf_top_terms")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
