@@ -123,6 +123,48 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_batches, schema=FEATURES_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_hash", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, stride: int = 30) -> DataFrame:
+    """Frame sampling over video payloads — the ROW-EXPANDING mapInPandas
+    shape (1 video → n_frames/stride frame rows), complementing
+    ``decode_media``'s 1:1 shape.  At 100 TB this is how video becomes
+    training items: payloads stay partition-local, Python sees Arrow
+    batches, fan-out happens inside the kernel so no exploded
+    intermediate ever materializes in the JVM.
+
+    The frame "decode" is the deterministic stub (md5 of payload + ':' +
+    index — where ffmpeg would emit the real frame tensor); sampling
+    indices are real: range(0, meta.n_frames, stride)."""
+    import hashlib
+
+    import pandas as pd
+
+    videos = media.filter(F.col("kind") == "video").select(
+        "media_id", "payload", F.col("meta.n_frames").alias("n_frames")
+    )
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out: list[tuple[int, int, str]] = []
+            for mid, payload, n_frames in zip(
+                pdf["media_id"], pdf["payload"], pdf["n_frames"]
+            ):
+                for idx in range(0, int(n_frames), stride):
+                    h = hashlib.md5(bytes(payload) + b":" + str(idx).encode()).hexdigest()
+                    out.append((int(mid), idx, h))
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "frame_hash"])
+
+    return videos.mapInPandas(_batches, schema=FRAME_SCHEMA)
+
+
 def decode_media_real(media: DataFrame, target_size: tuple[int, int] | None = None) -> DataFrame:
     """The real-decoder seam: resize images / resample audio / sample
     video frames.  Requires codec libraries not present in this

@@ -154,3 +154,64 @@ def knn_ivf(
         .filter(F.col("rank") <= k)
         .select("qid", "nid", F.round("sim", 6).alias("cos_sim"), "rank")
     )
+
+
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, lo, hi, q_hash, max_abs_err) — per-vector int8-range
+    scalar quantization, the storage/bandwidth lever for ANN at 100 TB
+    (4 bytes/dim → 1, before IVF/PQ refinements).
+
+    Per vector: lo/hi bounds, scale = (hi-lo)/255, code
+    q_i = floor((x_i-lo)/scale + 0.5) ∈ [0,255] (floor(+0.5) — not
+    round() — because banker's-rounding conventions differ across
+    engines), reconstruction lo + q_i·scale.  Constant vectors (hi==lo)
+    quantize to all-zeros with zero error.  Output stays narrow: the
+    code array is reported as an md5 over its ','-join, plus the max
+    absolute reconstruction error — an accuracy audit computed in the
+    same pass.  Pure Catalyst higher-order functions: no shuffle, no
+    Python, fully codegen'd."""
+    v = F.col("embedding").cast("array<double>")
+    base = embeddings.select(F.col("vec_id"), v.alias("v"))
+    lo, hi = F.array_min("v"), F.array_max("v")
+    base = base.select(
+        "vec_id",
+        "v",
+        lo.alias("lo"),
+        hi.alias("hi"),
+        ((hi - lo) / F.lit(255.0)).alias("scale"),
+    ).withColumn(
+        "safe", F.when(F.col("scale") == 0.0, F.lit(1.0)).otherwise(F.col("scale"))
+    )
+    q = F.transform(
+        "v", lambda x: F.floor((x - F.col("lo")) / F.col("safe") + F.lit(0.5)).cast("int")
+    )
+    # Error in STEP units, |(x-lo)/scale - q| ∈ [0, 0.5] — deliberately
+    # NOT |x - (lo + q·scale)|: reconstructing via lo + q·scale is a
+    # multiply-add that some engines (DuckDB) contract to an FMA,
+    # shifting the result by an ulp and breaking cross-engine equality.
+    # The step-unit form uses only sub/div/sub (nothing fusable), so the
+    # double is bit-identical everywhere; absolute error = step_err·scale.
+    step_err = F.array_max(
+        F.zip_with(
+            "v",
+            "q",
+            lambda x, qi: F.abs((x - F.col("lo")) / F.col("safe") - qi.cast("double")),
+        )
+    )
+    return (
+        base.withColumn("q", q)
+        # step_err is added BEFORE the output projection: the final select
+        # re-aliases a rounded "lo", and Spark's lateral-column-alias
+        # resolution would otherwise bind the lambda's lo reference to the
+        # ROUNDED value, silently corrupting the error computation.
+        .withColumn("step_err", step_err)
+        .select(
+            "vec_id",
+            F.round("lo", 6).alias("lo"),
+            F.round("hi", 6).alias("hi"),
+            F.md5(F.array_join(F.transform("q", lambda c: c.cast("string")), ",")).alias("q_hash"),
+            # floor(·1e6), not round(·, 6): round-half conventions differ
+            # across engines; floor of an identical double is convention-free.
+            F.floor(F.col("step_err") * F.lit(1e6)).cast("bigint").alias("max_step_err_ppm"),
+        )
+    )

@@ -183,6 +183,50 @@ def q_multimodal_decode(spark, sf_dir):
     return feats.select("media_id", "kind", "payload_bytes", "content_hash")
 
 
+FRAME_STRIDE = 30
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Row-expanding mapInPandas frame sampling (1 video → n frame rows);
+    the stub frame hash (md5(payload || ':' || idx)) is SQL-expressible,
+    so the oracle checks the full output including the fan-out shape."""
+    from k_means_hadoop_spark.operators.multimodal import media_from_documents, sample_frames
+
+    return sample_frames(media_from_documents(_docs(spark, sf_dir)), stride=FRAME_STRIDE)
+
+
+MULTIMODAL_FRAMES_SQL = f"""
+WITH v AS (SELECT doc_id AS media_id, text, (n_chars % 300)::INT AS n_frames
+           FROM documents WHERE doc_id % 3 = 2),
+s AS (SELECT media_id, text, unnest(range(0, n_frames, {FRAME_STRIDE}))::INTEGER AS frame_idx
+      FROM v)
+SELECT media_id, frame_idx, md5(text || ':' || frame_idx::VARCHAR) AS frame_hash FROM s
+"""
+
+
+def q_quantize_embeddings(spark, sf_dir):
+    return similarity.quantize_embeddings(_emb(spark, sf_dir))
+
+
+QUANTIZE_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi,
+             (list_max(v) - list_min(v)) / 255.0 AS scale,
+             CASE WHEN list_max(v) = list_min(v) THEN 1.0
+                  ELSE (list_max(v) - list_min(v)) / 255.0 END AS safe
+      FROM v),
+q AS (SELECT vec_id, v, lo, hi, safe,
+             list_transform(v, x -> CAST(floor((x - lo) / safe + 0.5) AS INT)) AS qv
+      FROM s)
+SELECT vec_id, round(lo, 6) AS lo, round(hi, 6) AS hi,
+       md5(array_to_string(qv, ',')) AS q_hash,
+       CAST(floor(list_max(list_transform(range(1, len(v) + 1),
+                                          i -> abs((v[i] - lo) / safe - qv[i]::DOUBLE))) * 1e6)
+            AS BIGINT) AS max_step_err_ppm
+FROM q
+"""
+
+
 MULTIMODAL_SQL = """
 SELECT doc_id AS media_id,
        (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT] AS kind,
@@ -731,6 +775,8 @@ SELECT qid, nid, round(sim, 6) AS cos_sim, rank FROM ranked WHERE rank <= 5""",
     "chunk_documents": CHUNK_SQL,
     "prepare_corpus": _prepare_corpus_sql(),
     "multimodal_decode": MULTIMODAL_SQL,
+    "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
+    "quantize_embeddings": QUANTIZE_SQL,
     "streaming_window_stats": STREAMING_WINDOW_SQL,
     "streaming_kmeans_assign": _stream_assign_sql(),
     "streaming_stateful_totals": STREAMING_STATEFUL_SQL,
@@ -762,6 +808,8 @@ PIPELINE_QUERIES = {
     "chunk_documents": q_chunk_documents,
     "prepare_corpus": q_prepare_corpus,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_frame_sample": q_multimodal_frames,
+    "quantize_embeddings": q_quantize_embeddings,
     "streaming_window_stats": q_streaming_window_stats,
     "streaming_kmeans_assign": q_streaming_kmeans_assign,
     "streaming_stateful_totals": q_streaming_stateful_totals,

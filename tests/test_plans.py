@@ -405,3 +405,23 @@ def test_tfidf_broadcasts_vocabulary(plans):
     p = plans("tfidf_top_terms")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_quantize_embeddings_is_map_only(plans):
+    """Scalar quantization is a per-row transform: no join, no
+    aggregate; the only permissible Exchange is the small-file fan_out
+    repartition (absent at real scale)."""
+    p = plans("quantize_embeddings")
+    assert "Join" not in p
+    assert "HashAggregate" not in p
+    assert n_nodes(p, "Exchange") <= 1
+
+
+def test_frame_sample_fans_out_inside_python_kernel(plans):
+    """Video frame sampling must expand rows INSIDE the Arrow batch
+    kernel (MapInPandas), not via a JVM-side explode — no Exchange, no
+    Generate node materializing an exploded intermediate."""
+    p = plans("multimodal_frame_sample")
+    assert "MapInPandas" in p
+    assert "Generate" not in p
+    assert n_nodes(p, "Exchange") <= 1
