@@ -369,6 +369,64 @@ FROM events GROUP BY user_id
 """
 
 
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas' driver worker imports google.protobuf
+    (state-server wire protocol); this container doesn't ship it, so the
+    query only registers where the dependency exists."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def q_streaming_tws_stats(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 typed-state API) per-user
+    stats: ValueState totals + MapState distinct-type counts, drained
+    with availableNow; the last update per user must equal the batch
+    GROUP BY — the oracle check."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from k_means_hadoop_spark.streaming.stateful import tws_user_stats
+    from k_means_hadoop_spark.streaming.stream_kmeans import read_event_stream
+
+    name = f"stream_tws_{uuid.uuid4().hex[:8]}"
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    q = (
+        tws_user_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(name)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("sum_value", 6).alias("sum_value"),
+            "n_types",
+        )
+    )
+
+
+STREAMING_TWS_SQL = """
+SELECT user_id, count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value,
+       count(DISTINCT event_type)::BIGINT AS n_types
+FROM events GROUP BY user_id
+"""
+
+
 def _drain(stream_df, prefix: str):
     """availableNow → memory sink, return the drained table (append mode)."""
     import tempfile
@@ -780,6 +838,8 @@ SELECT qid, nid, round(sim, 6) AS cos_sim, rank FROM ranked WHERE rank <= 5""",
     "streaming_window_stats": STREAMING_WINDOW_SQL,
     "streaming_kmeans_assign": _stream_assign_sql(),
     "streaming_stateful_totals": STREAMING_STATEFUL_SQL,
+    # streaming_tws_user_stats is added conditionally below — its driver
+    # worker needs google.protobuf, absent from this container.
     "streaming_dedup_keys": STREAMING_DEDUP_SQL,
     "streaming_enrich_join": STREAMING_ENRICH_SQL,
     "streaming_interval_join": STREAMING_INTERVAL_JOIN_SQL,
@@ -822,3 +882,7 @@ PIPELINE_QUERIES = {
     "dedup_components": q_dedup_components,
     "pca_project": q_pca_project,  # rows-only: eigenvector sign is impl-defined
 }
+
+if _has_protobuf():  # pragma: no cover — absent in this container
+    PIPELINE_QUERIES["streaming_tws_user_stats"] = q_streaming_tws_stats
+    PIPELINE_ORACLES["streaming_tws_user_stats"] = STREAMING_TWS_SQL

@@ -43,3 +43,67 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4) — the successor API to applyInPandasWithState:
+# typed state handles (ValueState/MapState/ListState) instead of one opaque
+# tuple, per-state TTL, timers, and initial-state bootstrap.  Kept alongside
+# the applyInPandasWithState operator above so the engine demonstrates both
+# the stable and the current stateful seams.
+
+TWS_OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double, n_types bigint"
+
+
+class UserStatsProcessor:
+    """Per-user running stats with TWO typed state handles: a ValueState
+    (n, sum) and a MapState event_type → count (the distinct-type set
+    lives in the state store, not in Python memory — O(types/user) state,
+    never O(events)).  Emits one refreshed row per user per micro-batch."""
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState("totals", "n bigint, s double")
+        self._types = handle.getMapState("types", "t string", "c bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            for t, c in pdf["event_type"].value_counts().items():
+                prev = self._types.getValue((t,))[0] if self._types.containsKey((t,)) else 0
+                self._types.updateValue((t,), (prev + int(c),))
+        self._totals.update((n, s))
+        n_types = sum(1 for _ in self._types.keys())
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [s],
+                "n_types": [n_types],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _make_processor():
+    """Build the StatefulProcessor subclass lazily — subclassing at import
+    time would hard-depend streaming internals into every module import."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    return type("UserStatsStatefulProcessor", (UserStatsProcessor, StatefulProcessor), {})()
+
+
+def tws_user_stats(events: DataFrame) -> DataFrame:
+    """Streaming per-user (n_events, sum_value, n_types) via
+    transformWithStateInPandas (update semantics)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _make_processor(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -272,3 +272,34 @@ def test_watermark_drops_late_events(spark, tmp_path):
         for p in q.recentProgress
     )
     assert dropped == 1, "the straggler must be counted as dropped-by-watermark"
+
+
+def test_tws_user_stats_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 typed-state API): final
+    per-user state must equal the batch GROUP BY.  Skipped where
+    google.protobuf (the state-server wire protocol dependency of the
+    driver worker) is unavailable — the operator itself is still
+    importable and registered conditionally."""
+    pytest.importorskip("google.protobuf")
+    from k_means_hadoop_spark.registry_pipeline import q_streaming_tws_stats
+
+    from pyspark.sql import functions as F
+
+    got = {
+        r["user_id"]: (r["n_events"], r["sum_value"], r["n_types"])
+        for r in q_streaming_tws_stats(spark, sf_dir).collect()
+    }
+    from k_means_hadoop_spark.sources.events import load_events
+
+    exp = {
+        r["user_id"]: (r["n"], r["s"], r["t"])
+        for r in load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("s"),
+            F.countDistinct("event_type").alias("t"),
+        )
+        .collect()
+    }
+    assert got == exp
