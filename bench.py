@@ -52,6 +52,12 @@ HEADLINE = [
     "q17_small_qty_revenue",
     "q7_volume_shipping",
     "q18_large_volume_customers",
+    "dedup_minhash_verified",
+    "pack_sequences",
+    "quantize_embeddings",
+    "tfidf_top_terms",
+    "decontaminate_corpus",
+    "prepare_corpus",
 ]
 
 

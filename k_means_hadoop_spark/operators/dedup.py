@@ -181,22 +181,22 @@ def minhash_verified_pairs(
     so the quadratic verification cost collapses to
     O(candidates · shingles/doc)."""
     cand = minhash_lsh_candidates(docs, n, bands, text_col)
-    sh = shingle_table(docs, n, text_col)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a_sh = sh.select(F.col("doc_id").alias("a_id"), F.col("shingle").alias("sa"))
-    b_sh = sh.select(F.col("doc_id").alias("bid"), F.col("shingle").alias("sb"))
-    common = (
-        cand.join(a_sh, "a_id")
-        .join(b_sh, (F.col("b_id") == F.col("bid")) & (F.col("sa") == F.col("sb")))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("common"))
+    # Per-doc shingle ARRAYS, not the exploded table: verification then
+    # joins candidates twice on doc_id (narrow keys + one array column)
+    # and computes |A∩B| row-locally with array_intersect — no second
+    # explode, no per-shingle join fan-out, no extra aggregation.  The
+    # arrays are doc-sized (bounded by document length), so the shuffle
+    # rows stay small even when a candidate doc appears in many pairs.
+    doc_sh = docs.select(
+        "doc_id", word_ngrams(F.col(text_col), n).alias("sh_arr")
     )
-    ca = counts.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
-    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    a_sh = doc_sh.select(F.col("doc_id").alias("a_id"), F.col("sh_arr").alias("sa"))
+    b_sh = doc_sh.select(F.col("doc_id").alias("b_id"), F.col("sh_arr").alias("sb"))
+    common = F.size(F.array_intersect("sa", "sb"))
+    jac = common.cast("double") / (F.size("sa") + F.size("sb") - common)
     return (
-        common.join(ca, "a_id")
-        .join(cb, "b_id")
+        cand.join(a_sh, "a_id")
+        .join(b_sh, "b_id")
         .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -746,20 +746,18 @@ FROM stacked a JOIN stacked b
 
 
 def _minhash_verified_sql(n: int, threshold: float) -> str:
-    jac = "common::DOUBLE / (ca.n_sh + cb.n_sh - common)"
+    jac = (
+        "len(list_intersect(a.sh_arr, b.sh_arr))::DOUBLE / "
+        "(len(a.sh_arr) + len(b.sh_arr) - len(list_intersect(a.sh_arr, b.sh_arr)))"
+    )
     return f"""
 WITH {_minhash_ctes(n)},
 cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
          FROM stacked a JOIN stacked b
            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-cnt AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh_tbl GROUP BY doc_id),
-common AS (SELECT c.a_id, c.b_id, count(*)::BIGINT AS common
-           FROM cand c
-           JOIN sh_tbl a ON a.doc_id = c.a_id
-           JOIN sh_tbl b ON b.doc_id = c.b_id AND a.shingle = b.shingle
-           GROUP BY c.a_id, c.b_id)
-SELECT a_id, b_id, round({jac}, 6) AS jaccard
-FROM common JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
+arrs AS (SELECT doc_id, {word_ngrams_sql('text', n)} AS sh_arr FROM documents)
+SELECT c.a_id, c.b_id, round({jac}, 6) AS jaccard
+FROM cand c JOIN arrs a ON c.a_id = a.doc_id JOIN arrs b ON c.b_id = b.doc_id
 WHERE round({jac}, 6) >= {threshold}"""
 
 
