@@ -266,6 +266,37 @@ SELECT (json_extract_string(props, '$.k')::INTEGER % 10) AS k_mod, count(*)::BIG
 FROM events GROUP BY 1
 """
 
+
+def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload stats via Spark 4 VARIANT: ``parse_json``
+    converts the payload to the binary variant encoding ONCE, then typed
+    ``try_variant_get`` paths read it without re-parsing — the at-scale
+    answer to repeated ``get_json_object`` string parsing (each call
+    re-tokenizes the JSON text; variant decode is a pointer chase).
+    Same group-agg shape as events_json_props so the two paths are
+    directly comparable in plans and benchmarks."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+EVENTS_VARIANT_SQL = """
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(json_extract_string(props, '$.k')::INTEGER)::BIGINT AS sum_k,
+       min(json_extract_string(props, '$.k')::INTEGER)::INTEGER AS min_k,
+       max(json_extract_string(props, '$.k')::INTEGER)::INTEGER AS max_k
+FROM events GROUP BY event_type
+"""
+
 def asof_join_purchase_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join (absent in reference; classic time-series operator the
     DataFrame API lacks natively): for every 'click' event, the most
@@ -1446,6 +1477,7 @@ RELATIONAL_QUERIES = {
     "distinct_agg_parts": (distinct_agg_parts_per_flag, DISTINCT_AGG_SQL),
     "events_daily_windows": (events_daily_windows, EVENTS_WINDOW_SQL),
     "events_json_props": (events_json_props, EVENTS_JSON_SQL),
+    "events_variant_stats": (events_variant_stats, EVENTS_VARIANT_SQL),
 }
 
 # No oracle: sketch estimates are engine-specific by design (accuracy vs

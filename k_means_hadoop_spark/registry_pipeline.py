@@ -369,6 +369,64 @@ FROM events GROUP BY user_id
 """
 
 
+# DuckDB tokenization shared by several oracle strings below.
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+PYDS_N = 5000
+
+
+def q_python_datasource_scan(spark, sf_dir):
+    """Custom Python Data Source scan (partitioned arith_seq generator)
+    topped with the realistic first-aggregation: per (val % 7) bucket
+    counts and sums.  The oracle reproduces the generator with DuckDB
+    range() — the scan itself is cross-engine-checked, proving the
+    partitioned reader emits exactly the declared sequence."""
+    from k_means_hadoop_spark.sources.python_datasource import read_arith_seq
+
+    seq = read_arith_seq(spark, n=PYDS_N, parts=8)
+    return (
+        seq.groupBy((F.col("val") % 7).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").alias("sum_id"),
+            F.sum("val").alias("sum_val"),
+        )
+    )
+
+
+PYDS_SQL = f"""
+WITH seq AS (SELECT range AS id, (range * 2654435761) % 1000 AS val
+             FROM range(0, {PYDS_N}))
+SELECT (val % 7)::BIGINT AS bucket, count(*)::BIGINT AS n,
+       sum(id)::BIGINT AS sum_id, sum(val)::BIGINT AS sum_val
+FROM seq GROUP BY 1
+"""
+
+UDTF_MAX_DOC = 20
+
+
+def q_udtf_tokenize(spark, sf_dir):
+    """Python UDTF via SQL LATERAL: per-row token expansion inside the
+    Arrow-batched table-function runner (no JVM-side explode)."""
+    import uuid
+
+    from k_means_hadoop_spark.functions.udtfs import register
+
+    register(spark)
+    view = f"docs_udtf_{uuid.uuid4().hex[:8]}"
+    _docs(spark, sf_dir).filter(F.col("doc_id") < UDTF_MAX_DOC).createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT d.doc_id, t.pos, t.token FROM {view} d, LATERAL tokenize(d.text) t"
+    )
+
+
+UDTF_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < {UDTF_MAX_DOC})
+SELECT doc_id, (generate_subscripts(toks, 1) - 1)::INTEGER AS pos, unnest(toks) AS token
+FROM t
+"""
+
+
 def _has_protobuf() -> bool:
     """transformWithStateInPandas' driver worker imports google.protobuf
     (state-server wire protocol); this container doesn't ship it, so the
@@ -632,8 +690,6 @@ SELECT id, cluster, round(dist, 6) AS dist FROM scored WHERE rn = 1
 
 # --------------------------------------------------------------- oracle SQL
 
-_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
-
 
 def _marker_filter_sql(words: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
@@ -833,6 +889,8 @@ SELECT qid, nid, round(sim, 6) AS cos_sim, rank FROM ranked WHERE rank <= 5""",
     "multimodal_decode": MULTIMODAL_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
     "quantize_embeddings": QUANTIZE_SQL,
+    "python_datasource_scan": PYDS_SQL,
+    "udtf_tokenize": UDTF_SQL,
     "streaming_window_stats": STREAMING_WINDOW_SQL,
     "streaming_kmeans_assign": _stream_assign_sql(),
     "streaming_stateful_totals": STREAMING_STATEFUL_SQL,
@@ -868,6 +926,8 @@ PIPELINE_QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frame_sample": q_multimodal_frames,
     "quantize_embeddings": q_quantize_embeddings,
+    "python_datasource_scan": q_python_datasource_scan,
+    "udtf_tokenize": q_udtf_tokenize,
     "streaming_window_stats": q_streaming_window_stats,
     "streaming_kmeans_assign": q_streaming_kmeans_assign,
     "streaming_stateful_totals": q_streaming_stateful_totals,
