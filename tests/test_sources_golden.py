@@ -306,3 +306,16 @@ def test_observe_metrics_piggyback_on_action(spark, sf_dir):
     assert got["n_rows"] == total  # observed pre-filter, full input
     assert got["null_values"] == 0
     assert 0 < n_clicks < total
+
+
+def test_python_datasource_partitioned_scan(spark):
+    """The custom Python Data Source must honor its partitioning
+    contract: the planner asks for input partitions and the scan runs
+    one task per partition (8 requested), with no overlap or gap in the
+    generated id range."""
+    from k_means_hadoop_spark.sources.python_datasource import read_arith_seq
+
+    df = read_arith_seq(spark, n=1000, parts=8)
+    assert df.rdd.getNumPartitions() == 8
+    ids = sorted(r["id"] for r in df.collect())
+    assert ids == list(range(1000))
