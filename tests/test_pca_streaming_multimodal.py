@@ -303,3 +303,42 @@ def test_tws_user_stats_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_streaming_parquet_sink_exactly_once_resume(spark, tmp_path):
+    """Checkpointed recovery — the fault-tolerance contract a 100 TB
+    streaming ETL relies on: restarting a file-source → parquet-sink
+    query from its checkpoint must process ONLY files that arrived
+    since the last commit (no reprocessing, no loss).
+
+    Run 1 drains file A; file B arrives; run 2 (same checkpoint) drains
+    only B.  The output must hold each row exactly once."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def arrive(name, lo, hi):
+        pd.DataFrame({"id": range(lo, hi)}).to_parquet(src / name)
+
+    def drain():
+        q = (
+            spark.readStream.schema("id bigint")
+            .parquet(str(src))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    arrive("a.parquet", 0, 10)
+    drain()
+    arrive("b.parquet", 10, 25)
+    drain()
+
+    got = sorted(r["id"] for r in spark.read.parquet(str(out)).collect())
+    assert got == list(range(25)), "each source row exactly once across restarts"
