@@ -401,6 +401,31 @@ FROM events
 """
 
 
+# ---------------------------------------------------- stratified sampling
+
+SAMPLE_FRACTIONS = {"en": 0.2, "es": 0.4, "fr": 0.5, "de": 0.8}
+SAMPLE_SEED = 7
+
+
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum (language) sampling at configured fractions via
+    ``sampleBy`` — the engine-native stratified sampler (one pass,
+    per-row Bernoulli keyed by the stratum's fraction, no shuffle).
+    Registered rows-only: the accept/reject RNG stream is
+    engine-internal, so cross-engine value equality is not defined;
+    determinism-for-a-seed and per-stratum rate accuracy are pinned in
+    tests instead.  Contrast with temperature_sample_langs, whose
+    arithmetic-hash membership IS cross-engine-reproducible — use that
+    form when reproducibility across engines matters more than
+    statistical independence from the key."""
+    docs = _docs(spark, sf_dir)
+    sampled = docs.stat.sampleBy("lang", SAMPLE_FRACTIONS, seed=SAMPLE_SEED)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("n_chars").alias("sampled_chars"),
+    )
+
+
 CURATION_QUERIES = {
     "split_train_val": (split_train_val, SPLIT_SQL),
     "quota_per_source": (quota_per_source, QUOTA_SQL),
@@ -411,4 +436,10 @@ CURATION_QUERIES = {
     "pack_sequences": (pack_sequences, PACK_SQL),
     "decontaminate_corpus": (decontaminate_corpus, _decontam_sql()),
     "scrub_event_props": (scrub_event_props, SCRUB_SQL),
+}
+
+# Engine-internal RNG (sampleBy accept/reject stream) — no cross-engine
+# oracle is definable; determinism + rate accuracy pinned in tests.
+CURATION_ROWS_ONLY = {
+    "stratified_sample_langs": stratified_sample_langs,
 }

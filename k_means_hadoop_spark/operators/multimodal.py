@@ -165,6 +165,41 @@ def sample_frames(media: DataFrame, stride: int = 30) -> DataFrame:
     return videos.mapInPandas(_batches, schema=FRAME_SCHEMA)
 
 
+ARROW_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload_bytes", T.LongType(), False),
+    ]
+)
+
+
+def arrow_byte_stats(media: DataFrame) -> DataFrame:
+    """Payload stats via ``mapInArrow`` — the third UDx batch shape next
+    to mapInPandas (1:1 and row-expanding): the kernel receives raw
+    ``pyarrow.RecordBatch``es with NO pandas conversion, the right seam
+    when the per-batch work is itself Arrow-native (pyarrow.compute,
+    Arrow-backed ML preprocessing).  Zero-copy in, columnar compute,
+    zero-copy out."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in it:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("media_id"),
+                    batch.column("kind"),
+                    pc.cast(pc.binary_length(batch.column("payload")), pa.int64()),
+                ],
+                names=["media_id", "kind", "payload_bytes"],
+            )
+
+    return media.select("media_id", "kind", "payload").mapInArrow(
+        _batches, schema=ARROW_STATS_SCHEMA
+    )
+
+
 def decode_media_real(media: DataFrame, target_size: tuple[int, int] | None = None) -> DataFrame:
     """The real-decoder seam: resize images / resample audio / sample
     video frames.  Requires codec libraries not present in this

@@ -870,6 +870,115 @@ def gap_fill_daily_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interpolate_daily_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of a sparse daily series — the step after
+    gap-fill when zero-fill is wrong (sensor feeds, sampled metrics):
+    missing days get prev + (next-prev)·(elapsed/gap) between their
+    nearest observed neighbors; leading/trailing gaps take the nearest
+    single neighbor.
+
+    The series is deliberately thinned (purchases with event_id % 29
+    == 0) so gaps EXIST at test scale.  Neighbor lookup is two
+    IGNORE-NULLS window passes (last over the trailing frame, first
+    over the leading frame) on the calendar scaffold — the window is
+    date-range-sized, a few thousand rows even at 100 TB, so the
+    single-partition sort is irrelevant; the data-sized work is the one
+    daily aggregate feeding it."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    daily = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("event_id") % 29 == 0))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    g = days.join(daily, "day", "left")
+    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_next = Window.orderBy("day").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    prev_v = F.last("v", ignorenulls=True).over(w_prev)
+    prev_d = F.last(F.when(F.col("v").isNotNull(), F.col("day")), ignorenulls=True).over(w_prev)
+    next_v = F.first("v", ignorenulls=True).over(w_next)
+    next_d = F.first(F.when(F.col("v").isNotNull(), F.col("day")), ignorenulls=True).over(w_next)
+    gap = F.datediff(next_d, prev_d)
+    frac = F.datediff(F.col("day"), prev_d).cast("double") / gap.cast("double")
+    filled = (
+        F.when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .when(gap == 0, prev_v)
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return g.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("v").isNull().cast("int").alias("was_missing"),
+        F.round(filled, 6).alias("filled_value"),
+    )
+
+
+INTERPOLATE_SQL = """
+WITH b AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events),
+cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b),
+daily AS (
+  SELECT ts::DATE AS day, round(sum(value), 6) AS v
+  FROM events WHERE event_type = 'purchase' AND event_id % 29 = 0 GROUP BY 1
+),
+g AS (SELECT cal.day, daily.v FROM cal LEFT JOIN daily ON cal.day = daily.day),
+n AS (
+  SELECT day, v,
+    last_value(v IGNORE NULLS) OVER (ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+    first_value(v IGNORE NULLS) OVER (ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+  FROM g
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       (v IS NULL)::INTEGER AS was_missing,
+       round(CASE WHEN prev_v IS NULL THEN next_v
+                  WHEN next_v IS NULL THEN prev_v
+                  WHEN date_diff('day', prev_d, next_d) = 0 THEN prev_v
+                  ELSE prev_v + (next_v - prev_v)
+                       * (date_diff('day', prev_d, day)::DOUBLE
+                          / date_diff('day', prev_d, next_d)::DOUBLE)
+             END, 6) AS filled_value
+FROM n
+"""
+
+
+def window_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family window breadth (§2.9): percent_rank + cume_dist +
+    nth_value over per-nation account-balance orderings — the
+    distribution-position metrics an analyst layer exposes.  One hash
+    partitioning (nationkey) serves all three functions; tie-proof
+    ordering (acctbal DESC, custkey)."""
+    c = _t(spark, sf_dir, "customer")
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
+    wr = Window.partitionBy("c_nationkey").orderBy(*order)
+    wf = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(wr), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(wr), 6).alias("cume"),
+        F.nth_value("c_acctbal", 2).over(wf).alias("second_bal"),
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT c_custkey, c_nationkey,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       nth_value(c_acctbal, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS second_bal
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
 GAP_FILL_SQL = """
 WITH b AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events),
 cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM b),
@@ -1478,6 +1587,8 @@ RELATIONAL_QUERIES = {
     "events_daily_windows": (events_daily_windows, EVENTS_WINDOW_SQL),
     "events_json_props": (events_json_props, EVENTS_JSON_SQL),
     "events_variant_stats": (events_variant_stats, EVENTS_VARIANT_SQL),
+    "interpolate_daily_purchases": (interpolate_daily_purchases, INTERPOLATE_SQL),
+    "window_rank_metrics": (window_rank_metrics, WINDOW_RANK_SQL),
 }
 
 # No oracle: sketch estimates are engine-specific by design (accuracy vs

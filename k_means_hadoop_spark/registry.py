@@ -295,7 +295,7 @@ ORACLES: dict[str, str] = {
     ),
 }
 
-from k_means_hadoop_spark.operators.curation import CURATION_QUERIES
+from k_means_hadoop_spark.operators.curation import CURATION_QUERIES, CURATION_ROWS_ONLY
 from k_means_hadoop_spark.operators.relational import RELATIONAL_QUERIES, RELATIONAL_ROWS_ONLY
 from k_means_hadoop_spark.operators.tpch_extra import TPCH_EXTRA_QUERIES
 from k_means_hadoop_spark.registry_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES
@@ -334,4 +334,5 @@ QUERIES.update({name: fn for name, (fn, _sql) in RELATIONAL_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in TPCH_EXTRA_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in CURATION_QUERIES.items()})
 QUERIES.update(RELATIONAL_ROWS_ONLY)
+QUERIES.update(CURATION_ROWS_ONLY)
 QUERIES.update(PIPELINE_QUERIES)

@@ -208,6 +208,22 @@ def q_quantize_embeddings(spark, sf_dir):
     return similarity.quantize_embeddings(_emb(spark, sf_dir))
 
 
+def q_multimodal_arrow_stats(spark, sf_dir):
+    """mapInArrow payload stats (zero-pandas Arrow kernel); oracle checks
+    the SQL-expressible byte lengths over the synthesized media table."""
+    from k_means_hadoop_spark.operators.multimodal import arrow_byte_stats, media_from_documents
+
+    return arrow_byte_stats(media_from_documents(_docs(spark, sf_dir)))
+
+
+MULTIMODAL_ARROW_SQL = """
+SELECT doc_id AS media_id,
+       (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT] AS kind,
+       octet_length(encode(text))::BIGINT AS payload_bytes
+FROM documents
+"""
+
+
 QUANTIZE_SQL = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 s AS (SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi,
@@ -891,6 +907,7 @@ SELECT qid, nid, round(sim, 6) AS cos_sim, rank FROM ranked WHERE rank <= 5""",
     "quantize_embeddings": QUANTIZE_SQL,
     "python_datasource_scan": PYDS_SQL,
     "udtf_tokenize": UDTF_SQL,
+    "multimodal_arrow_stats": MULTIMODAL_ARROW_SQL,
     "streaming_window_stats": STREAMING_WINDOW_SQL,
     "streaming_kmeans_assign": _stream_assign_sql(),
     "streaming_stateful_totals": STREAMING_STATEFUL_SQL,
@@ -928,6 +945,7 @@ PIPELINE_QUERIES = {
     "quantize_embeddings": q_quantize_embeddings,
     "python_datasource_scan": q_python_datasource_scan,
     "udtf_tokenize": q_udtf_tokenize,
+    "multimodal_arrow_stats": q_multimodal_arrow_stats,
     "streaming_window_stats": q_streaming_window_stats,
     "streaming_kmeans_assign": q_streaming_kmeans_assign,
     "streaming_stateful_totals": q_streaming_stateful_totals,

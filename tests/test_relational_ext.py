@@ -182,3 +182,30 @@ def test_duplicate_components_random_graphs_match_union_find(spark):
     pairs = spark.createDataFrame(edges, "a_id bigint, b_id bigint")
     got = {r.doc_id: r.comp_id for r in duplicate_components(pairs).collect()}
     assert got == want
+
+
+def test_stratified_sample_deterministic_and_rate_accurate(spark, sf_dir):
+    """sampleBy is rows-only (engine-internal RNG): pin what IS
+    guaranteed — the same seed yields the identical sample, and each
+    stratum's realized rate tracks its configured fraction."""
+    from k_means_hadoop_spark.operators.curation import (
+        SAMPLE_FRACTIONS,
+        stratified_sample_langs,
+    )
+
+    a = sorted(tuple(r) for r in stratified_sample_langs(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in stratified_sample_langs(spark, sf_dir).collect())
+    assert a == b, "same seed must reproduce the identical sample"
+
+    totals = {
+        r["lang"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for lang, n_sampled, _chars in a:
+        frac = n_sampled / totals[lang]
+        want = SAMPLE_FRACTIONS[lang]
+        assert abs(frac - want) < 0.2, f"{lang}: realized {frac:.2f} vs configured {want}"
