@@ -401,6 +401,61 @@ FROM events
 """
 
 
+# ------------------------------------------------------- leakage audit
+
+def _split_expr(id_col: str):
+    bucket = (F.col(id_col) * F.lit(_SPLIT_MULT)) % F.lit(_SPLIT_BUCKETS)
+    return (
+        F.when(bucket < _TRAIN_LT, "train")
+        .when(bucket < _VAL_LT, "val")
+        .otherwise("test")
+    )
+
+
+def _split_sql(id_expr: str) -> str:
+    return (
+        f"CASE WHEN ({id_expr} * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_TRAIN_LT} THEN 'train' "
+        f"WHEN ({id_expr} * {_SPLIT_MULT}) % {_SPLIT_BUCKETS} < {_VAL_LT} THEN 'val' "
+        "ELSE 'test' END"
+    )
+
+
+def leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit — the split and near-dedup
+    operators COMPOSED the way an eval pipeline needs them: verified
+    near-duplicate pairs (MinHash LSH candidates passing exact Jaccard)
+    whose two documents land in DIFFERENT splits leak training data
+    into evaluation.  The split is the row-local arithmetic hash, so
+    stamping it onto the pair table adds zero shuffles beyond the
+    near-dup pipeline itself.  (The corpus has no EXACT duplicates, so
+    the md5-grouping form of this audit would be vacuous — near-dup
+    leakage is also the form that catches paraphrase-level leaks at
+    100 TB.)"""
+    from k_means_hadoop_spark.operators.dedup import minhash_verified_pairs
+
+    pairs = minhash_verified_pairs(_docs(spark, sf_dir), n=3, threshold=0.7)
+    return (
+        pairs.withColumn("split_a", _split_expr("a_id"))
+        .withColumn("split_b", _split_expr("b_id"))
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("a_id", "b_id", "split_a", "split_b", "jaccard")
+    )
+
+
+def _leakage_sql() -> str:
+    from k_means_hadoop_spark.registry_pipeline import _minhash_verified_sql
+
+    return f"""
+WITH ver AS ({_minhash_verified_sql(3, 0.7)})
+SELECT a_id, b_id,
+       {_split_sql('a_id')} AS split_a,
+       {_split_sql('b_id')} AS split_b,
+       jaccard
+FROM ver
+WHERE {_split_sql('a_id')} != {_split_sql('b_id')}
+"""
+
+
 # ---------------------------------------------------- stratified sampling
 
 SAMPLE_FRACTIONS = {"en": 0.2, "es": 0.4, "fr": 0.5, "de": 0.8}
@@ -436,6 +491,7 @@ CURATION_QUERIES = {
     "pack_sequences": (pack_sequences, PACK_SQL),
     "decontaminate_corpus": (decontaminate_corpus, _decontam_sql()),
     "scrub_event_props": (scrub_event_props, SCRUB_SQL),
+    "leakage_audit": (leakage_audit, _leakage_sql()),
 }
 
 # Engine-internal RNG (sampleBy accept/reject stream) — no cross-engine
