@@ -295,3 +295,40 @@ def duplicate_components(
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("comp_id"))
+
+
+def neardup_mllib_minhash(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.7,
+    num_tables: int = 16,
+    seed: int = 42,
+    text_col: str = "text",
+) -> DataFrame:
+    """(a_id, b_id, jaccard) — MLlib-native near-dup: shingle sets →
+    ``CountVectorizer(binary=True)`` sparse vectors → ``MinHashLSH
+    .approxSimilarityJoin`` at distance ≤ 1-threshold (SURVEY §7 M3's
+    library tier next to the hand-built banding path).
+
+    approxSimilarityJoin computes the EXACT Jaccard distance on every
+    LSH candidate, so output pairs are always TRUE pairs (precision 1
+    vs the exact operator); recall < 1 is the approximation — pinned in
+    tests against dedup.ngram_jaccard_pairs.  Rows-only: the hash family
+    is MLlib-internal."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    sh = docs.select(
+        "doc_id", word_ngrams(F.col(text_col), n).alias("sh_arr")
+    ).filter(F.size("sh_arr") > 0)
+    cv = CountVectorizer(inputCol="sh_arr", outputCol="_v", binary=True).fit(sh)
+    vec = cv.transform(sh)
+    model = MinHashLSH(inputCol="_v", outputCol="_h", numHashTables=num_tables, seed=seed).fit(vec)
+    joined = model.approxSimilarityJoin(vec, vec, 1.0 - threshold + 1e-9, distCol="_jd")
+    return (
+        joined.select(
+            F.col("datasetA.doc_id").alias("a_id"),
+            F.col("datasetB.doc_id").alias("b_id"),
+            F.round(1.0 - F.col("_jd"), 6).alias("jaccard"),
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+    )

@@ -215,3 +215,50 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
             F.floor(F.col("step_err") * F.lit(1e6)).cast("bigint").alias("max_step_err_ppm"),
         )
     )
+
+
+def knn_mllib_lsh(
+    embeddings: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    num_tables: int = 8,
+    bucket_length: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """(qid, nid, eucl_dist, rank) — MLlib ``BucketedRandomProjectionLSH``
+    approxNearestNeighbors, the library-native ANN tier next to the
+    custom knn_lsh (SURVEY §7 M3).  Euclidean-metric LSH (that's the
+    BRP family), so the reported distance is L2, not cosine; queries
+    are few → a driver loop of per-key probes, each a bucket-pruned
+    scan.  Rows-only: hash tables and probe order are MLlib-internal."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as SF
+
+    vecs = _vectors(embeddings).withColumn("_v", array_to_vector("vec"))
+    model = BucketedRandomProjectionLSH(
+        inputCol="_v", outputCol="_h", numHashTables=num_tables,
+        bucketLength=bucket_length, seed=seed,
+    ).fit(vecs)
+    hashed = model.transform(vecs).cache()
+    queries = {
+        r["vid"]: r["_v"]
+        for r in vecs.filter(SF.col("vid").isin(list(query_ids))).collect()
+    }
+    parts = []
+    for qid, qvec in sorted(queries.items()):
+        nn = model.approxNearestNeighbors(hashed, qvec, k + 1, distCol="_d")
+        parts.append(
+            nn.filter(SF.col("vid") != qid)
+            .select(
+                SF.lit(qid).alias("qid"),
+                SF.col("vid").alias("nid"),
+                SF.round("_d", 6).alias("eucl_dist"),
+            )
+            .limit(k)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    w = Window.partitionBy("qid").orderBy(SF.col("eucl_dist").asc(), SF.col("nid").asc())
+    return out.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -133,6 +133,27 @@ def q_a3_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("cluster", "pos", F.round("mean_val", 6).alias("mean_val"))
 
 
+def q_a3_recompute_summarizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 via MLlib ``Summarizer.mean`` — the native vector-aggregate
+    candidate SURVEY §4 flags for the 100 TB per-dim mean (one buffer of
+    d running sums per group vs d scalar agg columns).  Registered
+    against the SAME oracle as a3_recompute: a hash-match proves the
+    MLlib aggregate computes exactly what the unrolled per-dim avg and
+    the DuckDB oracle compute."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    asg = _assigned_expr(spark, sf_dir)
+    m = (
+        asg.withColumn("_v", array_to_vector("features"))
+        .groupBy("cluster")
+        .agg(Summarizer.mean(F.col("_v")).alias("_mvec"))
+    )
+    return m.select(
+        "cluster", F.posexplode(vector_to_array("_mvec")).alias("pos", "mean_val")
+    ).select("cluster", "pos", F.round("mean_val", 6).alias("mean_val"))
+
+
 def q_a4_member_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F4 parity: pipe-joined member-id list (sorted for determinism).
     return (
@@ -262,6 +283,15 @@ ORACLES: dict[str, str] = {
         "         unnest(features) AS v FROM j) "
         "SELECT cluster, pos, round(avg(v), 6) AS mean_val FROM expl GROUP BY cluster, pos"
     ),
+    # Same oracle text as a3_recompute on purpose: the MLlib Summarizer
+    # path must hash-match the exact per-dim mean.
+    "a3_recompute_summarizer": (
+        f"WITH pts AS ({_PTS}), cents AS ({_CENTS}), asg AS ({_ASSIGN}), "
+        "j AS (SELECT a.cluster, p.features FROM asg a JOIN pts p ON a.id = p.id), "
+        "expl AS (SELECT cluster, (generate_subscripts(features, 1) - 1)::INTEGER AS pos, "
+        "         unnest(features) AS v FROM j) "
+        "SELECT cluster, pos, round(avg(v), 6) AS mean_val FROM expl GROUP BY cluster, pos"
+    ),
     "a4_member_ids": (
         f"{_WITH_ASSIGN} SELECT cluster, string_agg(id::VARCHAR, '|' ORDER BY id) AS members "
         "FROM asg GROUP BY cluster"
@@ -320,6 +350,7 @@ QUERIES: dict[str, QueryFn] = {
     "j2_assign_expr": q_j2_assign_expr,
     "a1_cluster_sizes": q_a1_cluster_sizes,
     "a3_recompute": q_a3_recompute,
+    "a3_recompute_summarizer": q_a3_recompute_summarizer,
     "a4_member_ids": q_a4_member_ids,
     "a6_distinct_labels": q_a6_distinct_labels,
     "a7_jaccard": q_a7_jaccard,

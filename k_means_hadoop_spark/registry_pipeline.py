@@ -106,6 +106,16 @@ def q_knn_ivf(spark, sf_dir):
     return similarity.knn_ivf(_emb(spark, sf_dir), KNN_QUERY_IDS, k=5)
 
 
+def q_knn_mllib_lsh(spark, sf_dir):
+    return similarity.knn_mllib_lsh(_emb(spark, sf_dir), KNN_QUERY_IDS, k=5)
+
+
+def q_neardup_mllib_minhash(spark, sf_dir):
+    return dedup.neardup_mllib_minhash(
+        _docs(spark, sf_dir), n=NGRAM_N, threshold=NGRAM_THRESHOLD
+    )
+
+
 def q_chunk_documents(spark, sf_dir):
     """Overlapping token-window chunking (W=32, stride=24) — explode-only
     fan-out, narrow output (count + md5 per chunk)."""
@@ -938,6 +948,8 @@ PIPELINE_QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,  # rows-only: recall<1 approximate op
     "knn_ivf": q_knn_ivf,  # rows-only: depends on iterative k-means quantizer
+    "knn_mllib_lsh": q_knn_mllib_lsh,  # rows-only: MLlib-internal hash tables
+    "neardup_mllib_minhash": q_neardup_mllib_minhash,  # rows-only: MLlib hash family
     "chunk_documents": q_chunk_documents,
     "prepare_corpus": q_prepare_corpus,
     "multimodal_decode": q_multimodal_decode,

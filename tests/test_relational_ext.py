@@ -209,3 +209,51 @@ def test_stratified_sample_deterministic_and_rate_accurate(spark, sf_dir):
         frac = n_sampled / totals[lang]
         want = SAMPLE_FRACTIONS[lang]
         assert abs(frac - want) < 0.2, f"{lang}: realized {frac:.2f} vs configured {want}"
+
+
+def test_neardup_mllib_precision_and_recall(spark, sf_dir):
+    """MLlib MinHashLSH near-dup vs the exact operator: every reported
+    pair must be a TRUE pair with the exact Jaccard (approxSimilarityJoin
+    verifies candidates exactly -> precision 1); recall is the
+    approximation and must stay high at 16 hash tables."""
+    from k_means_hadoop_spark.operators.dedup import neardup_mllib_minhash, ngram_jaccard_pairs
+    from k_means_hadoop_spark.registry_pipeline import NGRAM_N, NGRAM_THRESHOLD, _docs
+
+    docs = _docs(spark, sf_dir)
+    got = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in neardup_mllib_minhash(docs, n=NGRAM_N, threshold=NGRAM_THRESHOLD).collect()
+    }
+    true = {
+        (r["a_id"], r["b_id"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=NGRAM_THRESHOLD).collect()
+    }
+    assert set(got) <= set(true), "approx join reported a non-pair (precision must be 1)"
+    for pair, j in got.items():
+        assert abs(j - true[pair]) < 1e-5, f"{pair}: jaccard mismatch {j} vs {true[pair]}"
+    assert len(got) >= 0.8 * len(true), f"recall {len(got)}/{len(true)} below 0.8"
+
+
+def test_knn_mllib_lsh_recall_vs_exact_euclidean(spark, sf_dir):
+    """BucketedRandomProjectionLSH top-k vs exact Euclidean top-k
+    (numpy): per query, >= 60% of the true neighbor set must be found —
+    the approximate-tier contract at 8 hash tables."""
+    import numpy as np
+
+    from k_means_hadoop_spark.operators.similarity import knn_mllib_lsh
+    from k_means_hadoop_spark.registry_pipeline import KNN_QUERY_IDS, _emb
+
+    emb = _emb(spark, sf_dir)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    got = {}
+    for r in knn_mllib_lsh(emb, KNN_QUERY_IDS, k=5).collect():
+        got.setdefault(r["qid"], set()).add(r["nid"])
+    for qid in KNN_QUERY_IDS:
+        q = mat[ids == qid][0]
+        d = np.sqrt(((mat - q) ** 2).sum(axis=1))
+        d[ids == qid] = np.inf
+        true5 = set(int(i) for i in ids[np.argsort(d, kind="stable")[:5]])
+        overlap = len(got.get(qid, set()) & true5)
+        assert overlap >= 3, f"q{qid}: only {overlap}/5 true neighbors found"
