@@ -425,3 +425,30 @@ def test_frame_sample_fans_out_inside_python_kernel(plans):
     assert "MapInPandas" in p
     assert "Generate" not in p
     assert n_nodes(p, "Exchange") <= 1
+
+
+def test_ivf_partitioned_layout_prunes_probe(spark, sf_dir, tmp_path):
+    """The IVF scale layout knn_ivf's docstring promises: persist the
+    corpus partitioned by cell id, and a query's nprobe probe becomes a
+    partition-pruned scan — the plan must carry the cell filter as a
+    PartitionFilter (pruning happens at planning, not per row)."""
+    from pyspark.sql import functions as F
+
+    from k_means_hadoop_spark.operators.assign import assign_expr
+    from k_means_hadoop_spark.operators.kmeans import init_random, lloyd_kmeans
+    from k_means_hadoop_spark.plans import plan_of
+    from k_means_hadoop_spark.registry_pipeline import _emb
+
+    vecs = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("features")
+    )
+    model = lloyd_kmeans(vecs, init_random(vecs, 8, seed=42), max_iter=3)
+    assigned = assign_expr(vecs, model.centroids).select("id", "features", "cluster")
+    path = str(tmp_path / "ivf_corpus")
+    assigned.write.partitionBy("cluster").parquet(path)
+
+    probe = spark.read.parquet(path).filter(F.col("cluster").isin([1, 3]))
+    p = plan_of(probe)
+    assert "PartitionFilters" in p and "cluster" in p.split("PartitionFilters", 1)[1].split("]")[0]
+    n_cells = len([r for r in probe.select("cluster").distinct().collect()])
+    assert n_cells <= 2

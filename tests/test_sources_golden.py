@@ -319,3 +319,46 @@ def test_python_datasource_partitioned_scan(spark):
     assert df.rdd.getNumPartitions() == 8
     ids = sorted(r["id"] for r in df.collect())
     assert ids == list(range(1000))
+
+
+def test_word_ngrams_randomized_cross_engine(spark):
+    """Randomized equivalence of the shingling expression: Spark's
+    word_ngrams and the DuckDB SQL it pairs with must agree on a
+    seeded corpus of adversarial strings (empty, 1-word, repeated
+    words, multi-space, tabs/newlines, unicode) — the foundation every
+    dedup/decontamination operator builds on.
+
+    Agreement is SET equality plus duplicate-freedom on both sides:
+    DuckDB's list_distinct does not preserve first-occurrence order
+    while Spark's array_distinct does, and every consumer (jaccard,
+    minhash, membership) treats shingles as a set."""
+    import random
+
+    import duckdb
+
+    from k_means_hadoop_spark.functions.hashing import word_ngrams, word_ngrams_sql
+    from pyspark.sql import functions as F
+
+    rng = random.Random(1234)
+    words = ["alpha", "beta", "gamma", "δélta", "e", "ff", "alpha"]
+    cases = ["", "one", "one two", "a  b\tc", " lead", "trail ", "a\nb c"]
+    for _ in range(60):
+        k = rng.randint(0, 12)
+        sep = rng.choice([" ", "  ", "\t"])
+        cases.append(sep.join(rng.choice(words) for _ in range(k)))
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "i int, text string")
+    got = {
+        r["i"]: list(r["g"])
+        for r in df.select("i", word_ngrams(F.col("text"), 3).alias("g")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    want = dict(
+        con.execute(f"SELECT i, {word_ngrams_sql('text', 3)} FROM t").fetchall()
+    )
+    for i in got:
+        g, w = got[i], list(want[i])
+        assert len(g) == len(set(g)), f"case {i}: spark produced duplicate shingles"
+        assert len(w) == len(set(w)), f"case {i}: duckdb produced duplicate shingles"
+        assert set(g) == set(w), f"case {i} ({cases[i]!r}): {sorted(g)} != {sorted(w)}"
