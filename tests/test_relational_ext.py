@@ -257,3 +257,36 @@ def test_knn_mllib_lsh_recall_vs_exact_euclidean(spark, sf_dir):
         true5 = set(int(i) for i in ids[np.argsort(d, kind="stable")[:5]])
         overlap = len(got.get(qid, set()) & true5)
         assert overlap >= 3, f"q{qid}: only {overlap}/5 true neighbors found"
+
+
+def test_knn_ivf_full_probe_equals_bruteforce_and_partial_recall(spark, sf_dir):
+    """IVF correctness ladder: probing ALL cells must reproduce the
+    exact brute-force top-k bit-for-bit (the quantizer only PRUNES —
+    it must never alter scores or ordering), and the production
+    partial probe (nprobe=2 of 8 -> 25% of the corpus scanned) must
+    keep mean recall well above the scan fraction."""
+    import numpy as np
+
+    from k_means_hadoop_spark.operators.similarity import knn_bruteforce, knn_ivf
+    from k_means_hadoop_spark.registry_pipeline import KNN_QUERY_IDS, _emb
+
+    emb = _emb(spark, sf_dir)
+    full = sorted(tuple(r) for r in knn_ivf(emb, KNN_QUERY_IDS, k=5, n_cells=8, nprobe=8).collect())
+    bf = sorted(tuple(r) for r in knn_bruteforce(emb, KNN_QUERY_IDS, k=5).collect())
+    assert full == bf, "nprobe=n_cells must be exhaustive => identical to brute force"
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    got = {}
+    for r in knn_ivf(emb, KNN_QUERY_IDS, k=5).collect():
+        got.setdefault(r["qid"], set()).add(r["nid"])
+    recalls = []
+    for qid in KNN_QUERY_IDS:
+        q = norm[ids == qid][0]
+        sim = norm @ q
+        sim[ids == qid] = -np.inf
+        true5 = set(int(i) for i in ids[np.argsort(-sim, kind="stable")[:5]])
+        recalls.append(len(got.get(qid, set()) & true5) / 5)
+    assert sum(recalls) / len(recalls) >= 0.4, f"mean recall {recalls}"
