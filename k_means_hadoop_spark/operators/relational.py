@@ -421,6 +421,102 @@ def intersect_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y95.intersect(y96)
 
 
+def except_all_order_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — the BAG-semantics set ops (each
+    surviving row keeps its multiplicity difference, unlike the
+    DISTINCT forms above): per-customer order-month multiset of 1995
+    minus 1996, summarized as surviving-row counts so the output stays
+    small at any SF."""
+    orders = _t(spark, sf_dir, "orders")
+    m95 = orders.filter(F.year("o_orderdate") == 1995).select(
+        "o_custkey", F.month("o_orderdate").alias("m")
+    )
+    m96 = orders.filter(F.year("o_orderdate") == 1996).select(
+        "o_custkey", F.month("o_orderdate").alias("m")
+    )
+    return (
+        m95.exceptAll(m96)
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("surviving_rows"))
+        .unionAll(
+            m95.intersectAll(m96).groupBy("m").agg(
+                (F.count(F.lit(1)) * -1).alias("surviving_rows")
+            )
+        )
+    )
+
+
+EXCEPT_ALL_SQL = """
+WITH m95 AS (SELECT o_custkey, month(o_orderdate) AS m FROM orders WHERE year(o_orderdate) = 1995),
+m96 AS (SELECT o_custkey, month(o_orderdate) AS m FROM orders WHERE year(o_orderdate) = 1996)
+SELECT m, count(*)::BIGINT AS surviving_rows
+FROM (SELECT * FROM m95 EXCEPT ALL SELECT * FROM m96) GROUP BY m
+UNION ALL
+SELECT m, (count(*) * -1)::BIGINT AS surviving_rows
+FROM (SELECT * FROM m95 INTERSECT ALL SELECT * FROM m96) GROUP BY m
+"""
+
+
+def hof_embedding_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order predicate functions (exists / forall / filter) over
+    the embedding arrays — all row-local lambda expressions inside
+    codegen, summarized to corpus counts."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    has_big = F.exists(v, lambda x: x > 0.3)
+    all_sane = F.forall(v, lambda x: (x > -1.0) & (x < 1.0))
+    n_pos = F.size(F.filter(v, lambda x: x > 0.1))
+    return (
+        emb.select(
+            has_big.cast("int").alias("has_big"),
+            all_sane.cast("int").alias("all_sane"),
+            n_pos.alias("n_pos"),
+        )
+        .groupBy("has_big", "all_sane")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("n_pos").alias("total_pos_dims"),
+        )
+    )
+
+
+HOF_FLAGS_SQL = """
+WITH v AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+f AS (SELECT
+        (len(list_filter(v, x -> x > 0.3)) > 0)::INTEGER AS has_big,
+        (len(list_filter(v, x -> NOT (x > -1.0 AND x < 1.0))) = 0)::INTEGER AS all_sane,
+        len(list_filter(v, x -> x > 0.1))::INTEGER AS n_pos
+      FROM v)
+SELECT has_big, all_sane, count(*)::BIGINT AS n_vectors,
+       sum(n_pos)::BIGINT AS total_pos_dims
+FROM f GROUP BY has_big, all_sane
+"""
+
+
+def fuzzy_match_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (levenshtein) — the
+    name-reconciliation scalar every entity-resolution pass needs:
+    nation-name pairs within distance 8, a bounded 25x25 self-join."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    a = n.select(F.col("n_nationkey").alias("a_key"), F.col("n_name").alias("a_name"))
+    b = n.select(F.col("n_nationkey").alias("b_key"), F.col("n_name").alias("b_name"))
+    dist = F.levenshtein("a_name", "b_name")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_key") < F.col("b_key"))
+        .select("a_key", "b_key", dist.cast("int").alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 8)
+    )
+
+
+FUZZY_SQL = """
+SELECT a.n_nationkey AS a_key, b.n_nationkey AS b_key,
+       levenshtein(a.n_name, b.n_name)::INTEGER AS edit_dist
+FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+WHERE levenshtein(a.n_name, b.n_name) <= 8
+"""
+
+
 INTERSECT_SQL = """
 SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
 INTERSECT
@@ -1569,6 +1665,9 @@ RELATIONAL_QUERIES = {
     "range_join_views_clicks": (range_join_views_near_clicks, RANGE_JOIN_SQL),
     "except_custkeys": (except_custkeys, EXCEPT_SQL),
     "intersect_custkeys": (intersect_custkeys, INTERSECT_SQL),
+    "except_all_order_months": (except_all_order_months, EXCEPT_ALL_SQL),
+    "hof_embedding_flags": (hof_embedding_flags, HOF_FLAGS_SQL),
+    "fuzzy_match_nations": (fuzzy_match_nations, FUZZY_SQL),
     "cube_orders": (cube_orders, CUBE_SQL),
     "grouping_sets_lineitem": (grouping_sets_lineitem, GROUPING_SETS_SQL),
     "percentiles_by_flag": (percentiles_by_flag, PERCENTILES_SQL),
