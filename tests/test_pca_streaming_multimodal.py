@@ -342,3 +342,43 @@ def test_streaming_parquet_sink_exactly_once_resume(spark, tmp_path):
 
     got = sorted(r["id"] for r in spark.read.parquet(str(out)).collect())
     assert got == list(range(25)), "each source row exactly once across restarts"
+
+
+def test_streaming_upsert_snapshot_matches_batch(spark, tmp_path, sf_dir):
+    """foreachBatch CDC upsert: after draining the change stream in two
+    micro-batches, the partitioned parquet snapshot must hold exactly
+    the newest record per user — identical to the batch compaction over
+    the full log (and the second batch must have merged against the
+    first's snapshot, not clobbered it)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from k_means_hadoop_spark.sources.events import load_events
+    from k_means_hadoop_spark.streaming.relational import streaming_upsert_snapshot
+    from k_means_hadoop_spark.streaming.stream_kmeans import read_event_stream
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf = ev.toPandas()
+    pdf[pdf["event_id"] % 2 == 0].to_parquet(src / "h0.parquet", index=False)
+    pdf[pdf["event_id"] % 2 == 1].to_parquet(src / "h1.parquet", index=False)
+
+    stream = read_event_stream(spark, str(src))
+    q = streaming_upsert_snapshot(
+        spark, stream, str(tmp_path / "snap"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    got = {
+        r["user_id"]: (r["event_id"], r["event_type"], round(r["value"], 6))
+        for r in spark.read.parquet(str(tmp_path / "snap")).collect()
+    }
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    exp = {
+        r["user_id"]: (r["event_id"], r["event_type"], round(r["value"], 6))
+        for r in ev.withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()
+    }
+    assert got == exp

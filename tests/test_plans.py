@@ -452,3 +452,31 @@ def test_ivf_partitioned_layout_prunes_probe(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in p and "cluster" in p.split("PartitionFilters", 1)[1].split("]")[0]
     n_cells = len([r for r in probe.select("cluster").distinct().collect()])
     assert n_cells <= 2
+
+
+def test_join_hints_control_physical_strategy(spark, sf_dir):
+    """Join-strategy hints — the manual override lever when statistics
+    mislead the planner at scale: with broadcast disabled the same
+    logical join must plan as SortMergeJoin by default, ShuffledHashJoin
+    under a SHUFFLE_HASH hint, and BroadcastHashJoin under a BROADCAST
+    hint even below-threshold-disabled."""
+    from pyspark.sql import functions as F
+
+    from k_means_hadoop_spark.plans import plan_of
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_orderpriority")
+
+        default = plan_of(li.join(o, li.l_orderkey == o.o_orderkey))
+        assert "SortMergeJoin" in default
+
+        hashed = plan_of(li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey))
+        assert "ShuffledHashJoin" in hashed
+
+        bcast = plan_of(li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey))
+        assert "BroadcastHashJoin" in bcast
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
