@@ -106,6 +106,31 @@ def q_knn_ivf(spark, sf_dir):
     return similarity.knn_ivf(_emb(spark, sf_dir), KNN_QUERY_IDS, k=5)
 
 
+APPROX_TOP_K = 20
+
+
+def q_approx_top_terms(spark, sf_dir):
+    """Sketch-based frequent terms: ``approx_top_k`` over the exploded
+    token stream — the bounded-memory answer to vocabulary top-k when
+    the exact groupBy's key space no longer fits (the sketch tracks a
+    fixed item budget regardless of corpus size).  Rows-only: boundary
+    ties and the tracked-item eviction policy are engine-internal; the
+    accuracy test pins that every reported count equals the exact count
+    and the reported counts are the true top-k multiset."""
+    tok = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    sk = tok.agg(F.expr(f"approx_top_k(term, {APPROX_TOP_K})").alias("topk"))
+    return (
+        sk.select(F.posexplode("topk").alias("rank", "entry"))
+        .select(
+            (F.col("rank") + 1).cast("int").alias("rank"),
+            F.col("entry.item").alias("term"),
+            F.col("entry.count").cast("bigint").alias("n"),
+        )
+    )
+
+
 def q_knn_mllib_lsh(spark, sf_dir):
     return similarity.knn_mllib_lsh(_emb(spark, sf_dir), KNN_QUERY_IDS, k=5)
 
@@ -948,6 +973,7 @@ PIPELINE_QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_lsh": q_knn_lsh,  # rows-only: recall<1 approximate op
     "knn_ivf": q_knn_ivf,  # rows-only: depends on iterative k-means quantizer
+    "approx_top_terms": q_approx_top_terms,  # rows-only: sketch boundary ties
     "knn_mllib_lsh": q_knn_mllib_lsh,  # rows-only: MLlib-internal hash tables
     "neardup_mllib_minhash": q_neardup_mllib_minhash,  # rows-only: MLlib hash family
     "chunk_documents": q_chunk_documents,

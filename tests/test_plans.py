@@ -480,3 +480,14 @@ def test_join_hints_control_physical_strategy(spark, sf_dir):
         assert "BroadcastHashJoin" in bcast
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+
+
+def test_variant_and_json_paths_share_agg_shape(plans):
+    """events_variant_stats is the VARIANT twin of events_json_props:
+    both must stay single-aggregation scans (partial+final hash agg,
+    one Exchange) — the variant path adds no extra stage, it only
+    swaps string re-parsing for binary decode."""
+    for name in ("events_variant_stats", "events_json_props"):
+        p = plans(name)
+        assert n_nodes(p, "Exchange") == 1, name
+        assert "Join" not in p, name

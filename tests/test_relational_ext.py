@@ -290,3 +290,30 @@ def test_knn_ivf_full_probe_equals_bruteforce_and_partial_recall(spark, sf_dir):
         true5 = set(int(i) for i in ids[np.argsort(-sim, kind="stable")[:5]])
         recalls.append(len(got.get(qid, set()) & true5) / 5)
     assert sum(recalls) / len(recalls) >= 0.4, f"mean recall {recalls}"
+
+
+def test_approx_top_terms_counts_exact_within_budget(spark, sf_dir):
+    """approx_top_k accuracy: the synthetic vocabulary is far below the
+    sketch's tracked-item budget, so every reported count must equal
+    the exact count and the reported counts must be the true top-k
+    count multiset (term membership at the boundary may tie)."""
+    from collections import Counter
+
+    from k_means_hadoop_spark.registry_pipeline import APPROX_TOP_K, _docs, q_approx_top_terms
+    from pyspark.sql import functions as F
+
+    got = q_approx_top_terms(spark, sf_dir).collect()
+    assert len(got) == APPROX_TOP_K
+    exact = {
+        r["term"]: r["n"]
+        for r in _docs(spark, sf_dir)
+        .select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"))
+        .filter("term != ''")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in got:
+        assert exact[r["term"]] == r["n"], f"{r['term']}: sketch {r['n']} vs exact {exact[r['term']]}"
+    want_counts = Counter(sorted(exact.values(), reverse=True)[:APPROX_TOP_K])
+    assert Counter(r["n"] for r in got) == want_counts
