@@ -491,3 +491,23 @@ def test_variant_and_json_paths_share_agg_shape(plans):
         p = plans(name)
         assert n_nodes(p, "Exchange") == 1, name
         assert "Join" not in p, name
+
+
+def test_decontaminate_filters_precede_explode(plans):
+    """Both decontamination sides must filter on doc_id % 97 AT THE SCAN
+    (DataFilters), before any shingle explode — the benchmark side then
+    explodes only its 1/97 slice.  A regression here multiplies the
+    exploded row volume ~100x at scale."""
+    import re
+
+    p = plans("decontaminate_corpus")
+    assert "NOT ((doc_id" in p and "% 97) = 0)" in p, "corpus-side slice filter missing"
+    filter_ids = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) Filter\n(?:.*\n)?Condition : .*% 97\)", p)
+    ]
+    generate_ids = [int(m.group(1)) for m in re.finditer(r"\((\d+)\) Generate", p)]
+    assert len(filter_ids) == 2, f"expected both sides filtered, got nodes {filter_ids}"
+    assert generate_ids and min(generate_ids) > min(filter_ids), (
+        f"explode (Generate {generate_ids}) must sit above the slice filters {filter_ids}"
+    )
