@@ -493,6 +493,48 @@ FROM f GROUP BY has_big, all_sane
 """
 
 
+def structured_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-line structured parsers (from_json / from_csv / from_xml)
+    in one plan: serialize (event_id, user_id) into each format, parse
+    back with an explicit schema, and count full-identity roundtrips per
+    event_type — the ingest shape for embedded payload columns (a JSON
+    field inside a CSV log line, an XML attribute blob, ...).  All three
+    parsers are row-local expressions; the oracle reduces to count(*)
+    because a lossless parser must roundtrip every row."""
+    ev = _t(spark, sf_dir, "events")
+    js = F.to_json(F.struct(F.col("event_id").alias("e"), F.col("user_id").alias("u")))
+    cs = F.concat_ws(",", "event_id", "user_id")
+    xm = F.concat(
+        F.lit("<r><e>"), F.col("event_id"), F.lit("</e><u>"), F.col("user_id"), F.lit("</u></r>")
+    )
+    parsed = ev.select(
+        "event_type",
+        "event_id",
+        "user_id",
+        F.from_json(js, "e BIGINT, u BIGINT").alias("pj"),
+        F.from_csv(cs, "e BIGINT, u BIGINT").alias("pc"),
+        F.from_xml(xm, "e BIGINT, u BIGINT").alias("px"),
+    )
+    ok = (
+        (F.col("pj.e") == F.col("event_id")) & (F.col("pj.u") == F.col("user_id"))
+        & (F.col("pc.e") == F.col("event_id")) & (F.col("pc.u") == F.col("user_id"))
+        & (F.col("px.e") == F.col("event_id")) & (F.col("px.u") == F.col("user_id"))
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(ok.cast("bigint")).alias("n_roundtripped"),
+        )
+    )
+
+
+PARSE_ROUNDTRIP_SQL = """
+SELECT event_type, count(*)::BIGINT AS n_rows, count(*)::BIGINT AS n_roundtripped
+FROM events GROUP BY event_type
+"""
+
+
 def fuzzy_match_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy matching (levenshtein) — the
     name-reconciliation scalar every entity-resolution pass needs:
@@ -1668,6 +1710,7 @@ RELATIONAL_QUERIES = {
     "except_all_order_months": (except_all_order_months, EXCEPT_ALL_SQL),
     "hof_embedding_flags": (hof_embedding_flags, HOF_FLAGS_SQL),
     "fuzzy_match_nations": (fuzzy_match_nations, FUZZY_SQL),
+    "structured_parse_roundtrip": (structured_parse_roundtrip, PARSE_ROUNDTRIP_SQL),
     "cube_orders": (cube_orders, CUBE_SQL),
     "grouping_sets_lineitem": (grouping_sets_lineitem, GROUPING_SETS_SQL),
     "percentiles_by_flag": (percentiles_by_flag, PERCENTILES_SQL),

@@ -511,3 +511,15 @@ def test_decontaminate_filters_precede_explode(plans):
     assert generate_ids and min(generate_ids) > min(filter_ids), (
         f"explode (Generate {generate_ids}) must sit above the slice filters {filter_ids}"
     )
+
+
+def test_rebalance_hint_plans_aqe_rebalance(spark, sf_dir):
+    """The REBALANCE hint — the writer-side answer to small-file output
+    at scale: it must plan an AQE-managed rebalance exchange
+    (REBALANCE_PARTITIONS_BY_COL origin), not a plain fixed-partition
+    repartition."""
+    from k_means_hadoop_spark.plans import plan_of
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = plan_of(li.hint("rebalance", "l_orderkey"))
+    assert "REBALANCE_PARTITIONS_BY_COL" in p
