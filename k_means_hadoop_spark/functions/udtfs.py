@@ -18,7 +18,17 @@ genuinely imperative.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql.functions import udtf
+
+# \s+ (not str.split) so the Python kernel and the regex-split oracle
+# agree on what counts as whitespace: str.split() also splits on
+# \x1c-\x1f file/group separators, which regex \s does not.  Empty
+# tokens are filtered (they only arise from empty/whitespace-only
+# input, where the filtered list is empty) — matching word_ngrams
+# semantics; the oracle filters '' the same way.
+_WS = re.compile(r"\s+")
 
 
 @udtf(returnType="pos int, token string")
@@ -26,7 +36,8 @@ class TokenizeUDTF:
     def eval(self, text: str):
         if text is None:
             return
-        for i, tok in enumerate(text.lower().strip().split()):
+        toks = [t for t in _WS.split(text.lower().strip()) if t]
+        for i, tok in enumerate(toks):
             yield i, tok
 
 

@@ -220,6 +220,64 @@ def simhash_pairs(simhashes: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def simhash_pairs_banded(
+    simhashes: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 32,
+) -> DataFrame:
+    """(a_id, b_id, hamming) — SimHash near-dup pairs via bit-band
+    bucketing: the scale path ``simhash_pairs``'s docstring promises.
+
+    Pigeonhole: two fingerprints within Hamming distance ``bands - 1``
+    must agree on at least one of ``bands`` disjoint bit slices — so for
+    ``max_hamming <= bands - 1`` the banded equi-join has RECALL 1 and
+    produces EXACTLY the brute-force pair set (which is therefore its
+    oracle).  Shuffle is ∝ corpus × bands on narrow (band, slice) keys;
+    join fan-out is bounded by per-bucket density, not n² — no
+    CartesianProduct anywhere in the plan (pinned in tests/test_plans).
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banding loses recall: max_hamming={max_hamming} needs <= bands-1={bands - 1}"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    slices = simhashes.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.shiftright("simhash", bi * width).bitwiseAND(F.lit(mask)).alias("slice"),
+                )
+                for bi in range(bands)
+            ])
+        ).alias("bs"),
+    ).select(
+        "doc_id", "simhash", F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice")
+    )
+    a = slices.alias("a")
+    b = slices.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame, threshold: float = 0.95, max_id: int | None = None
 ) -> DataFrame:
@@ -240,6 +298,68 @@ def embedding_neardup_pairs(
     return (
         a.crossJoin(b)
         .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.round(sim, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_neardup_bucketed(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """(a_id, b_id, cos_sim) — embedding near-duplicates via LSH-bucketed
+    candidate generation + in-bucket cosine verification: the scale path
+    next to the all-pairs ``embedding_neardup_pairs`` oracle measure.
+
+    Signature = sign bits of the first ``n_bits`` dimensions
+    (axis-aligned hyperplane LSH for cosine), split into ``bands`` bit
+    slices; candidates are pairs agreeing on at least one (band, slice)
+    — an equi-join whose shuffle is ∝ corpus × bands, never n².  Each
+    candidate is then verified with the exact cosine.  Recall < 1 by
+    construction (a near-dup pair straddling every band is missed —
+    P(miss) ≈ (1-(1-θ/π)^{bits/band})^bands); precision 1 (verified).
+    Sign-bit signatures use only raw comparisons — no float summation —
+    so an SQL oracle can reproduce the candidate set bit-exactly.
+    """
+    width = n_bits // bands
+    emb = embeddings.select(
+        F.col("vec_id").cast("int").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    slice_structs = []
+    for bi in range(bands):
+        bits = [
+            F.when(F.element_at("vec", bi * width + j + 1) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(width)
+        ]
+        acc = bits[0]
+        for bexpr in bits[1:]:
+            acc = acc + bexpr
+        slice_structs.append(
+            F.struct(F.lit(bi).alias("band"), acc.cast("int").alias("slice"))
+        )
+    stacked = emb.select(
+        "vid", F.explode(F.array(*slice_structs)).alias("bs")
+    ).select("vid", F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice"))
+    cand = (
+        stacked.alias("a")
+        .join(
+            stacked.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("a_id"), F.col("b.vid").alias("b_id"))
+        .distinct()
+    )
+    av = emb.select(F.col("vid").alias("a_id"), F.col("vec").alias("va"))
+    bv = emb.select(F.col("vid").alias("b_id"), F.col("vec").alias("vb"))
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        cand.join(av, "a_id")
+        .join(bv, "b_id")
         .select("a_id", "b_id", F.round(sim, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -524,13 +524,20 @@ def structured_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(ok.cast("bigint")).alias("n_roundtripped"),
+            F.sum(F.coalesce(ok.cast("bigint"), F.lit(0))).alias("n_roundtripped"),
         )
     )
 
 
+# A lossless parser roundtrips every row whose ids are both non-NULL;
+# NULL ids can't roundtrip (concat_ws drops NULL fields and the equality
+# predicate is NULL).  The oracle mirrors that predicate instead of
+# assuming count(*) — so it stays correct on data with NULL ids, not
+# just the current fixture.
 PARSE_ROUNDTRIP_SQL = """
-SELECT event_type, count(*)::BIGINT AS n_rows, count(*)::BIGINT AS n_roundtripped
+SELECT event_type, count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN event_id IS NOT NULL AND user_id IS NOT NULL
+                THEN 1 ELSE 0 END)::BIGINT AS n_roundtripped
 FROM events GROUP BY event_type
 """
 
@@ -1041,11 +1048,20 @@ def interpolate_daily_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     next_d = F.first(F.when(F.col("v").isNotNull(), F.col("day")), ignorenulls=True).over(w_next)
     gap = F.datediff(next_d, prev_d)
     frac = F.datediff(F.col("day"), prev_d).cast("double") / gap.cast("double")
+    # FMA-free interpolation (same discipline as quantize_embeddings):
+    # `prev + (next-prev)*frac` is the exact multiply-add shape an engine
+    # may contract to an FMA, shifting the double by an ulp and breaking
+    # hash equality at a round-half boundary.  Route the increment
+    # through floor(·1e6) — a convention-free bigint — so the final add
+    # operates on identical doubles in every engine; prev_v is already a
+    # multiple of 1e-6 (daily agg rounds), keeping round(·, 6) far from
+    # half boundaries.
+    delta_ppm = F.floor((next_v - prev_v) * frac * F.lit(1e6))
     filled = (
         F.when(prev_v.isNull(), next_v)
         .when(next_v.isNull(), prev_v)
         .when(gap == 0, prev_v)
-        .otherwise(prev_v + (next_v - prev_v) * frac)
+        .otherwise(prev_v + delta_ppm.cast("double") / F.lit(1e6))
     )
     return g.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
@@ -1079,9 +1095,10 @@ SELECT strftime(day, '%Y-%m-%d') AS day,
        round(CASE WHEN prev_v IS NULL THEN next_v
                   WHEN next_v IS NULL THEN prev_v
                   WHEN date_diff('day', prev_d, next_d) = 0 THEN prev_v
-                  ELSE prev_v + (next_v - prev_v)
+                  ELSE prev_v + floor((next_v - prev_v)
                        * (date_diff('day', prev_d, day)::DOUBLE
                           / date_diff('day', prev_d, next_d)::DOUBLE)
+                       * 1e6) / 1e6
              END, 6) AS filled_value
 FROM n
 """

@@ -117,15 +117,24 @@ def knn_ivf(
 ) -> DataFrame:
     """(qid, nid, cos_sim, rank) — IVF approximate top-k.
 
-    Train a coarse quantizer with our Lloyd loop, assign every vector to
-    its cell (zero-shuffle literal fold), then for each query search only
-    the ``nprobe`` nearest cells.  At 100 TB: persist the corpus
-    bucketed/partitioned by ``cell`` so each query's probe is a partition-
-    pruned scan, and train the quantizer on a sample, not the corpus.
+    Train a coarse quantizer with our Lloyd loop ON A SAMPLE, assign
+    every vector to its cell (zero-shuffle literal fold), then for each
+    query search only the ``nprobe`` nearest cells.  At 100 TB: persist
+    the corpus bucketed/partitioned by ``cell`` so each query's probe is
+    a partition-pruned scan.
+
+    The training sample is a deterministic hash slice (xxhash64(id) mod
+    ``sample_mod``) — partitioning-independent, so the quantizer is
+    reproducible on any cluster layout; cell quality needs only enough
+    points per cell (~thousands), never the corpus.  The Lloyd loop's
+    per-iteration cost therefore stays CONSTANT as the corpus grows —
+    only the single assignment pass is data-sized.
     """
     vecs = _vectors(embeddings)
     pts = vecs.select(F.col("vid").alias("id"), F.col("vec").alias("features"))
-    model = lloyd_kmeans(pts, init_random(pts, n_cells, seed=seed), max_iter=5)
+    sample_mod = 4  # ~25% of the corpus; at 100 TB raise toward O(corpus/cells)
+    train = pts.filter(F.pmod(F.xxhash64(F.col("id") + F.lit(seed)), F.lit(sample_mod)) == 0)
+    model = lloyd_kmeans(train, init_random(train, n_cells, seed=seed), max_iter=5)
     cells = model.centroids  # k×d driver-local
     assigned = assign_expr(pts, cells).select(
         F.col("id").alias("vid"), F.col("features").alias("vec"), F.col("cluster").alias("cell")
@@ -255,6 +264,12 @@ def knn_mllib_lsh(
                 SF.col("vid").alias("nid"),
                 SF.round("_d", 6).alias("eucl_dist"),
             )
+            # Explicit (dist, nid) sort before limit: relying on
+            # approxNearestNeighbors' internal order surviving the
+            # self-match filter would keep an arbitrary member of a
+            # distance tie — the kept set must be deterministic for the
+            # rows-only snapshot and the recall test.
+            .orderBy(SF.col("eucl_dist").asc(), SF.col("nid").asc())
             .limit(k)
         )
     out = parts[0]

@@ -367,3 +367,75 @@ QUERIES.update({name: fn for name, (fn, _sql) in CURATION_QUERIES.items()})
 QUERIES.update(RELATIONAL_ROWS_ONLY)
 QUERIES.update(CURATION_ROWS_ONLY)
 QUERIES.update(PIPELINE_QUERIES)
+
+# ---------------------------------------------------------------- ordering
+#
+# The driver's correctness gate checks the FIRST 50 entries of queries()
+# in iteration order.  Round 1 verified the original first 50 (the
+# k-means parity core + the first relational block — all green, and all
+# still pinned by tests/test_oracle_parity.py).  To convert the rest of
+# the surface from builder-claimed to driver-proven, the window rotates:
+# round 2 puts the TPC-H batch, the dedup/similarity/text pipeline, the
+# curation ops, and a streaming sample first; everything round 1 already
+# verified moves to the back.
+
+_ROUND2_WINDOW = [
+    # TPC-H batch (Q11 is fixture-impossible: no partsupp — see README)
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_top_revenue_orders",
+    "q4_priority_late_ships", "q5_nation_revenue", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q12_priority_shipping", "q13_order_count_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_counts",
+    "q18_large_volume_customers", "q19_disjunctive_revenue",
+    "q20_promo_part_suppliers", "q21_sole_late_suppliers", "q22_idle_rich_customers",
+    # dedup family (exact + capped + LSH + banded + bucketed + components)
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh", "dedup_minhash_verified", "dedup_simhash_pairs",
+    "dedup_simhash_banded", "dedup_embedding_cosine", "dedup_embedding_bucketed",
+    "dedup_components",
+    # text analysis
+    "text_token_counts", "text_quality_scores", "text_lang_id",
+    "text_fingerprints", "text_simhash",
+    # similarity / corpus stats
+    "knn_bruteforce", "quantize_embeddings", "tfidf_top_terms",
+    # curation
+    "decontaminate_corpus", "leakage_audit", "pack_sequences",
+    "split_train_val", "mix_sources_weighted", "temperature_sample_langs",
+    "quota_per_source", "scrub_event_props",
+    # streaming sample (rest of the streaming surface rotates in round 3)
+    "streaming_window_stats", "streaming_stateful_totals", "streaming_interval_join",
+    # notebook surface (N1-N5, rows-only)
+    "pca_project",
+]
+
+_R1_VERIFIED = frozenset({
+    "s2_points_scan", "p1_drop_label", "p3_outlier_filter", "p4_lookup_ids",
+    "f1_euclidean", "i2_init_seeds", "j1_assign_join", "j2_assign_expr",
+    "a1_cluster_sizes", "a3_recompute", "a3_recompute_summarizer",
+    "a4_member_ids", "a6_distinct_labels", "a7_jaccard", "j3_comembership",
+    "c1_one_iteration", "kmeans_lloyd", "i1_init_random", "kmeans_mllib",
+    "stats_by_flag", "pivot_orders_status", "latest_event_snapshot",
+    "full_outer_click_purchase", "gap_fill_daily_purchases",
+    "funnel_view_click_purchase", "sessionize_by_gap",
+    "scd2_user_purchase_history", "ri_audit_orphans", "profile_documents",
+    "salted_join_event_nations", "diff_table_versions",
+    "trailing_hour_user_stats", "top_event_paths",
+    "decile_customers_by_nation", "moving_avg_daily_events",
+    "embedding_norm_stats", "top_customer_per_nation",
+    "running_spend_customer", "asof_join_purchase_click",
+    "range_join_views_clicks", "except_custkeys", "intersect_custkeys",
+    "except_all_order_months", "hof_embedding_flags", "fuzzy_match_nations",
+    "structured_parse_roundtrip", "cube_orders", "grouping_sets_lineitem",
+    "percentiles_by_flag", "q17_small_qty_revenue",
+})
+
+_missing = [n for n in _ROUND2_WINDOW if n not in QUERIES]
+assert not _missing, f"window names absent from registry: {_missing}"
+assert len(_ROUND2_WINDOW) == 50, len(_ROUND2_WINDOW)
+
+_rest = [
+    n for n in QUERIES
+    if n not in _ROUND2_WINDOW and n not in _R1_VERIFIED
+]
+_back = [n for n in QUERIES if n in _R1_VERIFIED]
+QUERIES = {n: QUERIES[n] for n in (*_ROUND2_WINDOW, *_rest, *_back)}

@@ -28,8 +28,11 @@ NEARDUP_COS_THRESHOLD = 0.9
 NEARDUP_MAX_ID = 500  # id-bounded subset: brute-force stays O(500²) at any sf
 NGRAM_N = 3
 NGRAM_THRESHOLD = 0.7
+NGRAM_MAX_DOC_FREQ = 100  # stop-shingle cap for the scale-safe variant
 SIMHASH_MAX_HAMMING = 3
 TFIDF_TOP_K = 3
+EMB_LSH_BITS = 32  # sign-bit signature width for bucketed embedding dedup
+EMB_LSH_BANDS = 4
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,6 +73,23 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=NGRAM_N, threshold=NGRAM_THRESHOLD)
 
 
+def q_ngram_jaccard_capped(spark, sf_dir):
+    """Scale-safe n-gram Jaccard: identical pipeline with the
+    stop-shingle document-frequency cap engaged — hot shingles are
+    dropped BEFORE the self-join, bounding per-shingle fan-out at
+    max_doc_freq².  Recall semantics: common-shingle counts come from
+    the capped table (an underestimate for pairs sharing hot shingles)
+    while the union denominators stay exact — so reported pairs are a
+    subset of the exact operator's at the same threshold; the oracle
+    mirrors the cap, making even that subset hash-checked."""
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        n=NGRAM_N,
+        threshold=NGRAM_THRESHOLD,
+        max_doc_freq=NGRAM_MAX_DOC_FREQ,
+    )
+
+
 def q_minhash_candidates(spark, sf_dir):
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir), n=NGRAM_N)
 
@@ -91,6 +111,28 @@ def q_simhash_pairs(spark, sf_dir):
 def q_embedding_neardup(spark, sf_dir):
     return dedup.embedding_neardup_pairs(
         _emb(spark, sf_dir), threshold=NEARDUP_COS_THRESHOLD, max_id=NEARDUP_MAX_ID
+    )
+
+
+def q_simhash_banded(spark, sf_dir):
+    """Banded SimHash near-dup — recall-1 equivalent of the brute-force
+    pair scan (max_hamming <= bands-1 pigeonhole), so it registers
+    against the SAME oracle; the plan is equi-join-only (no
+    CartesianProduct — pinned in tests/test_plans.py)."""
+    return dedup.simhash_pairs_banded(
+        text.simhash(_docs(spark, sf_dir)), max_hamming=SIMHASH_MAX_HAMMING
+    )
+
+
+def q_embedding_bucketed(spark, sf_dir):
+    """LSH-bucketed embedding near-dup over the FULL corpus (no id
+    bound needed — candidates come from signature buckets, not n²);
+    the sign-bit signature is mirrored bit-exactly by the oracle."""
+    return dedup.embedding_neardup_bucketed(
+        _emb(spark, sf_dir),
+        threshold=NEARDUP_COS_THRESHOLD,
+        n_bits=EMB_LSH_BITS,
+        bands=EMB_LSH_BANDS,
     )
 
 
@@ -471,10 +513,16 @@ def q_udtf_tokenize(spark, sf_dir):
     )
 
 
+# token != '' mirrors the UDTF's empty-token filter: string_split_regex
+# of an empty string yields one '' element (Python's filtered split
+# yields none), and '' only ever appears as the sole token of
+# empty/whitespace-only text, so filtering it cannot shift positions.
 UDTF_SQL = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < {UDTF_MAX_DOC})
-SELECT doc_id, (generate_subscripts(toks, 1) - 1)::INTEGER AS pos, unnest(toks) AS token
-FROM t
+SELECT doc_id, pos, token FROM (
+  SELECT doc_id, (generate_subscripts(toks, 1) - 1)::INTEGER AS pos, unnest(toks) AS token
+  FROM t)
+WHERE token != ''
 """
 
 
@@ -868,6 +916,48 @@ FROM cand c JOIN arrs a ON c.a_id = a.doc_id JOIN arrs b ON c.b_id = b.doc_id
 WHERE round({jac}, 6) >= {threshold}"""
 
 
+def _ngram_jaccard_capped_sql(n: int, threshold: float, max_df: int) -> str:
+    """Mirrors the capped Spark pipeline exactly: the join side drops
+    shingles with document frequency > max_df, the per-doc union
+    denominators stay uncapped."""
+    return f"""
+WITH {_shingle_cte(n)},
+capped AS (SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh_tbl)
+  WHERE df <= {max_df}),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh_tbl GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS common
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT a_id, b_id, round(common::DOUBLE / (ca.n_sh + cb.n_sh - common), 6) AS jaccard
+FROM pairs JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
+WHERE round(common::DOUBLE / (ca.n_sh + cb.n_sh - common), 6) >= {threshold}"""
+
+
+def _embedding_bucketed_sql(threshold: float, n_bits: int, bands: int) -> str:
+    """Bit-exact mirror of embedding_neardup_bucketed: sign-bit
+    signatures are raw comparisons (no float summation), so the
+    candidate set is reproducible across engines."""
+    width = n_bits // bands
+    band_selects = []
+    for bi in range(bands):
+        terms = " + ".join(
+            f"(CASE WHEN vec[{bi * width + j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(width)
+        )
+        band_selects.append(f"SELECT vid, {bi} AS band, ({terms})::INTEGER AS slice FROM v")
+    stacked = " UNION ALL ".join(band_selects)
+    return f"""
+WITH v AS (SELECT vec_id::INTEGER AS vid, embedding::DOUBLE[] AS vec FROM embeddings),
+stacked AS ({stacked}),
+cand AS (SELECT DISTINCT a.vid AS a_id, b.vid AS b_id
+         FROM stacked a JOIN stacked b
+           ON a.band = b.band AND a.slice = b.slice AND a.vid < b.vid)
+SELECT c.a_id, c.b_id, round(list_cosine_similarity(av.vec, bv.vec), 6) AS cos_sim
+FROM cand c JOIN v av ON c.a_id = av.vid JOIN v bv ON c.b_id = bv.vid
+WHERE round(list_cosine_similarity(av.vec, bv.vec), 6) >= {threshold}"""
+
+
 def _tfidf_sql(k: int) -> str:
     return f"""
 WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
@@ -919,6 +1009,16 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_minhash_verified": _minhash_verified_sql(NGRAM_N, NGRAM_THRESHOLD),
     "tfidf_top_terms": _tfidf_sql(TFIDF_TOP_K),
     "dedup_simhash_pairs": _simhash_pairs_sql(SIMHASH_MAX_HAMMING),
+    # Same oracle as dedup_simhash_pairs on purpose: for
+    # max_hamming <= bands-1 the banded equi-join is recall-1, so a
+    # hash-match PROVES the scale path computes the brute-force pair set.
+    "dedup_simhash_banded": _simhash_pairs_sql(SIMHASH_MAX_HAMMING),
+    "dedup_ngram_jaccard_capped": _ngram_jaccard_capped_sql(
+        NGRAM_N, NGRAM_THRESHOLD, NGRAM_MAX_DOC_FREQ
+    ),
+    "dedup_embedding_bucketed": _embedding_bucketed_sql(
+        NEARDUP_COS_THRESHOLD, EMB_LSH_BITS, EMB_LSH_BANDS
+    ),
     "dedup_embedding_cosine": f"""
 WITH v AS (SELECT vec_id::INTEGER AS vid, embedding::DOUBLE[] AS vec FROM embeddings
            WHERE vec_id < {NEARDUP_MAX_ID})
@@ -965,6 +1065,9 @@ PIPELINE_QUERIES = {
     "text_simhash": q_simhash,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_ngram_jaccard_capped": q_ngram_jaccard_capped,
+    "dedup_simhash_banded": q_simhash_banded,
+    "dedup_embedding_bucketed": q_embedding_bucketed,
     "dedup_minhash_lsh": q_minhash_candidates,
     "dedup_minhash_verified": q_minhash_verified,
     "tfidf_top_terms": q_tfidf_top_terms,

@@ -113,13 +113,26 @@ def streaming_upsert_snapshot(spark, events_stream: DataFrame, out_path: str, ck
         )
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         batch_latest = latest_per_key(
             batch.select("user_id", "ts", "event_id", "event_type", "value")
         ).withColumn("bucket", (F.col("user_id") % 16).cast("int"))
         spark_b = batch_latest.sparkSession
+        # Snapshot absence must be detected EXPLICITLY: only a missing
+        # path means "first batch".  A transient read failure (FS hiccup,
+        # listing race) must propagate so the micro-batch retries —
+        # treating it as first-batch would overwrite touched buckets
+        # with batch-only rows, silently dropping every other key's
+        # latest record in those buckets.
         try:
             current = spark_b.read.parquet(out_path)
-        except Exception:
+        except AnalysisException as e:
+            err_class = e.getErrorClass() if hasattr(e, "getErrorClass") else None
+            if err_class is not None and "PATH_NOT_FOUND" not in err_class:
+                raise
+            if err_class is None and "PATH_NOT_FOUND" not in str(e):
+                raise
             current = None
         if current is not None:
             touched = [r["bucket"] for r in batch_latest.select("bucket").distinct().collect()]
