@@ -58,6 +58,17 @@ HEADLINE = [
     "tfidf_top_terms",
     "decontaminate_corpus",
     "prepare_corpus",
+    # round 2: heaviest previously-unbenched families — iterative graph
+    # (connected components), the full near-dup audit join, the deepest
+    # TPC-H snowflake, two streaming drains (stateful agg + watermarked
+    # window), and the banded/bucketed LSH scale paths.
+    "dedup_components",
+    "leakage_audit",
+    "q9_product_profit",
+    "streaming_window_stats",
+    "streaming_stateful_totals",
+    "dedup_simhash_banded",
+    "dedup_embedding_bucketed",
 ]
 
 
@@ -65,10 +76,10 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     fn = registry.QUERIES[name]
     for _ in range(2):  # warm-ups (codegen compile + JIT)
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-    # min of 2 timed runs: transient machine load (e.g. a test suite's JVM
+    # min of 3 timed runs: transient machine load (e.g. a test suite's JVM
     # winding down) can inflate a single run several-fold
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         best = min(best, time.perf_counter() - t0)

@@ -523,3 +523,24 @@ def test_rebalance_hint_plans_aqe_rebalance(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     p = plan_of(li.hint("rebalance", "l_orderkey"))
     assert "REBALANCE_PARTITIONS_BY_COL" in p
+
+
+def test_simhash_banded_no_cartesian(plans):
+    """The banded SimHash pair search must plan as a (band, slice)
+    equi-join — never a CartesianProduct / BroadcastNestedLoopJoin, which
+    is exactly the n² scan the banding exists to avoid.  (The brute-force
+    simhash_pairs keeps its cross join deliberately: it is the bounded
+    oracle measure.)"""
+    p = plans("dedup_simhash_banded")
+    assert n_nodes(p, "CartesianProduct") == 0
+    assert n_nodes(p, "BroadcastNestedLoopJoin") == 0
+    assert "Join" in p  # candidates come from a real equi-join
+
+
+def test_embedding_bucketed_no_cartesian(plans):
+    """Bucketed embedding near-dup: candidate generation and cosine
+    verification must both be equi-joins (signature buckets, then id
+    joins back to vectors) — no all-pairs operator anywhere."""
+    p = plans("dedup_embedding_bucketed")
+    assert n_nodes(p, "CartesianProduct") == 0
+    assert n_nodes(p, "BroadcastNestedLoopJoin") == 0

@@ -317,3 +317,59 @@ def test_approx_top_terms_counts_exact_within_budget(spark, sf_dir):
         assert exact[r["term"]] == r["n"], f"{r['term']}: sketch {r['n']} vs exact {exact[r['term']]}"
     want_counts = Counter(sorted(exact.values(), reverse=True)[:APPROX_TOP_K])
     assert Counter(r["n"] for r in got) == want_counts
+
+
+def test_simhash_banded_equals_bruteforce_on_random_fingerprints(spark):
+    """Pigeonhole recall-1 property on randomized fingerprints, not just
+    the fixture: for max_hamming <= bands-1 the banded equi-join must
+    produce EXACTLY the brute-force pair set (including hamming values)."""
+    import random
+
+    from k_means_hadoop_spark.operators.dedup import simhash_pairs, simhash_pairs_banded
+
+    rng = random.Random(7)
+    base = rng.getrandbits(32)
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:
+            # near-dup of base: flip up to 4 bits (some within, some past the cap)
+            fp = base
+            for b in rng.sample(range(32), rng.randint(0, 4)):
+                fp ^= 1 << b
+        else:
+            fp = rng.getrandbits(32)
+        rows.append((i, fp))
+    sh = spark.createDataFrame(rows, "doc_id long, simhash long")
+    brute = {(r["a_id"], r["b_id"], r["hamming"]) for r in simhash_pairs(sh, 3).collect()}
+    banded = {
+        (r["a_id"], r["b_id"], r["hamming"]) for r in simhash_pairs_banded(sh, 3).collect()
+    }
+    assert banded == brute
+    assert brute  # the generator above must actually produce close pairs
+
+
+def test_embedding_bucketed_precision_one_and_recall(spark, sf_dir):
+    """Bucketed embedding near-dup: every reported pair must appear in
+    the exact all-pairs result with the same cos_sim (precision 1 — the
+    verification step is the exact measure), and recall over the
+    id-bounded fixture subset must clear the banding's design floor."""
+    from k_means_hadoop_spark.operators.dedup import (
+        embedding_neardup_bucketed,
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bounded = emb.filter(F.col("vec_id") < 500)
+    exact = {
+        (r["a_id"], r["b_id"]): r["cos_sim"]
+        for r in embedding_neardup_pairs(emb, threshold=0.9, max_id=500).collect()
+    }
+    got = {
+        (r["a_id"], r["b_id"]): r["cos_sim"]
+        for r in embedding_neardup_bucketed(bounded, threshold=0.9).collect()
+    }
+    assert set(got) <= set(exact)
+    for pair, sim in got.items():
+        assert abs(sim - exact[pair]) < 1e-9
+    if exact:
+        assert len(got) >= 0.5 * len(exact), f"recall {len(got)}/{len(exact)}"
