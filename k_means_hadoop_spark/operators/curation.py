@@ -458,6 +458,47 @@ WHERE {_split_sql('a_id')} != {_split_sql('b_id')}
 
 # ---------------------------------------------------- stratified sampling
 
+N_SHUFFLE_SHARDS = 8
+SHUFFLE_SALT = "shuf1:"  # changing the salt re-deals the whole permutation
+
+
+def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shard, pos) — deterministic global training-order
+    shuffle, sharded: every document gets a pseudo-random shard and a
+    position within that shard, reproducible across runs, engines, and
+    cluster layouts (the order is a pure function of doc_id + salt).
+
+    This is how a 100 TB pipeline shuffles: a single global
+    row_number() would funnel the corpus through one partition, so the
+    permutation is expressed as (shard = hash % N, pos = rank within
+    shard by hash) — one hash-partitioned window per shard, N-way
+    parallel, and a trainer streams shards in index order.  Sorting
+    within shards by the same hash keeps the composite order
+    (shard, pos) a uniform permutation of the corpus."""
+    docs = _docs(spark, sf_dir)
+    from k_means_hadoop_spark.functions.hashing import stable_hash64
+
+    h = stable_hash64(F.concat(F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .withColumn("shard", F.pmod("h", F.lit(N_SHUFFLE_SHARDS)).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("int"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+def _shuffle_shards_sql() -> str:
+    from k_means_hadoop_spark.functions.hashing import stable_hash64_sql
+
+    h = stable_hash64_sql(f"'{SHUFFLE_SALT}' || doc_id::VARCHAR")
+    return f"""
+WITH h AS (SELECT doc_id, {h} AS h FROM documents)
+SELECT doc_id, (h % {N_SHUFFLE_SHARDS})::INTEGER AS shard,
+       (row_number() OVER (PARTITION BY h % {N_SHUFFLE_SHARDS} ORDER BY h, doc_id) - 1)::INTEGER AS pos
+FROM h"""
+
+
 SAMPLE_FRACTIONS = {"en": 0.2, "es": 0.4, "fr": 0.5, "de": 0.8}
 SAMPLE_SEED = 7
 
@@ -492,6 +533,7 @@ CURATION_QUERIES = {
     "decontaminate_corpus": (decontaminate_corpus, _decontam_sql()),
     "scrub_event_props": (scrub_event_props, SCRUB_SQL),
     "leakage_audit": (leakage_audit, _leakage_sql()),
+    "shuffle_shards": (shuffle_shards, _shuffle_shards_sql()),
 }
 
 # Engine-internal RNG (sampleBy accept/reject stream) — no cross-engine

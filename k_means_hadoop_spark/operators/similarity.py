@@ -226,6 +226,36 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def truncate_renorm(embeddings: DataFrame, dim: int = 16) -> DataFrame:
+    """(vec_id, norm_full, norm_trunc, energy_retained) — Matryoshka-style
+    dimensionality reduction audit: truncate each embedding to its first
+    ``dim`` dimensions and report how much L2 energy survives
+    (norm_trunc² / norm_full²) — the accept/reject signal for serving a
+    cheaper prefix of a long embedding (MRL-trained models concentrate
+    information in the prefix; this measures whether THIS corpus does).
+
+    Row-local higher-order functions only — zero shuffle, no Python;
+    the same pass a 100 TB pipeline would fuse into its embedding scan.
+    """
+    v = F.col("embedding").cast("array<double>")
+    base = embeddings.select(F.col("vec_id"), v.alias("v"))
+    sq = lambda c: F.aggregate(  # noqa: E731 — local fold helper
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    full_sq = sq(F.col("v"))
+    trunc_sq = sq(F.slice("v", 1, dim))
+    return (
+        base.withColumn("_fs", full_sq)
+        .withColumn("_ts", trunc_sq)
+        .select(
+            "vec_id",
+            F.round(F.sqrt("_fs"), 6).alias("norm_full"),
+            F.round(F.sqrt("_ts"), 6).alias("norm_trunc"),
+            F.round(F.col("_ts") / F.col("_fs"), 6).alias("energy_retained"),
+        )
+    )
+
+
 def knn_mllib_lsh(
     embeddings: DataFrame,
     query_ids: Sequence[int],

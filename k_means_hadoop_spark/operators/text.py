@@ -119,6 +119,39 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", stable_hash64(norm).alias("fp"))
 
 
+def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, dup_ratio, top_token_ratio) —
+    intra-document repetition signals (the Gopher-rules style quality
+    gate that catches boilerplate, keyword stuffing, and decode loops):
+
+    - ``dup_ratio``: fraction of token occurrences that are repeats
+      (1 - distinct/total);
+    - ``top_token_ratio``: frequency share of the single most common
+      token.
+
+    Entirely row-local higher-order functions — zero shuffle, runs
+    inside whole-stage codegen; the per-row cost is O(distinct·total),
+    bounded by document length (documents are KB-sized by contract; at
+    100 TB this is the map-side filter it is meant to be)."""
+    toks = _tokens(F.col(text_col))
+    base = docs.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    nd = F.size(F.array_distinct("toks"))
+    top = F.array_max(
+        F.transform(
+            F.array_distinct("toks"),
+            lambda t: F.size(F.filter(F.col("toks"), lambda x: x == t)),
+        )
+    )
+    return base.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        nd.cast("bigint").alias("n_distinct"),
+        F.round(F.lit(1.0) - nd.cast("double") / n.cast("double"), 6).alias("dup_ratio"),
+        F.round(top.cast("double") / n.cast("double"), 6).alias("top_token_ratio"),
+    )
+
+
 SIMHASH_BITS = 32
 
 

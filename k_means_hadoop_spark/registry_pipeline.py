@@ -69,6 +69,17 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_docs(spark, sf_dir))
 
 
+def q_repetition_scores(spark, sf_dir):
+    return text.repetition_scores(_docs(spark, sf_dir))
+
+
+TRUNC_DIM = 16
+
+
+def q_truncate_renorm(spark, sf_dir):
+    return similarity.truncate_renorm(_emb(spark, sf_dir), dim=TRUNC_DIM)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=NGRAM_N, threshold=NGRAM_THRESHOLD)
 
@@ -671,6 +682,46 @@ WHERE v.event_type = 'view' AND c.event_type = 'click'
 """
 
 
+def q_streaming_upsert_snapshot(spark, sf_dir):
+    """foreachBatch CDC upsert driven to completion: maintain a
+    latest-record-per-key parquet snapshot from the event stream
+    (availableNow), then read the snapshot back.  The final state must
+    equal the batch latest-per-key query regardless of how the stream
+    was micro-batched — which is exactly what the oracle asserts, making
+    the MERGE-on-parquet loop (dynamic partition overwrite, bucketed
+    rewrite) a driver-checked component rather than a test-only one."""
+    import os
+    import tempfile
+
+    from k_means_hadoop_spark.streaming.relational import streaming_upsert_snapshot
+    from k_means_hadoop_spark.streaming.stream_kmeans import read_event_stream
+
+    root = tempfile.mkdtemp(prefix="upsert_")
+    out = os.path.join(root, "snap")  # must not pre-exist: first batch detects absence
+    ckpt = os.path.join(root, "ckpt")
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    q = streaming_upsert_snapshot(spark, stream, out, ckpt)
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
+STREAMING_UPSERT_SQL = """
+SELECT user_id, epoch_us(ts)::BIGINT AS ts_us, event_id, event_type,
+       round(value, 6) AS value
+FROM (SELECT user_id, ts, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
 def q_streaming_session_windows(spark, sf_dir):
     """Stateful streaming sessionization via the native session_window
     aggregation (gap-merged windows in the state store; watermark bounds
@@ -958,6 +1009,31 @@ FROM cand c JOIN v av ON c.a_id = av.vid JOIN v bv ON c.b_id = bv.vid
 WHERE round(list_cosine_similarity(av.vec, bv.vec), 6) >= {threshold}"""
 
 
+def _repetition_sql() -> str:
+    top = (
+        "list_max(list_transform(list_distinct(toks), "
+        "t -> len(list_filter(toks, x -> x = t))))"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+       len(list_distinct(toks))::BIGINT AS n_distinct,
+       round(1.0 - len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE, 6) AS dup_ratio,
+       round({top}::DOUBLE / len(toks)::DOUBLE, 6) AS top_token_ratio
+FROM t"""
+
+
+def _truncate_renorm_sql(dim: int) -> str:
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, list_sum(list_transform(v, x -> x * x)) AS fs,
+             list_sum(list_transform(array_slice(v, 1, {dim}), x -> x * x)) AS ts
+      FROM v)
+SELECT vec_id, round(sqrt(fs), 6) AS norm_full, round(sqrt(ts), 6) AS norm_trunc,
+       round(ts / fs, 6) AS energy_retained
+FROM s"""
+
+
 def _tfidf_sql(k: int) -> str:
     return f"""
 WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
@@ -1000,6 +1076,9 @@ PIPELINE_ORACLES: dict[str, str] = {
         + " AS fp FROM documents"
     ),
     "text_simhash": f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM sh",
+    "text_repetition_scores": _repetition_sql(),
+    "embedding_truncate_renorm": _truncate_renorm_sql(TRUNC_DIM),
+    "streaming_upsert_snapshot": STREAMING_UPSERT_SQL,
     "dedup_exact": (
         "SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS keep_id, "
         "count(*)::BIGINT AS n_copies FROM documents GROUP BY md5(text)"
@@ -1063,6 +1142,9 @@ PIPELINE_QUERIES = {
     "text_lang_id": q_lang_id,
     "text_fingerprints": q_fingerprints,
     "text_simhash": q_simhash,
+    "text_repetition_scores": q_repetition_scores,
+    "embedding_truncate_renorm": q_truncate_renorm,
+    "streaming_upsert_snapshot": q_streaming_upsert_snapshot,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_ngram_jaccard_capped": q_ngram_jaccard_capped,
