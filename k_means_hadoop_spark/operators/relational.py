@@ -780,6 +780,63 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZORDER_BITS = 8
+
+
+def zorder_events_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_id, x, y, zval) — Z-order curve key over the two columns
+    event queries filter on (user bucket × time-of-day bucket): the
+    multi-dimensional layout key.  At 100 TB the pipeline writes
+    ``df.sortWithinPartitions('zval')`` so every parquet file covers a
+    tight (user, time) rectangle and footer min/max stats prune files
+    for filters on EITHER column.  The curve itself is pure integer bit
+    interleaving — oracle-checked bit-for-bit; the stats-skipping write
+    is exercised in the sinks tests."""
+    from k_means_hadoop_spark.functions.zorder import interleave_bits
+
+    ev = _t(spark, sf_dir, "events")
+    x = F.pmod(F.col("user_id"), F.lit(1 << ZORDER_BITS)).cast("int")
+    y = (F.hour("ts") * 4 + F.minute("ts") / 15).cast("int")  # 96 quarter-hours
+    base = ev.select("event_id", x.alias("x"), y.alias("y"))
+    return base.select(
+        "event_id", "x", "y", interleave_bits(F.col("x"), F.col("y"), ZORDER_BITS).alias("zval")
+    )
+
+
+def _zorder_sql() -> str:
+    from k_means_hadoop_spark.functions.zorder import interleave_bits_sql
+
+    z = interleave_bits_sql("x", "y", ZORDER_BITS)
+    return f"""
+WITH b AS (SELECT event_id, (user_id % {1 << ZORDER_BITS})::INTEGER AS x,
+                  (hour(ts) * 4 + minute(ts) // 15)::INTEGER AS y
+           FROM events)
+SELECT event_id, x, y, {z} AS zval FROM b"""
+
+
+def hll_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, est_users) — the sketch-MERGE distinct pipeline: one
+    Datasketches HLL sketch per day, then a union of the day sketches
+    for the corpus-wide estimate — the only way COUNT(DISTINCT) scales
+    to 100 TB with reprocessing-free rollups (store the day sketches,
+    merge any date range later without rescanning events).  Rows-only:
+    sketch registers are engine-specific; accuracy vs the exact distinct
+    count is pinned in tests/test_relational_ext.py."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg(F.col("user_id")).alias("sk")
+    )
+    per_day = daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
+    )
+    total = daily.agg(F.hll_union_agg(F.col("sk")).alias("sk")).select(
+        F.lit("ALL").alias("day"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
+    )
+    return per_day.unionByName(total)
+
+
 def stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-moment statistical aggregates per returnflag: Pearson
     correlation, sample covariance/stddev/variance.  Each is a
@@ -1702,6 +1759,7 @@ GROUP BY path ORDER BY n_users DESC, path LIMIT {_PATH_TOP}
 
 RELATIONAL_QUERIES = {
     "stats_by_flag": (stats_by_flag, STATS_SQL),
+    "zorder_events_curve": (zorder_events_curve, _zorder_sql()),
     "pivot_orders_status": (pivot_orders_by_status, PIVOT_SQL),
     "latest_event_snapshot": (latest_event_snapshot, SNAPSHOT_SQL),
     "full_outer_click_purchase": (full_outer_click_purchase, FULL_OUTER_SQL),
@@ -1755,4 +1813,5 @@ RELATIONAL_QUERIES = {
 RELATIONAL_ROWS_ONLY = {
     "approx_distinct_parts": approx_distinct_parts,
     "approx_percentile_values": approx_percentile_values,
+    "hll_users_daily": hll_users_daily,
 }

@@ -373,3 +373,47 @@ def test_embedding_bucketed_precision_one_and_recall(spark, sf_dir):
         assert abs(sim - exact[pair]) < 1e-9
     if exact:
         assert len(got) >= 0.5 * len(exact), f"recall {len(got)}/{len(exact)}"
+
+
+def test_interleave_bits_matches_reference_morton(spark):
+    """Catalyst Morton code vs an independent Python bit-twiddle over a
+    grid including edge values."""
+    from k_means_hadoop_spark.functions.zorder import interleave_bits
+
+    def morton(x: int, y: int, bits: int = 8) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [(x, y) for x in [0, 1, 2, 3, 127, 128, 255] for y in [0, 1, 5, 95, 254, 255]]
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", interleave_bits(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == morton(x, y), (x, y, z)
+    # the curve is a bijection on the grid: all codes distinct
+    assert len(set(got.values())) == len(pts)
+
+
+def test_hll_sketch_merge_accuracy(spark, sf_dir):
+    """Day-sketch union estimate must land within HLL's expected error of
+    the exact distinct count — both per day and for the merged ALL row
+    (merging sketches must not degrade the estimate)."""
+    from k_means_hadoop_spark.operators.relational import hll_users_daily
+
+    got = {r["day"]: r["est_users"] for r in hll_users_daily(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact_all = ev.select("user_id").distinct().count()
+    assert abs(got["ALL"] - exact_all) <= max(2, 0.05 * exact_all), (got["ALL"], exact_all)
+    exact_daily = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for day, n in exact_daily.items():
+        assert abs(got[day] - n) <= max(2, 0.05 * n), (day, got[day], n)
