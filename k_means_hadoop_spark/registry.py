@@ -374,10 +374,13 @@ QUERIES.update(PIPELINE_QUERIES)
 # in iteration order.  Round 1 verified the original first 50 (the
 # k-means parity core + the first relational block — all green, and all
 # still pinned by tests/test_oracle_parity.py).  To convert the rest of
-# the surface from builder-claimed to driver-proven, the window rotates:
-# round 2 puts the TPC-H batch, the dedup/similarity/text pipeline, the
-# curation ops, and a streaming sample first; everything round 1 already
-# verified moves to the back.
+# the surface from builder-claimed to driver-proven, the window ROTATES:
+# every query that already has a green driver row (hash-match, or a
+# rows-only run for the declared no-oracle entries) moves to the back;
+# never-verified and previously-FAILED queries float to the front, in
+# the curated priority order below.  The verified set is derived from
+# the CORRECTNESS_r*.json artifacts on disk, so each new round's
+# results re-rotate the window automatically.
 
 _ROUND2_WINDOW = [
     # TPC-H batch (Q11 is fixture-impossible: no partsupp — see README)
@@ -408,34 +411,41 @@ _ROUND2_WINDOW = [
     "pca_project",
 ]
 
-_R1_VERIFIED = frozenset({
-    "s2_points_scan", "p1_drop_label", "p3_outlier_filter", "p4_lookup_ids",
-    "f1_euclidean", "i2_init_seeds", "j1_assign_join", "j2_assign_expr",
-    "a1_cluster_sizes", "a3_recompute", "a3_recompute_summarizer",
-    "a4_member_ids", "a6_distinct_labels", "a7_jaccard", "j3_comembership",
-    "c1_one_iteration", "kmeans_lloyd", "i1_init_random", "kmeans_mllib",
-    "stats_by_flag", "pivot_orders_status", "latest_event_snapshot",
-    "full_outer_click_purchase", "gap_fill_daily_purchases",
-    "funnel_view_click_purchase", "sessionize_by_gap",
-    "scd2_user_purchase_history", "ri_audit_orphans", "profile_documents",
-    "salted_join_event_nations", "diff_table_versions",
-    "trailing_hour_user_stats", "top_event_paths",
-    "decile_customers_by_nation", "moving_avg_daily_events",
-    "embedding_norm_stats", "top_customer_per_nation",
-    "running_spend_customer", "asof_join_purchase_click",
-    "range_join_views_clicks", "except_custkeys", "intersect_custkeys",
-    "except_all_order_months", "hof_embedding_flags", "fuzzy_match_nations",
-    "structured_parse_roundtrip", "cube_orders", "grouping_sets_lineitem",
-    "percentiles_by_flag", "q17_small_qty_revenue",
-})
+def _driver_verified_names() -> frozenset[str]:
+    """Names with a green driver row in ANY round's CORRECTNESS file:
+    hash_match=True, or a completed rows-only run (err='no_oracle' with
+    a row count) for entries that declare no oracle.  Failed or errored
+    entries do NOT count — they stay in the front window for a retry."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True:
+                green.add(name)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                green.add(name)
+    return frozenset(green)
+
 
 _missing = [n for n in _ROUND2_WINDOW if n not in QUERIES]
 assert not _missing, f"window names absent from registry: {_missing}"
-assert len(_ROUND2_WINDOW) == 50, len(_ROUND2_WINDOW)
 
+_verified = _driver_verified_names()
+_front = [n for n in _ROUND2_WINDOW if n not in _verified]
 _rest = [
     n for n in QUERIES
-    if n not in _ROUND2_WINDOW and n not in _R1_VERIFIED
+    if n not in _ROUND2_WINDOW and n not in _verified
 ]
-_back = [n for n in QUERIES if n in _R1_VERIFIED]
-QUERIES = {n: QUERIES[n] for n in (*_ROUND2_WINDOW, *_rest, *_back)}
+_back = [n for n in QUERIES if n in _verified]
+QUERIES = {n: QUERIES[n] for n in (*_front, *_rest, *_back)}
