@@ -365,6 +365,45 @@ def embedding_neardup_bucketed(
     )
 
 
+def semantic_cell_pairs(
+    embeddings: DataFrame,
+    seed_ids: list[int],
+    threshold: float = 0.9,
+) -> DataFrame:
+    """(a_id, b_id, cell, cos_sim) — SemDeDup-style semantic dedup:
+    partition the embedding space into cells around fixed seed
+    centroids (nearest-seed assignment, the zero-shuffle literal fold),
+    then report exact-cosine near-duplicate pairs WITHIN each cell —
+    semantically redundant documents cluster together, so restricting
+    the pair search to cells bounds candidates at Σ|cell|² instead of
+    n², and the cell equi-join is the only shuffle.
+
+    Fixed seeds (vs an iterative quantizer) keep the whole operator a
+    deterministic closed-form expression — SQL-mirrorable end to end,
+    so the driver hash-checks it.  At 100 TB: train seeds with
+    lloyd_kmeans on a sample (knn_ivf shows the pattern), persist the
+    corpus partitioned by cell, and LSH-bucket WITHIN cells if a cell
+    outgrows memory."""
+    emb = embeddings.select(
+        F.col("vec_id").cast("int").alias("id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+    )
+    from k_means_hadoop_spark.operators.assign import assign_expr
+    from k_means_hadoop_spark.operators.kmeans import init_ids
+
+    asg = assign_expr(emb, init_ids(emb, seed_ids)).select(
+        F.col("id").alias("vid"), F.col("features").alias("vec"), F.col("cluster").alias("cell")
+    )
+    a = asg.select(F.col("vid").alias("a_id"), F.col("vec").alias("va"), "cell")
+    b = asg.select(F.col("vid").alias("b_id"), F.col("vec").alias("vb"), F.col("cell").alias("cell_b"))
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("a_id") < F.col("b_id")))
+        .select("a_id", "b_id", "cell", F.round(sim, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def duplicate_components(
     pairs: DataFrame, a_col: str = "a_id", b_col: str = "b_id", max_iter: int = 20
 ) -> DataFrame:

@@ -119,6 +119,38 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", stable_hash64(norm).alias("fp"))
 
 
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, avg_logprob) — corpus-trained unigram
+    language-model score: mean ln p(token) per document, the cheap
+    stand-in for the perplexity filtering every web-scale corpus runs
+    (CCNet-style) — outlier documents (gibberish, boilerplate in another
+    register) score far below the corpus mode.
+
+    Two aggregations, both map-side combinable: (1) token counts over
+    the corpus = the unigram model; (2) per-document mean of
+    ln(count/N).  The model join broadcasts — the vocabulary is
+    sublinear in corpus size (Heaps' law), the same assumption
+    tfidf_top_terms documents.  No smoothing needed: the model is
+    trained on the same corpus it scores, so every token has mass."""
+    tok = docs.select(
+        "doc_id", F.explode(_tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    scored = (
+        tok.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log(F.col("cnt").cast("double") / F.col("n_total").cast("double")).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
 def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, n_distinct, dup_ratio, top_token_ratio) —
     intra-document repetition signals (the Gopher-rules style quality

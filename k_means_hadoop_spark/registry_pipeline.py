@@ -73,6 +73,19 @@ def q_repetition_scores(spark, sf_dir):
     return text.repetition_scores(_docs(spark, sf_dir))
 
 
+def q_unigram_logprob(spark, sf_dir):
+    return text.unigram_logprob(_docs(spark, sf_dir))
+
+
+SEMDEDUP_THRESHOLD = 0.9
+
+
+def q_dedup_semantic_cells(spark, sf_dir):
+    return dedup.semantic_cell_pairs(
+        _emb(spark, sf_dir), KNN_QUERY_IDS, threshold=SEMDEDUP_THRESHOLD
+    )
+
+
 TRUNC_DIM = 16
 
 
@@ -1009,6 +1022,35 @@ FROM cand c JOIN v av ON c.a_id = av.vid JOIN v bv ON c.b_id = bv.vid
 WHERE round(list_cosine_similarity(av.vec, bv.vec), 6) >= {threshold}"""
 
 
+def _unigram_logprob_sql() -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+t AS (SELECT doc_id, tok FROM tok WHERE tok != ''),
+vocab AS (SELECT tok, count(*)::BIGINT AS cnt FROM t GROUP BY tok),
+n AS (SELECT sum(cnt)::BIGINT AS n_total FROM vocab)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(avg(ln(cnt::DOUBLE / n_total::DOUBLE)), 6) AS avg_logprob
+FROM t JOIN vocab USING (tok) CROSS JOIN n
+GROUP BY doc_id"""
+
+
+def _semdedup_sql(threshold: float) -> str:
+    ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
+    return f"""
+WITH v AS (SELECT vec_id::INTEGER AS vid, embedding::DOUBLE[] AS vec FROM embeddings),
+cents AS (SELECT CAST(row_number() OVER (ORDER BY vid) AS INTEGER) AS cell, vec AS cvec
+          FROM v WHERE vid IN ({ids})),
+asg AS (SELECT vid, vec, cell FROM (
+    SELECT v.vid, v.vec, c.cell,
+           row_number() OVER (PARTITION BY v.vid
+                              ORDER BY list_distance(v.vec, c.cvec), c.cell) AS rn
+    FROM v CROSS JOIN cents c) WHERE rn = 1)
+SELECT a.vid AS a_id, b.vid AS b_id, a.cell,
+       round(list_cosine_similarity(a.vec, b.vec), 6) AS cos_sim
+FROM asg a JOIN asg b ON a.cell = b.cell AND a.vid < b.vid
+WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= {threshold}"""
+
+
 def _repetition_sql() -> str:
     top = (
         "list_max(list_transform(list_distinct(toks), "
@@ -1077,6 +1119,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     ),
     "text_simhash": f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM sh",
     "text_repetition_scores": _repetition_sql(),
+    "text_unigram_logprob": _unigram_logprob_sql(),
+    "dedup_semantic_cells": _semdedup_sql(SEMDEDUP_THRESHOLD),
     "embedding_truncate_renorm": _truncate_renorm_sql(TRUNC_DIM),
     "streaming_upsert_snapshot": STREAMING_UPSERT_SQL,
     "dedup_exact": (
@@ -1143,6 +1187,8 @@ PIPELINE_QUERIES = {
     "text_fingerprints": q_fingerprints,
     "text_simhash": q_simhash,
     "text_repetition_scores": q_repetition_scores,
+    "text_unigram_logprob": q_unigram_logprob,
+    "dedup_semantic_cells": q_dedup_semantic_cells,
     "embedding_truncate_renorm": q_truncate_renorm,
     "streaming_upsert_snapshot": q_streaming_upsert_snapshot,
     "dedup_exact": q_dedup_exact,
