@@ -544,3 +544,52 @@ def test_embedding_bucketed_no_cartesian(plans):
     p = plans("dedup_embedding_bucketed")
     assert n_nodes(p, "CartesianProduct") == 0
     assert n_nodes(p, "BroadcastNestedLoopJoin") == 0
+
+
+def test_semantic_cells_no_cartesian(plans):
+    """SemDeDup cells: the assignment is a literal fold (no join) and the
+    pair search an equi-join on cell — no all-pairs operator anywhere."""
+    p = plans("dedup_semantic_cells")
+    assert n_nodes(p, "CartesianProduct") == 0
+    assert n_nodes(p, "BroadcastNestedLoopJoin") == 0
+
+
+def test_unigram_logprob_broadcasts_vocab(plans):
+    """The unigram model join must broadcast the vocabulary — the corpus
+    token stream (the 100 TB side) never shuffles for the model lookup."""
+    p = plans("text_unigram_logprob")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_zorder_curve_is_map_only(plans):
+    """The Z-order key is pure per-row bit math — zero Exchange, zero
+    Join; at scale it rides the write path as sortWithinPartitions."""
+    p = plans("zorder_events_curve")
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
+def test_truncate_renorm_is_map_only(plans):
+    # the only Exchange allowed is the fixture fan_out round-robin (the
+    # test parquet is a single row-group); no data-keyed shuffle.
+    p = plans("embedding_truncate_renorm")
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange SinglePartition" not in p
+    assert "Join" not in p
+
+
+def test_repetition_scores_is_map_only(plans):
+    p = plans("text_repetition_scores")
+    assert "Exchange hashpartitioning" not in p
+    assert "Exchange SinglePartition" not in p
+    assert "Join" not in p
+
+
+def test_shuffle_shards_single_exchange(plans):
+    """The sharded permutation = one hash partitioning by shard (the
+    window) — a global row_number (single-partition sort) must never
+    appear."""
+    p = plans("shuffle_shards")
+    assert n_nodes(p, "Exchange") == 1
+    assert "SinglePartition" not in p
