@@ -69,6 +69,11 @@ HEADLINE = [
     "streaming_stateful_totals",
     "dedup_simhash_banded",
     "dedup_embedding_bucketed",
+    # the flagship curation composition + the newest pipeline operators
+    "curate_corpus_full",
+    "dedup_semantic_cells",
+    "text_unigram_logprob",
+    "shuffle_shards",
 ]
 
 

@@ -458,6 +458,49 @@ WHERE {_split_sql('a_id')} != {_split_sql('b_id')}
 
 # ---------------------------------------------------- stratified sampling
 
+WEIGHTED_SAMPLE_K = 25
+_WS_SALT = "ws:"
+_WS_MOD = 1_000_000
+
+
+def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars, skey) — weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): inclusion probability ∝ document weight
+    (here n_chars), via key = ln(u)/w with u a deterministic hash-derived
+    uniform — take the top-k keys.  The workhorse for building a
+    length-weighted pilot corpus reproducibly: no RNG stream, so the
+    sample is a pure function of the data and re-runs (or another
+    engine) pick the identical k documents.
+
+    Scale shape: per-row arithmetic + a distributed top-k
+    (TakeOrderedAndProject) — no global sort, no shuffle of the corpus.
+    Keys are rounded to 9 decimals with doc_id as tie-break so the
+    boundary of the top-k set is cross-engine deterministic."""
+    from k_means_hadoop_spark.functions.hashing import stable_hash64
+
+    docs = _docs(spark, sf_dir)
+    h = stable_hash64(F.concat(F.lit(_WS_SALT), F.col("doc_id").cast("string")))
+    u = ((h % _WS_MOD) + 1).cast("double") / F.lit(float(_WS_MOD + 1))
+    skey = F.round(F.log(u) / F.col("n_chars").cast("double"), 9)
+    return (
+        docs.select("doc_id", "n_chars", skey.alias("skey"))
+        .orderBy(F.col("skey").desc(), F.col("doc_id"))
+        .limit(WEIGHTED_SAMPLE_K)
+    )
+
+
+def _sample_weighted_sql() -> str:
+    from k_means_hadoop_spark.functions.hashing import stable_hash64_sql
+
+    h = stable_hash64_sql(f"'{_WS_SALT}' || doc_id::VARCHAR")
+    return f"""
+WITH s AS (SELECT doc_id, n_chars,
+                  round(ln((({h} % {_WS_MOD}) + 1) / {float(_WS_MOD + 1)!r}) / n_chars::DOUBLE, 9) AS skey
+           FROM documents)
+SELECT doc_id, n_chars, skey FROM s
+ORDER BY skey DESC, doc_id LIMIT {WEIGHTED_SAMPLE_K}"""
+
+
 N_SHUFFLE_SHARDS = 8
 SHUFFLE_SALT = "shuf1:"  # changing the salt re-deals the whole permutation
 
@@ -522,6 +565,81 @@ def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curate_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(split, n_docs, total_tokens) — the ENTIRE curation pipeline
+    composed as one declarative plan, the way a pretraining run consumes
+    it: quality gate (score >= 0.5) → exact-dedup survivors → near-dup
+    drop (verified MinHash pairs, greedy keep-the-smaller-id; pairwise
+    form of the components-based clustering) → benchmark
+    decontamination (any 5-gram overlap with the held-out slice, and
+    the slice itself excluded) → train/val/test split stamp → per-split
+    document and token totals.
+
+    Catalyst plans the whole chain together: the quality filter and the
+    semi/anti joins sit below the split stamp, each dedup/decontam
+    input builds its own bounded side (broadcast where small), and the
+    corpus-sized stream is scanned once per independent probe — there
+    is no driver-side orchestration between stages to lose pushdowns
+    across."""
+    from k_means_hadoop_spark.operators import text as text_ops
+    from k_means_hadoop_spark.operators.dedup import exact_duplicates, minhash_verified_pairs
+
+    docs = _docs(spark, sf_dir)
+    quality = text_ops.quality_scores(docs).select("doc_id", "quality")
+    keep_exact = exact_duplicates(docs).select(F.col("keep_id").alias("doc_id"))
+    neardup_drop = (
+        minhash_verified_pairs(docs, n=3, threshold=0.7)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    contaminated = decontaminate_corpus(spark, sf_dir).select("doc_id")
+    kept = (
+        docs.join(quality, "doc_id")
+        .filter(F.col("quality") >= 0.5)
+        .join(keep_exact, "doc_id", "left_semi")
+        .join(neardup_drop, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+        .filter(F.col("doc_id") % _BENCH_MOD != 0)
+    )
+    n_toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    return (
+        kept.withColumn("split", _split_expr("doc_id"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_toks.cast("bigint")).alias("total_tokens"),
+        )
+    )
+
+
+def _curate_full_sql() -> str:
+    from k_means_hadoop_spark.functions.hashing import word_ngrams_sql
+    from k_means_hadoop_spark.registry_pipeline import (
+        _minhash_verified_sql,
+        _quality_sql,
+    )
+
+    grams = word_ngrams_sql("text", _DECON_N)
+    toks = "string_split_regex(lower(trim(text)), '\\s+')"
+    return f"""
+WITH q AS (SELECT doc_id, quality FROM ({_quality_sql()}) t),
+keepx AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+nd AS (SELECT DISTINCT b_id AS doc_id FROM ({_minhash_verified_sql(3, 0.7)}) mv),
+sh AS (SELECT doc_id, unnest({grams}) AS shingle FROM documents),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0),
+cont AS (SELECT DISTINCT doc_id FROM sh
+         WHERE doc_id % {_BENCH_MOD} <> 0 AND shingle IN (SELECT shingle FROM bench)),
+kept AS (SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)
+         WHERE q.quality >= 0.5
+           AND d.doc_id IN (SELECT doc_id FROM keepx)
+           AND d.doc_id NOT IN (SELECT doc_id FROM nd)
+           AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+           AND d.doc_id % {_BENCH_MOD} <> 0)
+SELECT {_split_sql('doc_id')} AS split, count(*)::BIGINT AS n_docs,
+       sum(len({toks}))::BIGINT AS total_tokens
+FROM kept GROUP BY 1"""
+
+
 CURATION_QUERIES = {
     "split_train_val": (split_train_val, SPLIT_SQL),
     "quota_per_source": (quota_per_source, QUOTA_SQL),
@@ -534,6 +652,8 @@ CURATION_QUERIES = {
     "scrub_event_props": (scrub_event_props, SCRUB_SQL),
     "leakage_audit": (leakage_audit, _leakage_sql()),
     "shuffle_shards": (shuffle_shards, _shuffle_shards_sql()),
+    "sample_weighted_docs": (sample_weighted_docs, _sample_weighted_sql()),
+    "curate_corpus_full": (curate_corpus_full, _curate_full_sql()),
 }
 
 # Engine-internal RNG (sampleBy accept/reject stream) — no cross-engine
