@@ -735,6 +735,58 @@ WHERE rn = 1
 """
 
 
+STREAM_KMEANS_ALPHA = 0.5
+
+
+def q_streaming_kmeans_foreachbatch(spark, sf_dir):
+    """foreachBatch stateful mini-batch k-means driven to completion:
+    c ← (1-α)·c + α·mean(batch members) per micro-batch.  Drained with
+    availableNow over the single fixture file (= exactly one batch), the
+    final state has the closed form the oracle computes — assignment to
+    the fixed init centroids, per-cluster batch means, one blended
+    step — so the driver hash-checks the foreachBatch state loop itself,
+    not just its plumbing."""
+    import tempfile
+
+    from k_means_hadoop_spark.streaming.stream_kmeans import (
+        StreamingKMeansState,
+        read_event_stream,
+        streaming_kmeans_update,
+    )
+
+    state = StreamingKMeansState(
+        centroids=[(c, list(v)) for c, v in STREAM_CENTROIDS], alpha=STREAM_KMEANS_ALPHA
+    )
+    stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
+    q = streaming_kmeans_update(stream, state, tempfile.mkdtemp(prefix="ckpt_"))
+    q.awaitTermination()
+    raw = spark.createDataFrame(
+        [(c, v[0], v[1]) for c, v in state.centroids], "cluster int, c0 double, c1 double"
+    )
+    # rounding stays Spark-side (HALF_UP) — Python round() is banker's
+    return raw.select("cluster", F.round("c0", 6).alias("c0"), F.round("c1", 6).alias("c1"))
+
+
+def _stream_kmeans_fb_sql() -> str:
+    cents = ", ".join(f"({cid}, {v[0]!r}, {v[1]!r})" for cid, v in STREAM_CENTROIDS)
+    a = STREAM_KMEANS_ALPHA
+    return f"""
+WITH cents(cluster, c0, c1) AS (VALUES {cents}),
+feat AS (SELECT event_id AS id, value AS f0, hour(ts)::DOUBLE AS f1 FROM events),
+scored AS (
+  SELECT f.id, c.cluster, f.f0, f.f1,
+         row_number() OVER (PARTITION BY f.id
+                            ORDER BY (f.f0 - c.c0) * (f.f0 - c.c0) + (f.f1 - c.c1) * (f.f1 - c.c1),
+                                     c.cluster) AS rn
+  FROM feat f CROSS JOIN cents c),
+asg AS (SELECT id, cluster, f0, f1 FROM scored WHERE rn = 1),
+m AS (SELECT cluster, avg(f0) AS m0, avg(f1) AS m1 FROM asg GROUP BY cluster)
+SELECT c.cluster,
+       round(CASE WHEN m.m0 IS NULL THEN c.c0 ELSE {1 - a} * c.c0 + {a} * m.m0 END, 6) AS c0,
+       round(CASE WHEN m.m1 IS NULL THEN c.c1 ELSE {1 - a} * c.c1 + {a} * m.m1 END, 6) AS c1
+FROM cents c LEFT JOIN m USING (cluster)"""
+
+
 def q_streaming_session_windows(spark, sf_dir):
     """Stateful streaming sessionization via the native session_window
     aggregation (gap-merged windows in the state store; watermark bounds
@@ -1123,6 +1175,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_semantic_cells": _semdedup_sql(SEMDEDUP_THRESHOLD),
     "embedding_truncate_renorm": _truncate_renorm_sql(TRUNC_DIM),
     "streaming_upsert_snapshot": STREAMING_UPSERT_SQL,
+    "streaming_kmeans_foreachbatch": _stream_kmeans_fb_sql(),
     "dedup_exact": (
         "SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS keep_id, "
         "count(*)::BIGINT AS n_copies FROM documents GROUP BY md5(text)"
@@ -1191,6 +1244,7 @@ PIPELINE_QUERIES = {
     "dedup_semantic_cells": q_dedup_semantic_cells,
     "embedding_truncate_renorm": q_truncate_renorm,
     "streaming_upsert_snapshot": q_streaming_upsert_snapshot,
+    "streaming_kmeans_foreachbatch": q_streaming_kmeans_foreachbatch,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_ngram_jaccard_capped": q_ngram_jaccard_capped,
