@@ -107,6 +107,42 @@ def knn_lsh(
     )
 
 
+def knn_signbit_lsh(
+    embeddings: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+    n_bits: int = 6,
+) -> DataFrame:
+    """(qid, nid, cos_sim, rank) — approximate top-k within the query's
+    SIGN-BIT LSH bucket (bit i = sign of dimension i): the
+    oracle-checkable ANN tier.  Random-hyperplane ``knn_lsh`` stays
+    rows-only because a float dot-product's sign near zero is not
+    cross-engine reproducible; sign buckets use raw comparisons only,
+    and ranking on the ROUNDED similarity with nid tie-break makes the
+    whole top-k cross-engine deterministic.  Same scale shape as
+    knn_lsh: bucket equi-join, cost ∝ bucket size, recall < 1."""
+    bits = [
+        F.when(F.element_at("vec", i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(n_bits)
+    ]
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    vecs = _vectors(embeddings).withColumn("sig", sig.cast("int"))
+    queries = vecs.filter(F.col("vid").isin(list(query_ids))).select(
+        F.col("vid").alias("qid"), F.col("vec").alias("qvec"), F.col("sig").alias("qsig")
+    )
+    sim = F.round(cosine_similarity(F.col("qvec"), F.col("vec")), 6)
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
+    return (
+        vecs.join(F.broadcast(queries), F.col("sig") == F.col("qsig"))
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", F.col("vid").alias("nid"), sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def knn_ivf(
     embeddings: DataFrame,
     query_ids: Sequence[int],

@@ -168,6 +168,33 @@ def q_knn_lsh(spark, sf_dir):
     return similarity.knn_lsh(_emb(spark, sf_dir), KNN_QUERY_IDS, k=5)
 
 
+KNN_SIGNBIT_BITS = 6
+
+
+def q_knn_signbit(spark, sf_dir):
+    return similarity.knn_signbit_lsh(
+        _emb(spark, sf_dir), KNN_QUERY_IDS, k=5, n_bits=KNN_SIGNBIT_BITS
+    )
+
+
+def _knn_signbit_sql(k: int, n_bits: int) -> str:
+    sig = " + ".join(
+        f"(CASE WHEN vec[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(n_bits)
+    )
+    return f"""
+WITH v AS (SELECT vec_id::INTEGER AS vid, embedding::DOUBLE[] AS vec,
+                  ({sig})::INTEGER AS sig FROM embeddings),
+q AS (SELECT vid AS qid, vec AS qvec, sig AS qsig FROM v WHERE vid IN ({_KNN_IDS_SQL})),
+sims AS (SELECT q.qid, v.vid AS nid,
+                round(list_cosine_similarity(q.qvec, v.vec), 6) AS cos_sim
+         FROM v JOIN q ON v.sig = q.qsig WHERE v.vid != q.qid),
+ranked AS (SELECT qid, nid, cos_sim,
+           CAST(row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, nid) AS INTEGER) AS rank
+           FROM sims)
+SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= {k}"""
+
+
 def q_knn_ivf(spark, sf_dir):
     return similarity.knn_ivf(_emb(spark, sf_dir), KNN_QUERY_IDS, k=5)
 
@@ -1173,6 +1200,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "text_repetition_scores": _repetition_sql(),
     "text_unigram_logprob": _unigram_logprob_sql(),
     "dedup_semantic_cells": _semdedup_sql(SEMDEDUP_THRESHOLD),
+    "knn_signbit_lsh": _knn_signbit_sql(5, KNN_SIGNBIT_BITS),
     "embedding_truncate_renorm": _truncate_renorm_sql(TRUNC_DIM),
     "streaming_upsert_snapshot": STREAMING_UPSERT_SQL,
     "streaming_kmeans_foreachbatch": _stream_kmeans_fb_sql(),
@@ -1256,6 +1284,7 @@ PIPELINE_QUERIES = {
     "dedup_simhash_pairs": q_simhash_pairs,
     "dedup_embedding_cosine": q_embedding_neardup,
     "knn_bruteforce": q_knn_bruteforce,
+    "knn_signbit_lsh": q_knn_signbit,
     "knn_lsh": q_knn_lsh,  # rows-only: recall<1 approximate op
     "knn_ivf": q_knn_ivf,  # rows-only: depends on iterative k-means quantizer
     "approx_top_terms": q_approx_top_terms,  # rows-only: sketch boundary ties
