@@ -124,15 +124,14 @@ def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text") -> D
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_candidates(
+def banded_signatures(
     docs: DataFrame, n: int = 3, bands: int = LSH_BANDS, text_col: str = "text"
 ) -> DataFrame:
-    """(a_id, b_id) distinct candidate pairs sharing ≥1 LSH band bucket.
+    """(doc_id, band, bucket) — MinHash signatures banded for LSH.
 
-    Band hash = md5 of the '|'-joined band rows; the candidate join is an
-    equi-join on (band, bucket) — the LSH trick that makes near-dup
-    detection linear-ish in corpus size at 100 TB.
-    """
+    Band hash = md5 of the '|'-joined band rows; joining two of these
+    tables on (band, bucket) is the LSH trick that makes near-dup
+    detection linear-ish in corpus size at 100 TB."""
     sig = minhash_signatures(docs, n, text_col)
     rows_per_band = len(MINHASH_PARAMS) // bands
     band_cols = []
@@ -140,7 +139,7 @@ def minhash_lsh_candidates(
         members = [F.col(f"m{bi * rows_per_band + j}").cast("string") for j in range(rows_per_band)]
         band_cols.append(F.md5(F.concat_ws("|", *members)).alias(f"band{bi}"))
     banded = sig.select("doc_id", *band_cols)
-    stacked = banded.select(
+    return banded.select(
         "doc_id",
         F.explode(
             F.array(*[
@@ -149,6 +148,13 @@ def minhash_lsh_candidates(
             ])
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, n: int = 3, bands: int = LSH_BANDS, text_col: str = "text"
+) -> DataFrame:
+    """(a_id, b_id) distinct candidate pairs sharing ≥1 LSH band bucket."""
+    stacked = banded_signatures(docs, n, bands, text_col)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -199,6 +205,77 @@ def minhash_verified_pairs(
         .join(b_sh, "b_id")
         .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_dedup(
+    docs: DataFrame,
+    is_batch,
+    n: int = 3,
+    threshold: float = 0.7,
+    bands: int = LSH_BANDS,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, status) for every incoming-batch document, where status is
+    'exact_dup' (byte-identical to a corpus doc), 'near_dup' (LSH-verified
+    n-gram Jaccard ≥ threshold vs a corpus doc), or 'new'.
+
+    The production ingestion shape: a daily increment is deduplicated
+    AGAINST the accumulated corpus without ever re-deduplicating the
+    corpus itself.  No self-join touches the corpus side — candidate
+    generation is the batch-vs-corpus equi-join on (band, bucket), so the
+    shuffle is O(batch + corpus signatures), and at 100 TB the corpus
+    signatures would be a persisted table maintained across increments
+    (computing them here from raw text stands in for that read).
+    Verification is row-local array_intersect on candidate pairs only.
+    ``is_batch`` is a boolean Column splitting docs into increment vs
+    corpus."""
+    docs = docs.withColumn("_is_batch", is_batch)
+    batch = docs.filter(F.col("_is_batch"))
+    corpus = docs.filter(~F.col("_is_batch"))
+
+    corpus_md5 = corpus.select(F.md5(F.col(text_col)).alias("text_md5")).distinct()
+    exact_ids = (
+        batch.select("doc_id", F.md5(F.col(text_col)).alias("text_md5"))
+        .join(corpus_md5, "text_md5", "left_semi")
+        .select("doc_id")
+    )
+
+    st_batch = banded_signatures(batch, n, bands, text_col)
+    st_corpus = banded_signatures(corpus, n, bands, text_col)
+    cand = (
+        st_batch.alias("b")
+        .join(
+            st_corpus.alias("c"),
+            (F.col("b.band") == F.col("c.band")) & (F.col("b.bucket") == F.col("c.bucket")),
+        )
+        .select(F.col("b.doc_id").alias("b_id"), F.col("c.doc_id").alias("c_id"))
+        .distinct()
+    )
+    arrs = docs.select("doc_id", word_ngrams(F.col(text_col), n).alias("sh_arr"))
+    b_arr = arrs.select(F.col("doc_id").alias("b_id"), F.col("sh_arr").alias("sb"))
+    c_arr = arrs.select(F.col("doc_id").alias("c_id"), F.col("sh_arr").alias("sc"))
+    common = F.size(F.array_intersect("sb", "sc"))
+    jac = common.cast("double") / (F.size("sb") + F.size("sc") - common)
+    near_ids = (
+        cand.join(b_arr, "b_id")
+        .join(c_arr, "c_id")
+        .filter(F.round(jac, 6) >= threshold)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+
+    return (
+        batch.select("doc_id")
+        .join(exact_ids.withColumn("_e", F.lit(1)), "doc_id", "left")
+        .join(near_ids.withColumn("_n", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_e") == 1, F.lit("exact_dup"))
+            .when(F.col("_n") == 1, F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
     )
 
 

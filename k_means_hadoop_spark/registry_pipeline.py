@@ -114,6 +114,21 @@ def q_ngram_jaccard_capped(spark, sf_dir):
     )
 
 
+INCR_BATCH_MOD = 10  # doc_id % 10 == 7 → the "incoming batch" slice
+INCR_BATCH_REM = 7
+
+
+def q_incremental_dedup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return dedup.incremental_dedup(
+        _docs(spark, sf_dir),
+        F.col("doc_id") % INCR_BATCH_MOD == INCR_BATCH_REM,
+        n=NGRAM_N,
+        threshold=NGRAM_THRESHOLD,
+    )
+
+
 def q_minhash_candidates(spark, sf_dir):
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir), n=NGRAM_N)
 
@@ -1059,6 +1074,34 @@ FROM cand c JOIN arrs a ON c.a_id = a.doc_id JOIN arrs b ON c.b_id = b.doc_id
 WHERE round({jac}, 6) >= {threshold}"""
 
 
+def _incremental_sql(n: int, threshold: float, mod: int, rem: int) -> str:
+    """Mirror of dedup.incremental_dedup: per-doc signatures are identical
+    whether computed over the union or per side, so the oracle reuses the
+    shared minhash CTE chain and restricts the candidate join by side."""
+    jac = (
+        "len(list_intersect(a.sh_arr, b2.sh_arr))::DOUBLE / "
+        "(len(a.sh_arr) + len(b2.sh_arr) - len(list_intersect(a.sh_arr, b2.sh_arr)))"
+    )
+    return f"""
+WITH {_minhash_ctes(n)},
+b_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % {mod} = {rem}),
+c_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % {mod} != {rem}),
+exact AS (SELECT DISTINCT b.doc_id FROM b_docs b JOIN c_docs c ON md5(b.text) = md5(c.text)),
+cand AS (SELECT DISTINCT a.doc_id AS b_id, b.doc_id AS c_id
+         FROM stacked a JOIN stacked b ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.doc_id % {mod} = {rem} AND b.doc_id % {mod} != {rem}),
+arrs AS (SELECT doc_id, {word_ngrams_sql('text', n)} AS sh_arr FROM documents),
+near AS (SELECT DISTINCT c.b_id AS doc_id
+         FROM cand c JOIN arrs a ON c.b_id = a.doc_id JOIN arrs b2 ON c.c_id = b2.doc_id
+         WHERE round({jac}, 6) >= {threshold})
+SELECT d.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS status
+FROM b_docs d LEFT JOIN exact e ON d.doc_id = e.doc_id
+              LEFT JOIN near nr ON d.doc_id = nr.doc_id"""
+
+
 def _ngram_jaccard_capped_sql(n: int, threshold: float, max_df: int) -> str:
     """Mirrors the capped Spark pipeline exactly: the join side drops
     shingles with document frequency > max_df, the per-doc union
@@ -1209,6 +1252,9 @@ PIPELINE_ORACLES: dict[str, str] = {
         "count(*)::BIGINT AS n_copies FROM documents GROUP BY md5(text)"
     ),
     "dedup_ngram_jaccard": _ngram_jaccard_sql(NGRAM_N, NGRAM_THRESHOLD),
+    "dedup_incremental": _incremental_sql(
+        NGRAM_N, NGRAM_THRESHOLD, INCR_BATCH_MOD, INCR_BATCH_REM
+    ),
     "dedup_minhash_lsh": _minhash_sql(NGRAM_N),
     "dedup_minhash_verified": _minhash_verified_sql(NGRAM_N, NGRAM_THRESHOLD),
     "tfidf_top_terms": _tfidf_sql(TFIDF_TOP_K),
@@ -1278,6 +1324,7 @@ PIPELINE_QUERIES = {
     "dedup_ngram_jaccard_capped": q_ngram_jaccard_capped,
     "dedup_simhash_banded": q_simhash_banded,
     "dedup_embedding_bucketed": q_embedding_bucketed,
+    "dedup_incremental": q_incremental_dedup,
     "dedup_minhash_lsh": q_minhash_candidates,
     "dedup_minhash_verified": q_minhash_verified,
     "tfidf_top_terms": q_tfidf_top_terms,

@@ -546,6 +546,16 @@ def test_embedding_bucketed_no_cartesian(plans):
     assert n_nodes(p, "BroadcastNestedLoopJoin") == 0
 
 
+def test_incremental_dedup_no_cartesian(plans):
+    """Incremental batch-vs-corpus dedup: the exact tier is a semi-join
+    on md5 keys, candidates come from the batch-vs-corpus (band, bucket)
+    equi-join, and verification joins candidates back on doc_id — no
+    all-pairs operator anywhere, and in particular no corpus self-join."""
+    p = plans("dedup_incremental")
+    assert n_nodes(p, "CartesianProduct") == 0
+    assert n_nodes(p, "BroadcastNestedLoopJoin") == 0
+
+
 def test_semantic_cells_no_cartesian(plans):
     """SemDeDup cells: the assignment is a literal fold (no join) and the
     pair search an equi-join on cell — no all-pairs operator anywhere."""
