@@ -640,6 +640,69 @@ SELECT {_split_sql('doc_id')} AS split, count(*)::BIGINT AS n_docs,
 FROM kept GROUP BY 1"""
 
 
+# ------------------------------------------- model-based quality filter
+
+_QC_LABEL_MOD = 5  # doc_id % 5 == 0 → the "annotated" training slice
+_QC_SEED = 42
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, p_keep, keep) — model-based quality filtering, the stage
+    after heuristic gates in every production pretraining pipeline
+    (fastText/logistic classifiers scoring web text against a curated
+    seed set).
+
+    Shape: a LABELED SLICE (here doc_id % 5 == 0, standing in for a
+    human/LLM-annotated seed set; labels distilled from the heuristic
+    quality gate) trains an MLlib logistic regression over the per-doc
+    quality features; the fitted coefficients — a handful of doubles —
+    then score the ENTIRE corpus as a closed-form sigmoid expression in
+    native columns.  At 100 TB: training reads only the bounded labeled
+    sample, and scoring is one embarrassingly-parallel map pass with the
+    model folded into the plan as literals (no MLlib transform, no UDF,
+    no shuffle).
+
+    Rows-only driver check: LBFGS training is iterative and
+    engine-internal; determinism and heuristic-agreement are pinned in
+    tests/test_relational_ext.py."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    from k_means_hadoop_spark.operators import text
+
+    feats = text.quality_scores(_docs(spark, sf_dir))
+    x = F.array(
+        F.log(F.col("n_tokens").cast("double") + 1.0),
+        F.col("avg_token_len"),
+        F.col("punct_ratio"),
+        F.col("stop_ratio"),
+        F.col("digit_ratio"),
+    )
+    featured = feats.select(
+        "doc_id", x.alias("x"), (F.col("quality") >= 0.5).cast("double").alias("label")
+    )
+    train = featured.filter(F.col("doc_id") % _QC_LABEL_MOD == 0).select(
+        array_to_vector("x").alias("features"), "label"
+    )
+    lr = LogisticRegression(
+        maxIter=50, regParam=0.01, standardization=True, tol=1e-8
+    )
+    model = lr.fit(train)
+    coefs = [float(c) for c in model.coefficients]
+    intercept = float(model.intercept)
+    # Closed-form scoring: fold the fitted model into the plan as
+    # literals — whole-stage-codegen arithmetic, zero Python in the pass.
+    z = F.lit(intercept)
+    for i, c in enumerate(coefs):
+        z = z + F.lit(c) * F.col("x")[i]
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return featured.select(
+        "doc_id",
+        F.round(p, 4).alias("p_keep"),
+        (p >= 0.5).cast("int").alias("keep"),
+    )
+
+
 CURATION_QUERIES = {
     "split_train_val": (split_train_val, SPLIT_SQL),
     "quota_per_source": (quota_per_source, QUOTA_SQL),
@@ -660,4 +723,5 @@ CURATION_QUERIES = {
 # oracle is definable; determinism + rate accuracy pinned in tests.
 CURATION_ROWS_ONLY = {
     "stratified_sample_langs": stratified_sample_langs,
+    "quality_classifier": quality_classifier,
 }

@@ -417,3 +417,23 @@ def test_hll_sketch_merge_accuracy(spark, sf_dir):
     }
     for day, n in exact_daily.items():
         assert abs(got[day] - n) <= max(2, 0.05 * n), (day, got[day], n)
+
+
+def test_quality_classifier_distills_heuristic(spark, sf_dir):
+    """The model-based quality filter must (a) reproduce itself exactly
+    across runs (training is deterministic: fixed slice, LBFGS, no RNG
+    stream) and (b) agree with the heuristic gate it distills on the
+    held-out (unlabeled) slice well above chance."""
+    from k_means_hadoop_spark.operators.curation import _QC_LABEL_MOD, quality_classifier
+    from k_means_hadoop_spark.operators.text import quality_scores
+
+    out1 = {r["doc_id"]: (r["p_keep"], r["keep"]) for r in quality_classifier(spark, sf_dir).collect()}
+    out2 = {r["doc_id"]: (r["p_keep"], r["keep"]) for r in quality_classifier(spark, sf_dir).collect()}
+    assert out1 == out2
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    heur = {r["doc_id"]: int(r["quality"] >= 0.5) for r in quality_scores(docs).collect()}
+    held = [d for d in heur if d % _QC_LABEL_MOD != 0]
+    assert held
+    agree = sum(out1[d][1] == heur[d] for d in held) / len(held)
+    assert agree >= 0.8, f"classifier/heuristic agreement {agree:.2f} on held-out slice"
