@@ -237,6 +237,93 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.assignments.select("id", "label", "cluster", F.round("dist", 6).alias("dist"))
 
 
+def _tmpdir(tag: str) -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=f"kmh_{tag}_")
+
+
+def q_s1_points_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2/S4 driver proof: render the points table to the reference's
+    TSV wire format (id \\t label \\t f1..fd, KMeans.java:79-96) WITH a
+    trailing CR on every line (cho.txt's CRLF, KMeans.java:80), write it
+    as text, re-read through read_points_tsv (line scan + CRLF-tolerant
+    parse + path glob), and report each point — a hash-match against the
+    parquet-side oracle proves the writer/parser pair is lossless
+    (Double.toString round-trips doubles exactly)."""
+    from k_means_hadoop_spark.sources.points import read_points_tsv
+
+    pts = _points(spark, sf_dir)
+    line = F.concat(
+        F.concat_ws("\t", F.col("id"), F.col("label"), F.array_join("features", "\t")),
+        F.lit("\r"),
+    )
+    path = _tmpdir("s1_tsv")
+    pts.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = read_points_tsv(spark, path)
+    return back.select(
+        "id",
+        "label",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.size("features").alias("dim"),
+    )
+
+
+def q_s3_centroid_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S5/S7/F2 driver proof: build the full centroid state (seed
+    vectors + pipe-joined sorted member ids + negated size,
+    KMeans.java:516-526), write it through write_centroid_file, re-read
+    through read_centroid_file (tab split, first-pipe-token break,
+    negated-size decode), and report per-cluster state — hash-matched
+    against an oracle that recomputes the same state straight from the
+    parquet tables and never sees the wire file."""
+    from k_means_hadoop_spark.sources.centroid_io import (
+        read_centroid_file,
+        write_centroid_file,
+    )
+
+    pts = _points(spark, sf_dir)
+    cents = _seed_centroids_df(pts)
+    mem = (
+        _assigned_expr(spark, sf_dir)
+        .groupBy("cluster")
+        .agg(
+            F.sort_array(F.collect_list("id")).alias("member_ids"),
+            F.count(F.lit(1)).alias("size"),
+        )
+    )
+    path = _tmpdir("s3_wire")
+    write_centroid_file(cents.join(mem, "cluster"), path)
+    back = read_centroid_file(spark, path)
+    return back.select(
+        "cluster",
+        F.round(F.element_at("centroid", 1), 6).alias("c0"),
+        F.array_join(F.transform("member_ids", lambda x: x.cast("string")), "|").alias(
+            "members"
+        ),
+        F.col("size").alias("n_members"),
+    )
+
+
+def q_s6_final_output_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 driver proof: write the final assignment table through the
+    reference's finalOutput.txt sink (id \\t cluster \\t f1..fd,
+    KMeans.java:353-357), re-read and re-parse the text, and report each
+    row — hash-matched against the assignment oracle computed without
+    the file."""
+    from k_means_hadoop_spark.sources.sinks import write_final_output
+
+    path = _tmpdir("s6_final")
+    write_final_output(_assigned_expr(spark, sf_dir), path)
+    toks = F.split(F.col("value"), "\t")
+    return spark.read.text(path).select(
+        F.element_at(toks, 1).cast("int").alias("id"),
+        F.element_at(toks, 2).cast("int").alias("cluster"),
+        F.round(F.element_at(toks, 3).cast("double"), 6).alias("f0"),
+        (F.size(toks) - 2).alias("dim"),
+    )
+
+
 # --------------------------------------------------------------- oracle SQL
 
 _PTS = (
@@ -311,6 +398,24 @@ ORACLES: dict[str, str] = {
         "round(both1::DOUBLE / (ground1 + pred1 - both1)::DOUBLE, 6) AS jaccard "
         "FROM g, p, b"
     ),
+    "s1_points_tsv_roundtrip": (
+        f"WITH pts AS ({_PTS}) SELECT id, label, round(features[1], 6) AS f0, "
+        "len(features)::INTEGER AS dim FROM pts"
+    ),
+    "s3_centroid_wire_roundtrip": (
+        f"{_WITH_ASSIGN} "
+        "SELECT c.cluster, round(c.centroid[1], 6) AS c0, "
+        "string_agg(a.id::VARCHAR, '|' ORDER BY a.id) AS members, "
+        "count(*)::BIGINT AS n_members "
+        "FROM cents c JOIN asg a ON a.cluster = c.cluster "
+        "GROUP BY c.cluster, c.centroid[1]"
+    ),
+    "s6_final_output_roundtrip": (
+        f"{_WITH_ASSIGN} "
+        "SELECT a.id, a.cluster, round(p.features[1], 6) AS f0, "
+        "len(p.features)::INTEGER AS dim "
+        "FROM asg a JOIN pts p ON a.id = p.id"
+    ),
     "c1_one_iteration": (
         f"WITH pts AS ({_PTS}), cents AS ({_CENTS}), asg AS ({_ASSIGN}), "
         "j AS (SELECT a.cluster, p.features FROM asg a JOIN pts p ON a.id = p.id), "
@@ -356,6 +461,9 @@ QUERIES: dict[str, QueryFn] = {
     "a7_jaccard": q_a7_jaccard,
     "j3_comembership": q_j3_comembership,
     "c1_one_iteration": q_c1_one_iteration,
+    "s1_points_tsv_roundtrip": q_s1_points_tsv_roundtrip,
+    "s3_centroid_wire_roundtrip": q_s3_centroid_wire_roundtrip,
+    "s6_final_output_roundtrip": q_s6_final_output_roundtrip,
     "kmeans_lloyd": q_kmeans_lloyd,  # rows-only: full iterative loop (C1-C5)
     "i1_init_random": q_i1_init_random,  # rows-only: no portable xxhash64 oracle
     "kmeans_mllib": q_kmeans_mllib,  # rows-only: I3 scale path, MLlib-internal init
