@@ -153,38 +153,18 @@ def banded_signatures(
 def minhash_lsh_candidates(
     docs: DataFrame, n: int = 3, bands: int = LSH_BANDS, text_col: str = "text"
 ) -> DataFrame:
-    """(a_id, b_id) distinct candidate pairs sharing ≥1 LSH band bucket.
-
-    Shape: groupBy (band, bucket) + in-bucket pair expansion, NOT a
-    self-join of the signature table — a self-join re-evaluates the
-    whole shingle→hash→16-min-aggregate subtree once per side (Spark
-    reuses exchanges only when both sides' plans stay byte-identical,
-    which AQE broadcast conversion breaks), doubling the dominant cost.
-    Here signatures are computed once, shuffled once on (band, bucket),
-    and each bucket's ordered pairs are expanded row-locally from the
-    sorted id array.  Pair fan-out per bucket is the same B²/2 either
-    way; at 100 TB a bucket-size cap (drop buckets larger than ~10³,
-    which are near-certain boilerplate) bounds both the array width and
-    the fan-out."""
+    """(a_id, b_id) distinct candidate pairs sharing ≥1 LSH band bucket."""
     stacked = banded_signatures(docs, n, bands, text_col)
-    buckets = (
-        stacked.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    ids = F.col("ids")
-    pairs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("a_id"), y.alias("b_id")),
-            ),
-        )
-    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
 
