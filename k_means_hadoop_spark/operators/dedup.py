@@ -153,7 +153,15 @@ def banded_signatures(
 def minhash_lsh_candidates(
     docs: DataFrame, n: int = 3, bands: int = LSH_BANDS, text_col: str = "text"
 ) -> DataFrame:
-    """(a_id, b_id) distinct candidate pairs sharing ≥1 LSH band bucket."""
+    """(a_id, b_id) distinct candidate pairs sharing ≥1 LSH band bucket.
+
+    Kept as a (band, bucket) equi-self-join ON PURPOSE: the measured
+    alternative — groupBy bucket + collect_list + row-local pair
+    expansion with higher-order functions — was 15-100% SLOWER at sf0.1
+    (array allocation beats the JVM join probe only for near-empty
+    buckets) and is strictly worse at scale, where a hot bucket becomes
+    one unsplittable array row (executor OOM) while the join form gets
+    AQE skew-splitting and shuffle-stage reuse for the identical sides."""
     stacked = banded_signatures(docs, n, bands, text_col)
     a = stacked.alias("a")
     b = stacked.alias("b")
