@@ -74,6 +74,11 @@ HEADLINE = [
     "dedup_semantic_cells",
     "text_unigram_logprob",
     "shuffle_shards",
+    # round 2b: incremental ingestion dedup (batch-vs-corpus LSH) and the
+    # model-based quality filter (train on labeled slice, closed-form
+    # sigmoid scoring pass over the corpus)
+    "dedup_incremental",
+    "quality_classifier",
 ]
 
 
