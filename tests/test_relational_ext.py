@@ -437,3 +437,24 @@ def test_quality_classifier_distills_heuristic(spark, sf_dir):
     assert held
     agree = sum(out1[d][1] == heur[d] for d in held) / len(held)
     assert agree >= 0.8, f"classifier/heuristic agreement {agree:.2f} on held-out slice"
+
+
+def test_incremental_dedup_planted_statuses(spark):
+    """Planted-duplicate semantics: a batch doc byte-identical to a
+    corpus doc is 'exact_dup' (identical text ⇒ identical signature, so
+    the LSH tier would also catch it — exact wins by precedence), a
+    batch doc sharing no shingles with any corpus doc is 'new', and the
+    batch comes back exactly once per doc."""
+    from k_means_hadoop_spark.operators.dedup import incremental_dedup
+
+    corpus = [(i, f"common word stream number {i} alpha beta gamma delta epsilon") for i in range(1, 9)]
+    batch = [
+        (101, corpus[2][1]),                      # exact copy of doc 3
+        (102, "entirely unrelated zq xv wk jy pm"),  # shares nothing
+    ]
+    docs = spark.createDataFrame(corpus + batch, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["status"]
+        for r in incremental_dedup(docs, F.col("doc_id") > 100).collect()
+    }
+    assert out == {101: "exact_dup", 102: "new"}
