@@ -898,6 +898,50 @@ def q_dedup_components(spark, sf_dir):
     return dedup.duplicate_components(pairs)
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """The dedup pipeline's ACTUAL output: one canonical survivor per
+    duplicate component (highest quality score, ties to the lowest
+    doc_id), every other member marked dropped; docs outside any
+    component are their own singleton survivors.  Composes candidate
+    pairs → connected components → quality join → one per-component
+    window — the only data-sized shuffles are the CC rounds and the
+    single window over comp_id."""
+    from pyspark.sql import Window
+
+    from k_means_hadoop_spark.operators import text
+
+    docs = _docs(spark, sf_dir)
+    comps = dedup.duplicate_components(
+        dedup.minhash_lsh_candidates(docs, n=NGRAM_N)
+    )
+    q = text.quality_scores(docs).select("doc_id", "quality")
+    full = (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .withColumn("comp_id", F.coalesce("comp_id", F.col("doc_id")))
+        .join(q, "doc_id")
+    )
+    w = Window.partitionBy("comp_id").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return full.select(
+        "doc_id",
+        "comp_id",
+        (F.row_number().over(w) == 1).cast("int").alias("is_survivor"),
+    )
+
+
+def _survivors_sql() -> str:
+    return f"""
+WITH comps AS (SELECT * FROM ({_components_sql()}) c),
+q AS (SELECT doc_id, quality FROM ({_quality_sql()}) t),
+allrows AS (SELECT d.doc_id, coalesce(c.comp_id, d.doc_id) AS comp_id, q.quality
+         FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id
+                          JOIN q ON d.doc_id = q.doc_id)
+SELECT doc_id, comp_id::BIGINT AS comp_id,
+       (row_number() OVER (PARTITION BY comp_id
+                           ORDER BY quality DESC, doc_id) = 1)::INTEGER AS is_survivor
+FROM allrows"""
+
+
 def _components_sql() -> str:
     """Transitive closure of the minhash pair list as a recursive CTE —
     exact on the sf0.01 pair count; the Spark side scales instead via
@@ -1305,6 +1349,7 @@ SELECT qid, nid, round(sim, 6) AS cos_sim, rank FROM ranked WHERE rank <= 5""",
     "streaming_session_windows": SESSION_WINDOW_SQL,
     "unpivot_quality_metrics": _unpivot_quality_sql(),
     "dedup_components": _components_sql(),
+    "dedup_survivors": _survivors_sql(),
 }
 
 PIPELINE_QUERIES = {
@@ -1355,6 +1400,7 @@ PIPELINE_QUERIES = {
     "streaming_session_windows": q_streaming_session_windows,
     "unpivot_quality_metrics": q_unpivot_quality,
     "dedup_components": q_dedup_components,
+    "dedup_survivors": q_dedup_survivors,
     "pca_project": q_pca_project,  # rows-only: eigenvector sign is impl-defined
 }
 
