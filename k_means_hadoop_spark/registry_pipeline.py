@@ -129,6 +129,60 @@ def q_incremental_dedup(spark, sf_dir):
     )
 
 
+def q_ingest_increment(spark, sf_dir):
+    """The daily-increment admission pipeline END TO END: for every
+    incoming-batch document, one verdict — 'duplicate' (exact or
+    LSH-verified near-dup of the corpus), 'contaminated' (shares a
+    benchmark 5-gram, or is itself benchmark material), 'low_quality'
+    (heuristic gate), or 'admit'.  This is what actually runs when a
+    crawl drop lands at 100 TB: the corpus is only ever probed
+    (signatures + bench shingles would be persisted tables), the batch
+    is the only fully-materialized side, and every stage is the
+    already-verified operator composed into ONE declarative plan."""
+    from k_means_hadoop_spark.operators import curation, text as text_ops
+
+    docs = _docs(spark, sf_dir)
+    inc = dedup.incremental_dedup(
+        docs,
+        F.col("doc_id") % INCR_BATCH_MOD == INCR_BATCH_REM,
+        n=NGRAM_N,
+        threshold=NGRAM_THRESHOLD,
+    )
+    q = text_ops.quality_scores(docs).select("doc_id", "quality")
+    cont = curation.decontaminate_corpus(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("_c")
+    )
+    bench_member = F.col("doc_id") % curation._BENCH_MOD == 0
+    return (
+        inc.join(q, "doc_id")
+        .join(cont, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("status") != "new", F.lit("duplicate"))
+            .when((F.col("_c") == 1) | bench_member, F.lit("contaminated"))
+            .when(F.col("quality") < 0.5, F.lit("low_quality"))
+            .otherwise(F.lit("admit"))
+            .alias("decision"),
+        )
+    )
+
+
+def _ingest_increment_sql() -> str:
+    from k_means_hadoop_spark.operators.curation import _BENCH_MOD, _decontam_sql
+
+    return f"""
+WITH inc AS ({_incremental_sql(NGRAM_N, NGRAM_THRESHOLD, INCR_BATCH_MOD, INCR_BATCH_REM)}),
+qual AS (SELECT doc_id, quality FROM ({_quality_sql()}) t),
+cont AS ({_decontam_sql()})
+SELECT i.doc_id,
+       CASE WHEN i.status != 'new' THEN 'duplicate'
+            WHEN c.doc_id IS NOT NULL OR i.doc_id % {_BENCH_MOD} = 0 THEN 'contaminated'
+            WHEN q.quality < 0.5 THEN 'low_quality'
+            ELSE 'admit' END AS decision
+FROM inc i JOIN qual q ON i.doc_id = q.doc_id
+           LEFT JOIN cont c ON i.doc_id = c.doc_id"""
+
+
 def q_minhash_candidates(spark, sf_dir):
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir), n=NGRAM_N)
 
@@ -1299,6 +1353,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_incremental": _incremental_sql(
         NGRAM_N, NGRAM_THRESHOLD, INCR_BATCH_MOD, INCR_BATCH_REM
     ),
+    "ingest_increment": _ingest_increment_sql(),
     "dedup_minhash_lsh": _minhash_sql(NGRAM_N),
     "dedup_minhash_verified": _minhash_verified_sql(NGRAM_N, NGRAM_THRESHOLD),
     "tfidf_top_terms": _tfidf_sql(TFIDF_TOP_K),
@@ -1370,6 +1425,7 @@ PIPELINE_QUERIES = {
     "dedup_simhash_banded": q_simhash_banded,
     "dedup_embedding_bucketed": q_embedding_bucketed,
     "dedup_incremental": q_incremental_dedup,
+    "ingest_increment": q_ingest_increment,
     "dedup_minhash_lsh": q_minhash_candidates,
     "dedup_minhash_verified": q_minhash_verified,
     "tfidf_top_terms": q_tfidf_top_terms,
