@@ -79,6 +79,7 @@ HEADLINE = [
     # sigmoid scoring pass over the corpus)
     "dedup_incremental",
     "quality_classifier",
+    "ingest_increment",
 ]
 
 

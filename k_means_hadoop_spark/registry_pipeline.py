@@ -183,6 +183,44 @@ FROM inc i JOIN qual q ON i.doc_id = q.doc_id
            LEFT JOIN cont c ON i.doc_id = c.doc_id"""
 
 
+def q_streaming_ingest_dedup(spark, sf_dir):
+    """Streaming dedup-on-arrival driven to completion: the incoming-
+    batch slice of documents arrives as a stream, each micro-batch is
+    classified against the persisted corpus inside foreachBatch, and the
+    appended decisions are read back — an availableNow drain is exactly
+    one batch, so the result hash-matches the batch incremental-dedup
+    oracle (the driver checks the streaming state loop, not just its
+    plumbing)."""
+    import os
+    import tempfile
+
+    from k_means_hadoop_spark.streaming.relational import streaming_ingest_dedup
+
+    path = f"{sf_dir}/documents.parquet"
+    # file stream sources monitor directories — stage the fixture file
+    # as a symlink (same pattern as stream_kmeans.read_event_stream)
+    staging = tempfile.mkdtemp(prefix="docs_stream_")
+    os.symlink(path, os.path.join(staging, "documents.parquet"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .parquet(staging)
+        .filter(F.col("doc_id") % INCR_BATCH_MOD == INCR_BATCH_REM)
+    )
+    out = tempfile.mkdtemp(prefix="ingest_out_")
+    q = streaming_ingest_dedup(
+        stream,
+        path,
+        out,
+        tempfile.mkdtemp(prefix="ingest_ckpt_"),
+        INCR_BATCH_MOD,
+        INCR_BATCH_REM,
+        n=NGRAM_N,
+        threshold=NGRAM_THRESHOLD,
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)
+
+
 def q_minhash_candidates(spark, sf_dir):
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir), n=NGRAM_N)
 
@@ -1354,6 +1392,11 @@ PIPELINE_ORACLES: dict[str, str] = {
         NGRAM_N, NGRAM_THRESHOLD, INCR_BATCH_MOD, INCR_BATCH_REM
     ),
     "ingest_increment": _ingest_increment_sql(),
+    # Same oracle as dedup_incremental on purpose: an availableNow drain
+    # is one batch, whose appended statuses equal the batch operator's.
+    "streaming_ingest_dedup": _incremental_sql(
+        NGRAM_N, NGRAM_THRESHOLD, INCR_BATCH_MOD, INCR_BATCH_REM
+    ),
     "dedup_minhash_lsh": _minhash_sql(NGRAM_N),
     "dedup_minhash_verified": _minhash_verified_sql(NGRAM_N, NGRAM_THRESHOLD),
     "tfidf_top_terms": _tfidf_sql(TFIDF_TOP_K),
@@ -1426,6 +1469,7 @@ PIPELINE_QUERIES = {
     "dedup_embedding_bucketed": q_embedding_bucketed,
     "dedup_incremental": q_incremental_dedup,
     "ingest_increment": q_ingest_increment,
+    "streaming_ingest_dedup": q_streaming_ingest_dedup,
     "dedup_minhash_lsh": q_minhash_candidates,
     "dedup_minhash_verified": q_minhash_verified,
     "tfidf_top_terms": q_tfidf_top_terms,

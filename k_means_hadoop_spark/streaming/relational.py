@@ -154,3 +154,47 @@ def streaming_upsert_snapshot(spark, events_stream: DataFrame, out_path: str, ck
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_ingest_dedup(
+    docs_stream: DataFrame,
+    corpus_path: str,
+    out_path: str,
+    ckpt_path: str,
+    batch_mod: int,
+    batch_rem: int,
+    n: int = 3,
+    threshold: float = 0.7,
+):
+    """Dedup-on-arrival: every micro-batch of incoming documents is
+    classified against the persisted corpus — exact md5 semi-join,
+    banded-LSH candidates (batch-vs-corpus only), exact-Jaccard verify —
+    and the per-document admission statuses are appended to ``out_path``.
+
+    This is the streaming face of ``operators.dedup.incremental_dedup``:
+    the corpus is re-read per micro-batch (at scale its signatures are a
+    persisted table; here the read stands in for that), the batch never
+    self-joins, and replaying a batch appends the same deterministic
+    statuses.  Drained with ``availableNow`` the single-batch result has
+    a closed form, so the whole streaming loop is oracle-checkable."""
+    from k_means_hadoop_spark.operators.dedup import incremental_dedup
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        spark_b = batch.sparkSession
+        corpus = (
+            spark_b.read.parquet(corpus_path)
+            .filter(F.col("doc_id") % batch_mod != batch_rem)
+            .select("doc_id", "text")
+        )
+        docs = corpus.unionByName(batch.select("doc_id", "text"))
+        out = incremental_dedup(
+            docs, F.col("doc_id") % batch_mod == batch_rem, n=n, threshold=threshold
+        )
+        out.write.mode("append").parquet(out_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt_path)
+        .trigger(availableNow=True)
+        .start()
+    )
