@@ -549,11 +549,21 @@ def _driver_verified_names() -> frozenset[str]:
 _missing = [n for n in _ROUND2_WINDOW if n not in QUERIES]
 assert not _missing, f"window names absent from registry: {_missing}"
 
+# Within the unverified remainder, rows-only sketch/MLlib tiers go LAST:
+# their driver row is the weaker rows-only check, so when a round's
+# 50-entry window can't fit everything, the slots go to oracle-backed
+# queries first.
+_DEPRIORITIZED = [
+    "approx_top_terms", "knn_mllib_lsh", "neardup_mllib_minhash",
+    "approx_distinct_parts", "approx_percentile_values",
+]
+
 _verified = _driver_verified_names()
 _front = [n for n in _ROUND2_WINDOW if n not in _verified]
 _rest = [
     n for n in QUERIES
-    if n not in _ROUND2_WINDOW and n not in _verified
+    if n not in _ROUND2_WINDOW and n not in _verified and n not in _DEPRIORITIZED
 ]
+_rest += [n for n in _DEPRIORITIZED if n in QUERIES and n not in _verified]
 _back = [n for n in QUERIES if n in _verified]
 QUERIES = {n: QUERIES[n] for n in (*_front, *_rest, *_back)}
