@@ -343,3 +343,144 @@ def knn_mllib_lsh(
         out = out.unionAll(p)
     w = Window.partitionBy("qid").orderBy(SF.col("eucl_dist").asc(), SF.col("nid").asc())
     return out.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def knn_pq(
+    embeddings: DataFrame,
+    query_ids: Sequence[int],
+    codebook_ids: Sequence[int],
+    k: int = 5,
+    m: int = 4,
+) -> DataFrame:
+    """(qid, nid, approx_dist, rank) — product-quantization ANN
+    (asymmetric distance computation), the compressed-domain tier of the
+    similarity family: vectors are encoded as ``m`` per-subspace
+    codeword ids, and query-to-vector distance is approximated as the
+    sum of per-subspace query→codeword distances looked up from a tiny
+    table — the corpus is scanned in code space (m small ints per
+    vector), never in float space.
+
+    At 100 TB this is the IVF+PQ layout every vector store runs: codes
+    are ~32× smaller than raw floats, the distance tables (m × |codebook|
+    doubles per query) are computed once driver-side and folded into the
+    plan as literals, and scoring is one codegen'd map over the encoded
+    corpus + a per-query top-k window.  Codebooks here are fixed seed
+    rows (renumbered 1..K in id order) rather than per-subspace k-means —
+    that keeps encode (a per-subspace argmin literal fold, the
+    assign_expr pattern) and ADC scoring closed-form, so the ENTIRE
+    operator is SQL-mirrorable and driver hash-checked; swap in
+    lloyd_kmeans-per-subspace on a sample for production recall (the
+    plan shape is unchanged).  Ranks use the 6-dp-rounded distance
+    (ties → lowest nid) so ordering is cross-engine stable."""
+    vecs = _vectors(embeddings)
+    cb_rows = sorted(
+        (r["vid"], list(r["vec"]))
+        for r in vecs.filter(F.col("vid").isin(list(codebook_ids))).collect()
+    )
+    q_rows = sorted(
+        (r["vid"], list(r["vec"]))
+        for r in vecs.filter(F.col("vid").isin(list(query_ids))).collect()
+    )
+    d = len(cb_rows[0][1])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    # codebook[j] = [(c, subvector)] for subspace j, c renumbered 1..K
+    codebook = [
+        [(ci + 1, vec[j * sub : (j + 1) * sub]) for ci, (_vid, vec) in enumerate(cb_rows)]
+        for j in range(m)
+    ]
+
+    def sq_dist(vec_col, lo: int, codeword: list[float]):
+        # explicit diff*diff (never pow): bit-identical across Spark,
+        # the driver-side Python tables, and the SQL mirror
+        acc = None
+        for i, w in enumerate(codeword):
+            diff = F.element_at(vec_col, lo + i + 1) - F.lit(w)
+            t = diff * diff
+            acc = t if acc is None else acc + t
+        return acc
+
+    enc = vecs
+    for j in range(m):
+        entries = [
+            F.struct(sq_dist(F.col("vec"), j * sub, cw).alias("d"), F.lit(c).alias("c"))
+            for c, cw in codebook[j]
+        ]
+        enc = enc.withColumn(f"code{j}", F.array_min(F.array(*entries))["c"])
+
+    # per-query ADC tables, computed driver-side (pure IEEE doubles, same
+    # left-assoc order as the SQL mirror) and folded in as literals
+    def py_sq(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    q_structs = []
+    for qid, qvec in q_rows:
+        tabs = [
+            F.array(*[
+                F.lit(py_sq(qvec[j * sub : (j + 1) * sub], cw)) for _c, cw in codebook[j]
+            ]).alias(f"t{j}")
+            for j in range(m)
+        ]
+        q_structs.append(F.struct(F.lit(qid).alias("qid"), *tabs))
+
+    scored = (
+        enc.select("vid", *[f"code{j}" for j in range(m)],
+                   F.explode(F.array(*q_structs)).alias("q"))
+        .filter(F.col("vid") != F.col("q")["qid"])
+    )
+    approx = None
+    for j in range(m):
+        term = F.element_at(F.col("q")[f"t{j}"], F.col(f"code{j}"))
+        approx = term if approx is None else approx + term
+    w = Window.partitionBy("qid").orderBy(F.col("approx_dist"), F.col("nid"))
+    return (
+        scored.select(
+            F.col("q")["qid"].alias("qid"),
+            F.col("vid").alias("nid"),
+            F.round(approx, 6).alias("approx_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_pq_rerank(
+    embeddings: DataFrame,
+    query_ids: Sequence[int],
+    codebook_ids: Sequence[int],
+    k: int = 5,
+    m: int = 8,
+    shortlist: int = 100,
+) -> DataFrame:
+    """(qid, nid, eucl_dist, rank) — the production PQ two-stage: ADC
+    over the compressed corpus prunes to a per-query ``shortlist``, then
+    EXACT euclidean distance re-ranks only those candidates to the final
+    top-k.  The corpus-sized pass stays in code space; the float-space
+    work is shortlist-sized.  Recall@k equals the probability the true
+    neighbors survive the ADC cut (pinned in tests); precision of the
+    kept ordering is exact by construction.  Fully SQL-mirrorable, like
+    knn_pq."""
+    from k_means_hadoop_spark.functions.vector import euclidean
+
+    cand = knn_pq(embeddings, query_ids, codebook_ids, k=shortlist, m=m).select(
+        "qid", "nid"
+    )
+    vecs = _vectors(embeddings)
+    qv = vecs.filter(F.col("vid").isin(list(query_ids))).select(
+        F.col("vid").alias("qid"), F.col("vec").alias("qvec")
+    )
+    nv = vecs.select(F.col("vid").alias("nid"), F.col("vec").alias("nvec"))
+    w = Window.partitionBy("qid").orderBy(F.col("eucl_dist"), F.col("nid"))
+    return (
+        cand.join(nv, "nid")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid", "nid", F.round(euclidean("qvec", "nvec"), 6).alias("eucl_dist")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -306,6 +306,103 @@ def q_knn_ivf(spark, sf_dir):
     return similarity.knn_ivf(_emb(spark, sf_dir), KNN_QUERY_IDS, k=5)
 
 
+# m=8 / 16 codewords measured best on the fixture (80% of the exact
+# top-5 survives a 100-deep ADC shortlist — pinned in tests)
+PQ_M = 8
+PQ_CODEBOOK_IDS = [3 + 13 * i for i in range(16)]
+PQ_DIM = 64
+PQ_SHORTLIST = 100
+
+
+def q_knn_pq(spark, sf_dir):
+    return similarity.knn_pq(
+        _emb(spark, sf_dir), KNN_QUERY_IDS, PQ_CODEBOOK_IDS, k=5, m=PQ_M
+    )
+
+
+def q_knn_pq_rerank(spark, sf_dir):
+    return similarity.knn_pq_rerank(
+        _emb(spark, sf_dir),
+        KNN_QUERY_IDS,
+        PQ_CODEBOOK_IDS,
+        k=5,
+        m=PQ_M,
+        shortlist=PQ_SHORTLIST,
+    )
+
+
+def _knn_pq_rerank_sql(k: int, m: int, dim: int, shortlist: int) -> str:
+    """Mirror of similarity.knn_pq_rerank: the PQ ADC shortlist as a
+    nested query, exact euclidean re-rank on the survivors."""
+    return f"""
+WITH v AS (SELECT vec_id::INTEGER AS vid, embedding::DOUBLE[] AS vec FROM embeddings),
+sel AS (SELECT qid, nid FROM ({_knn_pq_sql(shortlist, m, dim)}) s),
+ex AS (SELECT sel.qid, sel.nid,
+              round(list_distance(q.vec, nv.vec), 6) AS eucl_dist
+       FROM sel JOIN v q ON q.vid = sel.qid JOIN v nv ON nv.vid = sel.nid),
+ranked AS (SELECT qid, nid, eucl_dist,
+           CAST(row_number() OVER (PARTITION BY qid
+                                   ORDER BY eucl_dist, nid) AS INTEGER) AS rank
+           FROM ex)
+SELECT qid, nid, eucl_dist, rank FROM ranked WHERE rank <= {k}"""
+
+
+def _knn_pq_sql(k: int, m: int, dim: int) -> str:
+    """Mirror of similarity.knn_pq: per-subspace argmin encode, then ADC
+    sum of query→codeword subdistances; ranks on the 6-dp-rounded
+    distance so ordering is stable across engines."""
+    sub = dim // m
+    cb_ids = ", ".join(str(i) for i in PQ_CODEBOOK_IDS)
+
+    def dj(a: str, b: str, j: int) -> str:
+        return " + ".join(
+            f"({a}[{j * sub + i + 1}] - {b}[{j * sub + i + 1}])"
+            f" * ({a}[{j * sub + i + 1}] - {b}[{j * sub + i + 1}])"
+            for i in range(sub)
+        )
+
+    enc_ctes = ", ".join(
+        f"""e{j} AS (SELECT vid, c AS code{j} FROM (
+  SELECT v.vid, cb.c,
+         row_number() OVER (PARTITION BY v.vid ORDER BY {dj('v.vec', 'cb.vec', j)}, cb.c) AS rn
+  FROM v CROSS JOIN cb) t WHERE rn = 1)"""
+        for j in range(m)
+    )
+    qd_ctes = ", ".join(
+        f"""qd{j} AS (SELECT q.vid AS qid, cb.c, {dj('q.vec', 'cb.vec', j)} AS d
+  FROM v q CROSS JOIN cb WHERE q.vid IN ({_KNN_IDS_SQL}))"""
+        for j in range(m)
+    )
+    enc_joins = " ".join(f"JOIN e{j} USING (vid)" for j in range(1, m))
+    # The ADC lookup is ONE (j, code) equi-join over unpivoted codes and
+    # distance tables — never m separate qd joins, whose qid-only
+    # connectivity lets an optimizer cross-join the tiny qd tables first
+    # (|codebook|^m intermediate rows).  SUM's order-insensitivity is
+    # absorbed by the registry-wide round(·, 6) convention.
+    encl = " UNION ALL ".join(
+        f"SELECT vid, {j} AS j, code{j} AS c FROM enc" for j in range(m)
+    )
+    qd_all = " UNION ALL ".join(f"SELECT qid, {j} AS j, c, d FROM qd{j}" for j in range(m))
+    return f"""
+WITH v AS (SELECT vec_id::INTEGER AS vid, embedding::DOUBLE[] AS vec FROM embeddings),
+cb AS (SELECT CAST(row_number() OVER (ORDER BY vid) AS INTEGER) AS c, vec
+       FROM v WHERE vid IN ({cb_ids})),
+{enc_ctes},
+{qd_ctes},
+enc AS (SELECT * FROM e0 {enc_joins}),
+encl AS ({encl}),
+qd AS ({qd_all}),
+scored AS (SELECT qd.qid, encl.vid AS nid, round(sum(qd.d), 6) AS approx_dist
+           FROM encl JOIN qd ON qd.j = encl.j AND qd.c = encl.c
+           WHERE encl.vid != qd.qid
+           GROUP BY qd.qid, encl.vid),
+ranked AS (SELECT qid, nid, approx_dist,
+           CAST(row_number() OVER (PARTITION BY qid
+                                   ORDER BY approx_dist, nid) AS INTEGER) AS rank
+           FROM scored)
+SELECT qid, nid, approx_dist, rank FROM ranked WHERE rank <= {k}"""
+
+
 APPROX_TOP_K = 20
 
 
@@ -1380,6 +1477,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "text_unigram_logprob": _unigram_logprob_sql(),
     "dedup_semantic_cells": _semdedup_sql(SEMDEDUP_THRESHOLD),
     "knn_signbit_lsh": _knn_signbit_sql(5, KNN_SIGNBIT_BITS),
+    "knn_pq": _knn_pq_sql(5, PQ_M, PQ_DIM),
+    "knn_pq_rerank": _knn_pq_rerank_sql(5, PQ_M, PQ_DIM, PQ_SHORTLIST),
     "embedding_truncate_renorm": _truncate_renorm_sql(TRUNC_DIM),
     "streaming_upsert_snapshot": STREAMING_UPSERT_SQL,
     "streaming_kmeans_foreachbatch": _stream_kmeans_fb_sql(),
@@ -1477,6 +1576,8 @@ PIPELINE_QUERIES = {
     "dedup_embedding_cosine": q_embedding_neardup,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_signbit_lsh": q_knn_signbit,
+    "knn_pq": q_knn_pq,
+    "knn_pq_rerank": q_knn_pq_rerank,
     "knn_lsh": q_knn_lsh,  # rows-only: recall<1 approximate op
     "knn_ivf": q_knn_ivf,  # rows-only: depends on iterative k-means quantizer
     "approx_top_terms": q_approx_top_terms,  # rows-only: sketch boundary ties

@@ -458,3 +458,52 @@ def test_incremental_dedup_planted_statuses(spark):
         for r in incremental_dedup(docs, F.col("doc_id") > 100).collect()
     }
     assert out == {101: "exact_dup", 102: "new"}
+
+
+def test_pq_rerank_recall_ladder(spark, sf_dir):
+    """PQ two-stage accuracy: (a) the exact-rerank tier's kept set must
+    recover well above half the true euclidean top-5 (the ADC shortlist
+    is the only recall loss — measured 0.80 at the registry parameters),
+    and (b) rerank recall must be >= raw-ADC-top-5 recall (re-ranking a
+    deep shortlist can only help)."""
+    from k_means_hadoop_spark import registry_pipeline as rp
+    from k_means_hadoop_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = emb.select(
+        F.col("vec_id").cast("int").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    q = vecs.filter(F.col("vid").isin(rp.KNN_QUERY_IDS)).select(
+        F.col("vid").alias("qid"), F.col("vec").alias("qvec")
+    )
+    from pyspark.sql import Window
+
+    d = F.sqrt(
+        F.aggregate(
+            F.zip_with("qvec", "vec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d"), F.col("nid"))
+    exact = {
+        (r["qid"], r["nid"])
+        for r in (
+            vecs.crossJoin(F.broadcast(q))
+            .filter(F.col("vid") != F.col("qid"))
+            .select("qid", F.col("vid").alias("nid"), d.alias("d"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+        ).collect()
+    }
+
+    rerank = {
+        (r["qid"], r["nid"])
+        for r in rp.q_knn_pq_rerank(spark, sf_dir).collect()
+    }
+    adc = {(r["qid"], r["nid"]) for r in rp.q_knn_pq(spark, sf_dir).collect()}
+    recall_rerank = len(rerank & exact) / len(exact)
+    recall_adc = len(adc & exact) / len(exact)
+    assert recall_rerank >= 0.6, f"rerank recall {recall_rerank:.2f}"
+    assert recall_rerank >= recall_adc, (recall_rerank, recall_adc)
