@@ -80,6 +80,7 @@ HEADLINE = [
     "dedup_incremental",
     "quality_classifier",
     "ingest_increment",
+    "knn_pq_rerank",
 ]
 
 

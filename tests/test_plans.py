@@ -603,3 +603,15 @@ def test_shuffle_shards_single_exchange(plans):
     p = plans("shuffle_shards")
     assert n_nodes(p, "Exchange") == 1
     assert "SinglePartition" not in p
+
+
+def test_knn_pq_join_free(plans):
+    """PQ ADC is a pure map over one corpus scan: codebooks and per-query
+    distance tables are plan literals, encode is a per-subspace argmin
+    fold, scoring explodes the literal query array — NO join anywhere,
+    one parquet scan, and the only data-sized shuffle is the per-query
+    top-k window."""
+    p = plans("knn_pq")
+    assert n_nodes(p, "Join") == 0
+    assert n_nodes(p, "CartesianProduct") == 0
+    assert n_nodes(p, "Scan parquet") == 1
