@@ -373,14 +373,14 @@ def knn_pq(
     plan shape is unchanged).  Ranks use the 6-dp-rounded distance
     (ties → lowest nid) so ordering is cross-engine stable."""
     vecs = _vectors(embeddings)
-    cb_rows = sorted(
-        (r["vid"], list(r["vec"]))
-        for r in vecs.filter(F.col("vid").isin(list(codebook_ids))).collect()
-    )
-    q_rows = sorted(
-        (r["vid"], list(r["vec"]))
-        for r in vecs.filter(F.col("vid").isin(list(query_ids))).collect()
-    )
+    # one collect for codebook + query rows (one Spark job, not two)
+    wanted = set(codebook_ids) | set(query_ids)
+    rows = {
+        r["vid"]: list(r["vec"])
+        for r in vecs.filter(F.col("vid").isin(list(wanted))).collect()
+    }
+    cb_rows = sorted((vid, rows[vid]) for vid in set(codebook_ids))
+    q_rows = sorted((vid, rows[vid]) for vid in set(query_ids))
     d = len(cb_rows[0][1])
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -391,23 +391,37 @@ def knn_pq(
         for j in range(m)
     ]
 
-    def sq_dist(vec_col, lo: int, codeword: list[float]):
-        # explicit diff*diff (never pow): bit-identical across Spark,
-        # the driver-side Python tables, and the SQL mirror
-        acc = None
-        for i, w in enumerate(codeword):
-            diff = F.element_at(vec_col, lo + i + 1) - F.lit(w)
-            t = diff * diff
-            acc = t if acc is None else acc + t
-        return acc
+    # All literal-heavy expressions are built as SQL TEXT and parsed with
+    # ONE F.expr each: composing them from F.lit/F.array objects costs a
+    # py4j round-trip per literal (thousands here), which measured as the
+    # dominant cost of the whole query — driver-side, before any task ran.
+    def _dlit(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"  # repr round-trips doubles exactly
 
-    enc = vecs
-    for j in range(m):
-        entries = [
-            F.struct(sq_dist(F.col("vec"), j * sub, cw).alias("d"), F.lit(c).alias("c"))
-            for c, cw in codebook[j]
-        ]
-        enc = enc.withColumn(f"code{j}", F.array_min(F.array(*entries))["c"])
+    def _darr(vals: list[float]) -> str:
+        return "array(" + ", ".join(_dlit(v) for v in vals) + ")"
+
+    def sq_dist_sql(lo: int, codeword: list[float]) -> str:
+        # left-assoc diff*diff fold — bit-compatible with the
+        # driver-side Python tables and the SQL mirror's + chain
+        return (
+            f"aggregate(zip_with(slice(vec, {lo + 1}, {len(codeword)}), "
+            f"{_darr(codeword)}, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+        )
+
+    code_cols = [
+        F.expr(
+            "array_min(array("
+            + ", ".join(
+                f"named_struct('d', {sq_dist_sql(j * sub, cw)}, 'c', {c})"
+                for c, cw in codebook[j]
+            )
+            + ")).c"
+        ).alias(f"code{j}")
+        for j in range(m)
+    ]
+    enc = vecs.select("vid", *code_cols)
 
     # per-query ADC tables, computed driver-side (pure IEEE doubles, same
     # left-assoc order as the SQL mirror) and folded in as literals
@@ -417,19 +431,22 @@ def knn_pq(
             acc = acc + (x - y) * (x - y)
         return acc
 
-    q_structs = []
-    for qid, qvec in q_rows:
-        tabs = [
-            F.array(*[
-                F.lit(py_sq(qvec[j * sub : (j + 1) * sub], cw)) for _c, cw in codebook[j]
-            ]).alias(f"t{j}")
+    q_structs_sql = "array(" + ", ".join(
+        "named_struct('qid', "
+        + str(qid)
+        + ", "
+        + ", ".join(
+            f"'t{j}', "
+            + _darr([py_sq(qvec[j * sub : (j + 1) * sub], cw) for _c, cw in codebook[j]])
             for j in range(m)
-        ]
-        q_structs.append(F.struct(F.lit(qid).alias("qid"), *tabs))
+        )
+        + ")"
+        for qid, qvec in q_rows
+    ) + ")"
 
     scored = (
         enc.select("vid", *[f"code{j}" for j in range(m)],
-                   F.explode(F.array(*q_structs)).alias("q"))
+                   F.explode(F.expr(q_structs_sql)).alias("q"))
         .filter(F.col("vid") != F.col("q")["qid"])
     )
     approx = None
