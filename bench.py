@@ -99,11 +99,18 @@ def run_query(spark, name: str, sf_dir: str) -> float:
 
 
 def main() -> None:
+    # --only name1 name2 ...: bench a subset in THIS fresh process — the
+    # isolation protocol for disambiguating in-run interference (a long
+    # multi-query run inflates later queries via JVM/GC pressure; an
+    # isolated re-run of the same query shows its true steady state).
+    names = HEADLINE
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        names = sys.argv[2:]
     spark = get_spark("bench")
     # one warm-up scan so JVM/codegen startup doesn't pollute query 1
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         timings[name] = round(run_query(spark, name, SF_DIR), 3)
     total = round(sum(timings.values()), 3)
     print(
@@ -114,6 +121,22 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "notes": {
+                    "protocol": (
+                        "per query: 2 untimed warm-ups (codegen+JIT), then "
+                        "min of 3 timed runs in one JVM; `python bench.py "
+                        "--only <names>` re-benches a subset in a fresh "
+                        "process for isolation (see BENCH_NOTES.md for the "
+                        "round-2 regression disambiguation)"
+                    ),
+                    "known_skip": (
+                        "pytest skips transformWithStateInPandas "
+                        "(tests/test_pca_streaming_multimodal.py:283): "
+                        "google.protobuf is not installed in this container "
+                        "and installs are disallowed; the operator is "
+                        "exercised via its applyInPandasWithState sibling"
+                    ),
+                },
             }
         )
     )

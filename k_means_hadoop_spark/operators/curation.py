@@ -547,22 +547,52 @@ SAMPLE_SEED = 7
 
 
 def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-stratum (language) sampling at configured fractions via
-    ``sampleBy`` — the engine-native stratified sampler (one pass,
-    per-row Bernoulli keyed by the stratum's fraction, no shuffle).
-    Registered rows-only: the accept/reject RNG stream is
-    engine-internal, so cross-engine value equality is not defined;
-    determinism-for-a-seed and per-stratum rate accuracy are pinned in
-    tests instead.  Contrast with temperature_sample_langs, whose
-    arithmetic-hash membership IS cross-engine-reproducible — use that
-    form when reproducibility across engines matters more than
-    statistical independence from the key."""
+    """(lang, n_total, rate_ok) — per-stratum (language) sampling at
+    configured fractions via ``sampleBy`` — the engine-native stratified
+    sampler (one pass, per-row Bernoulli keyed by the stratum's
+    fraction, no shuffle).  The accept/reject RNG stream is
+    engine-internal (no cross-engine value equality for the sampled
+    set), so the driver-checked projection is the WITHIN-TOLERANCE
+    verdict: per stratum, ``rate_ok`` asserts the sampled count is
+    within 4.5 binomial standard deviations (+3 rows of slack) of
+    fraction × stratum size — swapped or ignored fractions flip the
+    hash, while seed-level RNG variation never does.  Contrast with
+    temperature_sample_langs, whose arithmetic-hash membership IS
+    cross-engine-reproducible — use that form when reproducibility
+    across engines matters more than statistical independence from the
+    key."""
     docs = _docs(spark, sf_dir)
-    sampled = docs.stat.sampleBy("lang", SAMPLE_FRACTIONS, seed=SAMPLE_SEED)
-    return sampled.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_sampled"),
-        F.sum("n_chars").alias("sampled_chars"),
+    sampled_counts = (
+        docs.stat.sampleBy("lang", SAMPLE_FRACTIONS, seed=SAMPLE_SEED)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
+    totals = (
+        docs.filter(F.col("lang").isin(list(SAMPLE_FRACTIONS)))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+    )
+    frac = F.element_at(
+        F.create_map(*[F.lit(x) for kv in SAMPLE_FRACTIONS.items() for x in kv]),
+        F.col("lang"),
+    )
+    tol = 4.5 * F.sqrt(F.col("n_total") * frac * (1.0 - frac)) + 3.0
+    return (
+        totals.join(sampled_counts, "lang", "left")
+        .fillna(0, subset=["n_sampled"])
+        .select(
+            "lang",
+            "n_total",
+            (F.abs(F.col("n_sampled") - frac * F.col("n_total")) <= tol).alias("rate_ok"),
+        )
+    )
+
+
+STRATIFIED_SQL = f"""
+SELECT lang, count(*)::BIGINT AS n_total, true AS rate_ok
+FROM documents
+WHERE lang IN ({", ".join(repr(k) for k in SAMPLE_FRACTIONS)})
+GROUP BY lang"""
 
 
 def curate_corpus_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -703,6 +733,44 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_classifier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_docs, n_label_pos, agreement_ok) — the driver-checkable face
+    of :func:`quality_classifier`.  The per-doc probabilities are
+    engine-internal (LBFGS), but the distillation CONTRACT is not: a
+    model trained on the labeled slice must agree with the heuristic
+    label on at least 85% of the whole corpus.  ``n_docs`` and
+    ``n_label_pos`` (heuristic positives) are exact and oracle-mirrored;
+    ``agreement_ok`` is asserted ``true`` by the oracle, so a training
+    or literal-fold scoring bug flips the hash instead of hiding behind
+    a rows-only row."""
+    from k_means_hadoop_spark.operators import text
+
+    scored = quality_classifier(spark, sf_dir).select("doc_id", "keep")
+    heur = text.quality_scores(_docs(spark, sf_dir)).select(
+        "doc_id", (F.col("quality") >= 0.5).cast("int").alias("hlabel")
+    )
+    return (
+        scored.join(heur, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("hlabel").cast("bigint").alias("n_label_pos"),
+            (F.avg((F.col("keep") == F.col("hlabel")).cast("double")) >= 0.85).alias(
+                "agreement_ok"
+            ),
+        )
+    )
+
+
+def _qc_agreement_sql() -> str:
+    from k_means_hadoop_spark.registry_pipeline import _quality_sql
+
+    return f"""
+SELECT count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_label_pos,
+       true AS agreement_ok
+FROM ({_quality_sql()}) t"""
+
+
 CURATION_QUERIES = {
     "split_train_val": (split_train_val, SPLIT_SQL),
     "quota_per_source": (quota_per_source, QUOTA_SQL),
@@ -717,11 +785,13 @@ CURATION_QUERIES = {
     "shuffle_shards": (shuffle_shards, _shuffle_shards_sql()),
     "sample_weighted_docs": (sample_weighted_docs, _sample_weighted_sql()),
     "curate_corpus_full": (curate_corpus_full, _curate_full_sql()),
+    # Upgraded from rows-only (round-2 verdict item 5): exact columns +
+    # a within-tolerance/contract verdict the oracle asserts as true.
+    "stratified_sample_langs": (stratified_sample_langs, STRATIFIED_SQL),
+    "quality_classifier": (quality_classifier_agreement, _qc_agreement_sql()),
 }
 
 # Engine-internal RNG (sampleBy accept/reject stream) — no cross-engine
 # oracle is definable; determinism + rate accuracy pinned in tests.
-CURATION_ROWS_ONLY = {
-    "stratified_sample_langs": stratified_sample_langs,
-    "quality_classifier": quality_classifier,
-}
+# All former rows-only curation entries now carry contract oracles.
+CURATION_ROWS_ONLY: dict = {}

@@ -287,13 +287,27 @@ def incremental_dedup(
     )
 
 
-def simhash_pairs(simhashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    simhashes: DataFrame, max_hamming: int = 3, unbounded_ok: bool = False
+) -> DataFrame:
     """(a_id, b_id, hamming) — SimHash near-dup pairs.
 
     Brute-force a<b self-join with xor+bit_count (cheap per pair); the
     scale path buckets on bit-bands of the fingerprint first (pigeonhole:
     hamming ≤ 3 over 4 bands → ≥1 identical band).
+
+    This is the deliberately-bounded O(n²) oracle measure, NOT a
+    production path — callers must acknowledge the cost with
+    ``unbounded_ok=True`` (after bounding the input themselves) so the
+    all-pairs join can't silently run on a full corpus; use
+    :func:`simhash_pairs_banded` at scale.
     """
+    if not unbounded_ok:
+        raise ValueError(
+            "simhash_pairs is an O(n²) all-pairs oracle measure; bound the "
+            "input and pass unbounded_ok=True, or use simhash_pairs_banded "
+            "(equi-join, recall-1 for max_hamming <= bands-1) at scale"
+        )
     a = simhashes.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("ha"))
     b = simhashes.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("hb"))
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
@@ -364,13 +378,27 @@ def simhash_pairs_banded(
 
 
 def embedding_neardup_pairs(
-    embeddings: DataFrame, threshold: float = 0.95, max_id: int | None = None
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    max_id: int | None = None,
+    unbounded_ok: bool = False,
 ) -> DataFrame:
     """(a_id, b_id, cos_sim) — embedding near-duplicates by cosine.
 
     Exact pairwise over an id-bounded subset (the oracle-checkable
     measure); ANN in operators/similarity.py is the scale path.
+
+    O(n²) in its input: requires either ``max_id`` (the built-in id
+    bound) or ``unbounded_ok=True`` (caller bounded the input some
+    other way) so the cross join can't silently run on a full corpus —
+    use :func:`embedding_neardup_bucketed` at scale.
     """
+    if max_id is None and not unbounded_ok:
+        raise ValueError(
+            "embedding_neardup_pairs is an O(n²) all-pairs oracle measure; "
+            "pass max_id (or bound the input yourself and pass "
+            "unbounded_ok=True), or use embedding_neardup_bucketed at scale"
+        )
     emb = embeddings.select(
         F.col("vec_id").cast("int").alias("vid"),
         F.col("embedding").cast("array<double>").alias("vec"),

@@ -771,13 +771,30 @@ FROM events GROUP BY event_type
 
 
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ sketch path of distinct_agg_parts (rows-only: sketch
-    estimates differ across engines by design; accuracy is asserted in
-    tests/ against the exact count instead)."""
+    """HyperLogLog++ sketch path of distinct_agg_parts, reported as an
+    oracle-checkable WITHIN-TOLERANCE verdict: the raw estimate is
+    engine-specific (no cross-engine value equality), but "the sketch
+    lands within 3×rsd of the exact count" is a hard boolean the DuckDB
+    oracle asserts as ``true`` — so a broken sketch pipeline flips the
+    hash instead of hiding behind a rows-only row.  Both aggregates run
+    in the same single-Exchange pass."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx")
+        F.count_distinct("l_partkey").alias("n_parts_exact"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", rsd=0.02).cast("double")
+                - F.count_distinct("l_partkey").cast("double")
+            )
+            <= 0.06 * F.count_distinct("l_partkey").cast("double")
+        ).alias("approx_ok"),
     )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS n_parts_exact,
+       true AS approx_ok
+FROM lineitem GROUP BY l_returnflag"""
 
 
 ZORDER_BITS = 8
@@ -815,26 +832,50 @@ SELECT event_id, x, y, {z} AS zval FROM b"""
 
 
 def hll_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(day, est_users) — the sketch-MERGE distinct pipeline: one
-    Datasketches HLL sketch per day, then a union of the day sketches
-    for the corpus-wide estimate — the only way COUNT(DISTINCT) scales
-    to 100 TB with reprocessing-free rollups (store the day sketches,
-    merge any date range later without rescanning events).  Rows-only:
-    sketch registers are engine-specific; accuracy vs the exact distinct
-    count is pinned in tests/test_relational_ext.py."""
+    """(day, exact_users, est_ok) — the sketch-MERGE distinct pipeline:
+    one Datasketches HLL sketch per day, then a union of the day
+    sketches for the corpus-wide estimate — the only way
+    COUNT(DISTINCT) scales to 100 TB with reprocessing-free rollups
+    (store the day sketches, merge any date range later without
+    rescanning events).  The sketch estimate itself is engine-specific,
+    so the driver-checked projection is the WITHIN-TOLERANCE verdict:
+    ``est_ok`` asserts the estimate (including the merged ALL row,
+    which exercises hll_union_agg) lands within 5% of the exact
+    distinct count the oracle recomputes — register-level corruption or
+    a broken merge flips the hash."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.hll_sketch_agg(F.col("user_id")).alias("sk")
+        F.hll_sketch_agg(F.col("user_id")).alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
     )
+    ok = (
+        F.abs(F.hll_sketch_estimate("sk").cast("double") - F.col("exact_users"))
+        <= 0.05 * F.col("exact_users")
+    ).alias("est_ok")
     per_day = daily.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
-        F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
+        F.col("exact_users"),
+        ok,
     )
-    total = daily.agg(F.hll_union_agg(F.col("sk")).alias("sk")).select(
-        F.lit("ALL").alias("day"),
-        F.hll_sketch_estimate("sk").cast("bigint").alias("est_users"),
+    # the ALL row re-counts exactly over the raw events; the estimate
+    # side MERGES the per-day sketches (the rollup under test)
+    total_exact = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    total = (
+        daily.agg(F.hll_union_agg(F.col("sk")).alias("sk"))
+        .crossJoin(total_exact)
+        .select(F.lit("ALL").alias("day"), F.col("exact_users"), ok)
     )
     return per_day.unionByName(total)
+
+
+HLL_DAILY_SQL = """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       count(DISTINCT user_id)::BIGINT AS exact_users, true AS est_ok
+FROM events GROUP BY CAST(ts AS DATE)
+UNION ALL
+SELECT 'ALL' AS day, count(DISTINCT user_id)::BIGINT AS exact_users,
+       true AS est_ok
+FROM events"""
 
 
 def stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1660,15 +1701,37 @@ SELECT status, count(*)::BIGINT AS n_keys FROM per_key GROUP BY status
 
 
 def approx_percentile_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles of event value per type via the
-    KLL-style ``approx_percentile`` sketch (rows-only: sketch outputs
-    are engine-specific by design; accuracy vs the exact quantiles is
-    asserted in tests/test_relational_ext.py).  The sketch is the 100 TB
-    path — mergeable fixed-size state per group instead of a full sort."""
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    """(event_type, n_events, ok_p50, ok_p90, ok_p99) — approximate
+    percentiles of event value per type via the ``approx_percentile``
+    sketch, reported as oracle-checkable RANK-ERROR verdicts.  The
+    sketch values themselves are engine-specific, but the sketch's
+    contract — the returned value's true CDF position is within the
+    rank-error bound of the target percentile — is checkable: the
+    estimates are joined back (broadcast: one row per type) and each
+    ``ok_pXX`` asserts |share of rows <= estimate  −  p| <= 0.02
+    (accuracy 10000 → guaranteed rank error 1e-4; 0.02 absorbs value
+    ties).  The sketch remains the 100 TB path — mergeable fixed-size
+    state per group instead of a full sort."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    est = ev.groupBy("event_type").agg(
         F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("pcts")
     )
+    j = ev.join(F.broadcast(est), "event_type")
+    share = [
+        F.avg((F.col("value") <= F.col("pcts")[i]).cast("double")) for i in range(3)
+    ]
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.abs(share[0] - 0.5) <= 0.02).alias("ok_p50"),
+        (F.abs(share[1] - 0.9) <= 0.02).alias("ok_p90"),
+        (F.abs(share[2] - 0.99) <= 0.02).alias("ok_p99"),
+    )
+
+
+APPROX_PCT_SQL = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       true AS ok_p50, true AS ok_p90, true AS ok_p99
+FROM events GROUP BY event_type"""
 
 
 def trailing_hour_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1806,12 +1869,14 @@ RELATIONAL_QUERIES = {
     "events_variant_stats": (events_variant_stats, EVENTS_VARIANT_SQL),
     "interpolate_daily_purchases": (interpolate_daily_purchases, INTERPOLATE_SQL),
     "window_rank_metrics": (window_rank_metrics, WINDOW_RANK_SQL),
+    # Sketch queries, upgraded from rows-only: the raw estimates are
+    # engine-specific, but each now reports exact values + a
+    # within-tolerance verdict the oracle asserts as ``true`` — a broken
+    # sketch pipeline flips the hash (round-2 verdict item 5).
+    "approx_distinct_parts": (approx_distinct_parts, APPROX_DISTINCT_SQL),
+    "approx_percentile_values": (approx_percentile_values, APPROX_PCT_SQL),
+    "hll_users_daily": (hll_users_daily, HLL_DAILY_SQL),
 }
 
-# No oracle: sketch estimates are engine-specific by design (accuracy vs
-# the exact count is asserted in tests/test_relational_ext.py instead).
-RELATIONAL_ROWS_ONLY = {
-    "approx_distinct_parts": approx_distinct_parts,
-    "approx_percentile_values": approx_percentile_values,
-    "hll_users_daily": hll_users_daily,
-}
+# All former rows-only sketch entries now carry within-tolerance oracles.
+RELATIONAL_ROWS_ONLY: dict = {}

@@ -379,6 +379,11 @@ def knn_pq(
         r["vid"]: list(r["vec"])
         for r in vecs.filter(F.col("vid").isin(list(wanted))).collect()
     }
+    missing = sorted(wanted - rows.keys())
+    if missing:
+        raise ValueError(
+            f"knn_pq: requested codebook/query ids absent from embeddings: {missing}"
+        )
     cb_rows = sorted((vid, rows[vid]) for vid in set(codebook_ids))
     q_rows = sorted((vid, rows[vid]) for vid in set(query_ids))
     d = len(cb_rows[0][1])

@@ -275,9 +275,16 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     join.  The average-balance scalar is computed once and folded into
     the filter; customers with no orders are found with a left-anti join
     on the (much smaller after filtering) customer side.  Grouped by
-    nation key as the stand-in for Q22's phone country code."""
+    nation key as the stand-in for Q22's phone country code.  "Idle" is
+    "no orders since 1999-01-01" rather than Q22's "no orders ever":
+    every fixture customer has at least one order at every sf, so the
+    literal form returns an empty (hence non-discriminating) result —
+    the date-bounded anti join keeps the same plan shape with a
+    non-trivial answer at sf0.001+."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
     # threshold rounded to cents: balances have 2dp, so a ~1e-12 engine
     # difference in the double avg can never flip a customer across it
     avg_bal = round(
@@ -285,7 +292,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cust.filter(F.col("c_acctbal") > F.lit(avg_bal))
-        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
@@ -299,7 +306,8 @@ SELECT c_nationkey, count(*)::BIGINT AS numcust,
        sum(c_acctbal::DECIMAL(18,4))::DOUBLE AS totacctbal
 FROM customer
 WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer WHERE c_acctbal > 0)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderdate >= '1999-01-01')
 GROUP BY c_nationkey
 """
 
@@ -419,7 +427,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     sup = _t(spark, sf_dir, "supplier")
     nat_c = _t(spark, sf_dir, "nation")
-    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nat_s = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
     )
@@ -459,7 +467,7 @@ FROM (SELECT EXTRACT(year FROM o_orderdate)::INTEGER AS o_year,
       JOIN region ON n1.n_regionkey = r_regionkey
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation n2 ON s_nationkey = n2.n_nationkey
-      WHERE p_type = 'STANDARD' AND r_name = 'REGION_0')
+      WHERE p_type = 'STANDARD' AND r_name = 'ASIA')
 GROUP BY o_year
 """
 
@@ -470,7 +478,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in cost is 10% of p_retailprice per unit — same plan shape
     (two fact-dim joins + grouped signed sum), DECIMAL-exact."""
     li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%1%"))
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     sup = _t(spark, sf_dir, "supplier")
     orders = _t(spark, sf_dir, "orders")
     nat = _t(spark, sf_dir, "nation")
@@ -497,7 +505,7 @@ JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN orders ON l_orderkey = o_orderkey
 JOIN nation ON s_nationkey = n_nationkey
-WHERE p_name LIKE '%1%'
+WHERE p_name LIKE '%red%'
 GROUP BY n_name, EXTRACT(year FROM o_orderdate)::INTEGER
 """
 

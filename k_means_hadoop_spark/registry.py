@@ -238,9 +238,9 @@ def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tmpdir(tag: str) -> str:
-    import tempfile
+    from k_means_hadoop_spark.session import scratch_dir
 
-    return tempfile.mkdtemp(prefix=f"kmh_{tag}_")
+    return scratch_dir(f"kmh_{tag}")
 
 
 def q_s1_points_tsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -549,21 +549,120 @@ def _driver_verified_names() -> frozenset[str]:
 _missing = [n for n in _ROUND2_WINDOW if n not in QUERIES]
 assert not _missing, f"window names absent from registry: {_missing}"
 
+# Queries whose DEFINITION changed after they earned a green driver row:
+# the stale row verified different query text, so these are forced back
+# into the front window until the current definition is re-verified.
+# (Round 3: q8/q9 had fixture-mismatched literals, q22's anti join was
+# empty at every sf, and the two embedding near-dup queries ran over a
+# corpus with no near-dup pairs — all five hash-matched vacuously and
+# were rewritten; see the round-2 verdict.)
+_REVERIFY_AFTER = {
+    # name -> last round whose green row is STALE (rows from later
+    # rounds re-verify the new definition and rotate it to the back)
+    "q8_market_share": 2,
+    "q9_product_profit": 2,
+    "q22_idle_rich_customers": 2,
+    "dedup_embedding_cosine": 2,
+    "dedup_embedding_bucketed": 2,
+    # round 3 upgraded these from rows-only to contract-oracle entries;
+    # their old rows-only greens never checked the new projections
+    "hll_users_daily": 2,
+    "stratified_sample_langs": 2,
+    "quality_classifier": 2,
+    "approx_top_terms": 2,
+    "approx_distinct_parts": 2,
+    "approx_percentile_values": 2,
+}
+
 # Within the unverified remainder, rows-only sketch/MLlib tiers go LAST:
 # their driver row is the weaker rows-only check, so when a round's
 # 50-entry window can't fit everything, the slots go to oracle-backed
 # queries first.
 _DEPRIORITIZED = [
-    "approx_top_terms", "knn_mllib_lsh", "neardup_mllib_minhash",
-    "approx_distinct_parts", "approx_percentile_values",
+    # (the round-2 list's sketch entries grew within-tolerance oracles
+    # and left this tier; only the MLlib-internal ANN paths remain)
+    "knn_mllib_lsh", "neardup_mllib_minhash",
+]
+
+# Curated round-3 front: the five re-verify entries lead (their current
+# definitions have never seen a driver row), then the last §2 operator
+# IDs without driver rows (the S1/S3/S6 wire-format roundtrips), then
+# the oracle-backed ANN tiers, the dark streaming surface, and the
+# composed pipelines; the relational/text remainder follows in registry
+# order.  Anything past slot 50 lands in the round-4 window.
+_ROUND3_PRIORITY = [
+    "q8_market_share", "q9_product_profit", "q22_idle_rich_customers",
+    "dedup_embedding_cosine", "dedup_embedding_bucketed",
+    "s1_points_tsv_roundtrip", "s3_centroid_wire_roundtrip",
+    "s6_final_output_roundtrip",
+    "knn_signbit_lsh", "knn_pq", "knn_pq_rerank",
+    "streaming_upsert_snapshot", "streaming_kmeans_foreachbatch",
+    "streaming_ingest_dedup", "streaming_kmeans_assign",
+    "streaming_dedup_keys", "streaming_enrich_join",
+    "streaming_session_windows",
+    "dedup_incremental", "ingest_increment", "curate_corpus_full",
+    "dedup_survivors", "dedup_semantic_cells",
 ]
 
 _verified = _driver_verified_names()
-_front = [n for n in _ROUND2_WINDOW if n not in _verified]
+
+
+def _round_of(path: str) -> int:
+    import re
+
+    m = re.search(r"CORRECTNESS_r(\d+)", path)
+    return int(m.group(1)) if m else 0
+
+
+def _greens_by_round() -> dict[str, int]:
+    """name -> latest round with a green row for it."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = _round_of(path)
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            ok = row.get("hash_match") is True or (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if ok:
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+_latest_green = _greens_by_round()
+_stale = {
+    n for n, stale_round in _REVERIFY_AFTER.items()
+    if _latest_green.get(n, 0) <= stale_round
+}
+_verified = frozenset(_verified - _stale)
+
+_front = [n for n in _ROUND3_PRIORITY if n in QUERIES and n not in _verified]
+_front += [
+    n for n in _ROUND2_WINDOW
+    if n not in _verified and n not in _front
+]
 _rest = [
     n for n in QUERIES
-    if n not in _ROUND2_WINDOW and n not in _verified and n not in _DEPRIORITIZED
+    if n not in _front and n not in _verified and n not in _DEPRIORITIZED
 ]
 _rest += [n for n in _DEPRIORITIZED if n in QUERIES and n not in _verified]
+# Ordering within each tier: oracle-backed before rows-only (a window
+# slot spent on a rows-only entry buys the weaker check), and among the
+# oracle-backed, NEVER-verified entries before stale-green re-verifies
+# whose old rows at least proved execution.  The sort is stable, so the
+# curated order above survives within each bucket.
+_front.sort(key=lambda n: n not in ORACLES)
+_rest.sort(key=lambda n: (n not in ORACLES, n in _stale))
 _back = [n for n in QUERIES if n in _verified]
 QUERIES = {n: QUERIES[n] for n in (*_front, *_rest, *_back)}

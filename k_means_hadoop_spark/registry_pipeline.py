@@ -34,6 +34,73 @@ TFIDF_TOP_K = 3
 EMB_LSH_BITS = 32  # sign-bit signature width for bucketed embedding dedup
 EMB_LSH_BANDS = 4
 
+# Planted near-duplicates.  The fixture embeddings contain NO natural
+# near-dup pairs (max pairwise cosine ≈ 0.51 vs the 0.9 threshold), so a
+# near-dup query over the raw table returns an empty result and its
+# driver hash-match proves nothing (round-2 verdict).  The near-dup and
+# ANN-recall queries therefore run over a PLANTED corpus: the raw table
+# unioned with deterministically perturbed clones of a few vectors.
+# The perturbation is pure int+double arithmetic (no libm), identically
+# expressed on the Spark and DuckDB sides, so the planted vectors are
+# bit-exact across engines: clone dim i of vector ``vid`` is
+# ``x * (1.0 + (((vid*31 + i*17) % 13) - 6) * 0.004)``  (i 0-based).
+# Per-dim scale factors in [0.976, 1.024] keep every sign bit (LSH
+# signatures unchanged → clones land in their original's bucket) and
+# give clone↔original cosine ≈ 0.9997 — comfortably above threshold,
+# comfortably away from the 6-dp rounding boundary — while clone↔other
+# cosines stay at the raw corpus's ≤ 0.52.
+PLANT_IDS = [1, 51, 101, 151, 201]  # ⊂ KNN_QUERY_IDS and < NEARDUP_MAX_ID
+PLANT_OFFSET = 100000
+PLANT_MOD = 13
+PLANT_SCALE = 0.004
+
+
+def _planted_emb(spark: SparkSession, sf_dir: str, max_id: int | None = None) -> DataFrame:
+    """The raw embeddings (optionally id-bounded) + planted clones."""
+    emb = _emb(spark, sf_dir).select(
+        F.col("vec_id").cast("int").alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    if max_id is not None:
+        emb = emb.filter(F.col("vec_id") < max_id)
+    # perturb in a SEPARATE projection from the id shift: Spark resolves
+    # the lambda's F.col("vec_id") against the projection OUTPUT, so
+    # computing both in one select would perturb with the shifted id
+    clones = (
+        emb.filter(F.col("vec_id").isin(PLANT_IDS))
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                * (
+                    F.lit(1.0)
+                    + ((F.col("vec_id") * 31 + i * 17) % PLANT_MOD - 6).cast("double")
+                    * F.lit(PLANT_SCALE)
+                ),
+            ).alias("embedding"),
+        )
+        .select((F.col("vec_id") + PLANT_OFFSET).alias("vec_id"), "embedding")
+    )
+    return emb.unionByName(clones)
+
+
+def _planted_v_sql(max_id: int | None = None) -> str:
+    """DuckDB CTE chain ending in ``v(vid, vec)`` — bit-exact mirror of
+    ``_planted_emb`` (the perturbation uses only int arithmetic and
+    IEEE double * / + in the same association order)."""
+    where = f" WHERE vec_id < {max_id}" if max_id is not None else ""
+    ids = ", ".join(str(i) for i in PLANT_IDS)
+    return f"""v0 AS (SELECT vec_id::INTEGER AS vid, embedding::DOUBLE[] AS vec
+           FROM embeddings{where}),
+pl AS (SELECT (t.vid + {PLANT_OFFSET})::INTEGER AS vid,
+              list_transform(range(1, len(t.vec) + 1),
+                i -> t.vec[i] * (1.0::DOUBLE
+                     + ((t.vid * 31 + (i - 1) * 17) % {PLANT_MOD} - 6)::DOUBLE
+                       * {PLANT_SCALE}::DOUBLE)) AS vec
+       FROM v0 t WHERE t.vid IN ({ids})),
+v AS (SELECT vid, vec FROM v0 UNION ALL SELECT vid, vec FROM pl)"""
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out: the test parquet is a single row-group (one input split);
@@ -192,33 +259,35 @@ def q_streaming_ingest_dedup(spark, sf_dir):
     oracle (the driver checks the streaming state loop, not just its
     plumbing)."""
     import os
-    import tempfile
+    from k_means_hadoop_spark.session import scratch_dir
 
     from k_means_hadoop_spark.streaming.relational import streaming_ingest_dedup
 
     path = f"{sf_dir}/documents.parquet"
     # file stream sources monitor directories — stage the fixture file
     # as a symlink (same pattern as stream_kmeans.read_event_stream)
-    staging = tempfile.mkdtemp(prefix="docs_stream_")
+    staging = scratch_dir("docs_stream")
     os.symlink(path, os.path.join(staging, "documents.parquet"))
     stream = (
         spark.readStream.schema(spark.read.parquet(path).schema)
         .parquet(staging)
         .filter(F.col("doc_id") % INCR_BATCH_MOD == INCR_BATCH_REM)
     )
-    out = tempfile.mkdtemp(prefix="ingest_out_")
+    out = scratch_dir("ingest_out")
     q = streaming_ingest_dedup(
         stream,
         path,
         out,
-        tempfile.mkdtemp(prefix="ingest_ckpt_"),
+        scratch_dir("ingest_ckpt"),
         INCR_BATCH_MOD,
         INCR_BATCH_REM,
         n=NGRAM_N,
         threshold=NGRAM_THRESHOLD,
     )
     q.awaitTermination()
-    return spark.read.parquet(out)
+    # batch_id is the sink's idempotency partition (replay-safe
+    # overwrite), not part of the admission result
+    return spark.read.parquet(out).drop("batch_id")
 
 
 def q_minhash_candidates(spark, sf_dir):
@@ -236,12 +305,23 @@ def q_tfidf_top_terms(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    return dedup.simhash_pairs(text.simhash(_docs(spark, sf_dir)), max_hamming=SIMHASH_MAX_HAMMING)
+    # unbounded_ok: sanctioned bounded oracle measure at fixture scale
+    return dedup.simhash_pairs(
+        text.simhash(_docs(spark, sf_dir)),
+        max_hamming=SIMHASH_MAX_HAMMING,
+        unbounded_ok=True,
+    )
 
 
 def q_embedding_neardup(spark, sf_dir):
+    """Exact pairwise near-dup over the id-bounded PLANTED corpus — the
+    planted clones make the result non-empty (5 clone↔original pairs),
+    so the driver hash-match exercises the full pair pipeline rather
+    than comparing empty sets."""
     return dedup.embedding_neardup_pairs(
-        _emb(spark, sf_dir), threshold=NEARDUP_COS_THRESHOLD, max_id=NEARDUP_MAX_ID
+        _planted_emb(spark, sf_dir, max_id=NEARDUP_MAX_ID),
+        threshold=NEARDUP_COS_THRESHOLD,
+        unbounded_ok=True,  # input pre-bounded to NEARDUP_MAX_ID + 5 clones
     )
 
 
@@ -256,11 +336,14 @@ def q_simhash_banded(spark, sf_dir):
 
 
 def q_embedding_bucketed(spark, sf_dir):
-    """LSH-bucketed embedding near-dup over the FULL corpus (no id
-    bound needed — candidates come from signature buckets, not n²);
-    the sign-bit signature is mirrored bit-exactly by the oracle."""
+    """LSH-bucketed embedding near-dup over the FULL planted corpus (no
+    id bound needed — candidates come from signature buckets, not n²);
+    the sign-bit signature is mirrored bit-exactly by the oracle, and
+    the sign-preserving planted clones guarantee the candidate-generate
+    + verify stages process real pairs (recall 1 on the planted set:
+    clone signatures equal their original's in every band)."""
     return dedup.embedding_neardup_bucketed(
-        _emb(spark, sf_dir),
+        _planted_emb(spark, sf_dir),
         threshold=NEARDUP_COS_THRESHOLD,
         n_bits=EMB_LSH_BITS,
         bands=EMB_LSH_BANDS,
@@ -272,7 +355,11 @@ def q_knn_bruteforce(spark, sf_dir):
 
 
 def q_knn_lsh(spark, sf_dir):
-    return similarity.knn_lsh(_emb(spark, sf_dir), KNN_QUERY_IDS, k=5)
+    # planted corpus: each query id's clone is its true nearest
+    # neighbor AND shares its signature (sign-preserving perturbation),
+    # so the bucket probe provably surfaces a real neighbor — the
+    # recall floor asserted in tests is meaningful, not vacuous.
+    return similarity.knn_lsh(_planted_emb(spark, sf_dir), KNN_QUERY_IDS, k=5)
 
 
 KNN_SIGNBIT_BITS = 6
@@ -280,7 +367,7 @@ KNN_SIGNBIT_BITS = 6
 
 def q_knn_signbit(spark, sf_dir):
     return similarity.knn_signbit_lsh(
-        _emb(spark, sf_dir), KNN_QUERY_IDS, k=5, n_bits=KNN_SIGNBIT_BITS
+        _planted_emb(spark, sf_dir), KNN_QUERY_IDS, k=5, n_bits=KNN_SIGNBIT_BITS
     )
 
 
@@ -289,12 +376,12 @@ def _knn_signbit_sql(k: int, n_bits: int) -> str:
         f"(CASE WHEN vec[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(n_bits)
     )
     return f"""
-WITH v AS (SELECT vec_id::INTEGER AS vid, embedding::DOUBLE[] AS vec,
-                  ({sig})::INTEGER AS sig FROM embeddings),
-q AS (SELECT vid AS qid, vec AS qvec, sig AS qsig FROM v WHERE vid IN ({_KNN_IDS_SQL})),
-sims AS (SELECT q.qid, v.vid AS nid,
-                round(list_cosine_similarity(q.qvec, v.vec), 6) AS cos_sim
-         FROM v JOIN q ON v.sig = q.qsig WHERE v.vid != q.qid),
+WITH {_planted_v_sql()},
+vs AS (SELECT vid, vec, ({sig})::INTEGER AS sig FROM v),
+q AS (SELECT vid AS qid, vec AS qvec, sig AS qsig FROM vs WHERE vid IN ({_KNN_IDS_SQL})),
+sims AS (SELECT q.qid, vs.vid AS nid,
+                round(list_cosine_similarity(q.qvec, vs.vec), 6) AS cos_sim
+         FROM vs JOIN q ON vs.sig = q.qsig WHERE vs.vid != q.qid),
 ranked AS (SELECT qid, nid, cos_sim,
            CAST(row_number() OVER (PARTITION BY qid
                                    ORDER BY cos_sim DESC, nid) AS INTEGER) AS rank
@@ -377,12 +464,16 @@ def _knn_pq_sql(k: int, m: int, dim: int) -> str:
     # The ADC lookup is ONE (j, code) equi-join over unpivoted codes and
     # distance tables — never m separate qd joins, whose qid-only
     # connectivity lets an optimizer cross-join the tiny qd tables first
-    # (|codebook|^m intermediate rows).  SUM's order-insensitivity is
-    # absorbed by the registry-wide round(·, 6) convention.
+    # (|codebook|^m intermediate rows).  The m subdistances are then
+    # summed by an EXPLICIT left-associative d1+d2+...+dm chain over a
+    # j-ordered list — sum()'s unspecified accumulation order could
+    # otherwise disagree with the Spark side's fixed fold at a 6-dp
+    # rounding boundary and flip a rank.
     encl = " UNION ALL ".join(
         f"SELECT vid, {j} AS j, code{j} AS c FROM enc" for j in range(m)
     )
     qd_all = " UNION ALL ".join(f"SELECT qid, {j} AS j, c, d FROM qd{j}" for j in range(m))
+    adc_chain = " + ".join(f"ds[{j + 1}]" for j in range(m))
     return f"""
 WITH v AS (SELECT vec_id::INTEGER AS vid, embedding::DOUBLE[] AS vec FROM embeddings),
 cb AS (SELECT CAST(row_number() OVER (ORDER BY vid) AS INTEGER) AS c, vec
@@ -392,10 +483,11 @@ cb AS (SELECT CAST(row_number() OVER (ORDER BY vid) AS INTEGER) AS c, vec
 enc AS (SELECT * FROM e0 {enc_joins}),
 encl AS ({encl}),
 qd AS ({qd_all}),
-scored AS (SELECT qd.qid, encl.vid AS nid, round(sum(qd.d), 6) AS approx_dist
+dlists AS (SELECT qd.qid, encl.vid AS nid, list(qd.d ORDER BY qd.j) AS ds
            FROM encl JOIN qd ON qd.j = encl.j AND qd.c = encl.c
            WHERE encl.vid != qd.qid
            GROUP BY qd.qid, encl.vid),
+scored AS (SELECT qid, nid, round({adc_chain}, 6) AS approx_dist FROM dlists),
 ranked AS (SELECT qid, nid, approx_dist,
            CAST(row_number() OVER (PARTITION BY qid
                                    ORDER BY approx_dist, nid) AS INTEGER) AS rank
@@ -410,22 +502,35 @@ def q_approx_top_terms(spark, sf_dir):
     """Sketch-based frequent terms: ``approx_top_k`` over the exploded
     token stream — the bounded-memory answer to vocabulary top-k when
     the exact groupBy's key space no longer fits (the sketch tracks a
-    fixed item budget regardless of corpus size).  Rows-only: boundary
-    ties and the tracked-item eviction policy are engine-internal; the
-    accuracy test pins that every reported count equals the exact count
-    and the reported counts are the true top-k multiset."""
+    fixed item budget regardless of corpus size).
+
+    Oracle-checked projection (upgraded from rows-only): with the
+    tracked-item budget ≥ the vocabulary (31 terms at every fixture sf)
+    the sketch's counts are EXACT, so the (rank, n) count ladder — term
+    dropped, because which term wins a count TIE at the k-th slot is
+    engine-internal — hash-matches the exact top-k computed by DuckDB.
+    At real scale the budget is what you bound memory with; the sketch
+    then degrades to approximate counts and this oracle no longer
+    applies (rank-error tests take over)."""
     tok = _docs(spark, sf_dir).select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term")
     ).filter(F.col("term") != "")
-    sk = tok.agg(F.expr(f"approx_top_k(term, {APPROX_TOP_K})").alias("topk"))
+    sk = tok.agg(F.expr(f"approx_top_k(term, {APPROX_TOP_K}, 100000)").alias("topk"))
     return (
         sk.select(F.posexplode("topk").alias("rank", "entry"))
         .select(
             (F.col("rank") + 1).cast("int").alias("rank"),
-            F.col("entry.item").alias("term"),
             F.col("entry.count").cast("bigint").alias("n"),
         )
     )
+
+
+APPROX_TOP_TERMS_SQL = f"""
+WITH tok AS (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+             FROM documents),
+t AS (SELECT term, count(*)::BIGINT AS n FROM tok WHERE term != '' GROUP BY term),
+r AS (SELECT n, CAST(row_number() OVER (ORDER BY n DESC) AS INTEGER) AS rank FROM t)
+SELECT rank, n FROM r WHERE rank <= {APPROX_TOP_K}"""
 
 
 def q_knn_mllib_lsh(spark, sf_dir):
@@ -611,7 +716,7 @@ def q_streaming_window_stats(spark, sf_dir):
     availableNow over one file admits no late data, so the result is
     deterministic and equals the batch oracle SQL — the strongest
     possible check of the streaming plan."""
-    import tempfile
+    from k_means_hadoop_spark.session import scratch_dir
     import uuid
 
     from k_means_hadoop_spark.streaming.stream_kmeans import (
@@ -626,7 +731,7 @@ def q_streaming_window_stats(spark, sf_dir):
         .writeStream.outputMode("complete")
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", scratch_dir("ckpt"))
         .trigger(availableNow=True)
         .start()
     )
@@ -656,7 +761,7 @@ def q_streaming_kmeans_assign(spark, sf_dir):
     source, drained with availableNow into a memory sink.  Append mode
     (no state, no watermark) — every input row appears exactly once, so
     the batch SQL oracle is an exact check of the streaming plan."""
-    import tempfile
+    from k_means_hadoop_spark.session import scratch_dir
     import uuid
 
     from k_means_hadoop_spark.streaming.stream_kmeans import read_event_stream, stream_assign
@@ -669,7 +774,7 @@ def q_streaming_kmeans_assign(spark, sf_dir):
         .writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", scratch_dir("ckpt"))
         .trigger(availableNow=True)
         .start()
     )
@@ -682,7 +787,7 @@ def q_streaming_stateful_totals(spark, sf_dir):
     availableNow.  Update-mode emits one refreshed row per user per
     micro-batch; the final state (row with max n_events per user) must
     equal the batch GROUP BY — which is exactly what the oracle checks."""
-    import tempfile
+    from k_means_hadoop_spark.session import scratch_dir
     import uuid
 
     from pyspark.sql import Window
@@ -697,7 +802,7 @@ def q_streaming_stateful_totals(spark, sf_dir):
         .writeStream.outputMode("update")
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", scratch_dir("ckpt"))
         .trigger(availableNow=True)
         .start()
     )
@@ -798,7 +903,7 @@ def q_streaming_tws_stats(spark, sf_dir):
     stats: ValueState totals + MapState distinct-type counts, drained
     with availableNow; the last update per user must equal the batch
     GROUP BY — the oracle check."""
-    import tempfile
+    from k_means_hadoop_spark.session import scratch_dir
     import uuid
 
     from pyspark.sql import Window
@@ -813,7 +918,7 @@ def q_streaming_tws_stats(spark, sf_dir):
         .writeStream.outputMode("update")
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", scratch_dir("ckpt"))
         .trigger(availableNow=True)
         .start()
     )
@@ -841,7 +946,7 @@ FROM events GROUP BY user_id
 
 def _drain(stream_df, prefix: str):
     """availableNow → memory sink, return the drained table (append mode)."""
-    import tempfile
+    from k_means_hadoop_spark.session import scratch_dir
     import uuid
 
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
@@ -849,7 +954,7 @@ def _drain(stream_df, prefix: str):
         stream_df.writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", scratch_dir("ckpt"))
         .trigger(availableNow=True)
         .start()
     )
@@ -935,12 +1040,12 @@ def q_streaming_upsert_snapshot(spark, sf_dir):
     the MERGE-on-parquet loop (dynamic partition overwrite, bucketed
     rewrite) a driver-checked component rather than a test-only one."""
     import os
-    import tempfile
+    from k_means_hadoop_spark.session import scratch_dir
 
     from k_means_hadoop_spark.streaming.relational import streaming_upsert_snapshot
     from k_means_hadoop_spark.streaming.stream_kmeans import read_event_stream
 
-    root = tempfile.mkdtemp(prefix="upsert_")
+    root = scratch_dir("upsert")
     out = os.path.join(root, "snap")  # must not pre-exist: first batch detects absence
     ckpt = os.path.join(root, "ckpt")
     stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
@@ -977,7 +1082,7 @@ def q_streaming_kmeans_foreachbatch(spark, sf_dir):
     the fixed init centroids, per-cluster batch means, one blended
     step — so the driver hash-checks the foreachBatch state loop itself,
     not just its plumbing."""
-    import tempfile
+    from k_means_hadoop_spark.session import scratch_dir
 
     from k_means_hadoop_spark.streaming.stream_kmeans import (
         StreamingKMeansState,
@@ -989,7 +1094,7 @@ def q_streaming_kmeans_foreachbatch(spark, sf_dir):
         centroids=[(c, list(v)) for c, v in STREAM_CENTROIDS], alpha=STREAM_KMEANS_ALPHA
     )
     stream = read_event_stream(spark, f"{sf_dir}/events.parquet")
-    q = streaming_kmeans_update(stream, state, tempfile.mkdtemp(prefix="ckpt_"))
+    q = streaming_kmeans_update(stream, state, scratch_dir("ckpt"))
     q.awaitTermination()
     raw = spark.createDataFrame(
         [(c, v[0], v[1]) for c, v in state.centroids], "cluster int, c0 double, c1 double"
@@ -1025,7 +1130,7 @@ def q_streaming_session_windows(spark, sf_dir):
     merged sessions must equal the batch gaps-and-islands SQL — the same
     oracle as the batch `session_windows_events`, checking the streaming
     MERGING state machine against a closed-form formulation."""
-    import tempfile
+    from k_means_hadoop_spark.session import scratch_dir
     import uuid
 
     from pyspark.sql import functions as SF
@@ -1046,7 +1151,7 @@ def q_streaming_session_windows(spark, sf_dir):
         sess.writeStream.outputMode("complete")
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", scratch_dir("ckpt"))
         .trigger(availableNow=True)
         .start()
     )
@@ -1354,9 +1459,9 @@ WHERE round(common::DOUBLE / (ca.n_sh + cb.n_sh - common), 6) >= {threshold}"""
 
 
 def _embedding_bucketed_sql(threshold: float, n_bits: int, bands: int) -> str:
-    """Bit-exact mirror of embedding_neardup_bucketed: sign-bit
-    signatures are raw comparisons (no float summation), so the
-    candidate set is reproducible across engines."""
+    """Bit-exact mirror of embedding_neardup_bucketed over the planted
+    corpus: sign-bit signatures are raw comparisons (no float
+    summation), so the candidate set is reproducible across engines."""
     width = n_bits // bands
     band_selects = []
     for bi in range(bands):
@@ -1367,7 +1472,7 @@ def _embedding_bucketed_sql(threshold: float, n_bits: int, bands: int) -> str:
         band_selects.append(f"SELECT vid, {bi} AS band, ({terms})::INTEGER AS slice FROM v")
     stacked = " UNION ALL ".join(band_selects)
     return f"""
-WITH v AS (SELECT vec_id::INTEGER AS vid, embedding::DOUBLE[] AS vec FROM embeddings),
+WITH {_planted_v_sql()},
 stacked AS ({stacked}),
 cand AS (SELECT DISTINCT a.vid AS a_id, b.vid AS b_id
          FROM stacked a JOIN stacked b
@@ -1477,6 +1582,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "text_unigram_logprob": _unigram_logprob_sql(),
     "dedup_semantic_cells": _semdedup_sql(SEMDEDUP_THRESHOLD),
     "knn_signbit_lsh": _knn_signbit_sql(5, KNN_SIGNBIT_BITS),
+    "approx_top_terms": APPROX_TOP_TERMS_SQL,
     "knn_pq": _knn_pq_sql(5, PQ_M, PQ_DIM),
     "knn_pq_rerank": _knn_pq_rerank_sql(5, PQ_M, PQ_DIM, PQ_SHORTLIST),
     "embedding_truncate_renorm": _truncate_renorm_sql(TRUNC_DIM),
@@ -1511,8 +1617,7 @@ PIPELINE_ORACLES: dict[str, str] = {
         NEARDUP_COS_THRESHOLD, EMB_LSH_BITS, EMB_LSH_BANDS
     ),
     "dedup_embedding_cosine": f"""
-WITH v AS (SELECT vec_id::INTEGER AS vid, embedding::DOUBLE[] AS vec FROM embeddings
-           WHERE vec_id < {NEARDUP_MAX_ID})
+WITH {_planted_v_sql(NEARDUP_MAX_ID)}
 SELECT a.vid AS a_id, b.vid AS b_id,
        round(list_cosine_similarity(a.vec, b.vec), 6) AS cos_sim
 FROM v a JOIN v b ON a.vid < b.vid
@@ -1580,7 +1685,7 @@ PIPELINE_QUERIES = {
     "knn_pq_rerank": q_knn_pq_rerank,
     "knn_lsh": q_knn_lsh,  # rows-only: recall<1 approximate op
     "knn_ivf": q_knn_ivf,  # rows-only: depends on iterative k-means quantizer
-    "approx_top_terms": q_approx_top_terms,  # rows-only: sketch boundary ties
+    "approx_top_terms": q_approx_top_terms,  # exact-count (rank, n) ladder
     "knn_mllib_lsh": q_knn_mllib_lsh,  # rows-only: MLlib-internal hash tables
     "neardup_mllib_minhash": q_neardup_mllib_minhash,  # rows-only: MLlib hash family
     "chunk_documents": q_chunk_documents,

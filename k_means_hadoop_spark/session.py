@@ -9,9 +9,27 @@ available, Arrow enabled for the few pandas-interop paths.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(tag: str) -> str:
+    """A fresh temp dir under ONE per-process scratch root that is
+    removed at interpreter exit.  The wire-format roundtrip queries and
+    streaming checkpoint/staging dirs would otherwise leak a directory
+    (holding a full copy of the points/assignment tables) per driver
+    correctness run and per test invocation."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="kmh_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=f"{tag}_", dir=_SCRATCH_ROOT)
 
 
 def get_spark(app_name: str = "k_means_hadoop_spark", shuffle_partitions: int | None = None) -> SparkSession:

@@ -176,7 +176,13 @@ def streaming_ingest_dedup(
     persisted table; here the read stands in for that), the batch never
     self-joins, and replaying a batch appends the same deterministic
     statuses.  Drained with ``availableNow`` the single-batch result has
-    a closed form, so the whole streaming loop is oracle-checkable."""
+    a closed form, so the whole streaming loop is oracle-checkable.
+
+    foreachBatch is at-least-once: a micro-batch can be REPLAYED after
+    a failure, so the sink must be idempotent per batch_id.  Statuses
+    are written partitioned by batch_id with dynamic partition
+    overwrite — a replay rewrites its own partition instead of
+    double-appending rows."""
     from k_means_hadoop_spark.operators.dedup import incremental_dedup
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
@@ -190,7 +196,13 @@ def streaming_ingest_dedup(
         out = incremental_dedup(
             docs, F.col("doc_id") % batch_mod == batch_rem, n=n, threshold=threshold
         )
-        out.write.mode("append").parquet(out_path)
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(apply_batch)

@@ -55,11 +55,11 @@ def read_event_stream(spark: SparkSession, path: str, max_files_per_trigger: int
     local test fixtures) is staged as a symlink inside a temp directory,
     because the file stream source only monitors directories."""
     import os
-    import tempfile
+    from k_means_hadoop_spark.session import scratch_dir
 
     batch_ts = spark.read.parquet(path).schema["ts"].dataType
     if path.endswith(".parquet") and os.path.isfile(path):
-        staging = tempfile.mkdtemp(prefix="event_stream_")
+        staging = scratch_dir("event_stream")
         os.symlink(path, os.path.join(staging, os.path.basename(path)))
         path = staging
     raw = (

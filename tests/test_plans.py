@@ -249,7 +249,7 @@ def test_q9_three_dims_broadcast_one_fact_shuffle(plans):
     any) is lineitem⨝orders — the fact-fact edge."""
     p = plans("q9_product_profit")
     assert n_nodes(p, "BroadcastHashJoin") >= 3
-    assert "StringContains(p_name,1)" in p  # LIKE filter reaches the part scan
+    assert "StringContains(p_name,red)" in p  # LIKE filter reaches the part scan
 
 
 def test_q14_case_inside_single_aggregate(plans):
