@@ -66,17 +66,37 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def lsh_signature(vec_col, planes: list[list[float]]):
-    """Bit-signature column: bit i = sign(vec · plane_i)."""
-    sig = F.lit(0).cast("bigint")
-    for i, plane in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(vec_col, F.array(*[F.lit(float(v)) for v in plane]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sig = sig + F.when(dot > 0, F.lit(1 << i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-    return sig
+def _dot_chain_sql(vec_sql: str, plane: list[float], one_based: bool) -> str:
+    """vec · plane as an EXPLICIT left-associative literal chain:
+    ``v[0]*p0 + v[1]*p1 + ...``.  Both Spark SQL and DuckDB parse ``+``
+    left-associative and evaluate in IEEE doubles, so the chain — unlike
+    an engine-internal fold or sum() — produces the bit-identical result
+    in both engines, making even the SIGN of a near-zero dot product
+    cross-engine reproducible.  ``repr`` round-trips doubles exactly."""
+    return " + ".join(
+        f"{vec_sql}[{j + 1 if one_based else j}] * CAST({float(p)!r} AS DOUBLE)"
+        for j, p in enumerate(plane)
+    )
+
+
+def lsh_signature_sql(vec_sql: str, planes: list[list[float]], one_based: bool) -> str:
+    """Bit-signature SQL text: bit i = sign(vec · plane_i).  The same
+    text (modulo array-index base) runs on Spark and DuckDB."""
+    parts = [
+        f"(CASE WHEN ({_dot_chain_sql(vec_sql, plane, one_based)}) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def lsh_signature(vec_col_name: str, planes: list[list[float]]):
+    """Bit-signature column over the named array column (parsed as ONE
+    SQL expression — thousands of literals via the Column API would cost
+    a py4j round-trip each, the knn_pq lesson)."""
+    return F.expr(
+        f"CAST({lsh_signature_sql(vec_col_name, planes, one_based=False)} AS BIGINT)"
+    )
 
 
 def knn_lsh(
@@ -88,22 +108,28 @@ def knn_lsh(
     seed: int = 42,
 ) -> DataFrame:
     """(qid, nid, cos_sim, rank) — approximate top-k within the query's
-    LSH bucket.  Recall < 1 by construction; at scale the table is
-    pre-partitioned by signature so a query reads one bucket."""
+    random-hyperplane LSH bucket.  Recall < 1 by construction; at scale
+    the table is pre-partitioned by signature so a query reads one
+    bucket.
+
+    Fully oracle-checkable: the plane dots are explicit left-assoc
+    literal chains (see ``_dot_chain_sql``), so bucket membership is
+    bit-exact across engines, and ranking on the ROUNDED similarity
+    with nid tie-break makes the whole top-k cross-engine
+    deterministic — the same recipe as ``knn_signbit_lsh``."""
     planes = _hyperplanes(dim, n_planes, seed)
-    vecs = _vectors(embeddings).withColumn("sig", lsh_signature(F.col("vec"), planes))
+    vecs = _vectors(embeddings).withColumn("sig", lsh_signature("vec", planes))
     queries = vecs.filter(F.col("vid").isin(list(query_ids))).select(
         F.col("vid").alias("qid"), F.col("vec").alias("qvec"), F.col("sig").alias("qsig")
     )
-    sim = cosine_similarity(F.col("qvec"), F.col("vec"))
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    sim = F.round(cosine_similarity(F.col("qvec"), F.col("vec")), 6)
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
     return (
         vecs.join(F.broadcast(queries), F.col("sig") == F.col("qsig"))
         .filter(F.col("vid") != F.col("qid"))
-        .select("qid", F.col("vid").alias("nid"), sim.alias("sim"))
+        .select("qid", F.col("vid").alias("nid"), sim.alias("cos_sim"))
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
-        .select("qid", "nid", F.round("sim", 6).alias("cos_sim"), "rank")
     )
 
 
@@ -114,13 +140,14 @@ def knn_signbit_lsh(
     n_bits: int = 6,
 ) -> DataFrame:
     """(qid, nid, cos_sim, rank) — approximate top-k within the query's
-    SIGN-BIT LSH bucket (bit i = sign of dimension i): the
-    oracle-checkable ANN tier.  Random-hyperplane ``knn_lsh`` stays
-    rows-only because a float dot-product's sign near zero is not
-    cross-engine reproducible; sign buckets use raw comparisons only,
-    and ranking on the ROUNDED similarity with nid tie-break makes the
-    whole top-k cross-engine deterministic.  Same scale shape as
-    knn_lsh: bucket equi-join, cost ∝ bucket size, recall < 1."""
+    SIGN-BIT LSH bucket (bit i = sign of dimension i): the simplest
+    oracle-checkable ANN tier — sign buckets use raw comparisons only
+    (no float summation at all), and ranking on the ROUNDED similarity
+    with nid tie-break makes the whole top-k cross-engine
+    deterministic.  Random-hyperplane ``knn_lsh`` achieves the same
+    reproducibility the harder way (left-assoc literal dot chains);
+    both share the scale shape: bucket equi-join, cost ∝ bucket size,
+    recall < 1."""
     bits = [
         F.when(F.element_at("vec", i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(n_bits)

@@ -578,11 +578,10 @@ _REVERIFY_AFTER = {
 # their driver row is the weaker rows-only check, so when a round's
 # 50-entry window can't fit everything, the slots go to oracle-backed
 # queries first.
-_DEPRIORITIZED = [
-    # (the round-2 list's sketch entries grew within-tolerance oracles
-    # and left this tier; only the MLlib-internal ANN paths remain)
-    "knn_mllib_lsh", "neardup_mllib_minhash",
-]
+# The round-2 deprioritized tier is empty: every former rows-only
+# sketch/ANN entry now carries a within-tolerance or recall-contract
+# oracle, so none needs to yield its window slot.
+_DEPRIORITIZED: list[str] = []
 
 # Curated round-3 front: the five re-verify entries lead (their current
 # definitions have never seen a driver row), then the last §2 operator

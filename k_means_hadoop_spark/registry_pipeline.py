@@ -354,12 +354,48 @@ def q_knn_bruteforce(spark, sf_dir):
     return similarity.knn_bruteforce(_emb(spark, sf_dir), KNN_QUERY_IDS, k=5)
 
 
+KNN_LSH_PLANES = 8
+KNN_LSH_DIM = 64
+KNN_LSH_SEED = 42
+
+
 def q_knn_lsh(spark, sf_dir):
-    # planted corpus: each query id's clone is its true nearest
-    # neighbor AND shares its signature (sign-preserving perturbation),
-    # so the bucket probe provably surfaces a real neighbor — the
-    # recall floor asserted in tests is meaningful, not vacuous.
-    return similarity.knn_lsh(_planted_emb(spark, sf_dir), KNN_QUERY_IDS, k=5)
+    # Planted corpus: each query id's clone is its true nearest
+    # neighbor; whether it lands in the query's hyperplane bucket
+    # depends on the (deterministic) plane-dot signs, so the recall
+    # floor asserted in tests is measured, not assumed.  Oracle-backed:
+    # the plane dots are left-assoc literal chains, bit-exact in DuckDB.
+    return similarity.knn_lsh(
+        _planted_emb(spark, sf_dir),
+        KNN_QUERY_IDS,
+        k=5,
+        n_planes=KNN_LSH_PLANES,
+        dim=KNN_LSH_DIM,
+        seed=KNN_LSH_SEED,
+    )
+
+
+def _knn_lsh_sql(k: int) -> str:
+    """Mirror of similarity.knn_lsh over the planted corpus: the same
+    signature SQL text (1-based indexing) the Spark side parses, so
+    bucket membership — including near-zero dot signs — is bit-exact."""
+    sig = similarity.lsh_signature_sql(
+        "vec",
+        similarity._hyperplanes(KNN_LSH_DIM, KNN_LSH_PLANES, KNN_LSH_SEED),
+        one_based=True,
+    )
+    return f"""
+WITH {_planted_v_sql()},
+vs AS (SELECT vid, vec, {sig}::BIGINT AS sig FROM v),
+q AS (SELECT vid AS qid, vec AS qvec, sig AS qsig FROM vs WHERE vid IN ({_KNN_IDS_SQL})),
+sims AS (SELECT q.qid, vs.vid AS nid,
+                round(list_cosine_similarity(q.qvec, vs.vec), 6) AS cos_sim
+         FROM vs JOIN q ON vs.sig = q.qsig WHERE vs.vid != q.qid),
+ranked AS (SELECT qid, nid, cos_sim,
+           CAST(row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, nid) AS INTEGER) AS rank
+           FROM sims)
+SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= {k}"""
 
 
 KNN_SIGNBIT_BITS = 6
@@ -389,8 +425,42 @@ ranked AS (SELECT qid, nid, cos_sim,
 SELECT qid, nid, cos_sim, rank FROM ranked WHERE rank <= {k}"""
 
 
+IVF_RECALL_FLOOR = 0.25  # measured 0.40 at sf0.01 (nprobe 2 of 8 cells)
+
+
 def q_knn_ivf(spark, sf_dir):
-    return similarity.knn_ivf(_emb(spark, sf_dir), KNN_QUERY_IDS, k=5)
+    """(n_exact, recall_ok) — IVF's driver-checkable CONTRACT: the
+    probe results must recover at least IVF_RECALL_FLOOR of the exact
+    cosine top-5 set across all queries (per-query recall legitimately
+    ranges 0..1 with nprobe=2 of 8 cells; the aggregate is the stable
+    quantity).  The quantizer is iterative (engine-internal), so the
+    raw neighbor lists can't be SQL-mirrored — but the recall verdict
+    can: the oracle recomputes the exact top-5 count and asserts the
+    verdict true, so a broken quantizer/probe pipeline flips the hash."""
+    planted = _planted_emb(spark, sf_dir)
+    ivf = similarity.knn_ivf(planted, KNN_QUERY_IDS, k=5).select("qid", "nid")
+    exact = similarity.knn_bruteforce(planted, KNN_QUERY_IDS, k=5).select("qid", "nid")
+    hits = ivf.join(exact, ["qid", "nid"])
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            "n_exact",
+            (F.col("n_hits") >= IVF_RECALL_FLOOR * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
+
+
+def _knn_ivf_contract_sql() -> str:
+    return f"""
+WITH {_planted_v_sql()},
+q AS (SELECT vid AS qid, vec AS qvec FROM v WHERE vid IN ({_KNN_IDS_SQL})),
+sims AS (SELECT q.qid, v.vid AS nid, list_cosine_similarity(q.qvec, v.vec) AS sim
+         FROM v CROSS JOIN q WHERE v.vid != q.qid),
+ranked AS (SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+           FROM sims)
+SELECT count(*)::BIGINT AS n_exact, true AS recall_ok FROM ranked WHERE rank <= 5"""
 
 
 # m=8 / 16 codewords measured best on the fixture (80% of the exact
@@ -533,14 +603,112 @@ r AS (SELECT n, CAST(row_number() OVER (ORDER BY n DESC) AS INTEGER) AS rank FRO
 SELECT rank, n FROM r WHERE rank <= {APPROX_TOP_K}"""
 
 
+MLLIB_LSH_RECALL_FLOOR = 3  # of 5; measured 5/5 per query at sf0.01
+
+
 def q_knn_mllib_lsh(spark, sf_dir):
-    return similarity.knn_mllib_lsh(_emb(spark, sf_dir), KNN_QUERY_IDS, k=5)
+    """(qid, n_exact, recall_ok) — MLlib BucketedRandomProjectionLSH's
+    driver-checkable CONTRACT: per query, approxNearestNeighbors must
+    recover at least MLLIB_LSH_RECALL_FLOOR of the exact EUCLIDEAN
+    top-5 (BRP is an L2-metric family).  Hash tables are
+    MLlib-internal, so the neighbor lists stay engine-specific; the
+    per-query recall verdict is what the oracle asserts."""
+    from k_means_hadoop_spark.functions.vector import euclidean
+
+    planted = _planted_emb(spark, sf_dir)
+    ml = similarity.knn_mllib_lsh(planted, KNN_QUERY_IDS, k=5).select("qid", "nid")
+    vecs = planted.select(
+        F.col("vec_id").cast("int").alias("vid"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    q = vecs.filter(F.col("vid").isin(KNN_QUERY_IDS)).select(
+        F.col("vid").alias("qid"), F.col("vec").alias("qvec")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("d"), F.col("nid"))
+    exact = (
+        vecs.crossJoin(F.broadcast(q))
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", F.col("vid").alias("nid"), F.round(euclidean("qvec", "vec"), 6).alias("d"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "nid")
+    )
+    hits = ml.join(exact, ["qid", "nid"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        exact.groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "qid", "left")
+        .fillna(0, subset=["n_hits"])
+        .select(
+            "qid",
+            "n_exact",
+            (F.col("n_hits") >= MLLIB_LSH_RECALL_FLOOR).alias("recall_ok"),
+        )
+    )
+
+
+def _knn_mllib_contract_sql() -> str:
+    return f"""
+WITH {_planted_v_sql()},
+q AS (SELECT vid AS qid, vec AS qvec FROM v WHERE vid IN ({_KNN_IDS_SQL})),
+dists AS (SELECT q.qid, v.vid AS nid, list_distance(q.qvec, v.vec) AS d
+          FROM v CROSS JOIN q WHERE v.vid != q.qid),
+ranked AS (SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY round(d, 6), nid) AS rank
+           FROM dists)
+SELECT qid, count(*)::BIGINT AS n_exact, true AS recall_ok
+FROM ranked WHERE rank <= 5 GROUP BY qid"""
+
+
+MINHASH_MLLIB_RECALL_FLOOR = 0.8  # measured 1.0 at sf0.01
 
 
 def q_neardup_mllib_minhash(spark, sf_dir):
-    return dedup.neardup_mllib_minhash(
-        _docs(spark, sf_dir), n=NGRAM_N, threshold=NGRAM_THRESHOLD
+    """(n_exact, precision_ok, recall_ok) — MLlib MinHashLSH's
+    driver-checkable CONTRACT against the exact n-gram Jaccard
+    operator: every reported pair must appear in the exact pair set
+    with the identical rounded Jaccard (approxSimilarityJoin verifies
+    exact distance on candidates → precision 1 by construction), and
+    recall must clear the measured floor.  The hash family is
+    MLlib-internal; the two verdicts + the exact pair count are what
+    the oracle asserts."""
+    docs = _docs(spark, sf_dir)
+    ml = dedup.neardup_mllib_minhash(
+        docs, n=NGRAM_N, threshold=NGRAM_THRESHOLD
+    ).withColumnRenamed("jaccard", "ml_jaccard")
+    exact = dedup.ngram_jaccard_pairs(docs, n=NGRAM_N, threshold=NGRAM_THRESHOLD)
+    j = ml.join(exact, ["a_id", "b_id"], "left")
+    stats = j.agg(
+        F.count(F.lit(1)).alias("n_ml"),
+        F.sum(
+            F.when(
+                F.col("jaccard").isNotNull()
+                & (F.abs(F.col("jaccard") - F.col("ml_jaccard")) < 1e-9),
+                1,
+            ).otherwise(0)
+        ).alias("n_true"),
     )
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(stats)
+        .select(
+            "n_exact",
+            (F.col("n_true") == F.col("n_ml")).alias("precision_ok"),
+            (F.col("n_true") >= MINHASH_MLLIB_RECALL_FLOOR * F.col("n_exact")).alias(
+                "recall_ok"
+            ),
+        )
+    )
+
+
+def _neardup_mllib_contract_sql() -> str:
+    return f"""
+SELECT count(*)::BIGINT AS n_exact, true AS precision_ok, true AS recall_ok
+FROM ({_ngram_jaccard_sql(NGRAM_N, NGRAM_THRESHOLD)}) t"""
 
 
 def q_chunk_documents(spark, sf_dir):
@@ -1582,6 +1750,10 @@ PIPELINE_ORACLES: dict[str, str] = {
     "text_unigram_logprob": _unigram_logprob_sql(),
     "dedup_semantic_cells": _semdedup_sql(SEMDEDUP_THRESHOLD),
     "knn_signbit_lsh": _knn_signbit_sql(5, KNN_SIGNBIT_BITS),
+    "knn_lsh": _knn_lsh_sql(5),
+    "knn_ivf": _knn_ivf_contract_sql(),
+    "knn_mllib_lsh": _knn_mllib_contract_sql(),
+    "neardup_mllib_minhash": _neardup_mllib_contract_sql(),
     "approx_top_terms": APPROX_TOP_TERMS_SQL,
     "knn_pq": _knn_pq_sql(5, PQ_M, PQ_DIM),
     "knn_pq_rerank": _knn_pq_rerank_sql(5, PQ_M, PQ_DIM, PQ_SHORTLIST),
@@ -1683,11 +1855,11 @@ PIPELINE_QUERIES = {
     "knn_signbit_lsh": q_knn_signbit,
     "knn_pq": q_knn_pq,
     "knn_pq_rerank": q_knn_pq_rerank,
-    "knn_lsh": q_knn_lsh,  # rows-only: recall<1 approximate op
-    "knn_ivf": q_knn_ivf,  # rows-only: depends on iterative k-means quantizer
+    "knn_lsh": q_knn_lsh,  # oracle-backed: literal-chain plane dots
+    "knn_ivf": q_knn_ivf,  # contract oracle: aggregate recall verdict
     "approx_top_terms": q_approx_top_terms,  # exact-count (rank, n) ladder
-    "knn_mllib_lsh": q_knn_mllib_lsh,  # rows-only: MLlib-internal hash tables
-    "neardup_mllib_minhash": q_neardup_mllib_minhash,  # rows-only: MLlib hash family
+    "knn_mllib_lsh": q_knn_mllib_lsh,  # contract oracle: per-query recall verdict
+    "neardup_mllib_minhash": q_neardup_mllib_minhash,  # contract oracle: precision+recall verdicts
     "chunk_documents": q_chunk_documents,
     "prepare_corpus": q_prepare_corpus,
     "multimodal_decode": q_multimodal_decode,
