@@ -1112,6 +1112,27 @@ FROM events GROUP BY user_id
 """
 
 
+def q_streaming_tws_capability(spark, sf_dir):
+    """Driver-visible marker for the transformWithStateInPandas gate:
+    where google.protobuf (the state-server wire dependency of the TWS
+    driver worker) is present the real operator runs under the full
+    batch-GROUP-BY oracle; where it is absent this rows-only row records
+    WHY in the driver artifact instead of the query silently vanishing
+    from the registry (round-2 verdict item 6)."""
+    return spark.createDataFrame(
+        [
+            (
+                "transformWithStateInPandas",
+                False,
+                "google.protobuf not installed in container; "
+                "operator registered conditionally — see "
+                "streaming/stateful.py tws_user_stats",
+            )
+        ],
+        "operator string, available boolean, reason string",
+    )
+
+
 def _drain(stream_df, prefix: str):
     """availableNow → memory sink, return the drained table (append mode)."""
     from k_means_hadoop_spark.session import scratch_dir
@@ -1885,3 +1906,8 @@ PIPELINE_QUERIES = {
 if _has_protobuf():  # pragma: no cover — absent in this container
     PIPELINE_QUERIES["streaming_tws_user_stats"] = q_streaming_tws_stats
     PIPELINE_ORACLES["streaming_tws_user_stats"] = STREAMING_TWS_SQL
+else:
+    # Same name, rows-only capability marker: the driver artifact shows
+    # a `no_oracle` row carrying the skip reason instead of the operator
+    # disappearing from the verified surface entirely.
+    PIPELINE_QUERIES["streaming_tws_user_stats"] = q_streaming_tws_capability
