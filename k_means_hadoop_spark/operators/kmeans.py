@@ -125,7 +125,11 @@ def lloyd_kmeans(
     # (possible only with tol=0 float cycling) cannot loop forever.
     cap = max_iter if max_iter >= 0 else 10_000
     while iterations < cap:
-        assigned = assign_expr(points, centroids, features_col)
+        # unroll=False: the centroid literals change every iteration, so
+        # the codegen'd unrolled form would pay a fresh Janino compile
+        # per pass (measured 3× the iteration cost at k=8, d=64); the
+        # HOF form recompiles nothing and computes identical bits.
+        assigned = assign_expr(points, centroids, features_col, unroll=False)
         new_centroids = _collect_centroids(
             recompute_centroids(assigned, d=d, features_col=features_col)
         )
@@ -135,7 +139,7 @@ def lloyd_kmeans(
             converged = True
             break
         centroids = new_centroids
-    result = assign_expr(points, centroids, features_col)
+    result = assign_expr(points, centroids, features_col, unroll=False)
     if cache:
         points.unpersist()
     return KMeansResult(assignments=result, centroids=centroids, iterations=iterations, converged=converged)

@@ -45,6 +45,23 @@ def test_assign_expr_basic(spark):
     assert math.isclose(out[7][1], math.sqrt(50.0))
 
 
+def test_assign_unroll_forms_bit_identical(spark):
+    """The codegen'd unrolled chain and the HOF fold must produce the
+    SAME bits (same left-assoc summation order), on awkward values too —
+    assignments, distances, and tie-breaks all included."""
+    import random
+
+    rng = random.Random(7)
+    pts = spark.createDataFrame(
+        [(i, 0, [rng.uniform(-1, 1) * 10 ** rng.randint(-3, 3) for _ in range(7)]) for i in range(50)],
+        "id int, label int, features array<double>",
+    )
+    cents = [(c + 1, [rng.uniform(-5, 5) for _ in range(7)]) for c in range(3)]
+    rolled = {(r["id"], r["cluster"], r["dist"]) for r in assign_expr(pts, cents, unroll=False).collect()}
+    unrolled = {(r["id"], r["cluster"], r["dist"]) for r in assign_expr(pts, cents, unroll=True).collect()}
+    assert rolled == unrolled  # exact float equality, no rounding
+
+
 def test_assign_join_matches_expr(spark):
     pts = tiny_points(spark)
     cent_df = spark.createDataFrame(
