@@ -548,6 +548,17 @@ def duplicate_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
+
+    # Convergence probe: comp(node) := min(comp(node), neighbor comps)
+    # is per-node NON-INCREASING, so the label table is unchanged iff
+    # Σ comp is unchanged — one map-side-combined aggregate over the
+    # just-checkpointed table, replacing the old per-round
+    # join + filter + limit(1).count() probe (a whole extra join job
+    # per round).  decimal(38,0) keeps the sum exact at any node count.
+    def _label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -556,16 +567,11 @@ def duplicate_components(
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
         ).localCheckpoint(eager=True)
-        changed = (
-            neighbor_min.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
+        s = _label_sum(neighbor_min)
         labels = neighbor_min
-        if changed == 0:
+        if s == prev_sum:
             break
+        prev_sum = s
     return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("comp_id"))
 
 
