@@ -401,6 +401,99 @@ FROM events
 """
 
 
+# ------------------------------------------------------ PII redaction
+
+# Patterns deliberately restricted to syntax Java regex and RE2 (DuckDB)
+# interpret identically: character classes, bounded repetition, \d, \b.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_emails, n_phones, n_ips, clean) — document-level PII
+    redaction, the release gate every public training corpus runs:
+    emails → <EMAIL>, phone numbers → <PHONE>, IPv4 addresses → <IP>,
+    applied in that order so a later pattern can never match inside an
+    earlier placeholder.
+
+    The fixture corpus is synthetic word soup with no PII, so — per the
+    planted-case rule for discriminating oracles — the query itself
+    plants deterministic PII on a doc_id grid (every 37th doc an email
+    derived from its id, every 41st a phone, every 43rd an IP), with the
+    identical row-local expression mirrored in the oracle SQL.  Counts
+    are taken on the planted text BEFORE redaction; the output keeps
+    only touched docs and hash-compares the fully redacted text, so a
+    wrong pattern, wrong order, or missed occurrence flips the driver
+    hash.  Row-local regex only: zero shuffles, a pure map over the
+    scan at 100 TB."""
+    docs = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 37 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 41 == 0,
+            F.concat(F.lit(" call 415-555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 43 == 0,
+            F.concat(F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"), F.lit(".0.9")),
+        ).otherwise(F.lit("")),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(planted, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_count(planted, F.lit(_PII_EMAIL)).cast("int").alias("n_emails"),
+            F.regexp_count(planted, F.lit(_PII_PHONE)).cast("int").alias("n_phones"),
+            F.regexp_count(planted, F.lit(_PII_IP)).cast("int").alias("n_ips"),
+            clean.alias("clean"),
+        )
+        .filter((F.col("n_emails") + F.col("n_phones") + F.col("n_ips")) > 0)
+    )
+
+
+PII_REDACT_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 37 = 0
+                 THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 41 = 0
+                 THEN ' call 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 43 = 0
+                 THEN ' from 10.' || (doc_id % 256)::VARCHAR || '.0.9'
+                 ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_PII_EMAIL}'))::INTEGER AS n_emails,
+       len(regexp_extract_all(t, '{_PII_PHONE}'))::INTEGER AS n_phones,
+       len(regexp_extract_all(t, '{_PII_IP}'))::INTEGER AS n_ips,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+         '{_PII_IP}', '<IP>', 'g') AS clean
+FROM planted
+WHERE len(regexp_extract_all(t, '{_PII_EMAIL}'))
+      + len(regexp_extract_all(t, '{_PII_PHONE}'))
+      + len(regexp_extract_all(t, '{_PII_IP}')) > 0
+"""
+
+
 # ------------------------------------------------------- leakage audit
 
 def _split_expr(id_col: str):
@@ -781,6 +874,7 @@ CURATION_QUERIES = {
     "pack_sequences": (pack_sequences, PACK_SQL),
     "decontaminate_corpus": (decontaminate_corpus, _decontam_sql()),
     "scrub_event_props": (scrub_event_props, SCRUB_SQL),
+    "pii_redact_docs": (pii_redact_docs, PII_REDACT_SQL),
     "leakage_audit": (leakage_audit, _leakage_sql()),
     "shuffle_shards": (shuffle_shards, _shuffle_shards_sql()),
     "sample_weighted_docs": (sample_weighted_docs, _sample_weighted_sql()),

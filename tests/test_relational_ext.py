@@ -600,3 +600,29 @@ def test_planted_ann_recall_signbit_and_lsh(spark, sf_dir):
     assert len(found) * 2 >= len(PLANT_IDS), f"planted LSH recall {found}"
     for q in found:
         assert lsh[(q, q + PLANT_OFFSET)] == 1
+
+
+def test_pii_redact_plants_and_cleans(spark, sf_dir):
+    """Every planted email/phone/IP must be counted and fully redacted:
+    no raw pattern survives in `clean`, placeholders appear exactly
+    n times, and the planted grid (every 37th/41st/43rd doc) is the
+    exact touched set."""
+    from k_means_hadoop_spark.operators.curation import pii_redact_docs
+    import re
+
+    rows = pii_redact_docs(spark, sf_dir).collect()
+    assert rows, "planted grid must touch some docs"
+    email = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    phone = re.compile(r"\d{3}-\d{3}-\d{4}")
+    ip = re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b")
+    for r in rows:
+        assert r["doc_id"] % 37 == 0 or r["doc_id"] % 41 == 0 or r["doc_id"] % 43 == 0
+        assert not email.search(r["clean"]), r["clean"]
+        assert not phone.search(r["clean"]), r["clean"]
+        assert not ip.search(r["clean"]), r["clean"]
+        assert r["clean"].count("<EMAIL>") == r["n_emails"] == (1 if r["doc_id"] % 37 == 0 else 0)
+        assert r["clean"].count("<PHONE>") == r["n_phones"] == (1 if r["doc_id"] % 41 == 0 else 0)
+        assert r["clean"].count("<IP>") == r["n_ips"] == (1 if r["doc_id"] % 43 == 0 else 0)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    expected = {i for i in range(n_docs) if i % 37 == 0 or i % 41 == 0 or i % 43 == 0}
+    assert {r["doc_id"] for r in rows} == expected
