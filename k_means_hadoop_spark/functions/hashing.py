@@ -76,6 +76,26 @@ def word_ngrams(text: Column | str, n: int) -> Column:
     return F.array_distinct(F.regexp_extract_all(norm, F.lit(pat), 1))
 
 
+def word_ngrams_all(text: Column | str, n: int) -> Column:
+    """ALL word n-gram windows (within-doc repeats kept, unlike
+    ``word_ngrams``): the occurrence-counting form tokenizer fitting
+    needs — merge-pair frequencies count every occurrence.  Same
+    single-pass regex-lookahead scan."""
+    text = F.col(text) if isinstance(text, str) else text
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    pat = "(?=(" + "[^ ]+ " * (n - 1) + "[^ ]+))[^ ]+ ?"
+    return F.regexp_extract_all(norm, F.lit(pat), 1)
+
+
+def word_ngrams_all_sql(text_expr: str, n: int) -> str:
+    """DuckDB SQL producing the same non-distinct window list."""
+    toks = f"string_split_regex(lower(trim({text_expr})), '\\s+')"
+    return (
+        f"list_transform(range(0, greatest(len({toks}) - {n} + 1, 0)), "
+        f"i -> array_to_string(array_slice({toks}, i + 1, i + {n}), ' '))"
+    )
+
+
 def word_ngrams_sql(text_expr: str, n: int) -> str:
     """DuckDB SQL producing the same distinct word n-gram list."""
     toks = f"string_split_regex(lower(trim({text_expr})), '\\s+')"

@@ -401,6 +401,90 @@ FROM events
 """
 
 
+# ------------------------------------------------- boilerplate audit
+
+_BOILER_N = 5
+_BOILER_DF = 20  # a 5-gram in more than this many docs is boilerplate
+_BOILER_PLANT = "creative commons attribution license applies to this page"
+
+
+def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_shingles, n_boiler, boiler_ratio) — per-document
+    boilerplate load: the fraction of a doc's distinct word 5-grams
+    that recur across more than ``_BOILER_DF`` documents (nav bars,
+    license headers, templated footers — the spans C4/RefinedWeb-style
+    pipelines strip before training).  Only docs carrying at least one
+    boilerplate span are returned — the worklist a span-removal pass
+    consumes.
+
+    The synthetic corpus has no real boilerplate (max natural 5-gram
+    doc-frequency is 3-4 at test scales), so — per the planted-case
+    rule — the query appends a fixed license-header sentence to every
+    7th document (mirrored in the oracle): its within-sentence shingles
+    land in ~n/7 docs, far above the threshold, while the doc-boundary
+    shingles stay unique, so the df cut, the semi join, and the ratio
+    arithmetic are all exercised by non-trivial rows.
+
+    Scale shape: one shingle explode → doc-frequency groupBy(shingle)
+    → the (small) boilerplate set joins back LEFT SEMI onto the
+    exploded shingles → per-doc counts.  Per-doc distinct totals ride
+    along from the same explode, so the corpus is shingled once; both
+    groupBys partial-aggregate map-side, and no all-pairs structure
+    appears anywhere."""
+    from k_means_hadoop_spark.functions.hashing import word_ngrams
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" " + _BOILER_PLANT))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sh = docs.select("doc_id", F.explode(word_ngrams(F.col("text"), _BOILER_N)).alias("shingle"))
+    boiler = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _BOILER_DF)
+        .select("shingle")
+    )
+    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        sh.join(boiler, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        per_doc.join(hits, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_shingles"), 6).alias("boiler_ratio"),
+        )
+    )
+
+
+def _boilerplate_sql() -> str:
+    from k_means_hadoop_spark.functions.hashing import word_ngrams_sql
+
+    grams = word_ngrams_sql("t", _BOILER_N)
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' {_BOILER_PLANT}' ELSE text END AS t
+  FROM documents),
+sh AS (SELECT doc_id, unnest({grams}) AS shingle FROM planted),
+boiler AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {_BOILER_DF}),
+per_doc AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM sh GROUP BY doc_id),
+hits AS (SELECT doc_id, count(*)::BIGINT AS n_boiler
+         FROM sh WHERE shingle IN (SELECT shingle FROM boiler) GROUP BY doc_id)
+SELECT p.doc_id, p.n_shingles, h.n_boiler,
+       round(h.n_boiler / p.n_shingles::DOUBLE, 6) AS boiler_ratio
+FROM per_doc p JOIN hits h ON p.doc_id = h.doc_id
+"""
+
+
 # ------------------------------------------------------ PII redaction
 
 # Patterns deliberately restricted to syntax Java regex and RE2 (DuckDB)
@@ -875,6 +959,7 @@ CURATION_QUERIES = {
     "decontaminate_corpus": (decontaminate_corpus, _decontam_sql()),
     "scrub_event_props": (scrub_event_props, SCRUB_SQL),
     "pii_redact_docs": (pii_redact_docs, PII_REDACT_SQL),
+    "boilerplate_spans": (boilerplate_spans, _boilerplate_sql()),
     "leakage_audit": (leakage_audit, _leakage_sql()),
     "shuffle_shards": (shuffle_shards, _shuffle_shards_sql()),
     "sample_weighted_docs": (sample_weighted_docs, _sample_weighted_sql()),

@@ -91,13 +91,10 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, pred_lang) — marker-word language ID.
-
-    Scores each language by occurrences of its marker words among the
-    document's tokens; winner by nested CASE in LANGS order (ties go to
-    the earlier language); all-zero → 'und'.
-    """
+def lang_pred_expr(text_col: str = "text"):
+    """Predicted-language Column: scores each language by occurrences of
+    its marker words among the document's tokens; winner by nested CASE
+    in LANGS order (ties go to the earlier language); all-zero → 'und'."""
     toks = _tokens(F.col(text_col))
     scores = {}
     for lang, markers in LANG_MARKERS.items():
@@ -109,7 +106,25 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
         others = [scores[o] for o in LANGS if o != lang]
         cond = (scores[lang] > 0) & (scores[lang] >= F.greatest(*others))
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
-    return docs.select("doc_id", expr.alias("pred_lang"))
+    return expr
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pred_lang) — marker-word language ID."""
+    return docs.select("doc_id", lang_pred_expr(text_col).alias("pred_lang"))
+
+
+def langid_confusion(docs: DataFrame, text_col: str = "text", lang_col: str = "lang") -> DataFrame:
+    """(true_lang, pred_lang, n) — confusion matrix of the heuristic
+    language ID against the labeled ``lang`` column: the calibration
+    audit run before trusting a classifier to route a 100 TB corpus.
+    The prediction is inlined next to the label, so the whole matrix is
+    ONE map + one partial-aggregated groupBy — no join, no second scan."""
+    return (
+        docs.select(F.col(lang_col).alias("true_lang"), lang_pred_expr(text_col).alias("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -230,6 +245,28 @@ def top_terms(docs: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def tokenizer_fit_bigrams(docs: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    """(pair, n) — the k most frequent ADJACENT token pairs across the
+    corpus: the first merge candidates a BPE tokenizer fit computes
+    (each merge round picks the top pair, re-segments, repeats — this is
+    that counting pass, the part that touches all 100 TB).
+
+    Counts every occurrence (``word_ngrams_all``, not the distinct
+    shingle form), aggregated map-side, then ``orderBy().limit(k)`` →
+    ``TakeOrderedAndProject``: partitions keep local top-k, the driver
+    merges k·P rows, no global sort shuffle.  Ties (n DESC, pair ASC)
+    make the k-set deterministic."""
+    from k_means_hadoop_spark.functions.hashing import word_ngrams_all
+
+    pairs = docs.select(F.explode(word_ngrams_all(F.col(text_col), 2)).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(k)
     )
 

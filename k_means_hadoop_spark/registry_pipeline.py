@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from k_means_hadoop_spark.functions.hashing import (
     minhash_value_sql,
     stable_hash64_sql,
+    word_ngrams_all_sql,
     word_ngrams_sql,
 )
 from k_means_hadoop_spark.operators import dedup, similarity, text
@@ -122,6 +123,14 @@ def q_quality_scores(spark, sf_dir):
 
 def q_lang_id(spark, sf_dir):
     return text.lang_id(_docs(spark, sf_dir))
+
+
+def q_langid_confusion(spark, sf_dir):
+    return text.langid_confusion(_docs(spark, sf_dir))
+
+
+def q_tokenizer_fit_bigrams(spark, sf_dir):
+    return text.tokenizer_fit_bigrams(_docs(spark, sf_dir), k=50)
 
 
 def q_fingerprints(spark, sf_dir):
@@ -1761,6 +1770,18 @@ PIPELINE_ORACLES: dict[str, str] = {
     ),
     "text_quality_scores": _quality_sql(),
     "text_lang_id": _lang_id_sql(),
+    "langid_confusion": (
+        f"WITH p AS ({_lang_id_sql()}) "
+        "SELECT d.lang AS true_lang, p.pred_lang, count(*)::BIGINT AS n "
+        "FROM documents d JOIN p ON d.doc_id = p.doc_id GROUP BY 1, 2"
+    ),
+    "tokenizer_fit_bigrams": (
+        "WITH pr AS (SELECT unnest("
+        + word_ngrams_all_sql("text", 2)
+        + ") AS pair FROM documents) "
+        "SELECT pair, count(*)::BIGINT AS n FROM pr "
+        "GROUP BY pair ORDER BY n DESC, pair LIMIT 50"
+    ),
     "text_fingerprints": (
         "SELECT doc_id, "
         + stable_hash64_sql("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")
@@ -1851,6 +1872,8 @@ PIPELINE_QUERIES = {
     "text_token_counts": q_token_counts,
     "text_quality_scores": q_quality_scores,
     "text_lang_id": q_lang_id,
+    "langid_confusion": q_langid_confusion,
+    "tokenizer_fit_bigrams": q_tokenizer_fit_bigrams,
     "text_fingerprints": q_fingerprints,
     "text_simhash": q_simhash,
     "text_repetition_scores": q_repetition_scores,

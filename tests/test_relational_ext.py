@@ -626,3 +626,46 @@ def test_pii_redact_plants_and_cleans(spark, sf_dir):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     expected = {i for i in range(n_docs) if i % 37 == 0 or i % 41 == 0 or i % 43 == 0}
     assert {r["doc_id"] for r in rows} == expected
+
+
+def test_langid_confusion_partitions_corpus(spark, sf_dir):
+    """The confusion matrix is a partition of the corpus: cell counts
+    sum to the doc count, and the diagonal is non-trivial (the heuristic
+    must beat all-undetermined on the labeled fixture)."""
+    from k_means_hadoop_spark.operators.text import langid_confusion
+
+    rows = langid_confusion(spark.read.parquet(f"{sf_dir}/documents.parquet")).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    diag = sum(r["n"] for r in rows if r["true_lang"] == r["pred_lang"])
+    assert diag > 0
+
+
+def test_tokenizer_bigrams_counts_all_occurrences(spark):
+    """Merge-pair counting must keep within-doc repeats (the BPE count
+    is occurrences, not document frequency) and rank deterministically."""
+    from k_means_hadoop_spark.operators.text import tokenizer_fit_bigrams
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "a b c"), (2, "x y")],
+        "doc_id long, text string",
+    )
+    got = [(r["pair"], r["n"]) for r in tokenizer_fit_bigrams(docs, k=10).collect()]
+    # "a b": 3 in doc0 + 1 in doc1; "b a": 2 in doc0; "b c", "x y": 1
+    assert got == [("a b", 4), ("b a", 2), ("b c", 1), ("x y", 1)]
+
+
+def test_boilerplate_spans_planted_grid(spark, sf_dir):
+    """Planted license-header shingles must flag exactly the 7-grid docs
+    with at least the 4 within-sentence shingles each (8 plant tokens →
+    8-5+1 windows)."""
+    from k_means_hadoop_spark.operators.curation import boilerplate_spans
+
+    rows = boilerplate_spans(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_id"] % 7 == 0
+        assert r["n_boiler"] >= 4
+        assert 0 < r["boiler_ratio"] <= 1
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert {r["doc_id"] for r in rows} == {i for i in range(n_docs) if i % 7 == 0}
