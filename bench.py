@@ -81,6 +81,13 @@ HEADLINE = [
     "quality_classifier",
     "ingest_increment",
     "knn_pq_rerank",
+    # round 3: PII redaction (pure regex map), boilerplate df-cut audit,
+    # BPE merge-pair counting (all-occurrence explode + distributed
+    # top-k), and the language-ID calibration matrix (joinless).
+    "pii_redact_docs",
+    "boilerplate_spans",
+    "tokenizer_fit_bigrams",
+    "langid_confusion",
 ]
 
 
