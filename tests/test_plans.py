@@ -615,3 +615,48 @@ def test_knn_pq_join_free(plans):
     assert n_nodes(p, "Join") == 0
     assert n_nodes(p, "CartesianProduct") == 0
     assert n_nodes(p, "Scan parquet") == 1
+
+
+def test_pii_redact_is_map_only(plans):
+    """PII redaction is a pure map over the documents scan: plant,
+    count, redact are all row-local regex expressions — no Exchange, no
+    Join, text+doc_id the only columns read."""
+    p = plans("pii_redact_docs")
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_langid_confusion_single_agg_no_join(plans):
+    """The calibration matrix inlines the prediction next to the label:
+    one partial-aggregated groupBy, no join, lang+text+doc_id... only
+    the label and text columns read."""
+    p = plans("langid_confusion")
+    assert "Join" not in p
+    # two exchanges: the agg's hashpartitioning plus _docs' round-robin
+    # fan_out (input-parallelism guard, a no-op on well-partitioned
+    # real input) — nothing else
+    assert n_nodes(p, "Exchange") == 2
+    assert p.count("RoundRobinPartitioning") == 1
+    assert "ReadSchema: struct<text:string,lang:string>" in p
+
+
+def test_tokenizer_bigrams_top_k_no_global_sort(plans):
+    """Merge-pair counting must end in TakeOrderedAndProject (local
+    top-k + driver merge), never a global sort shuffle."""
+    p = plans("tokenizer_fit_bigrams")
+    assert "TakeOrderedAndProject" in p
+    assert "Join" not in p
+    # the pair-count groupBy plus _docs' round-robin fan_out guard only
+    assert n_nodes(p, "Exchange") == 2
+    assert p.count("RoundRobinPartitioning") == 1
+
+
+def test_boilerplate_no_cartesian_two_scans(plans):
+    """The boilerplate audit is explode → df-cut → semi-join back:
+    equi-joins only (never a cartesian), and the per-doc totals and hit
+    counts are partial-aggregated groupBys."""
+    p = plans("boilerplate_spans")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftSemi" in p
