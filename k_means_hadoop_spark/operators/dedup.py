@@ -241,8 +241,63 @@ def incremental_dedup(
     docs = docs.withColumn("_is_batch", is_batch)
     batch = docs.filter(F.col("_is_batch"))
     corpus = docs.filter(~F.col("_is_batch"))
-
     corpus_md5 = corpus.select(F.md5(F.col(text_col)).alias("text_md5")).distinct()
+    st_corpus = banded_signatures(corpus, n, bands, text_col)
+    return _incremental_statuses(
+        docs, batch, corpus_md5, st_corpus, n, threshold, bands, text_col
+    )
+
+
+def incremental_dedup_stored(
+    docs: DataFrame,
+    is_batch,
+    store_path: str,
+    n: int = 3,
+    threshold: float = 0.7,
+    bands: int = LSH_BANDS,
+    text_col: str = "text",
+) -> DataFrame:
+    """``incremental_dedup`` against a PERSISTED corpus index — the
+    actual 100 TB ingest shape made concrete: the corpus's banded
+    signatures and exact-match digests are written once to
+    ``store_path`` (two parquet tables an ingest service maintains
+    across increments; overwrite here stands in for the per-increment
+    append), and the daily batch joins against the store READ BACK from
+    disk — the corpus text is only consulted to verify the candidate
+    pairs the index surfaces.  Statuses are identical to the
+    from-raw-text operator, so the same oracle hash-checks both: a
+    lossy store schema, a broken roundtrip, or a wrong join against the
+    stored index all flip the driver hash."""
+    spark = docs.sparkSession
+    docs = docs.withColumn("_is_batch", is_batch)
+    batch = docs.filter(F.col("_is_batch"))
+    corpus = docs.filter(~F.col("_is_batch"))
+    corpus.select(F.md5(F.col(text_col)).alias("text_md5")).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{store_path}/md5")
+    banded_signatures(corpus, n, bands, text_col).write.mode("overwrite").parquet(
+        f"{store_path}/bands"
+    )
+    corpus_md5 = spark.read.parquet(f"{store_path}/md5")
+    st_corpus = spark.read.parquet(f"{store_path}/bands")
+    return _incremental_statuses(
+        docs, batch, corpus_md5, st_corpus, n, threshold, bands, text_col
+    )
+
+
+def _incremental_statuses(
+    docs: DataFrame,
+    batch: DataFrame,
+    corpus_md5: DataFrame,
+    st_corpus: DataFrame,
+    n: int,
+    threshold: float,
+    bands: int,
+    text_col: str,
+) -> DataFrame:
+    """Shared tail of the incremental operators: exact-md5 semi join +
+    batch-vs-corpus banded candidates + row-local Jaccard verify →
+    (doc_id, status)."""
     exact_ids = (
         batch.select("doc_id", F.md5(F.col(text_col)).alias("text_md5"))
         .join(corpus_md5, "text_md5", "left_semi")
@@ -250,7 +305,6 @@ def incremental_dedup(
     )
 
     st_batch = banded_signatures(batch, n, bands, text_col)
-    st_corpus = banded_signatures(corpus, n, bands, text_col)
     cand = (
         st_batch.alias("b")
         .join(

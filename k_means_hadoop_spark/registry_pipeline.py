@@ -205,6 +205,21 @@ def q_incremental_dedup(spark, sf_dir):
     )
 
 
+def q_incremental_dedup_stored(spark, sf_dir):
+    """incremental_dedup against a parquet-persisted corpus index (the
+    signature store a real ingest service maintains); identical output
+    contract, so the same oracle SQL hash-checks the store roundtrip."""
+    from k_means_hadoop_spark.session import scratch_dir
+
+    return dedup.incremental_dedup_stored(
+        _docs(spark, sf_dir),
+        F.col("doc_id") % INCR_BATCH_MOD == INCR_BATCH_REM,
+        scratch_dir("sig_store"),
+        n=NGRAM_N,
+        threshold=NGRAM_THRESHOLD,
+    )
+
+
 def q_ingest_increment(spark, sf_dir):
     """The daily-increment admission pipeline END TO END: for every
     incoming-batch document, one verdict — 'duplicate' (exact or
@@ -1810,6 +1825,12 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_incremental": _incremental_sql(
         NGRAM_N, NGRAM_THRESHOLD, INCR_BATCH_MOD, INCR_BATCH_REM
     ),
+    # Same oracle as dedup_incremental on purpose: the stored variant
+    # must produce the identical statuses through the parquet signature
+    # store, so any roundtrip loss flips the hash.
+    "dedup_incremental_stored": _incremental_sql(
+        NGRAM_N, NGRAM_THRESHOLD, INCR_BATCH_MOD, INCR_BATCH_REM
+    ),
     "ingest_increment": _ingest_increment_sql(),
     # Same oracle as dedup_incremental on purpose: an availableNow drain
     # is one batch, whose appended statuses equal the batch operator's.
@@ -1888,6 +1909,7 @@ PIPELINE_QUERIES = {
     "dedup_simhash_banded": q_simhash_banded,
     "dedup_embedding_bucketed": q_embedding_bucketed,
     "dedup_incremental": q_incremental_dedup,
+    "dedup_incremental_stored": q_incremental_dedup_stored,
     "ingest_increment": q_ingest_increment,
     "streaming_ingest_dedup": q_streaming_ingest_dedup,
     "dedup_minhash_lsh": q_minhash_candidates,

@@ -482,6 +482,31 @@ def test_incremental_dedup_planted_statuses(spark):
     assert out == {101: "exact_dup", 102: "new"}
 
 
+def test_incremental_stored_roundtrips_index(spark, tmp_path):
+    """The persisted-index variant must produce the identical statuses
+    through the parquet store, and the store must hold both index
+    tables (bands + md5 digests) a real ingest service maintains."""
+    from k_means_hadoop_spark.operators.dedup import (
+        incremental_dedup,
+        incremental_dedup_stored,
+    )
+
+    corpus = [(i, f"common word stream number {i} alpha beta gamma delta epsilon") for i in range(1, 9)]
+    batch = [(101, corpus[2][1]), (102, "entirely unrelated zq xv wk jy pm")]
+    docs = spark.createDataFrame(corpus + batch, "doc_id long, text string")
+    flag = F.col("doc_id") > 100
+    direct = {(r["doc_id"], r["status"]) for r in incremental_dedup(docs, flag).collect()}
+    store = str(tmp_path / "store")
+    stored = {
+        (r["doc_id"], r["status"])
+        for r in incremental_dedup_stored(docs, flag, store).collect()
+    }
+    assert stored == direct
+    bands = spark.read.parquet(f"{store}/bands")
+    assert set(bands.columns) == {"doc_id", "band", "bucket"}
+    assert spark.read.parquet(f"{store}/md5").columns == ["text_md5"]
+
+
 def test_pq_rerank_recall_ladder(spark, sf_dir):
     """PQ two-stage accuracy: (a) the exact-rerank tier's kept set must
     recover well above half the true euclidean top-5 (the ADC shortlist
