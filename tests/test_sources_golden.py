@@ -362,3 +362,48 @@ def test_word_ngrams_randomized_cross_engine(spark):
         assert len(g) == len(set(g)), f"case {i}: spark produced duplicate shingles"
         assert len(w) == len(set(w)), f"case {i}: duckdb produced duplicate shingles"
         assert set(g) == set(w), f"case {i} ({cases[i]!r}): {sorted(g)} != {sorted(w)}"
+
+
+def test_word_ngrams_fuzz_vs_python_reference(spark):
+    """The regex-lookahead shingler must agree with a straightforward
+    Python reference (normalize → split → windows → first-occurrence
+    dedup) on adversarial fuzz: unicode, mixed whitespace runs, regex
+    metacharacters inside tokens, n-1-token and empty inputs."""
+    import random
+    import re as _re
+
+    from k_means_hadoop_spark.functions.hashing import word_ngrams
+    from pyspark.sql import functions as F
+
+    def ref(text, n):
+        toks = _re.split(r"\s+", text.lower().strip())
+        toks = [t for t in toks if t != ""]
+        out, seen = [], set()
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i : i + n])
+            if g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    rng = random.Random(99)
+    alphabet = ["a", "bb", "λω", "x.y", "a+b", "(c)", "[d]", "e*", "|f|", "\\g", "$h", "^i", "ss"]
+    ws = [" ", "  ", "\t", "\n", " \t ", "\r\n"]
+    cases = ["", " ", "one", "one two", "\t\n", "a b"]
+    for _ in range(300):
+        k = rng.randint(0, 14)
+        cases.append(
+            rng.choice(["", " "]) +
+            rng.choice(ws).join(rng.choice(alphabet) for _ in range(k)) +
+            rng.choice(["", " "])
+        )
+    for n in (2, 3, 5):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(cases)], "i int, text string"
+        )
+        got = {
+            r["i"]: list(r["g"])
+            for r in df.select("i", word_ngrams(F.col("text"), n).alias("g")).collect()
+        }
+        for i, t in enumerate(cases):
+            assert got[i] == ref(t, n), (n, repr(t), got[i], ref(t, n))
