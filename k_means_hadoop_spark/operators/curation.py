@@ -425,12 +425,15 @@ def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles stay unique, so the df cut, the semi join, and the ratio
     arithmetic are all exercised by non-trivial rows.
 
-    Scale shape: one shingle explode → doc-frequency groupBy(shingle)
-    → the (small) boilerplate set joins back LEFT SEMI onto the
-    exploded shingles → per-doc counts.  Per-doc distinct totals ride
-    along from the same explode, so the corpus is shingled once; both
-    groupBys partial-aggregate map-side, and no all-pairs structure
-    appears anywhere."""
+    Scale shape: ONE corpus scan — the shingle doc-frequency is
+    computed inline with a count() window partitioned by shingle (the
+    same hash shuffle a separate df groupBy would pay, but without the
+    extra scan and join-back), then one partial-aggregated
+    groupBy(doc_id) takes both the distinct total and the
+    above-threshold count.  No join, no all-pairs structure
+    anywhere."""
+    from pyspark.sql import Window
+
     from k_means_hadoop_spark.functions.hashing import word_ngrams
 
     docs = _docs(spark, sf_dir).select(
@@ -442,20 +445,15 @@ def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     sh = docs.select("doc_id", F.explode(word_ngrams(F.col("text"), _BOILER_N)).alias("shingle"))
-    boiler = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > _BOILER_DF)
-        .select("shingle")
-    )
-    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        sh.join(boiler, "shingle", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_boiler"))
-    )
+    df_w = Window.partitionBy("shingle")
     return (
-        per_doc.join(hits, "doc_id")
+        sh.withColumn("_df", F.count(F.lit(1)).over(df_w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_df") > _BOILER_DF, 1).otherwise(0)).alias("n_boiler"),
+        )
+        .filter(F.col("n_boiler") > 0)
         .select(
             "doc_id",
             "n_shingles",

@@ -652,11 +652,12 @@ def test_tokenizer_bigrams_top_k_no_global_sort(plans):
     assert p.count("RoundRobinPartitioning") == 1
 
 
-def test_boilerplate_no_cartesian_two_scans(plans):
-    """The boilerplate audit is explode → df-cut → semi-join back:
-    equi-joins only (never a cartesian), and the per-doc totals and hit
-    counts are partial-aggregated groupBys."""
+def test_boilerplate_single_scan_no_join(plans):
+    """The boilerplate audit reads the corpus ONCE: the shingle
+    doc-frequency is an inline count() window, so the plan is
+    scan → explode → window shuffle → per-doc agg — no join, no
+    second scan."""
     p = plans("boilerplate_spans")
-    assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
-    assert "LeftSemi" in p
+    assert n_nodes(p, "Scan parquet") == 1
+    assert "Join" not in p
+    assert n_nodes(p, "Window") == 1
