@@ -85,6 +85,7 @@ HEADLINE = [
     # BPE merge-pair counting (all-occurrence explode + distributed
     # top-k), and the language-ID calibration matrix (joinless).
     "pii_redact_docs",
+    "curate_corpus_release",
     "boilerplate_spans",
     "tokenizer_fit_bigrams",
     "langid_confusion",
@@ -138,10 +139,12 @@ def main() -> None:
                     ),
                     "known_skip": (
                         "pytest skips transformWithStateInPandas "
-                        "(tests/test_pca_streaming_multimodal.py:283): "
+                        "(tests/test_pca_streaming_multimodal.py): "
                         "google.protobuf is not installed in this container "
-                        "and installs are disallowed; the operator is "
-                        "exercised via its applyInPandasWithState sibling"
+                        "and installs are disallowed; the registry surfaces "
+                        "the gate as the streaming_tws_user_stats capability "
+                        "row, and the applyInPandasWithState sibling covers "
+                        "the stateful path"
                     ),
                 },
             }

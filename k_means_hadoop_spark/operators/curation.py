@@ -492,6 +492,62 @@ _PII_PHONE = r"\d{3}-\d{3}-\d{4}"
 _PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 
+def _pii_planted_expr(text_col="text", id_col="doc_id"):
+    """Text with the deterministic PII plants appended (see
+    ``pii_redact_docs``); the identical row-local expression is mirrored
+    in SQL by ``_pii_planted_sql``."""
+    return F.concat(
+        F.col(text_col),
+        F.when(
+            F.col(id_col) % 37 == 0,
+            F.concat(F.lit(" contact user"), F.col(id_col).cast("string"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col(id_col) % 41 == 0,
+            F.concat(F.lit(" call 415-555-"), F.lpad((F.col(id_col) % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col(id_col) % 43 == 0,
+            F.concat(F.lit(" from 10."), (F.col(id_col) % 256).cast("string"), F.lit(".0.9")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def _pii_clean_expr(planted):
+    """Redaction chain: email → phone → IP, in that order so a later
+    pattern can never match inside an earlier placeholder."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(planted, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+
+
+def _pii_planted_sql(text_expr="text", id_expr="doc_id") -> str:
+    return (
+        f"{text_expr}"
+        f" || CASE WHEN {id_expr} % 37 = 0"
+        f" THEN ' contact user' || {id_expr}::VARCHAR || '@example.com now' ELSE '' END"
+        f" || CASE WHEN {id_expr} % 41 = 0"
+        f" THEN ' call 415-555-' || lpad(({id_expr} % 10000)::VARCHAR, 4, '0') ELSE '' END"
+        f" || CASE WHEN {id_expr} % 43 = 0"
+        f" THEN ' from 10.' || ({id_expr} % 256)::VARCHAR || '.0.9' ELSE '' END"
+    )
+
+
+def _pii_clean_sql(expr: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace(regexp_replace({expr}, "
+        f"'{_PII_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{_PII_PHONE}', '<PHONE>', 'g'), "
+        f"'{_PII_IP}', '<IP>', 'g')"
+    )
+
+
 def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_emails, n_phones, n_ips, clean) — document-level PII
     redaction, the release gate every public training corpus runs:
@@ -510,30 +566,8 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash.  Row-local regex only: zero shuffles, a pure map over the
     scan at 100 TB."""
     docs = _docs(spark, sf_dir)
-    planted = F.concat(
-        F.col("text"),
-        F.when(
-            F.col("doc_id") % 37 == 0,
-            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
-        ).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 41 == 0,
-            F.concat(F.lit(" call 415-555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
-        ).otherwise(F.lit("")),
-        F.when(
-            F.col("doc_id") % 43 == 0,
-            F.concat(F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"), F.lit(".0.9")),
-        ).otherwise(F.lit("")),
-    )
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(planted, _PII_EMAIL, "<EMAIL>"),
-            _PII_PHONE,
-            "<PHONE>",
-        ),
-        _PII_IP,
-        "<IP>",
-    )
+    planted = _pii_planted_expr()
+    clean = _pii_clean_expr(planted)
     return (
         docs.select(
             "doc_id",
@@ -547,28 +581,12 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PII_REDACT_SQL = f"""
-WITH planted AS (
-  SELECT doc_id,
-         text
-         || CASE WHEN doc_id % 37 = 0
-                 THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
-                 ELSE '' END
-         || CASE WHEN doc_id % 41 = 0
-                 THEN ' call 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
-                 ELSE '' END
-         || CASE WHEN doc_id % 43 = 0
-                 THEN ' from 10.' || (doc_id % 256)::VARCHAR || '.0.9'
-                 ELSE '' END AS t
-  FROM documents)
+WITH planted AS (SELECT doc_id, {_pii_planted_sql()} AS t FROM documents)
 SELECT doc_id,
        len(regexp_extract_all(t, '{_PII_EMAIL}'))::INTEGER AS n_emails,
        len(regexp_extract_all(t, '{_PII_PHONE}'))::INTEGER AS n_phones,
        len(regexp_extract_all(t, '{_PII_IP}'))::INTEGER AS n_ips,
-       regexp_replace(
-         regexp_replace(
-           regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
-           '{_PII_PHONE}', '<PHONE>', 'g'),
-         '{_PII_IP}', '<IP>', 'g') AS clean
+       {_pii_clean_sql('t')} AS clean
 FROM planted
 WHERE len(regexp_extract_all(t, '{_PII_EMAIL}'))
       + len(regexp_extract_all(t, '{_PII_PHONE}'))
@@ -845,6 +863,109 @@ SELECT {_split_sql('doc_id')} AS split, count(*)::BIGINT AS n_docs,
 FROM kept GROUP BY 1"""
 
 
+_RELEASE_BOILER_RATIO = 0.5  # natural df>1 ratio is 1.0 for exact-dup families
+
+
+def curate_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(split, n_docs, total_tokens) — the full RELEASE pipeline, one
+    plan: every admission gate `curate_corpus_full` runs (quality ≥ 0.5
+    → exact-dedup survivors → verified near-dup drop → benchmark
+    decontamination → held-out slice excluded) PLUS the boilerplate
+    gate (drop docs whose df>1 5-gram ratio exceeds
+    ``_RELEASE_BOILER_RATIO`` — on this corpus that is exactly the
+    exact-duplicate families, whose every shingle recurs), and the
+    final token accounting runs over the PII-REDACTED text (planted
+    grid + email/phone/IP placeholders) — tokens are counted the way a
+    tokenizer would actually see them after scrubbing.
+
+    Composed declaratively: the boilerplate ratio is the single-scan
+    count()-window form, redaction is a row-local expression on the
+    kept stream, and Catalyst plans all gates together — no driver
+    orchestration between stages."""
+    from k_means_hadoop_spark.functions.hashing import word_ngrams
+    from k_means_hadoop_spark.operators import text as text_ops
+    from k_means_hadoop_spark.operators.dedup import exact_duplicates, minhash_verified_pairs
+
+    docs = _docs(spark, sf_dir)
+    quality = text_ops.quality_scores(docs).select("doc_id", "quality")
+    keep_exact = exact_duplicates(docs).select(F.col("keep_id").alias("doc_id"))
+    neardup_drop = (
+        minhash_verified_pairs(docs, n=3, threshold=0.7)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    contaminated = decontaminate_corpus(spark, sf_dir).select("doc_id")
+    sh = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), _BOILER_N)).alias("shingle")
+    )
+    boilerish = (
+        sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("_df") > 1, 1).otherwise(0)) / F.count(F.lit(1))
+            ).alias("br")
+        )
+        .filter(F.col("br") > _RELEASE_BOILER_RATIO)
+        .select("doc_id")
+    )
+    kept = (
+        docs.join(quality, "doc_id")
+        .filter(F.col("quality") >= 0.5)
+        .join(keep_exact, "doc_id", "left_semi")
+        .join(neardup_drop, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+        .join(boilerish, "doc_id", "left_anti")
+        .filter(F.col("doc_id") % _BENCH_MOD != 0)
+    )
+    clean = _pii_clean_expr(_pii_planted_expr())
+    n_toks = F.size(F.split(F.lower(F.trim(clean)), r"\s+"))
+    return (
+        kept.withColumn("split", _split_expr("doc_id"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_toks.cast("bigint")).alias("total_tokens"),
+        )
+    )
+
+
+def _curate_release_sql() -> str:
+    from k_means_hadoop_spark.functions.hashing import word_ngrams_sql
+    from k_means_hadoop_spark.registry_pipeline import (
+        _minhash_verified_sql,
+        _quality_sql,
+    )
+
+    grams = word_ngrams_sql("text", _DECON_N)
+    bgrams = word_ngrams_sql("text", _BOILER_N)
+    clean = _pii_clean_sql(f"({_pii_planted_sql()})")
+    toks = f"string_split_regex(lower(trim({clean})), '\\s+')"
+    return f"""
+WITH q AS (SELECT doc_id, quality FROM ({_quality_sql()}) t),
+keepx AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+nd AS (SELECT DISTINCT b_id AS doc_id FROM ({_minhash_verified_sql(3, 0.7)}) mv),
+sh AS (SELECT doc_id, unnest({grams}) AS shingle FROM documents),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0),
+cont AS (SELECT DISTINCT doc_id FROM sh
+         WHERE doc_id % {_BENCH_MOD} <> 0 AND shingle IN (SELECT shingle FROM bench)),
+bsh AS (SELECT doc_id, unnest({bgrams}) AS shingle FROM documents),
+bdf AS (SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM bsh),
+boiler AS (SELECT doc_id FROM bdf GROUP BY doc_id
+           HAVING sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+                  > {_RELEASE_BOILER_RATIO}),
+kept AS (SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)
+         WHERE q.quality >= 0.5
+           AND d.doc_id IN (SELECT doc_id FROM keepx)
+           AND d.doc_id NOT IN (SELECT doc_id FROM nd)
+           AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+           AND d.doc_id NOT IN (SELECT doc_id FROM boiler)
+           AND d.doc_id % {_BENCH_MOD} <> 0)
+SELECT {_split_sql('doc_id')} AS split, count(*)::BIGINT AS n_docs,
+       sum(len({toks}))::BIGINT AS total_tokens
+FROM kept GROUP BY 1"""
+
+
 # ------------------------------------------- model-based quality filter
 
 _QC_LABEL_MOD = 5  # doc_id % 5 == 0 → the "annotated" training slice
@@ -962,6 +1083,7 @@ CURATION_QUERIES = {
     "shuffle_shards": (shuffle_shards, _shuffle_shards_sql()),
     "sample_weighted_docs": (sample_weighted_docs, _sample_weighted_sql()),
     "curate_corpus_full": (curate_corpus_full, _curate_full_sql()),
+    "curate_corpus_release": (curate_corpus_release, _curate_release_sql()),
     # Upgraded from rows-only (round-2 verdict item 5): exact columns +
     # a within-tolerance/contract verdict the oracle asserts as true.
     "stratified_sample_langs": (stratified_sample_langs, STRATIFIED_SQL),

@@ -694,3 +694,23 @@ def test_boilerplate_spans_planted_grid(spark, sf_dir):
         assert 0 < r["boiler_ratio"] <= 1
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert {r["doc_id"] for r in rows} == {i for i in range(n_docs) if i % 7 == 0}
+
+
+def test_release_pipeline_gates_bite(spark, sf_dir):
+    """curate_corpus_release must be curate_corpus_full plus two ACTIVE
+    gates: per split it never admits more docs, at least one split
+    shrinks (the boilerplate cut), and the redacted token accounting
+    differs from the raw one somewhere (plants + placeholders)."""
+    from k_means_hadoop_spark.operators.curation import (
+        curate_corpus_full,
+        curate_corpus_release,
+    )
+
+    full = {r["split"]: (r["n_docs"], r["total_tokens"]) for r in curate_corpus_full(spark, sf_dir).collect()}
+    rel = {r["split"]: (r["n_docs"], r["total_tokens"]) for r in curate_corpus_release(spark, sf_dir).collect()}
+    assert set(rel) == set(full)
+    assert all(rel[s][0] <= full[s][0] for s in rel)
+    assert any(rel[s][0] < full[s][0] for s in rel), "boilerplate gate never fired"
+    assert any(
+        rel[s][1] != full[s][1] for s in rel if rel[s][0] == full[s][0]
+    ), "redaction accounting identical to raw accounting"
