@@ -183,9 +183,14 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 
 def anti_join_unordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_anti join (absent in reference): parts never ordered."""
+    """left_anti join (absent in reference): parts never ordered in bulk
+    (no lineitem with quantity > 45).  The quantity predicate keeps the
+    result non-vacuous at every fixture scale — the unrestricted form
+    returns 0 rows (every part has some order), which would make the
+    driver's hash check an empty-vs-empty non-test; the filter is pushed
+    below the anti join onto the lineitem scan."""
     part = _t(spark, sf_dir, "part")
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
     return part.join(li, part.p_partkey == li.l_partkey, "left_anti").select(
         "p_partkey", "p_name"
     )
@@ -193,7 +198,8 @@ def anti_join_unordered_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ANTI_SQL = """
 SELECT p_partkey, p_name FROM part
-WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey AND l_quantity > 45)
 """
 
 

@@ -157,8 +157,15 @@ SEMDEDUP_THRESHOLD = 0.9
 
 
 def q_dedup_semantic_cells(spark, sf_dir):
+    # Planted corpus (same as the embedding-dedup/ANN entries): the raw
+    # fixture's maximum pairwise cosine is 0.513 vs threshold 0.9, so
+    # the un-planted query returns 0 rows at every sf and its driver
+    # hash-match would be vacuous.  Each planted clone is near-identical
+    # to its source, lands in the same cell, and clears the threshold —
+    # the cell assignment, in-cell pairing, and threshold all produce
+    # discriminating rows.
     return dedup.semantic_cell_pairs(
-        _emb(spark, sf_dir), KNN_QUERY_IDS, threshold=SEMDEDUP_THRESHOLD
+        _planted_emb(spark, sf_dir), KNN_QUERY_IDS, threshold=SEMDEDUP_THRESHOLD
     )
 
 
@@ -1710,7 +1717,7 @@ GROUP BY doc_id"""
 def _semdedup_sql(threshold: float) -> str:
     ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
     return f"""
-WITH v AS (SELECT vec_id::INTEGER AS vid, embedding::DOUBLE[] AS vec FROM embeddings),
+WITH {_planted_v_sql()},
 cents AS (SELECT CAST(row_number() OVER (ORDER BY vid) AS INTEGER) AS cell, vec AS cvec
           FROM v WHERE vid IN ({ids})),
 asg AS (SELECT vid, vec, cell FROM (
