@@ -808,6 +808,41 @@ SELECT doc_id, count(*)::BIGINT AS n_chunks,
 FROM s GROUP BY doc_id"""
 
 
+_DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+_LINEITEM_SCHEMA = (
+    "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int, "
+    "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+    "l_returnflag string, l_linestatus string, l_shipdate timestamp"
+)
+
+
+def q_docs_jsonl_roundtrip(spark, sf_dir):
+    """Interchange-format proof: the documents table written as JSONL
+    (the lingua franca corpora ship in) and re-read with an explicit
+    schema must hash-match an oracle that never sees the file —
+    writer escaping + parser are lossless for the full text payload.
+    Same pattern as the s1/s3/s6 reference wire-format roundtrips."""
+    from k_means_hadoop_spark.session import scratch_dir
+
+    path = scratch_dir("docs_jsonl")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.write.mode("overwrite").json(path)
+    return spark.read.schema(_DOCS_SCHEMA).json(path)
+
+
+def q_lineitem_csv_roundtrip(spark, sf_dir):
+    """CSV export/ingest fidelity: doubles survive via shortest-exact
+    rendering and timestamps via the symmetric default ISO format;
+    re-read with an explicit schema, hash-checked against the
+    parquet-side oracle."""
+    from k_means_hadoop_spark.session import scratch_dir
+
+    path = scratch_dir("lineitem_csv")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(_LINEITEM_SCHEMA).option("header", True).csv(path)
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched mapInPandas media decode (deterministic fake kernel —
     operators/multimodal.py); the oracle checks the oracle-expressible
@@ -1876,6 +1911,12 @@ SELECT qid, nid, round(sim, 6) AS cos_sim, rank FROM ranked WHERE rank <= 5""",
     "chunk_documents": CHUNK_SQL,
     "prepare_corpus": _prepare_corpus_sql(),
     "multimodal_decode": MULTIMODAL_SQL,
+    "docs_jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "lineitem_csv_roundtrip": (
+        "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
+        "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate "
+        "FROM lineitem"
+    ),
     "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
     "quantize_embeddings": QUANTIZE_SQL,
     "python_datasource_scan": PYDS_SQL,
@@ -1936,6 +1977,8 @@ PIPELINE_QUERIES = {
     "chunk_documents": q_chunk_documents,
     "prepare_corpus": q_prepare_corpus,
     "multimodal_decode": q_multimodal_decode,
+    "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
+    "lineitem_csv_roundtrip": q_lineitem_csv_roundtrip,
     "multimodal_frame_sample": q_multimodal_frames,
     "quantize_embeddings": q_quantize_embeddings,
     "python_datasource_scan": q_python_datasource_scan,
