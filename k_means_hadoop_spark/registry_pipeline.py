@@ -843,6 +843,34 @@ def q_lineitem_csv_roundtrip(spark, sf_dir):
     return spark.read.schema(_LINEITEM_SCHEMA).option("header", True).csv(path)
 
 
+def q_schema_evolution_merge(spark, sf_dir):
+    """Lakehouse schema evolution: a dataset written in two generations
+    (v1 lacks the ``lang`` column, v2 carries it) must read back as ONE
+    table via mergeSchema with v1's missing column as NULL — the
+    add-a-column migration every long-lived 100 TB table goes through.
+    Hash-checked row-for-row against an oracle that reconstructs the
+    same generational view from the parquet fixture."""
+    from k_means_hadoop_spark.session import scratch_dir
+
+    path = scratch_dir("schema_evo")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/gen=1")
+    docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text", "lang").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/gen=2")
+    merged = spark.read.option("mergeSchema", True).parquet(f"{path}/gen=1", f"{path}/gen=2")
+    return merged.select("doc_id", "text", "lang")
+
+
+SCHEMA_EVO_SQL = """
+SELECT doc_id, text,
+       CASE WHEN doc_id % 2 = 1 THEN lang ELSE NULL END AS lang
+FROM documents
+"""
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched mapInPandas media decode (deterministic fake kernel —
     operators/multimodal.py); the oracle checks the oracle-expressible
@@ -1912,6 +1940,7 @@ SELECT qid, nid, round(sim, 6) AS cos_sim, rank FROM ranked WHERE rank <= 5""",
     "prepare_corpus": _prepare_corpus_sql(),
     "multimodal_decode": MULTIMODAL_SQL,
     "docs_jsonl_roundtrip": "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "schema_evolution_merge": SCHEMA_EVO_SQL,
     "lineitem_csv_roundtrip": (
         "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, "
         "l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate "
@@ -1978,6 +2007,7 @@ PIPELINE_QUERIES = {
     "prepare_corpus": q_prepare_corpus,
     "multimodal_decode": q_multimodal_decode,
     "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
+    "schema_evolution_merge": q_schema_evolution_merge,
     "lineitem_csv_roundtrip": q_lineitem_csv_roundtrip,
     "multimodal_frame_sample": q_multimodal_frames,
     "quantize_embeddings": q_quantize_embeddings,
