@@ -31,6 +31,11 @@ CASES = [
     "temperature_sample_langs",  # data-dependent rates + hash membership
     "top_event_paths",        # ordered reassembly + top-k path tie-break
     "trailing_hour_user_stats",  # value-based RANGE frame, decimal sums
+    # round 3
+    "tokenizer_fit_bigrams",  # global top-k with pair tie-break
+    "boilerplate_spans",      # count() window over shingle + per-doc agg
+    "curate_corpus_release",  # every admission gate composed, int sums
+    "dedup_incremental_stored",  # statuses through the parquet store
 ]
 
 
