@@ -112,8 +112,13 @@ def main() -> None:
     # multi-query run inflates later queries via JVM/GC pressure; an
     # isolated re-run of the same query shows its true steady state).
     names = HEADLINE
-    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+    if len(sys.argv) > 1 and sys.argv[1] == "--only":
         names = sys.argv[2:]
+        if not names:
+            sys.exit("bench.py --only requires at least one query name")
+        unknown = [n for n in names if n not in registry.QUERIES]
+        if unknown:
+            sys.exit(f"bench.py --only: unknown queries {unknown}")
     spark = get_spark("bench")
     # one warm-up scan so JVM/codegen startup doesn't pollute query 1
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()

@@ -408,6 +408,42 @@ _BOILER_DF = 20  # a 5-gram in more than this many docs is boilerplate
 _BOILER_PLANT = "creative commons attribution license applies to this page"
 
 
+def _boiler_counts(docs: DataFrame, df_threshold: int) -> DataFrame:
+    """(doc_id, n_shingles, n_boiler) — the shared single-scan boiler
+    core: shingle doc-frequency via a count() window (same hash shuffle
+    as a separate df groupBy, without the extra scan and join-back),
+    then one partial-aggregated per-doc aggregate.  Used by both
+    ``boilerplate_spans`` and ``curate_corpus_release`` so the df
+    semantics can never diverge between them."""
+    from k_means_hadoop_spark.functions.hashing import word_ngrams
+
+    sh = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), _BOILER_N)).alias("shingle")
+    )
+    return (
+        sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_df") > df_threshold, 1).otherwise(0)).alias("n_boiler"),
+        )
+    )
+
+
+def _boiler_counts_sql(docs_cte: str, df_threshold: int) -> str:
+    """CTE chain ending in ``bcounts(doc_id, n_shingles, n_boiler)`` —
+    DuckDB mirror of ``_boiler_counts`` over the named docs CTE (which
+    must expose doc_id and text)."""
+    from k_means_hadoop_spark.functions.hashing import word_ngrams_sql
+
+    grams = word_ngrams_sql("text", _BOILER_N)
+    return f"""bsh AS (SELECT doc_id, unnest({grams}) AS shingle FROM {docs_cte}),
+bdf AS (SELECT doc_id, count(*) OVER (PARTITION BY shingle) AS df FROM bsh),
+bcounts AS (SELECT doc_id, count(*)::BIGINT AS n_shingles,
+            sum(CASE WHEN df > {df_threshold} THEN 1 ELSE 0 END)::BIGINT AS n_boiler
+            FROM bdf GROUP BY doc_id)"""
+
+
 def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n_shingles, n_boiler, boiler_ratio) — per-document
     boilerplate load: the fraction of a doc's distinct word 5-grams
@@ -425,17 +461,8 @@ def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles stay unique, so the df cut, the semi join, and the ratio
     arithmetic are all exercised by non-trivial rows.
 
-    Scale shape: ONE corpus scan — the shingle doc-frequency is
-    computed inline with a count() window partitioned by shingle (the
-    same hash shuffle a separate df groupBy would pay, but without the
-    extra scan and join-back), then one partial-aggregated
-    groupBy(doc_id) takes both the distinct total and the
-    above-threshold count.  No join, no all-pairs structure
-    anywhere."""
-    from pyspark.sql import Window
-
-    from k_means_hadoop_spark.functions.hashing import word_ngrams
-
+    Scale shape: ONE corpus scan via the shared ``_boiler_counts``
+    core.  No join, no all-pairs structure anywhere."""
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         F.when(
@@ -444,15 +471,8 @@ def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    sh = docs.select("doc_id", F.explode(word_ngrams(F.col("text"), _BOILER_N)).alias("shingle"))
-    df_w = Window.partitionBy("shingle")
     return (
-        sh.withColumn("_df", F.count(F.lit(1)).over(df_w))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(F.when(F.col("_df") > _BOILER_DF, 1).otherwise(0)).alias("n_boiler"),
-        )
+        _boiler_counts(docs, _BOILER_DF)
         .filter(F.col("n_boiler") > 0)
         .select(
             "doc_id",
@@ -464,22 +484,15 @@ def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _boilerplate_sql() -> str:
-    from k_means_hadoop_spark.functions.hashing import word_ngrams_sql
-
-    grams = word_ngrams_sql("t", _BOILER_N)
     return f"""
 WITH planted AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 7 = 0 THEN text || ' {_BOILER_PLANT}' ELSE text END AS t
+         CASE WHEN doc_id % 7 = 0 THEN text || ' {_BOILER_PLANT}' ELSE text END AS text
   FROM documents),
-sh AS (SELECT doc_id, unnest({grams}) AS shingle FROM planted),
-boiler AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {_BOILER_DF}),
-per_doc AS (SELECT doc_id, count(*)::BIGINT AS n_shingles FROM sh GROUP BY doc_id),
-hits AS (SELECT doc_id, count(*)::BIGINT AS n_boiler
-         FROM sh WHERE shingle IN (SELECT shingle FROM boiler) GROUP BY doc_id)
-SELECT p.doc_id, p.n_shingles, h.n_boiler,
-       round(h.n_boiler / p.n_shingles::DOUBLE, 6) AS boiler_ratio
-FROM per_doc p JOIN hits h ON p.doc_id = h.doc_id
+{_boiler_counts_sql('planted', _BOILER_DF)}
+SELECT doc_id, n_shingles, n_boiler,
+       round(n_boiler / n_shingles::DOUBLE, 6) AS boiler_ratio
+FROM bcounts WHERE n_boiler > 0
 """
 
 
@@ -882,7 +895,6 @@ def curate_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     count()-window form, redaction is a row-local expression on the
     kept stream, and Catalyst plans all gates together — no driver
     orchestration between stages."""
-    from k_means_hadoop_spark.functions.hashing import word_ngrams
     from k_means_hadoop_spark.operators import text as text_ops
     from k_means_hadoop_spark.operators.dedup import exact_duplicates, minhash_verified_pairs
 
@@ -895,18 +907,11 @@ def curate_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     contaminated = decontaminate_corpus(spark, sf_dir).select("doc_id")
-    sh = docs.select(
-        "doc_id", F.explode(word_ngrams(F.col("text"), _BOILER_N)).alias("shingle")
-    )
     boilerish = (
-        sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
-        .groupBy("doc_id")
-        .agg(
-            (
-                F.sum(F.when(F.col("_df") > 1, 1).otherwise(0)) / F.count(F.lit(1))
-            ).alias("br")
+        _boiler_counts(docs, df_threshold=1)
+        .filter(
+            F.col("n_boiler") / F.col("n_shingles") > _RELEASE_BOILER_RATIO
         )
-        .filter(F.col("br") > _RELEASE_BOILER_RATIO)
         .select("doc_id")
     )
     kept = (
@@ -938,7 +943,6 @@ def _curate_release_sql() -> str:
     )
 
     grams = word_ngrams_sql("text", _DECON_N)
-    bgrams = word_ngrams_sql("text", _BOILER_N)
     clean = _pii_clean_sql(f"({_pii_planted_sql()})")
     toks = f"string_split_regex(lower(trim({clean})), '\\s+')"
     return f"""
@@ -949,11 +953,9 @@ sh AS (SELECT doc_id, unnest({grams}) AS shingle FROM documents),
 bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_BENCH_MOD} = 0),
 cont AS (SELECT DISTINCT doc_id FROM sh
          WHERE doc_id % {_BENCH_MOD} <> 0 AND shingle IN (SELECT shingle FROM bench)),
-bsh AS (SELECT doc_id, unnest({bgrams}) AS shingle FROM documents),
-bdf AS (SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM bsh),
-boiler AS (SELECT doc_id FROM bdf GROUP BY doc_id
-           HAVING sum(CASE WHEN df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
-                  > {_RELEASE_BOILER_RATIO}),
+{_boiler_counts_sql('documents', 1)},
+boiler AS (SELECT doc_id FROM bcounts
+           WHERE n_boiler::DOUBLE / n_shingles > {_RELEASE_BOILER_RATIO}),
 kept AS (SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)
          WHERE q.quality >= 0.5
            AND d.doc_id IN (SELECT doc_id FROM keepx)

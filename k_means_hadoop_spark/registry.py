@@ -603,6 +603,19 @@ _ROUND3_PRIORITY = [
     "dedup_survivors", "dedup_semantic_cells",
 ]
 
+
+def _assert_known(names, label: str) -> None:
+    """A typo'd name would silently lose its front-window slot (the
+    window filter drops unknown names without error) — fail loudly
+    instead, same guard the round-2 window has."""
+    missing = [n for n in names if n not in QUERIES]
+    assert not missing, f"{label} names absent from registry: {missing}"
+
+
+_assert_known(_ROUND3_PRIORITY, "_ROUND3_PRIORITY")
+_assert_known(_REVERIFY_AFTER, "_REVERIFY_AFTER")
+_assert_known(_DEPRIORITIZED, "_DEPRIORITIZED")
+
 _verified = _driver_verified_names()
 
 

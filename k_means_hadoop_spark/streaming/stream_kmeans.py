@@ -87,10 +87,17 @@ def featurize_events(events: DataFrame) -> DataFrame:
 
 def stream_assign(events: DataFrame, centroids: Centroids) -> DataFrame:
     """Stateless per-event nearest-centroid assignment (stream-safe:
-    narrow projection, no shuffle, no state)."""
+    narrow projection, no shuffle, no state).  The argmin struct is
+    materialized once in an intermediate column so the k×d expression
+    tree appears once per row, not once per output column (same
+    restructure as ``assign_expr``)."""
     best = nearest_centroid("features", centroids)
-    return featurize_events(events).withColumn("cluster", best["cluster"]).withColumn(
-        "dist", best["dist"]
+    return (
+        featurize_events(events)
+        .withColumn("_best", best)
+        .withColumn("cluster", F.col("_best").getField("cluster"))
+        .withColumn("dist", F.col("_best").getField("dist"))
+        .drop("_best")
     )
 
 
