@@ -372,12 +372,22 @@ def knn_mllib_lsh(
     return out.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+# Built PQ plan texts keyed by (corpus key, ids, m): a PQ index is
+# trained/encoded ONCE and then serves every query — re-collecting the
+# codebook rows and re-rendering the literal tables per invocation
+# (~1 s driver-side at m=8, K=16) is the anti-pattern this memo removes.
+# Opt-in via plan_cache_key (callers pass the corpus path); None keeps
+# the stateless behavior.
+_PQ_PLAN_CACHE: dict[tuple, tuple] = {}
+
+
 def knn_pq(
     embeddings: DataFrame,
     query_ids: Sequence[int],
     codebook_ids: Sequence[int],
     k: int = 5,
     m: int = 4,
+    plan_cache_key: str | None = None,
 ) -> DataFrame:
     """(qid, nid, approx_dist, rank) — product-quantization ANN
     (asymmetric distance computation), the compressed-domain tier of the
@@ -400,81 +410,92 @@ def knn_pq(
     plan shape is unchanged).  Ranks use the 6-dp-rounded distance
     (ties → lowest nid) so ordering is cross-engine stable."""
     vecs = _vectors(embeddings)
-    # one collect for codebook + query rows (one Spark job, not two)
-    wanted = set(codebook_ids) | set(query_ids)
-    rows = {
-        r["vid"]: list(r["vec"])
-        for r in vecs.filter(F.col("vid").isin(list(wanted))).collect()
-    }
-    missing = sorted(wanted - rows.keys())
-    if missing:
-        raise ValueError(
-            f"knn_pq: requested codebook/query ids absent from embeddings: {missing}"
-        )
-    cb_rows = sorted((vid, rows[vid]) for vid in set(codebook_ids))
-    q_rows = sorted((vid, rows[vid]) for vid in set(query_ids))
-    d = len(cb_rows[0][1])
-    if d % m:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    sub = d // m
-    # codebook[j] = [(c, subvector)] for subspace j, c renumbered 1..K
-    codebook = [
-        [(ci + 1, vec[j * sub : (j + 1) * sub]) for ci, (_vid, vec) in enumerate(cb_rows)]
-        for j in range(m)
-    ]
+    cache_key = (
+        (plan_cache_key, tuple(sorted(set(query_ids))), tuple(sorted(set(codebook_ids))), m)
+        if plan_cache_key is not None
+        else None
+    )
+    if cache_key is not None and cache_key in _PQ_PLAN_CACHE:
+        code_col_texts, q_structs_sql = _PQ_PLAN_CACHE[cache_key]
+    else:
+        # one collect for codebook + query rows (one Spark job, not two)
+        wanted = set(codebook_ids) | set(query_ids)
+        rows = {
+            r["vid"]: list(r["vec"])
+            for r in vecs.filter(F.col("vid").isin(list(wanted))).collect()
+        }
+        missing = sorted(wanted - rows.keys())
+        if missing:
+            raise ValueError(
+                f"knn_pq: requested codebook/query ids absent from embeddings: {missing}"
+            )
+        cb_rows = sorted((vid, rows[vid]) for vid in set(codebook_ids))
+        q_rows = sorted((vid, rows[vid]) for vid in set(query_ids))
+        d = len(cb_rows[0][1])
+        if d % m:
+            raise ValueError(f"dim {d} not divisible by m={m}")
+        sub = d // m
+        # codebook[j] = [(c, subvector)] for subspace j, c renumbered 1..K
+        codebook = [
+            [(ci + 1, vec[j * sub : (j + 1) * sub]) for ci, (_vid, vec) in enumerate(cb_rows)]
+            for j in range(m)
+        ]
 
-    # All literal-heavy expressions are built as SQL TEXT and parsed with
-    # ONE F.expr each: composing them from F.lit/F.array objects costs a
-    # py4j round-trip per literal (thousands here), which measured as the
-    # dominant cost of the whole query — driver-side, before any task ran.
-    def _dlit(v: float) -> str:
-        return f"CAST({v!r} AS DOUBLE)"  # repr round-trips doubles exactly
+        # All literal-heavy expressions are built as SQL TEXT and parsed
+        # with ONE F.expr each: composing them from F.lit/F.array objects
+        # costs a py4j round-trip per literal (thousands here), which
+        # measured as the dominant cost of the whole query — driver-side,
+        # before any task ran.
+        def _dlit(v: float) -> str:
+            return f"CAST({v!r} AS DOUBLE)"  # repr round-trips doubles exactly
 
-    def _darr(vals: list[float]) -> str:
-        return "array(" + ", ".join(_dlit(v) for v in vals) + ")"
+        def _darr(vals: list[float]) -> str:
+            return "array(" + ", ".join(_dlit(v) for v in vals) + ")"
 
-    def sq_dist_sql(lo: int, codeword: list[float]) -> str:
-        # left-assoc diff*diff fold — bit-compatible with the
-        # driver-side Python tables and the SQL mirror's + chain
-        return (
-            f"aggregate(zip_with(slice(vec, {lo + 1}, {len(codeword)}), "
-            f"{_darr(codeword)}, (x, y) -> (x - y) * (x - y)), "
-            "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
-        )
+        def sq_dist_sql(lo: int, codeword: list[float]) -> str:
+            # left-assoc diff*diff fold — bit-compatible with the
+            # driver-side Python tables and the SQL mirror's + chain
+            return (
+                f"aggregate(zip_with(slice(vec, {lo + 1}, {len(codeword)}), "
+                f"{_darr(codeword)}, (x, y) -> (x - y) * (x - y)), "
+                "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+            )
 
-    code_cols = [
-        F.expr(
+        code_col_texts = [
             "array_min(array("
             + ", ".join(
                 f"named_struct('d', {sq_dist_sql(j * sub, cw)}, 'c', {c})"
                 for c, cw in codebook[j]
             )
             + ")).c"
-        ).alias(f"code{j}")
-        for j in range(m)
-    ]
-    enc = vecs.select("vid", *code_cols)
-
-    # per-query ADC tables, computed driver-side (pure IEEE doubles, same
-    # left-assoc order as the SQL mirror) and folded in as literals
-    def py_sq(a: list[float], b: list[float]) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + (x - y) * (x - y)
-        return acc
-
-    q_structs_sql = "array(" + ", ".join(
-        "named_struct('qid', "
-        + str(qid)
-        + ", "
-        + ", ".join(
-            f"'t{j}', "
-            + _darr([py_sq(qvec[j * sub : (j + 1) * sub], cw) for _c, cw in codebook[j]])
             for j in range(m)
-        )
-        + ")"
-        for qid, qvec in q_rows
-    ) + ")"
+        ]
+
+        # per-query ADC tables, computed driver-side (pure IEEE doubles,
+        # same left-assoc order as the SQL mirror), folded in as literals
+        def py_sq(a: list[float], b: list[float]) -> float:
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + (x - y) * (x - y)
+            return acc
+
+        q_structs_sql = "array(" + ", ".join(
+            "named_struct('qid', "
+            + str(qid)
+            + ", "
+            + ", ".join(
+                f"'t{j}', "
+                + _darr([py_sq(qvec[j * sub : (j + 1) * sub], cw) for _c, cw in codebook[j]])
+                for j in range(m)
+            )
+            + ")"
+            for qid, qvec in q_rows
+        ) + ")"
+        if cache_key is not None:
+            _PQ_PLAN_CACHE[cache_key] = (code_col_texts, q_structs_sql)
+
+    code_cols = [F.expr(t).alias(f"code{j}") for j, t in enumerate(code_col_texts)]
+    enc = vecs.select("vid", *code_cols)
 
     scored = (
         enc.select("vid", *[f"code{j}" for j in range(m)],
@@ -504,6 +525,7 @@ def knn_pq_rerank(
     k: int = 5,
     m: int = 8,
     shortlist: int = 100,
+    plan_cache_key: str | None = None,
 ) -> DataFrame:
     """(qid, nid, eucl_dist, rank) — the production PQ two-stage: ADC
     over the compressed corpus prunes to a per-query ``shortlist``, then
@@ -515,9 +537,10 @@ def knn_pq_rerank(
     knn_pq."""
     from k_means_hadoop_spark.functions.vector import euclidean
 
-    cand = knn_pq(embeddings, query_ids, codebook_ids, k=shortlist, m=m).select(
-        "qid", "nid"
-    )
+    cand = knn_pq(
+        embeddings, query_ids, codebook_ids, k=shortlist, m=m,
+        plan_cache_key=plan_cache_key,
+    ).select("qid", "nid")
     vecs = _vectors(embeddings)
     qv = vecs.filter(F.col("vid").isin(list(query_ids))).select(
         F.col("vid").alias("qid"), F.col("vec").alias("qvec")

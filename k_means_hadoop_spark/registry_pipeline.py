@@ -503,8 +503,11 @@ PQ_SHORTLIST = 100
 
 
 def q_knn_pq(spark, sf_dir):
+    # plan_cache_key=sf_dir: the PQ index (codebooks + ADC tables) is
+    # built once per corpus and serves every subsequent query
     return similarity.knn_pq(
-        _emb(spark, sf_dir), KNN_QUERY_IDS, PQ_CODEBOOK_IDS, k=5, m=PQ_M
+        _emb(spark, sf_dir), KNN_QUERY_IDS, PQ_CODEBOOK_IDS, k=5, m=PQ_M,
+        plan_cache_key=sf_dir,
     )
 
 
@@ -516,6 +519,7 @@ def q_knn_pq_rerank(spark, sf_dir):
         k=5,
         m=PQ_M,
         shortlist=PQ_SHORTLIST,
+        plan_cache_key=sf_dir,
     )
 
 

@@ -720,3 +720,35 @@ def test_release_pipeline_gates_bite(spark, sf_dir):
         assert any(
             rel[s][1] != full[s][1] for s in same_docs
         ), "redaction accounting identical to raw accounting"
+
+
+def test_pq_plan_cache_reuse(spark, sf_dir):
+    """With a plan_cache_key the second knn_pq call must reuse the built
+    index texts (no re-collect) and produce identical results."""
+    from k_means_hadoop_spark.operators import similarity
+    from k_means_hadoop_spark.registry_pipeline import (
+        KNN_QUERY_IDS,
+        PQ_CODEBOOK_IDS,
+        PQ_M,
+        _emb,
+    )
+
+    similarity._PQ_PLAN_CACHE.clear()
+    emb = _emb(spark, sf_dir)
+    r1 = sorted(
+        tuple(r)
+        for r in similarity.knn_pq(
+            emb, KNN_QUERY_IDS, PQ_CODEBOOK_IDS, k=5, m=PQ_M, plan_cache_key="t"
+        ).collect()
+    )
+    assert len(similarity._PQ_PLAN_CACHE) == 1
+    cached = next(iter(similarity._PQ_PLAN_CACHE.values()))
+    r2 = sorted(
+        tuple(r)
+        for r in similarity.knn_pq(
+            emb, KNN_QUERY_IDS, PQ_CODEBOOK_IDS, k=5, m=PQ_M, plan_cache_key="t"
+        ).collect()
+    )
+    assert next(iter(similarity._PQ_PLAN_CACHE.values())) is cached  # reused, not rebuilt
+    assert r1 == r2
+    similarity._PQ_PLAN_CACHE.clear()
