@@ -47,6 +47,31 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_expr(text_col: str = "text"):
+    """The combined [0,1] quality score as a row-local Column (rounded
+    to 6 dp — the form every consumer aggregates or thresholds on)."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_chars = F.length(t).cast("double")
+    n_toks = F.size(toks).cast("double")
+    punct = (F.length(t) - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))).cast("double")
+    digits = (F.length(t) - F.length(F.regexp_replace(t, "[0-9]", ""))).cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stops = F.size(F.filter(toks, lambda w: F.array_contains(stop_arr, w))).cast("double")
+    quality = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(1.0),
+            F.lit(0.25)
+            + F.least(n_toks / 400.0, F.lit(0.35))
+            + F.least((stops / n_toks) * 2.0, F.lit(0.25))
+            - (punct / n_chars) * 2.0
+            - (digits / n_chars) * 1.5,
+        ),
+    )
+    return F.round(quality, 6)
+
+
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features + combined score.
 
@@ -68,17 +93,6 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     punct_ratio = punct / n_chars
     stop_ratio = stops / n_toks
     digit_ratio = digits / n_chars
-    quality = F.greatest(
-        F.lit(0.0),
-        F.least(
-            F.lit(1.0),
-            F.lit(0.25)
-            + F.least(n_toks / 400.0, F.lit(0.35))
-            + F.least(stop_ratio * 2.0, F.lit(0.25))
-            - punct_ratio * 2.0
-            - digit_ratio * 1.5,
-        ),
-    )
     return docs.select(
         "doc_id",
         n_chars.cast("bigint").alias("n_chars"),
@@ -87,7 +101,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(digit_ratio, 6).alias("digit_ratio"),
-        F.round(quality, 6).alias("quality"),
+        quality_expr(text_col).alias("quality"),
     )
 
 
@@ -112,6 +126,40 @@ def lang_pred_expr(text_col: str = "text"):
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, pred_lang) — marker-word language ID."""
     return docs.select("doc_id", lang_pred_expr(text_col).alias("pred_lang"))
+
+
+def dataset_card(docs: DataFrame, text_col: str = "text", group_col: str = "source") -> DataFrame:
+    """(source, n_docs, total_tokens, avg_quality, pct_en, avg_chars) —
+    the per-source summary a dataset release publishes (its "data
+    card"), computed in ONE pass: every signal (quality score, predicted
+    language, token count) is a row-local expression inlined next to the
+    group key, so the whole card is a single partial-aggregated groupBy.
+
+    Aggregates are ORDER-PROOF for cross-engine hashing: the quality
+    mean is taken over 6-dp-rounded scores scaled to exact integer
+    micro-units and summed as BIGINT (float summation order could
+    otherwise flip the 6th decimal between engines/partitionings), and
+    the language share is an integer count ratio."""
+    q_micro = F.round(quality_expr(text_col) * 1e6, 0).cast("bigint")
+    is_en = F.when(lang_pred_expr(text_col) == "en", 1).otherwise(0)
+    n_toks = F.size(_tokens(F.col(text_col))).cast("bigint")
+    return (
+        docs.select(
+            F.col(group_col).alias("source"),
+            q_micro.alias("qm"),
+            is_en.alias("en"),
+            n_toks.alias("nt"),
+            F.length(text_col).cast("bigint").alias("nc"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.round(F.sum("qm") / F.count(F.lit(1)) / 1e6, 6).alias("avg_quality"),
+            F.round(F.sum("en") / F.count(F.lit(1)).cast("double"), 6).alias("pct_en"),
+            F.round(F.sum("nc") / F.count(F.lit(1)).cast("double"), 6).alias("avg_chars"),
+        )
+    )
 
 
 def langid_confusion(docs: DataFrame, text_col: str = "text", lang_col: str = "lang") -> DataFrame:

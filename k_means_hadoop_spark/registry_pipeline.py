@@ -129,6 +129,24 @@ def q_langid_confusion(spark, sf_dir):
     return text.langid_confusion(_docs(spark, sf_dir))
 
 
+def q_dataset_card(spark, sf_dir):
+    return text.dataset_card(_docs(spark, sf_dir))
+
+
+def _dataset_card_sql() -> str:
+    return f"""
+WITH q AS (SELECT doc_id, n_chars, n_tokens, quality FROM ({_quality_sql()}) t),
+p AS ({_lang_id_sql()})
+SELECT d.source,
+       count(*)::BIGINT AS n_docs,
+       sum(q.n_tokens)::BIGINT AS total_tokens,
+       round(sum(CAST(round(q.quality * 1000000.0, 0) AS BIGINT)) / count(*) / 1000000.0, 6) AS avg_quality,
+       round(sum(CASE WHEN p.pred_lang = 'en' THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6) AS pct_en,
+       round(sum(q.n_chars) / count(*)::DOUBLE, 6) AS avg_chars
+FROM documents d JOIN q ON d.doc_id = q.doc_id JOIN p ON d.doc_id = p.doc_id
+GROUP BY d.source"""
+
+
 def q_tokenizer_fit_bigrams(spark, sf_dir):
     return text.tokenizer_fit_bigrams(_docs(spark, sf_dir), k=50)
 
@@ -1859,6 +1877,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     ),
     "text_quality_scores": _quality_sql(),
     "text_lang_id": _lang_id_sql(),
+    "dataset_card": _dataset_card_sql(),
     "langid_confusion": (
         f"WITH p AS ({_lang_id_sql()}) "
         "SELECT d.lang AS true_lang, p.pred_lang, count(*)::BIGINT AS n "
@@ -1975,6 +1994,7 @@ PIPELINE_QUERIES = {
     "text_quality_scores": q_quality_scores,
     "text_lang_id": q_lang_id,
     "langid_confusion": q_langid_confusion,
+    "dataset_card": q_dataset_card,
     "tokenizer_fit_bigrams": q_tokenizer_fit_bigrams,
     "text_fingerprints": q_fingerprints,
     "text_simhash": q_simhash,
