@@ -88,6 +88,7 @@ HEADLINE = [
     "curate_corpus_release",
     "boilerplate_spans",
     "tokenizer_fit_bigrams",
+    "bpe_train_merges",
     "langid_confusion",
 ]
 

@@ -128,6 +128,70 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", lang_pred_expr(text_col).alias("pred_lang"))
 
 
+def _adjacent_pairs(toks_col: str):
+    """ARRAY<STRUCT<a,b>> of adjacent token pairs (empty for <2 tokens —
+    guarded, since sequence(1, 0) would descend)."""
+    return F.when(
+        F.size(toks_col) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks_col) - 1),
+            lambda i: F.struct(
+                F.element_at(toks_col, i).alias("a"),
+                F.element_at(toks_col, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+
+def bpe_train_merges(docs: DataFrame, n_rounds: int = 3, text_col: str = "text") -> DataFrame:
+    """(round, a, b, n) — BPE merge training at token granularity,
+    expressed as ONE declarative plan: each round counts adjacent token
+    pairs over the current segmentation, picks the top merge (count
+    DESC, then a, b — deterministic), and applies it leftmost-greedy
+    (the exact BPE application rule: after a merge the new token can't
+    immediately re-merge with the consumed left context).
+
+    The learned merge of round r enters round r+1 as a broadcast 1-row
+    join — NOT a driver-side collect — so the entire trainer is a
+    single Catalyst DAG, fully SQL-mirrored and driver hash-checked,
+    iterative algorithm included.  Round r's plan nests all earlier
+    rounds; at 100 TB checkpoint each round's token table (the
+    lloyd_kmeans localCheckpoint pattern) so lineage stays flat — the
+    per-round shape (explode → partial-agg count → top-1 → fold map) is
+    unchanged."""
+    cur = docs.select("doc_id", _tokens(F.col(text_col)).alias("toks"))
+    rounds = []
+    for r in range(1, n_rounds + 1):
+        pairs = cur.select(F.explode(_adjacent_pairs("toks")).alias("p"))
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+        )
+        rounds.append(top.select(F.lit(r).cast("int").alias("round"), "a", "b", "n"))
+        merged = F.aggregate(
+            F.col("toks"),
+            F.array().cast("array<string>"),
+            lambda acc, t: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.col("a"))
+                & (t == F.col("b")),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat_ws(" ", F.col("a"), F.col("b"))),
+                ),
+            ).otherwise(F.concat(acc, F.array(t))),
+        )
+        cur = cur.crossJoin(F.broadcast(top.select("a", "b"))).select(
+            "doc_id", merged.alias("toks")
+        )
+    out = rounds[0]
+    for nxt in rounds[1:]:
+        out = out.unionByName(nxt)
+    return out
+
+
 def dataset_card(docs: DataFrame, text_col: str = "text", group_col: str = "source") -> DataFrame:
     """(source, n_docs, total_tokens, avg_quality, pct_en, avg_chars) —
     the per-source summary a dataset release publishes (its "data

@@ -133,6 +133,50 @@ def q_dataset_card(spark, sf_dir):
     return text.dataset_card(_docs(spark, sf_dir))
 
 
+BPE_ROUNDS = 3
+
+
+def q_bpe_train_merges(spark, sf_dir):
+    return text.bpe_train_merges(_docs(spark, sf_dir), n_rounds=BPE_ROUNDS)
+
+
+def _bpe_merges_sql(n_rounds: int) -> str:
+    """Mirror of text.bpe_train_merges: per round, adjacent-pair top-1
+    (count DESC, a, b) + leftmost-greedy merge application via a
+    list_reduce fold over 1-element lists (DuckDB's no-initial-value
+    reduce), the learned pair entering the next round as a correlated
+    cross join — the same single-DAG shape as the Spark side."""
+    pair_unnest = (
+        "unnest(list_transform(range(1, greatest(len(toks), 1)), "
+        "i -> struct_pack(a := toks[i], b := toks[i + 1]))) AS u(pr)"
+    )
+    ctes = [f"t0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents)"]
+    selects = []
+    for r in range(1, n_rounds + 1):
+        ctes.append(
+            f"pr{r} AS (SELECT pr.a AS a, pr.b AS b, count(*)::BIGINT AS n "
+            f"FROM t{r - 1}, {pair_unnest} "
+            f"GROUP BY pr.a, pr.b ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        selects.append(f"SELECT {r} AS round, a, b, n FROM pr{r}")
+        if r < n_rounds:
+            ctes.append(
+                f"t{r} AS (SELECT doc_id, "
+                f"list_reduce(list_transform(toks, t -> [t]), "
+                f"(acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = pr{r}.a AND x[1] = pr{r}.b "
+                f"THEN list_append(acc[1:len(acc)-1], pr{r}.a || ' ' || pr{r}.b) "
+                f"ELSE list_concat(acc, x) END) AS toks "
+                f"FROM t{r - 1}, pr{r})"
+            )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT round::INTEGER AS round, a, b, n FROM ("
+        + " UNION ALL ".join(selects)
+        + ") m"
+    )
+
+
 def _dataset_card_sql() -> str:
     return f"""
 WITH q AS (SELECT doc_id, n_chars, n_tokens, quality FROM ({_quality_sql()}) t),
@@ -1878,6 +1922,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "text_quality_scores": _quality_sql(),
     "text_lang_id": _lang_id_sql(),
     "dataset_card": _dataset_card_sql(),
+    "bpe_train_merges": _bpe_merges_sql(BPE_ROUNDS),
     "langid_confusion": (
         f"WITH p AS ({_lang_id_sql()}) "
         "SELECT d.lang AS true_lang, p.pred_lang, count(*)::BIGINT AS n "
@@ -1995,6 +2040,7 @@ PIPELINE_QUERIES = {
     "text_lang_id": q_lang_id,
     "langid_confusion": q_langid_confusion,
     "dataset_card": q_dataset_card,
+    "bpe_train_merges": q_bpe_train_merges,
     "tokenizer_fit_bigrams": q_tokenizer_fit_bigrams,
     "text_fingerprints": q_fingerprints,
     "text_simhash": q_simhash,

@@ -752,3 +752,55 @@ def test_pq_plan_cache_reuse(spark, sf_dir):
     assert next(iter(similarity._PQ_PLAN_CACHE.values())) is cached  # reused, not rebuilt
     assert r1 == r2
     similarity._PQ_PLAN_CACHE.clear()
+
+
+def test_bpe_merges_match_python_reference(spark, sf_dir):
+    """The one-DAG BPE trainer must learn exactly the merges a
+    straightforward Python implementation learns on the same corpus
+    (pair counting, count-desc/a/b tie-break, leftmost-greedy
+    application — each round depends on the previous round's merge
+    being applied correctly)."""
+    import re as _re
+    from collections import Counter
+
+    from k_means_hadoop_spark.operators.text import bpe_train_merges
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    corpora = [
+        _re.split(r"\s+", t.lower().strip()) for t in docs.values()
+    ]
+
+    def top_pair(corp):
+        c = Counter()
+        for toks in corp:
+            for i in range(len(toks) - 1):
+                c[(toks[i], toks[i + 1])] += 1
+        return min(c.items(), key=lambda kv: (-kv[1], kv[0]))  # count desc, (a,b) asc
+
+    def apply(corp, a, b):
+        out = []
+        for toks in corp:
+            acc = []
+            for t in toks:
+                if acc and acc[-1] == a and t == b:
+                    acc[-1] = a + " " + b
+                else:
+                    acc.append(t)
+            out.append(acc)
+        return out
+
+    want = []
+    for r in range(1, 4):
+        (a, b), n = top_pair(corpora)
+        want.append((r, a, b, n))
+        corpora = apply(corpora, a, b)
+
+    got = sorted(
+        (r["round"], r["a"], r["b"], r["n"]) for r in bpe_train_merges(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), n_rounds=3
+        ).collect()
+    )
+    assert got == want, (got, want)
