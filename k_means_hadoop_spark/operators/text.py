@@ -143,22 +143,10 @@ def _adjacent_pairs(toks_col: str):
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
 
 
-def bpe_train_merges(docs: DataFrame, n_rounds: int = 3, text_col: str = "text") -> DataFrame:
-    """(round, a, b, n) — BPE merge training at token granularity,
-    expressed as ONE declarative plan: each round counts adjacent token
-    pairs over the current segmentation, picks the top merge (count
-    DESC, then a, b — deterministic), and applies it leftmost-greedy
-    (the exact BPE application rule: after a merge the new token can't
-    immediately re-merge with the consumed left context).
-
-    The learned merge of round r enters round r+1 as a broadcast 1-row
-    join — NOT a driver-side collect — so the entire trainer is a
-    single Catalyst DAG, fully SQL-mirrored and driver hash-checked,
-    iterative algorithm included.  Round r's plan nests all earlier
-    rounds; at 100 TB checkpoint each round's token table (the
-    lloyd_kmeans localCheckpoint pattern) so lineage stays flat — the
-    per-round shape (explode → partial-agg count → top-1 → fold map) is
-    unchanged."""
+def _bpe_rounds(docs: DataFrame, n_rounds: int, text_col: str):
+    """Shared train loop: returns (per-round top-merge DataFrames, the
+    final re-segmented token table) — one Catalyst DAG, each learned
+    merge entering the next round via a broadcast 1-row join."""
     cur = docs.select("doc_id", _tokens(F.col(text_col)).alias("toks"))
     rounds = []
     for r in range(1, n_rounds + 1):
@@ -186,10 +174,58 @@ def bpe_train_merges(docs: DataFrame, n_rounds: int = 3, text_col: str = "text")
         cur = cur.crossJoin(F.broadcast(top.select("a", "b"))).select(
             "doc_id", merged.alias("toks")
         )
+    return rounds, cur
+
+
+def bpe_train_merges(docs: DataFrame, n_rounds: int = 3, text_col: str = "text") -> DataFrame:
+    """(round, a, b, n) — BPE merge training at token granularity,
+    expressed as ONE declarative plan: each round counts adjacent token
+    pairs over the current segmentation, picks the top merge (count
+    DESC, then a, b — deterministic), and applies it leftmost-greedy
+    (the exact BPE application rule: after a merge the new token can't
+    immediately re-merge with the consumed left context).
+
+    The learned merge of round r enters round r+1 as a broadcast 1-row
+    join — NOT a driver-side collect — so the entire trainer is a
+    single Catalyst DAG, fully SQL-mirrored and driver hash-checked,
+    iterative algorithm included.  Round r's plan nests all earlier
+    rounds; at 100 TB checkpoint each round's token table (the
+    lloyd_kmeans localCheckpoint pattern) so lineage stays flat — the
+    per-round shape (explode → partial-agg count → top-1 → fold map) is
+    unchanged."""
+    rounds, _cur = _bpe_rounds(docs, n_rounds, text_col)
     out = rounds[0]
     for nxt in rounds[1:]:
         out = out.unionByName(nxt)
     return out
+
+
+def bpe_apply_merges(docs: DataFrame, n_rounds: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, toks) — the corpus re-segmented by the ``n_rounds``
+    learned merges (train + apply in the same DAG)."""
+    _rounds, cur = _bpe_rounds(docs, n_rounds, text_col)
+    return cur
+
+
+def bpe_compression(docs: DataFrame, n_rounds: int = 3, text_col: str = "text") -> DataFrame:
+    """(n_docs, tokens_before, tokens_after, ratio) — the APPLY side of
+    merge training: re-segment the corpus with the learned merges and
+    report the sequence-length compression — the number a tokenizer fit
+    is actually optimizing (shorter sequences = more text per context
+    window).  One plan: train + apply + both totals."""
+    before = docs.select("doc_id", _tokens(F.col(text_col)).alias("toks")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks").cast("bigint")).alias("tokens_before"),
+    )
+    after = bpe_apply_merges(docs, n_rounds, text_col).agg(
+        F.sum(F.size("toks").cast("bigint")).alias("tokens_after")
+    )
+    return before.crossJoin(after).select(
+        "n_docs",
+        "tokens_before",
+        "tokens_after",
+        F.round(F.col("tokens_after") / F.col("tokens_before").cast("double"), 6).alias("ratio"),
+    )
 
 
 def dataset_card(docs: DataFrame, text_col: str = "text", group_col: str = "source") -> DataFrame:

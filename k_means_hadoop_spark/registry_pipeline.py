@@ -140,12 +140,19 @@ def q_bpe_train_merges(spark, sf_dir):
     return text.bpe_train_merges(_docs(spark, sf_dir), n_rounds=BPE_ROUNDS)
 
 
-def _bpe_merges_sql(n_rounds: int) -> str:
-    """Mirror of text.bpe_train_merges: per round, adjacent-pair top-1
-    (count DESC, a, b) + leftmost-greedy merge application via a
-    list_reduce fold over 1-element lists (DuckDB's no-initial-value
-    reduce), the learned pair entering the next round as a correlated
-    cross join — the same single-DAG shape as the Spark side."""
+def q_bpe_compression(spark, sf_dir):
+    return text.bpe_compression(_docs(spark, sf_dir), n_rounds=BPE_ROUNDS)
+
+
+def _bpe_ctes(n_rounds: int, apply_last: bool) -> tuple[list[str], list[str]]:
+    """Shared CTE chain mirroring text._bpe_rounds: per round,
+    adjacent-pair top-1 (count DESC, a, b) + leftmost-greedy merge
+    application via a list_reduce fold over 1-element lists (DuckDB's
+    no-initial-value reduce), the learned pair entering the next round
+    as a correlated cross join — the same single-DAG shape as the
+    Spark side.  Returns (ctes, per-round merge SELECTs);
+    ``apply_last`` materializes t{n_rounds} (needed by the compression
+    query, skipped by the merge-table query)."""
     pair_unnest = (
         "unnest(list_transform(range(1, greatest(len(toks), 1)), "
         "i -> struct_pack(a := toks[i], b := toks[i + 1]))) AS u(pr)"
@@ -159,7 +166,7 @@ def _bpe_merges_sql(n_rounds: int) -> str:
             f"GROUP BY pr.a, pr.b ORDER BY n DESC, a, b LIMIT 1)"
         )
         selects.append(f"SELECT {r} AS round, a, b, n FROM pr{r}")
-        if r < n_rounds:
+        if r < n_rounds or apply_last:
             ctes.append(
                 f"t{r} AS (SELECT doc_id, "
                 f"list_reduce(list_transform(toks, t -> [t]), "
@@ -168,12 +175,31 @@ def _bpe_merges_sql(n_rounds: int) -> str:
                 f"ELSE list_concat(acc, x) END) AS toks "
                 f"FROM t{r - 1}, pr{r})"
             )
+    return ctes, selects
+
+
+def _bpe_merges_sql(n_rounds: int) -> str:
+    ctes, selects = _bpe_ctes(n_rounds, apply_last=False)
     return (
         "WITH "
         + ",\n".join(ctes)
         + "\nSELECT round::INTEGER AS round, a, b, n FROM ("
         + " UNION ALL ".join(selects)
         + ") m"
+    )
+
+
+def _bpe_compression_sql(n_rounds: int) -> str:
+    ctes, _selects = _bpe_ctes(n_rounds, apply_last=True)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT (SELECT count(*) FROM t0)::BIGINT AS n_docs,
+       (SELECT sum(len(toks)) FROM t0)::BIGINT AS tokens_before,
+       (SELECT sum(len(toks)) FROM t{n_rounds})::BIGINT AS tokens_after,
+       round((SELECT sum(len(toks)) FROM t{n_rounds})
+             / (SELECT sum(len(toks)) FROM t0)::DOUBLE, 6) AS ratio"""
     )
 
 
@@ -1923,6 +1949,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "text_lang_id": _lang_id_sql(),
     "dataset_card": _dataset_card_sql(),
     "bpe_train_merges": _bpe_merges_sql(BPE_ROUNDS),
+    "bpe_compression": _bpe_compression_sql(BPE_ROUNDS),
     "langid_confusion": (
         f"WITH p AS ({_lang_id_sql()}) "
         "SELECT d.lang AS true_lang, p.pred_lang, count(*)::BIGINT AS n "
@@ -2041,6 +2068,7 @@ PIPELINE_QUERIES = {
     "langid_confusion": q_langid_confusion,
     "dataset_card": q_dataset_card,
     "bpe_train_merges": q_bpe_train_merges,
+    "bpe_compression": q_bpe_compression,
     "tokenizer_fit_bigrams": q_tokenizer_fit_bigrams,
     "text_fingerprints": q_fingerprints,
     "text_simhash": q_simhash,
