@@ -36,6 +36,8 @@ CASES = [
     "boilerplate_spans",      # count() window over shingle + per-doc agg
     "curate_corpus_release",  # every admission gate composed, int sums
     "dedup_incremental_stored",  # statuses through the parquet store
+    "bpe_train_merges",       # iterative top-1 selection must not depend on partitioning
+    "dataset_card",           # order-proof integer-sum statistics
 ]
 
 
