@@ -601,6 +601,11 @@ _ROUND3_PRIORITY = [
     "streaming_session_windows",
     "dedup_incremental", "ingest_increment", "curate_corpus_full",
     "dedup_survivors", "dedup_semantic_cells",
+    # the round-2 verdict's explicit round-3 asks — keep them ahead of
+    # operators added later in round 3 (which otherwise displace them
+    # in registry iteration order and push them to round 4)
+    "knn_lsh", "knn_ivf", "knn_mllib_lsh", "neardup_mllib_minhash",
+    "dedup_incremental_stored", "embedding_truncate_renorm",
 ]
 
 
