@@ -661,3 +661,18 @@ def test_boilerplate_single_scan_no_join(plans):
     assert n_nodes(p, "Scan parquet") == 1
     assert "Join" not in p
     assert n_nodes(p, "Window") == 1
+
+
+def test_bpe_trainer_broadcast_only_joins(plans):
+    """The iterative one-DAG BPE trainer: every learned-merge join is a
+    broadcast of a 1-row side (never a shuffled join of the corpus),
+    top-merge selection is TakeOrderedAndProject (no global sort), and
+    no unbounded cartesian appears.  Round r nests all earlier rounds,
+    so the corpus scan count grows with rounds — the documented trade
+    a per-round checkpoint flattens at scale."""
+    p = plans("bpe_train_merges")
+    assert n_nodes(p, "SortMergeJoin") == 0
+    assert n_nodes(p, "ShuffledHashJoin") == 0
+    assert n_nodes(p, "CartesianProduct") == 0
+    assert n_nodes(p, "TakeOrderedAndProject") >= 3  # one top-1 per round
+    assert n_nodes(p, "BroadcastNestedLoopJoin") >= 1  # the 1-row merge feeds
