@@ -90,6 +90,13 @@ HEADLINE = [
     "tokenizer_fit_bigrams",
     "bpe_train_merges",
     "langid_confusion",
+    # round 4: the store-backed admission query (the per-micro-batch
+    # plan), the BPE apply-side compression, the corpus dataset card,
+    # and the IVF ANN tier (sample-trained quantizer + pruned probes).
+    "dedup_incremental_stored",
+    "bpe_compression",
+    "dataset_card",
+    "knn_ivf",
 ]
 
 
@@ -127,6 +134,30 @@ def main() -> None:
     for name in names:
         timings[name] = round(run_query(spark, name, SF_DIR), 3)
     total = round(sum(timings.values()), 3)
+    # The headline set GROWS round over round, so the full total is not
+    # comparable across rounds; also publish this run's total restricted
+    # to each earlier round's query set (and that round's total on the
+    # same subset) so round-over-round deltas compare like with like.
+    import glob
+
+    common: dict[str, dict] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                prior = json.load(f)
+            # the driver wraps our JSON line under "parsed"
+            prior_q = prior.get("queries") or prior.get("parsed", {}).get("queries") or {}
+        except (OSError, ValueError, AttributeError):
+            continue
+        shared = sorted(set(prior_q) & set(timings))
+        if shared:
+            tag = os.path.basename(path).removesuffix(".json").rsplit("_", 1)[-1]
+            common[tag] = {
+                "n_queries": len(shared),
+                "this_run": round(sum(timings[n] for n in shared), 3),
+                "prior_run": round(sum(prior_q[n] for n in shared), 3),
+            }
     print(
         json.dumps(
             {
@@ -134,6 +165,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "common_subset_totals": common,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "notes": {
                     "protocol": (

@@ -243,8 +243,65 @@ def incremental_dedup(
     corpus = docs.filter(~F.col("_is_batch"))
     corpus_md5 = corpus.select(F.md5(F.col(text_col)).alias("text_md5")).distinct()
     st_corpus = banded_signatures(corpus, n, bands, text_col)
+    c_arr = corpus.select(
+        F.col("doc_id").alias("c_id"), word_ngrams(F.col(text_col), n).alias("sc")
+    )
     return _incremental_statuses(
-        docs, batch, corpus_md5, st_corpus, n, threshold, bands, text_col
+        batch, corpus_md5, st_corpus, c_arr, n, threshold, bands, text_col
+    )
+
+
+def build_signature_store(
+    corpus: DataFrame,
+    store_path: str,
+    n: int = 3,
+    bands: int = LSH_BANDS,
+    text_col: str = "text",
+) -> None:
+    """Write the corpus index an ingest service maintains across
+    increments: THREE parquet tables under ``store_path`` — exact-match
+    digests (``md5``: distinct text_md5), banded LSH signatures
+    (``bands``: doc_id, band, bucket), and the verify-side shingle
+    arrays (``shingles``: doc_id, sh_arr).  Once built, admission of a
+    new batch touches ONLY this store: candidate generation joins
+    ``bands``, verification joins ``shingles`` — the corpus text is
+    never re-read and never re-shingled.  Overwrite here stands in for
+    the per-increment append a live service would do."""
+    corpus.select(F.md5(F.col(text_col)).alias("text_md5")).distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{store_path}/md5")
+    banded_signatures(corpus, n, bands, text_col).write.mode("overwrite").parquet(
+        f"{store_path}/bands"
+    )
+    corpus.select(
+        "doc_id", word_ngrams(F.col(text_col), n).alias("sh_arr")
+    ).write.mode("overwrite").parquet(f"{store_path}/shingles")
+
+
+def incremental_dedup_from_store(
+    batch: DataFrame,
+    store_path: str,
+    n: int = 3,
+    threshold: float = 0.7,
+    bands: int = LSH_BANDS,
+    text_col: str = "text",
+) -> DataFrame:
+    """``incremental_dedup`` where the corpus side is the persisted
+    signature store (``build_signature_store``): the batch is the only
+    side whose text is scanned — exact digests, LSH candidates, and
+    Jaccard verification all join tables read back from ``store_path``.
+    This is the per-increment (and per-micro-batch, see
+    ``streaming.relational.streaming_ingest_dedup``) admission query:
+    cost is O(batch + touched store rows), independent of corpus size
+    beyond the store joins."""
+    spark = batch.sparkSession
+    corpus_md5 = spark.read.parquet(f"{store_path}/md5")
+    st_corpus = spark.read.parquet(f"{store_path}/bands")
+    c_arr = spark.read.parquet(f"{store_path}/shingles").select(
+        F.col("doc_id").alias("c_id"), F.col("sh_arr").alias("sc")
+    )
+    return _incremental_statuses(
+        batch, corpus_md5, st_corpus, c_arr, n, threshold, bands, text_col
     )
 
 
@@ -258,38 +315,29 @@ def incremental_dedup_stored(
     text_col: str = "text",
 ) -> DataFrame:
     """``incremental_dedup`` against a PERSISTED corpus index — the
-    actual 100 TB ingest shape made concrete: the corpus's banded
-    signatures and exact-match digests are written once to
-    ``store_path`` (two parquet tables an ingest service maintains
-    across increments; overwrite here stands in for the per-increment
-    append), and the daily batch joins against the store READ BACK from
-    disk — the corpus text is only consulted to verify the candidate
-    pairs the index surfaces.  Statuses are identical to the
+    actual 100 TB ingest shape made concrete: the corpus's exact
+    digests, banded signatures, AND verify-side shingle arrays are
+    written once to ``store_path`` (``build_signature_store``), and the
+    daily batch joins against the store READ BACK from disk — after the
+    build, the corpus text is never consulted again, not even for
+    candidate verification.  Statuses are identical to the
     from-raw-text operator, so the same oracle hash-checks both: a
     lossy store schema, a broken roundtrip, or a wrong join against the
     stored index all flip the driver hash."""
-    spark = docs.sparkSession
     docs = docs.withColumn("_is_batch", is_batch)
     batch = docs.filter(F.col("_is_batch"))
     corpus = docs.filter(~F.col("_is_batch"))
-    corpus.select(F.md5(F.col(text_col)).alias("text_md5")).distinct().write.mode(
-        "overwrite"
-    ).parquet(f"{store_path}/md5")
-    banded_signatures(corpus, n, bands, text_col).write.mode("overwrite").parquet(
-        f"{store_path}/bands"
-    )
-    corpus_md5 = spark.read.parquet(f"{store_path}/md5")
-    st_corpus = spark.read.parquet(f"{store_path}/bands")
-    return _incremental_statuses(
-        docs, batch, corpus_md5, st_corpus, n, threshold, bands, text_col
+    build_signature_store(corpus, store_path, n, bands, text_col)
+    return incremental_dedup_from_store(
+        batch, store_path, n, threshold, bands, text_col
     )
 
 
 def _incremental_statuses(
-    docs: DataFrame,
     batch: DataFrame,
     corpus_md5: DataFrame,
     st_corpus: DataFrame,
+    c_arr: DataFrame,
     n: int,
     threshold: float,
     bands: int,
@@ -297,7 +345,9 @@ def _incremental_statuses(
 ) -> DataFrame:
     """Shared tail of the incremental operators: exact-md5 semi join +
     batch-vs-corpus banded candidates + row-local Jaccard verify →
-    (doc_id, status)."""
+    (doc_id, status).  ``c_arr`` is the corpus verify side
+    (c_id, sc: shingle array) — computed inline by ``incremental_dedup``,
+    read from the persisted store by ``incremental_dedup_from_store``."""
     exact_ids = (
         batch.select("doc_id", F.md5(F.col(text_col)).alias("text_md5"))
         .join(corpus_md5, "text_md5", "left_semi")
@@ -314,9 +364,9 @@ def _incremental_statuses(
         .select(F.col("b.doc_id").alias("b_id"), F.col("c.doc_id").alias("c_id"))
         .distinct()
     )
-    arrs = docs.select("doc_id", word_ngrams(F.col(text_col), n).alias("sh_arr"))
-    b_arr = arrs.select(F.col("doc_id").alias("b_id"), F.col("sh_arr").alias("sb"))
-    c_arr = arrs.select(F.col("doc_id").alias("c_id"), F.col("sh_arr").alias("sc"))
+    b_arr = batch.select(
+        F.col("doc_id").alias("b_id"), word_ngrams(F.col(text_col), n).alias("sb")
+    )
     common = F.size(F.array_intersect("sb", "sc"))
     jac = common.cast("double") / (F.size("sb") + F.size("sc") - common)
     near_ids = (

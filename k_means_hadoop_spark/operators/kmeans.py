@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from k_means_hadoop_spark.functions.hashing import stable_hash64
 from k_means_hadoop_spark.operators.assign import Centroids, assign_expr
 from k_means_hadoop_spark.operators.recompute import feature_dim, recompute_centroids
 
@@ -69,11 +70,24 @@ def init_ids(points: DataFrame, seed_ids: Sequence[int], id_col: str = "id", fea
     return [(i + 1, rows[sid]) for i, sid in enumerate(seed_ids)]
 
 
-def init_random(points: DataFrame, k: int, seed: int = 42, id_col: str = "id", features_col: str = "features") -> list[tuple[int, list[float]]]:
-    """I1: seeded uniform k-row sample, renumbered 1..k deterministically."""
+def init_random(points: DataFrame, k: int, seed: int = 42, id_col: str = "id", features_col: str = "features", fast: bool = False) -> list[tuple[int, list[float]]]:
+    """I1: seeded uniform k-row sample, renumbered 1..k deterministically.
+
+    Default ordering is ``stable_hash64(id || ':' || seed)`` (md5-based)
+    so the selection is reproducible in DuckDB and the registry entry
+    carries a full value oracle; ``fast=True`` keeps the xxhash64
+    ordering for internal hot paths that don't need cross-engine parity
+    (e.g. the IVF quantizer's training init).  ``id`` is the secondary
+    sort key: hash collisions can't make the sample nondeterministic.
+    """
+    order_hash = (
+        F.xxhash64(F.col(id_col), F.lit(seed))
+        if fast
+        else stable_hash64(F.concat_ws(":", F.col(id_col), F.lit(seed)))
+    )
     sample = (
         points.select(id_col, features_col)
-        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .orderBy(order_hash, F.col(id_col))
         .limit(k)
         .collect()
     )

@@ -197,7 +197,10 @@ def knn_ivf(
     pts = vecs.select(F.col("vid").alias("id"), F.col("vec").alias("features"))
     sample_mod = 4  # ~25% of the corpus; at 100 TB raise toward O(corpus/cells)
     train = pts.filter(F.pmod(F.xxhash64(F.col("id") + F.lit(seed)), F.lit(sample_mod)) == 0)
-    model = lloyd_kmeans(train, init_random(train, n_cells, seed=seed), max_iter=5)
+    # fast=True keeps the original xxhash64 seed ordering: the quantizer
+    # needs no cross-engine parity (knn_ivf's contract oracle recomputes
+    # the exact top-k independently of which cells were trained).
+    model = lloyd_kmeans(train, init_random(train, n_cells, seed=seed, fast=True), max_iter=5)
     cells = model.centroids  # k×d driver-local
     assigned = assign_expr(pts, cells).select(
         F.col("id").alias("vid"), F.col("features").alias("vec"), F.col("cluster").alias("cell")
@@ -372,13 +375,37 @@ def knn_mllib_lsh(
     return out.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
-# Built PQ plan texts keyed by (corpus key, ids, m): a PQ index is
-# trained/encoded ONCE and then serves every query — re-collecting the
-# codebook rows and re-rendering the literal tables per invocation
-# (~1 s driver-side at m=8, K=16) is the anti-pattern this memo removes.
-# Opt-in via plan_cache_key (callers pass the corpus path); None keeps
-# the stateless behavior.
+# Built PQ plan texts keyed by (corpus key + data fingerprint, ids, m):
+# a PQ index is trained/encoded ONCE and then serves every query —
+# re-collecting the codebook rows and re-rendering the literal tables
+# per invocation (~1 s driver-side at m=8, K=16) is the anti-pattern
+# this memo removes.  Opt-in via plan_cache_key (callers pass the
+# corpus path); None keeps the stateless behavior.
 _PQ_PLAN_CACHE: dict[tuple, tuple] = {}
+
+
+def _data_fingerprint(key: str) -> tuple:
+    """Cheap content-change detector folded into the PQ cache key: if
+    ``key`` is a local path, the (name, size, mtime_ns) of every file
+    under it — a regenerated fixture or rewritten parquet at the same
+    path changes the fingerprint and invalidates the cached literal
+    tables (which were derived from collected DATA, not just the path).
+    Non-local keys (object-store URLs, opaque version strings) fall
+    back to the key itself: the caller owns bumping it when the corpus
+    version changes."""
+    import os
+
+    if not os.path.exists(key):
+        return (key,)
+    if os.path.isfile(key):
+        st = os.stat(key)
+        return ((os.path.basename(key), st.st_size, st.st_mtime_ns),)
+    out = []
+    for root, _dirs, files in os.walk(key):
+        for f in sorted(files):
+            st = os.stat(os.path.join(root, f))
+            out.append((os.path.relpath(os.path.join(root, f), key), st.st_size, st.st_mtime_ns))
+    return tuple(out)
 
 
 def knn_pq(
@@ -411,7 +438,13 @@ def knn_pq(
     (ties → lowest nid) so ordering is cross-engine stable."""
     vecs = _vectors(embeddings)
     cache_key = (
-        (plan_cache_key, tuple(sorted(set(query_ids))), tuple(sorted(set(codebook_ids))), m)
+        (
+            plan_cache_key,
+            _data_fingerprint(plan_cache_key),
+            tuple(sorted(set(query_ids))),
+            tuple(sorted(set(codebook_ids))),
+            m,
+        )
         if plan_cache_key is not None
         else None
     )

@@ -152,10 +152,27 @@ def _adjacent_pairs(toks_col: str):
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
 
 
-def _bpe_rounds(docs: DataFrame, n_rounds: int, text_col: str):
+def _bpe_rounds(docs: DataFrame, n_rounds: int, text_col: str, checkpoint_every: int = 4):
     """Shared train loop: returns (per-round top-merge DataFrames, the
     final re-segmented token table) — one Catalyst DAG, each learned
-    merge entering the next round via a broadcast 1-row join."""
+    merge entering the next round via a broadcast 1-row join.
+
+    Plan-depth control: every ``checkpoint_every`` rounds the token
+    table is ``localCheckpoint``-ed (eager, the ``lloyd_kmeans``
+    lineage-truncation pattern), so Catalyst analysis cost stays
+    bounded by the window size instead of growing superlinearly with
+    ``n_rounds`` — a real tokenizer fit runs hundreds of merges.  The
+    registered n_rounds=3 entries never hit a checkpoint, so their
+    plans (and hashes) are byte-identical to the unchunked form;
+    values are checkpoint-invariant either way (pinned by
+    test_bpe_checkpoint_invariant).
+
+    Degenerate rounds fail LOUDLY: if a round finds no adjacent pair
+    anywhere (every doc already merged to <2 tokens), the former
+    crossJoin silently emptied the token table and every later round.
+    The merge now enters via a broadcast LEFT join and each output row
+    asserts the merge pair is present, so execution raises with the
+    round number instead of silently truncating the merge table."""
     cur = docs.select("doc_id", _tokens(F.col(text_col)).alias("toks"))
     rounds = []
     for r in range(1, n_rounds + 1):
@@ -180,13 +197,25 @@ def _bpe_rounds(docs: DataFrame, n_rounds: int, text_col: str):
                 ),
             ).otherwise(F.concat(acc, F.array(t))),
         )
-        cur = cur.crossJoin(F.broadcast(top.select("a", "b"))).select(
-            "doc_id", merged.alias("toks")
+        # assert_true is NULL on success, so the when() passes `merged`
+        # through untouched; an empty `top` (degenerate round) makes the
+        # left join emit NULL pairs and every row raises with context.
+        guard = F.assert_true(
+            F.col("a").isNotNull(),
+            F.lit(
+                f"bpe round {r}: no adjacent token pairs remain "
+                f"(corpus fully merged or every doc has <2 tokens) — lower n_rounds"
+            ),
         )
+        cur = cur.join(F.broadcast(top.select("a", "b")), F.lit(True), "left").select(
+            "doc_id", F.when(guard.isNull(), merged).alias("toks")
+        )
+        if checkpoint_every and r % checkpoint_every == 0 and r < n_rounds:
+            cur = cur.localCheckpoint(eager=True)
     return rounds, cur
 
 
-def bpe_train_merges(docs: DataFrame, n_rounds: int = 3, text_col: str = "text") -> DataFrame:
+def bpe_train_merges(docs: DataFrame, n_rounds: int = 3, text_col: str = "text", checkpoint_every: int = 4) -> DataFrame:
     """(round, a, b, n) — BPE merge training at token granularity,
     expressed as ONE declarative plan: each round counts adjacent token
     pairs over the current segmentation, picks the top merge (count
@@ -198,25 +227,26 @@ def bpe_train_merges(docs: DataFrame, n_rounds: int = 3, text_col: str = "text")
     join — NOT a driver-side collect — so the entire trainer is a
     single Catalyst DAG, fully SQL-mirrored and driver hash-checked,
     iterative algorithm included.  Round r's plan nests all earlier
-    rounds; at 100 TB checkpoint each round's token table (the
-    lloyd_kmeans localCheckpoint pattern) so lineage stays flat — the
-    per-round shape (explode → partial-agg count → top-1 → fold map) is
-    unchanged."""
-    rounds, _cur = _bpe_rounds(docs, n_rounds, text_col)
+    rounds; every ``checkpoint_every`` rounds the token table is
+    localCheckpoint-ed (the lloyd_kmeans lineage-truncation pattern) so
+    plan depth — and Catalyst analysis cost — stays bounded for real
+    tokenizer fits (hundreds of merges); the per-round shape (explode →
+    partial-agg count → top-1 → fold map) is unchanged."""
+    rounds, _cur = _bpe_rounds(docs, n_rounds, text_col, checkpoint_every)
     out = rounds[0]
     for nxt in rounds[1:]:
         out = out.unionByName(nxt)
     return out
 
 
-def bpe_apply_merges(docs: DataFrame, n_rounds: int = 3, text_col: str = "text") -> DataFrame:
+def bpe_apply_merges(docs: DataFrame, n_rounds: int = 3, text_col: str = "text", checkpoint_every: int = 4) -> DataFrame:
     """(doc_id, toks) — the corpus re-segmented by the ``n_rounds``
     learned merges (train + apply in the same DAG)."""
-    _rounds, cur = _bpe_rounds(docs, n_rounds, text_col)
+    _rounds, cur = _bpe_rounds(docs, n_rounds, text_col, checkpoint_every)
     return cur
 
 
-def bpe_compression(docs: DataFrame, n_rounds: int = 3, text_col: str = "text") -> DataFrame:
+def bpe_compression(docs: DataFrame, n_rounds: int = 3, text_col: str = "text", checkpoint_every: int = 4) -> DataFrame:
     """(n_docs, tokens_before, tokens_after, ratio) — the APPLY side of
     merge training: re-segment the corpus with the learned merges and
     report the sequence-length compression — the number a tokenizer fit
@@ -226,7 +256,7 @@ def bpe_compression(docs: DataFrame, n_rounds: int = 3, text_col: str = "text") 
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("toks").cast("bigint")).alias("tokens_before"),
     )
-    after = bpe_apply_merges(docs, n_rounds, text_col).agg(
+    after = bpe_apply_merges(docs, n_rounds, text_col, checkpoint_every).agg(
         F.sum(F.size("toks").cast("bigint")).alias("tokens_after")
     )
     return before.crossJoin(after).select(

@@ -31,6 +31,11 @@ NGRAM_N = 3
 NGRAM_THRESHOLD = 0.7
 NGRAM_MAX_DOC_FREQ = 100  # stop-shingle cap for the scale-safe variant
 SIMHASH_MAX_HAMMING = 3
+# Cap for the brute O(n²) simhash pair scan (oracle measure): 2000 docs
+# → ≤2M pairs at any sf.  Chosen above the 500-doc driver-correctness
+# corpus so the bounded query hash-equals the banded tier's unbounded
+# oracle at sf0.01 — the brute==banded driver equivalence is preserved.
+SIMHASH_PAIRS_MAX_ID = 1999
 TFIDF_TOP_K = 3
 EMB_LSH_BITS = 32  # sign-bit signature width for bucketed embedding dedup
 EMB_LSH_BANDS = 4
@@ -372,7 +377,8 @@ FROM inc i JOIN qual q ON i.doc_id = q.doc_id
 def q_streaming_ingest_dedup(spark, sf_dir):
     """Streaming dedup-on-arrival driven to completion: the incoming-
     batch slice of documents arrives as a stream, each micro-batch is
-    classified against the persisted corpus inside foreachBatch, and the
+    classified against the corpus's persisted signature store (built
+    once, before the stream starts) inside foreachBatch, and the
     appended decisions are read back — an availableNow drain is exactly
     one batch, so the result hash-matches the batch incremental-dedup
     oracle (the driver checks the streaming state loop, not just its
@@ -396,6 +402,7 @@ def q_streaming_ingest_dedup(spark, sf_dir):
     q = streaming_ingest_dedup(
         stream,
         path,
+        scratch_dir("ingest_store"),
         out,
         scratch_dir("ingest_ckpt"),
         INCR_BATCH_MOD,
@@ -424,12 +431,15 @@ def q_tfidf_top_terms(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    # unbounded_ok: sanctioned bounded oracle measure at fixture scale
-    return dedup.simhash_pairs(
-        text.simhash(_docs(spark, sf_dir)),
-        max_hamming=SIMHASH_MAX_HAMMING,
-        unbounded_ok=True,
-    )
+    """Brute-force SimHash pair scan — the oracle MEASURE for the banded
+    tier, so its O(n²) cost is bounded explicitly: input is capped at
+    SIMHASH_PAIRS_MAX_ID (a no-op at driver-correctness scale, where the
+    corpus is 500 docs, so the hash equals the banded query's unbounded
+    oracle; ~2M pairs max at bench scale instead of growing
+    quadratically with sf).  unbounded_ok is honest here: the guard's
+    contract is 'bound the input yourself', and the filter does."""
+    sh = text.simhash(_docs(spark, sf_dir).filter(F.col("doc_id") <= SIMHASH_PAIRS_MAX_ID))
+    return dedup.simhash_pairs(sh, max_hamming=SIMHASH_MAX_HAMMING, unbounded_ok=True)
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -1928,12 +1938,15 @@ ranked AS (SELECT doc_id, term, tf, score,
 SELECT doc_id, term, tf, score, rank FROM ranked WHERE rank <= {k}"""
 
 
-def _simhash_pairs_sql(max_hamming: int) -> str:
+def _simhash_pairs_sql(max_hamming: int, max_id: int | None = None) -> str:
+    bound = (
+        f"AND a.doc_id <= {max_id} AND b.doc_id <= {max_id} " if max_id is not None else ""
+    )
     return f"""
 WITH {_simhash_cte()}
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id {bound}
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
 
 
@@ -2005,8 +2018,11 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": _minhash_sql(NGRAM_N),
     "dedup_minhash_verified": _minhash_verified_sql(NGRAM_N, NGRAM_THRESHOLD),
     "tfidf_top_terms": _tfidf_sql(TFIDF_TOP_K),
-    "dedup_simhash_pairs": _simhash_pairs_sql(SIMHASH_MAX_HAMMING),
-    # Same oracle as dedup_simhash_pairs on purpose: for
+    # Bounded like the query (no-op at correctness scale: corpus is 500
+    # docs < SIMHASH_PAIRS_MAX_ID, so this hash still equals the banded
+    # tier's unbounded oracle and brute==banded is driver-proven).
+    "dedup_simhash_pairs": _simhash_pairs_sql(SIMHASH_MAX_HAMMING, SIMHASH_PAIRS_MAX_ID),
+    # Same pair set as dedup_simhash_pairs on purpose: for
     # max_hamming <= bands-1 the banded equi-join is recall-1, so a
     # hash-match PROVES the scale path computes the brute-force pair set.
     "dedup_simhash_banded": _simhash_pairs_sql(SIMHASH_MAX_HAMMING),

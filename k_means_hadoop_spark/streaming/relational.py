@@ -159,6 +159,7 @@ def streaming_upsert_snapshot(spark, events_stream: DataFrame, out_path: str, ck
 def streaming_ingest_dedup(
     docs_stream: DataFrame,
     corpus_path: str,
+    store_path: str,
     out_path: str,
     ckpt_path: str,
     batch_mod: int,
@@ -167,34 +168,42 @@ def streaming_ingest_dedup(
     threshold: float = 0.7,
 ):
     """Dedup-on-arrival: every micro-batch of incoming documents is
-    classified against the persisted corpus — exact md5 semi-join,
-    banded-LSH candidates (batch-vs-corpus only), exact-Jaccard verify —
-    and the per-document admission statuses are appended to ``out_path``.
+    classified against the corpus's PERSISTED signature store — exact
+    md5 semi-join, banded-LSH candidates (batch-vs-store only), exact
+    Jaccard verify against the stored shingle arrays — and the
+    per-document admission statuses are written to ``out_path``.
 
-    This is the streaming face of ``operators.dedup.incremental_dedup``:
-    the corpus is re-read per micro-batch (at scale its signatures are a
-    persisted table; here the read stands in for that), the batch never
-    self-joins, and replaying a batch appends the same deterministic
-    statuses.  Drained with ``availableNow`` the single-batch result has
-    a closed form, so the whole streaming loop is oracle-checkable.
+    This is the streaming face of
+    ``operators.dedup.incremental_dedup_from_store``: the store (md5
+    digests + banded signatures + verify shingles) is built ONCE before
+    the stream starts (``build_signature_store`` — the table a live
+    ingest service maintains across increments), and each micro-batch
+    joins the store read from disk.  Per-batch cost is O(batch + the
+    store rows its joins touch) — the corpus text is never re-read and
+    never re-shingled, so batch latency is independent of corpus size.
+    Drained with ``availableNow`` the single-batch result has a closed
+    form, so the whole streaming loop is oracle-checkable.
 
     foreachBatch is at-least-once: a micro-batch can be REPLAYED after
     a failure, so the sink must be idempotent per batch_id.  Statuses
     are written partitioned by batch_id with dynamic partition
     overwrite — a replay rewrites its own partition instead of
     double-appending rows."""
-    from k_means_hadoop_spark.operators.dedup import incremental_dedup
+    from k_means_hadoop_spark.operators.dedup import (
+        build_signature_store,
+        incremental_dedup_from_store,
+    )
+
+    corpus = (
+        docs_stream.sparkSession.read.parquet(corpus_path)
+        .filter(F.col("doc_id") % batch_mod != batch_rem)
+        .select("doc_id", "text")
+    )
+    build_signature_store(corpus, store_path, n=n, text_col="text")
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        spark_b = batch.sparkSession
-        corpus = (
-            spark_b.read.parquet(corpus_path)
-            .filter(F.col("doc_id") % batch_mod != batch_rem)
-            .select("doc_id", "text")
-        )
-        docs = corpus.unionByName(batch.select("doc_id", "text"))
-        out = incremental_dedup(
-            docs, F.col("doc_id") % batch_mod == batch_rem, n=n, threshold=threshold
+        out = incremental_dedup_from_store(
+            batch.select("doc_id", "text"), store_path, n=n, threshold=threshold
         )
         (
             out.withColumn("batch_id", F.lit(batch_id))

