@@ -60,7 +60,20 @@ class ArithSeqDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent registration of the custom format with the session."""
+    """Idempotent registration of the custom format with the session.
+
+    The DataSource class is cloudpickled to the worker that instantiates
+    it; by default classes pickle BY REFERENCE, which requires this
+    package on every worker's sys.path (true under pytest from the repo
+    root, false for any harness launched elsewhere).  Registering the
+    module for pickle-by-value ships the class definition inside the
+    pickle itself, so the source works wherever the driver runs from —
+    the portability a connector seam must have."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(ArithSeqDataSource)
 
 
