@@ -97,6 +97,13 @@ HEADLINE = [
     "bpe_compression",
     "dataset_card",
     "knn_ivf",
+    # round 4b: the Gopher rule gate (map-only corpus scan), bigram LM
+    # scoring (corpus model + broadcast joins), MATCH_RECOGNIZE-style
+    # funnel counting (one user partition), and the combined IVF+PQ tier.
+    "gopher_quality_gate",
+    "text_bigram_logprob",
+    "event_funnel_pattern",
+    "knn_ivf_pq",
 ]
 
 

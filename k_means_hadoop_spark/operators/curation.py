@@ -1069,8 +1069,125 @@ SELECT count(*)::BIGINT AS n_docs,
 FROM ({_quality_sql()}) t"""
 
 
+
+
+# ------------------------------------------------------ mixture planning
+
+# Budget = 90% of the corpus token count (exact integer arithmetic, so
+# the plan is scale-free and both engines agree bit-for-bit), shared
+# across language strata by temperature-0.5 weight with a single cap-and-
+# redistribute pass; lang (not source) is the stratum because the
+# fixture's languages are skewed (en ≈ 40%), so the cap-and-
+# redistribute branch provably engages at every scale factor.
+_MIX_BUDGET_NUM = 9
+_MIX_BUDGET_DEN = 10
+
+
+def dataset_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, avail_tokens, target_tokens, alloc_tokens, epochs) —
+    the training-mixture planner: allocate a global token budget across
+    sources with temperature-0.5 weights (weight ∝ sqrt(available), the
+    standard rebalance toward small sources), cap every source at its
+    available tokens, and redistribute the slack to the uncapped
+    sources in one pass — the per-source token quota a data-loader
+    consumes (epochs = alloc/avail > 1 would mean repetition; capping
+    keeps it ≤ 1).
+
+    Determinism at 6 dp is engineered, not hoped for: every cross-source
+    SUM runs over exact integers (token counts, and sqrt-weights floored
+    to micro-units), so no double-summation order exists anywhere; the
+    remaining arithmetic is identical single-expression IEEE math on
+    both engines.  Shape: one corpus hash-agg to ~sources rows, then
+    whole-table windows over that tiny table."""
+    docs = _docs(spark, sf_dir)
+    n_toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    per_src = docs.groupBy("lang").agg(F.sum(n_toks).cast("bigint").alias("avail"))
+    w = Window.partitionBy()
+    staged = per_src.select(
+        "lang",
+        "avail",
+        F.floor(F.sqrt(F.col("avail").cast("double")) * 1e6).cast("bigint").alias("raw"),
+    ).select(
+        "lang",
+        "avail",
+        "raw",
+        F.sum("raw").over(w).alias("tot_raw"),
+        ((F.sum("avail").over(w) * _MIX_BUDGET_NUM) / F.lit(_MIX_BUDGET_DEN))
+        .cast("bigint")
+        .alias("budget"),
+    )
+    target = F.col("budget").cast("double") * (
+        F.col("raw").cast("double") / F.col("tot_raw").cast("double")
+    )
+    staged = staged.select(
+        "lang", "avail", "raw", "budget", target.alias("target"),
+        (target >= F.col("avail").cast("double")).alias("capped"),
+    )
+    alloc1_micro = F.floor(
+        F.least(F.col("avail").cast("double"), F.col("target")) * 1e6
+    ).cast("bigint")
+    staged = staged.select(
+        "*",
+        (F.col("budget") * F.lit(1_000_000) - F.sum(alloc1_micro).over(w)).alias("left_micro"),
+        F.sum(F.when(~F.col("capped"), F.col("raw")).otherwise(F.lit(0))).over(w).alias(
+            "unc_raw"
+        ),
+    )
+    final = F.when(F.col("capped"), F.col("avail").cast("double")).otherwise(
+        F.least(
+            F.col("avail").cast("double"),
+            F.col("target")
+            + (F.col("left_micro").cast("double") / F.lit(1e6))
+            * (F.col("raw").cast("double") / F.col("unc_raw").cast("double")),
+        )
+    )
+    return staged.select(
+        "lang",
+        F.col("avail").alias("avail_tokens"),
+        F.round("target", 6).alias("target_tokens"),
+        F.round(final, 6).alias("alloc_tokens"),
+        F.round(final / F.col("avail").cast("double"), 6).alias("epochs"),
+    )
+
+
+MIXTURE_PLAN_SQL = f"""
+WITH per_src AS (
+  SELECT lang, sum(len(string_split_regex(lower(trim(text)), '\\s+')))::BIGINT AS avail
+  FROM documents GROUP BY lang),
+staged AS (
+  SELECT lang, avail,
+         CAST(floor(sqrt(avail::DOUBLE) * 1e6) AS BIGINT) AS raw
+  FROM per_src),
+tot AS (
+  SELECT lang, avail, raw,
+         sum(raw) OVER () AS tot_raw,
+         CAST((sum(avail) OVER () * {_MIX_BUDGET_NUM}) / {_MIX_BUDGET_DEN} AS BIGINT) AS budget
+  FROM staged),
+t2 AS (
+  SELECT *, budget::DOUBLE * (raw::DOUBLE / tot_raw::DOUBLE) AS target,
+         budget::DOUBLE * (raw::DOUBLE / tot_raw::DOUBLE) >= avail::DOUBLE AS capped
+  FROM tot),
+t3 AS (
+  SELECT *,
+         budget * 1000000 - sum(CAST(floor(least(avail::DOUBLE, target) * 1e6) AS BIGINT)) OVER ()
+           AS left_micro,
+         sum(CASE WHEN NOT capped THEN raw ELSE 0 END) OVER () AS unc_raw
+  FROM t2),
+fin AS (
+  SELECT lang, avail, target,
+         CASE WHEN capped THEN avail::DOUBLE
+              ELSE least(avail::DOUBLE,
+                         target + (left_micro::DOUBLE / 1e6) * (raw::DOUBLE / unc_raw::DOUBLE))
+         END AS final
+  FROM t3)
+SELECT lang, avail AS avail_tokens, round(target, 6) AS target_tokens,
+       round(final, 6) AS alloc_tokens, round(final / avail::DOUBLE, 6) AS epochs
+FROM fin
+"""
+
 CURATION_QUERIES = {
     "split_train_val": (split_train_val, SPLIT_SQL),
+    "dataset_mixture_plan": (dataset_mixture_plan, MIXTURE_PLAN_SQL),
     "quota_per_source": (quota_per_source, QUOTA_SQL),
     "histogram_doc_lengths": (histogram_doc_lengths, HISTOGRAM_SQL),
     "winsorize_acctbal": (winsorize_acctbal, WINSORIZE_SQL),

@@ -1831,7 +1831,258 @@ GROUP BY path ORDER BY n_users DESC, path LIMIT {_PATH_TOP}
 """
 
 
+# --------------------------------------------------------------- round 4
+
+# MATCH_RECOGNIZE-style sequence pattern: view → (no purchase) → click →
+# (no purchase) → purchase.  The match's end is forced (the first
+# purchase after a qualifying click), so Java-regex (leftmost-greedy)
+# and RE2 (leftmost-longest) agree on every match and on the
+# non-overlapping count — the property that makes the operator
+# cross-engine deterministic.
+_FUNNEL_PATTERN = "v[^p]*c[^p]*p"
+_EVENT_SYMBOLS = {"view": "v", "click": "c", "purchase": "p", "signup": "s", "error": "e"}
+
+
+def event_funnel_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, n_events, conversions) — per-user MATCH_RECOGNIZE-style
+    pattern detection: compress each user's chronological event stream
+    to a symbol string (v/c/p/s/e) and count non-overlapping
+    view→click→purchase conversions (no intervening purchase), the
+    sequence-pattern surface SQL engines expose as MATCH_RECOGNIZE and
+    Spark lacks natively.
+
+    Shape: ONE hash partition by user (ranking window + grouped
+    reassembly share it), symbol string built by array_sort over
+    (rn, symbol) structs — collect_list alone has no cross-partition
+    order guarantee — then a single regexp_count per user.  At 100 TB:
+    shuffle ∝ events, state ∝ one string per user; pattern evaluation
+    is row-local codegen."""
+    ev = _t(spark, sf_dir, "events")
+    sym = F.element_at(
+        F.create_map(*[F.lit(x) for kv in _EVENT_SYMBOLS.items() for x in kv]),
+        F.col("event_type"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqs = (
+        ev.select("user_id", "ts", "event_id", sym.alias("sym"))
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "sym"))),
+                    lambda x: x["sym"],
+                ),
+                "",
+            ).alias("seq"),
+        )
+    )
+    return seqs.select(
+        "user_id",
+        "n_events",
+        F.regexp_count("seq", F.lit(_FUNNEL_PATTERN)).cast("bigint").alias("conversions"),
+    )
+
+
+FUNNEL_PATTERN_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, event_id, ts,
+         CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+              WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END AS sym,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+seqs AS (
+  SELECT user_id, count(*)::BIGINT AS n_events,
+         string_agg(sym, '' ORDER BY rn) AS seq
+  FROM ranked GROUP BY user_id)
+SELECT user_id, n_events,
+       len(regexp_extract_all(seq, '{_FUNNEL_PATTERN}'))::BIGINT AS conversions
+FROM seqs
+"""
+
+_EWMA_ALPHA = 0.3
+
+
+def ewma_daily_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, total, ewma) — exponentially-weighted moving average over
+    the daily purchase-revenue series (alpha = 0.3, seeded with the
+    first day's total): the sequential recurrence a window frame cannot
+    express, run as ONE ordered fold over the aggregated series.
+
+    Shape: daily totals are a DECIMAL hash aggregate (order-exact);
+    the fold runs over the collected per-day array — ~days elements,
+    never row-sized, so the non-parallel part of the recurrence is
+    bounded by the calendar, not the corpus.  Both engines evaluate the
+    recurrence as ``total * 0.3 + prev * 0.7`` in IEEE doubles (the
+    oracle's recursive CTE uses the identical expression text), so the
+    chain is bit-reproducible."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(_dec("value")).cast("double").alias("total"))
+    )
+    arr = daily.agg(F.array_sort(F.collect_list(F.struct("day", "total"))).alias("a"))
+    folded = arr.select(
+        F.expr(
+            f"""
+            aggregate(
+              a,
+              named_struct('prev', CAST(0.0 AS DOUBLE), 'started', false,
+                           'out', CAST(array() AS ARRAY<STRUCT<day: DATE, total: DOUBLE, ewma: DOUBLE>>)),
+              (acc, x) -> named_struct(
+                'prev', CASE WHEN acc.started
+                             THEN x.total * CAST({_EWMA_ALPHA} AS DOUBLE) + acc.prev * CAST({1 - _EWMA_ALPHA} AS DOUBLE)
+                             ELSE x.total END,
+                'started', true,
+                'out', array_append(acc.out, named_struct(
+                  'day', x.day, 'total', x.total,
+                  'ewma', CASE WHEN acc.started
+                               THEN x.total * CAST({_EWMA_ALPHA} AS DOUBLE) + acc.prev * CAST({1 - _EWMA_ALPHA} AS DOUBLE)
+                               ELSE x.total END))),
+              acc -> acc.out)
+            """
+        ).alias("out")
+    )
+    row = folded.select(F.explode("out").alias("r"))
+    return row.select(
+        F.date_format("r.day", "yyyy-MM-dd").alias("day"),
+        F.round("r.total", 6).alias("total"),
+        F.round("r.ewma", 6).alias("ewma"),
+    )
+
+
+EWMA_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(ts AS DATE) AS day, sum(value::DECIMAL(18,4))::DOUBLE AS total
+  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+ord AS (SELECT day, total, row_number() OVER (ORDER BY day) AS rn FROM daily),
+r AS (
+  SELECT rn, day, total, total AS ewma FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.day, o.total,
+         o.total * CAST({_EWMA_ALPHA} AS DOUBLE) + r.ewma * CAST({1 - _EWMA_ALPHA} AS DOUBLE)
+  FROM ord o JOIN r ON o.rn = r.rn + 1)
+SELECT strftime(day, '%Y-%m-%d') AS day, round(total, 6) AS total, round(ewma, 6) AS ewma FROM r
+"""
+
+
+def anomaly_event_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, n, z, is_anomaly) — daily-volume anomaly flags
+    per event type: z-score of each day's event count against that
+    type's distribution over all days, |z| > 2 flagged — the
+    volume-drop/spike monitor every ingest pipeline runs.
+
+    The moments come from EXACT integer sums (Σn, Σn² over int64 via a
+    window on the tiny daily table), and the z arithmetic is the same
+    double expression text on both engines — no Welford-vs-naive
+    variance drift, so even round(z, 6) is deterministic.  Shape: one
+    hash aggregate to days (shuffle ∝ days·types), then a per-type
+    window over ~30 rows."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type")
+    stats = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    mean = F.col("s1").cast("double") / F.col("cnt").cast("double")
+    var = F.col("s2").cast("double") / F.col("cnt").cast("double") - mean * mean
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return stats.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
+
+
+ANOMALY_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, day, n,
+         sum(n) OVER w AS s1, sum(n * n) OVER w AS s2, count(*) OVER w AS cnt
+  FROM daily WINDOW w AS (PARTITION BY event_type))
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+       round((n::DOUBLE - s1::DOUBLE / cnt::DOUBLE)
+             / sqrt(s2::DOUBLE / cnt::DOUBLE
+                    - (s1::DOUBLE / cnt::DOUBLE) * (s1::DOUBLE / cnt::DOUBLE)), 6) AS z,
+       abs((n::DOUBLE - s1::DOUBLE / cnt::DOUBLE)
+           / sqrt(s2::DOUBLE / cnt::DOUBLE
+                  - (s1::DOUBLE / cnt::DOUBLE) * (s1::DOUBLE / cnt::DOUBLE))) > 2.0 AS is_anomaly
+FROM stats
+"""
+
+_ER_MAX_LEV = 2
+
+
+def er_blocked_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(name_a, name_b, lev_dist, n_a, n_b) — entity resolution over the
+    part catalog: distinct listing names are the entities, BLOCKED on
+    the product noun (last name token), and verified within each block
+    by Levenshtein distance ≤ 2 — the classic two-stage ER plan
+    (cheap blocking key prunes the O(n²) candidate space; the expensive
+    edit-distance runs only inside blocks).
+
+    Shape: names are first DISTINCT'd with their listing counts (one
+    hash agg — the corpus self-join happens at ENTITY cardinality,
+    never listing cardinality), then a block equi-join; at 100 TB
+    the shuffle is ∝ distinct entities and the in-block verify is
+    Σ|block|², controlled by blocking-key selectivity."""
+    part = _t(spark, sf_dir, "part")
+    names = (
+        part.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("n_listings"))
+        .select(
+            "p_name",
+            "n_listings",
+            F.element_at(F.split("p_name", " "), -1).alias("noun"),
+        )
+    )
+    a, b = names.alias("a"), names.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, F.col("a.noun") == F.col("b.noun"))
+        .filter(F.col("a.p_name") < F.col("b.p_name"))
+        .filter(lev <= _ER_MAX_LEV)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            lev.cast("int").alias("lev_dist"),
+            F.col("a.n_listings").alias("n_a"),
+            F.col("b.n_listings").alias("n_b"),
+        )
+    )
+
+
+ER_FUZZY_SQL = f"""
+WITH names AS (
+  SELECT p_name, count(*)::BIGINT AS n_listings,
+         split_part(p_name, ' ', 2) AS noun
+  FROM part GROUP BY p_name)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name)::INTEGER AS lev_dist,
+       a.n_listings AS n_a, b.n_listings AS n_b
+FROM names a JOIN names b ON a.noun = b.noun AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= {_ER_MAX_LEV}
+"""
+
+
 RELATIONAL_QUERIES = {
+    "event_funnel_pattern": (event_funnel_pattern, FUNNEL_PATTERN_SQL),
+    "ewma_daily_purchases": (ewma_daily_purchases, EWMA_SQL),
+    "anomaly_event_days": (anomaly_event_days, ANOMALY_SQL),
+    "er_blocked_fuzzy": (er_blocked_fuzzy, ER_FUZZY_SQL),
     "stats_by_flag": (stats_by_flag, STATS_SQL),
     "zorder_events_curve": (zorder_events_curve, _zorder_sql()),
     "pivot_orders_status": (pivot_orders_by_status, PIVOT_SQL),

@@ -375,6 +375,34 @@ def knn_mllib_lsh(
     return out.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
+
+
+def _dlit(v: float) -> str:
+    return f"CAST({v!r} AS DOUBLE)"  # repr round-trips doubles exactly
+
+
+def _darr(vals: list[float]) -> str:
+    return "array(" + ", ".join(_dlit(v) for v in vals) + ")"
+
+
+def _sq_dist_sql(vec_col: str, lo: int, codeword: list[float]) -> str:
+    """Left-assoc diff*diff fold over vec[lo+1 : lo+len] vs a literal
+    codeword — bit-compatible with ``_py_sq`` and the SQL mirrors'
+    explicit + chains."""
+    return (
+        f"aggregate(zip_with(slice({vec_col}, {lo + 1}, {len(codeword)}), "
+        f"{_darr(codeword)}, (x, y) -> (x - y) * (x - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
+    )
+
+
+def _py_sq(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
 # Built PQ plan texts keyed by (corpus key + data fingerprint, ids, m):
 # a PQ index is trained/encoded ONCE and then serves every query —
 # re-collecting the codebook rows and re-rendering the literal tables
@@ -479,25 +507,10 @@ def knn_pq(
         # costs a py4j round-trip per literal (thousands here), which
         # measured as the dominant cost of the whole query — driver-side,
         # before any task ran.
-        def _dlit(v: float) -> str:
-            return f"CAST({v!r} AS DOUBLE)"  # repr round-trips doubles exactly
-
-        def _darr(vals: list[float]) -> str:
-            return "array(" + ", ".join(_dlit(v) for v in vals) + ")"
-
-        def sq_dist_sql(lo: int, codeword: list[float]) -> str:
-            # left-assoc diff*diff fold — bit-compatible with the
-            # driver-side Python tables and the SQL mirror's + chain
-            return (
-                f"aggregate(zip_with(slice(vec, {lo + 1}, {len(codeword)}), "
-                f"{_darr(codeword)}, (x, y) -> (x - y) * (x - y)), "
-                "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"
-            )
-
         code_col_texts = [
             "array_min(array("
             + ", ".join(
-                f"named_struct('d', {sq_dist_sql(j * sub, cw)}, 'c', {c})"
+                f"named_struct('d', {_sq_dist_sql('vec', j * sub, cw)}, 'c', {c})"
                 for c, cw in codebook[j]
             )
             + ")).c"
@@ -506,19 +519,13 @@ def knn_pq(
 
         # per-query ADC tables, computed driver-side (pure IEEE doubles,
         # same left-assoc order as the SQL mirror), folded in as literals
-        def py_sq(a: list[float], b: list[float]) -> float:
-            acc = 0.0
-            for x, y in zip(a, b):
-                acc = acc + (x - y) * (x - y)
-            return acc
-
         q_structs_sql = "array(" + ", ".join(
             "named_struct('qid', "
             + str(qid)
             + ", "
             + ", ".join(
                 f"'t{j}', "
-                + _darr([py_sq(qvec[j * sub : (j + 1) * sub], cw) for _c, cw in codebook[j]])
+                + _darr([_py_sq(qvec[j * sub : (j + 1) * sub], cw) for _c, cw in codebook[j]])
                 for j in range(m)
             )
             + ")"
@@ -585,6 +592,114 @@ def knn_pq_rerank(
         .join(F.broadcast(qv), "qid")
         .select(
             "qid", "nid", F.round(euclidean("qvec", "nvec"), 6).alias("eucl_dist")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_ivf_pq(
+    embeddings: DataFrame,
+    query_ids: Sequence[int],
+    cell_ids: Sequence[int],
+    codebook_ids: Sequence[int],
+    k: int = 5,
+    m: int = 8,
+    nprobe: int = 3,
+) -> DataFrame:
+    """(qid, nid, approx_dist, rank) — the combined IVF+PQ tier, the
+    layout every production vector store (FAISS IVFPQ) runs at scale:
+    a coarse quantizer prunes the corpus to ``nprobe`` inverted lists
+    per query, and PQ asymmetric-distance scoring ranks only the
+    surviving lists' codes — corpus cost = |probed cells| in code
+    space, never the full corpus in float space.
+
+    Like knn_pq, every ingredient is closed-form so the WHOLE operator
+    carries a value oracle: cells and codebooks are fixed seed rows
+    (renumbered in id order), cell assignment is a literal-fold argmin
+    (lowest-cell tie-break), the probe set is computed driver-side with
+    the same left-assoc float arithmetic the SQL mirror unrolls, and
+    ADC ranks on the 6-dp-rounded distance with nid tie-break.  At
+    100 TB: partition/bucket the encoded corpus BY CELL so each probe
+    is a partition-pruned scan of ~corpus/cells codes; the quantizers
+    train on samples (swap lloyd_kmeans in; plan shape unchanged)."""
+    vecs = _vectors(embeddings)
+    wanted = set(cell_ids) | set(codebook_ids) | set(query_ids)
+    rows = {
+        r["vid"]: list(r["vec"])
+        for r in vecs.filter(F.col("vid").isin(list(wanted))).collect()
+    }
+    missing = sorted(wanted - rows.keys())
+    if missing:
+        raise ValueError(f"knn_ivf_pq: ids absent from embeddings: {missing}")
+    cells = [(ci + 1, rows[vid]) for ci, vid in enumerate(sorted(set(cell_ids)))]
+    cb_rows = sorted((vid, rows[vid]) for vid in set(codebook_ids))
+    q_rows = sorted((vid, rows[vid]) for vid in set(query_ids))
+    d = len(cb_rows[0][1])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    codebook = [
+        [(ci + 1, vec[j * sub : (j + 1) * sub]) for ci, (_vid, vec) in enumerate(cb_rows)]
+        for j in range(m)
+    ]
+    cell_col_text = (
+        "array_min(array("
+        + ", ".join(
+            f"named_struct('d', {_sq_dist_sql('vec', 0, cvec)}, 'c', {c})" for c, cvec in cells
+        )
+        + ")).c"
+    )
+    code_col_texts = [
+        "array_min(array("
+        + ", ".join(
+            f"named_struct('d', {_sq_dist_sql('vec', j * sub, cw)}, 'c', {c})"
+            for c, cw in codebook[j]
+        )
+        + ")).c"
+        for j in range(m)
+    ]
+    # probe sets + ADC tables, driver-side, same arithmetic as the mirror
+    probes = {
+        qid: [c for c, _ in sorted(((c, _py_sq(qvec, cvec)) for c, cvec in cells),
+                                   key=lambda t: (t[1], t[0]))[:nprobe]]
+        for qid, qvec in q_rows
+    }
+    q_structs_sql = "array(" + ", ".join(
+        "named_struct('qid', "
+        + str(qid)
+        + ", 'cells', array("
+        + ", ".join(str(c) for c in probes[qid])
+        + "), "
+        + ", ".join(
+            f"'t{j}', "
+            + _darr([_py_sq(qvec[j * sub : (j + 1) * sub], cw) for _c, cw in codebook[j]])
+            for j in range(m)
+        )
+        + ")"
+        for qid, qvec in q_rows
+    ) + ")"
+    enc = vecs.select(
+        "vid",
+        F.expr(cell_col_text).alias("cell"),
+        *[F.expr(t).alias(f"code{j}") for j, t in enumerate(code_col_texts)],
+    )
+    scored = (
+        enc.select("vid", "cell", *[f"code{j}" for j in range(m)],
+                   F.explode(F.expr(q_structs_sql)).alias("q"))
+        .filter(F.array_contains(F.col("q")["cells"], F.col("cell")))
+        .filter(F.col("vid") != F.col("q")["qid"])
+    )
+    approx = None
+    for j in range(m):
+        term = F.element_at(F.col("q")[f"t{j}"], F.col(f"code{j}"))
+        approx = term if approx is None else approx + term
+    w = Window.partitionBy("qid").orderBy(F.col("approx_dist"), F.col("nid"))
+    return (
+        scored.select(
+            F.col("q")["qid"].alias("qid"),
+            F.col("vid").alias("nid"),
+            F.round(approx, 6).alias("approx_dist"),
         )
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)

@@ -535,3 +535,130 @@ def chunk_documents(
             F.md5(F.array_join("chunk", " ")).alias("chunk_hash"),
         )
     )
+
+
+# ------------------------------------------------------------------ round 4
+
+# Gopher-style rule bounds (Rae et al. 2021 §A1.1, adapted to this
+# corpus's word-soup documents: the line-shape rules — bullet/ellipsis
+# line fractions — need newline structure the fixture lacks and are
+# covered corpus-side by boilerplate_spans instead).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 500
+GOPHER_MIN_MEAN_LEN = 2.5
+GOPHER_MAX_MEAN_LEN = 8.0
+GOPHER_MIN_ALPHA_FRAC = 0.9
+GOPHER_MIN_STOPWORDS = 1
+GOPHER_MAX_TOP_RATIO = 0.15
+
+
+def gopher_quality_gate(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, mean_word_len, alpha_frac, n_stop, top_ratio,
+    verdict, reason) — the Gopher quality-rule gate: word-count bounds,
+    mean-word-length bounds, alphabetic-word fraction, minimum stopword
+    evidence, and max top-token share, with the FIRST failing rule named
+    per document (the audit column a curation run reports).
+
+    Entirely row-local Catalyst expressions — zero shuffle, runs inside
+    the corpus scan at 100 TB exactly like pii_redact/quality_scores;
+    every sub-signal is computed once in a staged projection."""
+    toks = F.filter(_tokens(F.col(text_col)), lambda x: x != "")
+    staged = docs.select("doc_id", toks.alias("toks"))
+    n = F.size("toks").cast("bigint")
+    sum_len = F.aggregate(
+        F.transform("toks", lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    mean_len = sum_len.cast("double") / n.cast("double")
+    alpha = F.size(F.filter("toks", lambda t: t.rlike("[a-z]")))
+    alpha_frac = alpha.cast("double") / n.cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter("toks", lambda w: F.array_contains(stop_arr, w))).cast("bigint")
+    top = F.array_max(
+        F.transform(
+            F.array_distinct("toks"),
+            lambda t: F.size(F.filter(F.col("toks"), lambda x: x == t)),
+        )
+    )
+    top_ratio = top.cast("double") / n.cast("double")
+    staged = staged.select(
+        "doc_id",
+        n.alias("n_words"),
+        mean_len.alias("_ml"),
+        alpha_frac.alias("_af"),
+        n_stop.alias("n_stop"),
+        top_ratio.alias("_tr"),
+    )
+    reason = (
+        F.when(F.col("n_words") < GOPHER_MIN_WORDS, F.lit("too_few_words"))
+        .when(F.col("n_words") > GOPHER_MAX_WORDS, F.lit("too_many_words"))
+        .when(F.col("_ml") < GOPHER_MIN_MEAN_LEN, F.lit("short_words"))
+        .when(F.col("_ml") > GOPHER_MAX_MEAN_LEN, F.lit("long_words"))
+        .when(F.col("_af") < GOPHER_MIN_ALPHA_FRAC, F.lit("non_alpha"))
+        .when(F.col("n_stop") < GOPHER_MIN_STOPWORDS, F.lit("no_stopwords"))
+        .when(F.col("_tr") > GOPHER_MAX_TOP_RATIO, F.lit("repetitive"))
+        .otherwise(F.lit("pass"))
+    )
+    return staged.select(
+        "doc_id",
+        "n_words",
+        F.round("_ml", 6).alias("mean_word_len"),
+        F.round("_af", 6).alias("alpha_frac"),
+        "n_stop",
+        F.round("_tr", 6).alias("top_ratio"),
+        (reason == "pass").alias("verdict"),
+        reason.alias("reason"),
+    )
+
+
+BIGRAM_LAMBDA = 0.8  # interpolation weight on the bigram term
+
+
+def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) — interpolated bigram language
+    model score: mean ln(λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/N) over each
+    document's adjacent token pairs — the next step up from
+    unigram_logprob toward the CCNet perplexity filter (context-aware:
+    scrambled token order now scores below natural order).
+
+    Shape: adjacent pairs are built ROW-LOCALLY (zip_with over two
+    slices — no positional self-join), the bigram and unigram models
+    are corpus aggregates broadcast back (vocabulary sublinear in
+    corpus, Heaps' law), and scoring is one joined map.  Interpolation
+    means no smoothing constant to tune: every pair backs off to the
+    always-present unigram mass."""
+    toks = F.filter(_tokens(F.col(text_col)), lambda x: x != "")
+    base = docs.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    pairs = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, n - 1),
+                F.slice("toks", 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = (
+        base.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = uni.agg(F.sum("cnt").alias("n_total"))
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    lam = F.lit(BIGRAM_LAMBDA)
+    lp = F.log(
+        lam * (F.col("cb").cast("double") / F.col("cw1").cast("double"))
+        + (F.lit(1.0) - lam) * (F.col("cw2").cast("double") / F.col("n_total").cast("double"))
+    )
+    scored = (
+        pairs.join(F.broadcast(bg), ["w1", "w2"])
+        .join(F.broadcast(uni.select(F.col("tok").alias("w1"), F.col("cnt").alias("cw1"))), "w1")
+        .join(F.broadcast(uni.select(F.col("tok").alias("w2"), F.col("cnt").alias("cw2"))), "w2")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )

@@ -246,6 +246,14 @@ def q_unigram_logprob(spark, sf_dir):
     return text.unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_gopher_gate(spark, sf_dir):
+    return text.gopher_quality_gate(_docs(spark, sf_dir))
+
+
+def q_bigram_logprob(spark, sf_dir):
+    return text.bigram_logprob(_docs(spark, sf_dir))
+
+
 SEMDEDUP_THRESHOLD = 0.9
 
 
@@ -696,6 +704,154 @@ ranked AS (SELECT qid, nid, approx_dist,
                                    ORDER BY approx_dist, nid) AS INTEGER) AS rank
            FROM scored)
 SELECT qid, nid, approx_dist, rank FROM ranked WHERE rank <= {k}"""
+
+
+
+
+IVFPQ_CELL_IDS = [7 + 29 * i for i in range(8)]
+IVFPQ_NPROBE = 3
+
+
+def q_knn_ivf_pq(spark, sf_dir):
+    return similarity.knn_ivf_pq(
+        _emb(spark, sf_dir), KNN_QUERY_IDS, IVFPQ_CELL_IDS, PQ_CODEBOOK_IDS,
+        k=5, m=PQ_M, nprobe=IVFPQ_NPROBE,
+    )
+
+
+def _knn_ivf_pq_sql(k: int, m: int, dim: int, nprobe: int) -> str:
+    """Mirror of similarity.knn_ivf_pq: the _knn_pq_sql construction
+    plus a coarse-cell assignment CTE (full-width argmin, lowest-cell
+    tie-break) and a per-query probe CTE; the ADC join additionally
+    requires the neighbor's cell to be in the query's probe set."""
+    sub = dim // m
+    cb_ids = ", ".join(str(i) for i in PQ_CODEBOOK_IDS)
+    cell_ids = ", ".join(str(i) for i in IVFPQ_CELL_IDS)
+
+    def dj(a: str, b: str, lo: int, width: int) -> str:
+        return " + ".join(
+            f"({a}[{lo + i + 1}] - {b}[{lo + i + 1}])"
+            f" * ({a}[{lo + i + 1}] - {b}[{lo + i + 1}])"
+            for i in range(width)
+        )
+
+    enc_ctes = ", ".join(
+        f"""e{j} AS (SELECT vid, c AS code{j} FROM (
+  SELECT v.vid, cb.c,
+         row_number() OVER (PARTITION BY v.vid ORDER BY {dj('v.vec', 'cb.vec', j * sub, sub)}, cb.c) AS rn
+  FROM v CROSS JOIN cb) t WHERE rn = 1)"""
+        for j in range(m)
+    )
+    qd_ctes = ", ".join(
+        f"""qd{j} AS (SELECT q.vid AS qid, cb.c, {dj('q.vec', 'cb.vec', j * sub, sub)} AS d
+  FROM v q CROSS JOIN cb WHERE q.vid IN ({_KNN_IDS_SQL}))"""
+        for j in range(m)
+    )
+    enc_joins = " ".join(f"JOIN e{j} USING (vid)" for j in range(1, m))
+    encl = " UNION ALL ".join(
+        f"SELECT vid, {j} AS j, code{j} AS c FROM enc" for j in range(m)
+    )
+    qd_all = " UNION ALL ".join(f"SELECT qid, {j} AS j, c, d FROM qd{j}" for j in range(m))
+    adc_chain = " + ".join(f"ds[{j + 1}]" for j in range(m))
+    return f"""
+WITH v AS (SELECT vec_id::INTEGER AS vid, embedding::DOUBLE[] AS vec FROM embeddings),
+cb AS (SELECT CAST(row_number() OVER (ORDER BY vid) AS INTEGER) AS c, vec
+       FROM v WHERE vid IN ({cb_ids})),
+cells AS (SELECT CAST(row_number() OVER (ORDER BY vid) AS INTEGER) AS cell, vec
+          FROM v WHERE vid IN ({cell_ids})),
+ca AS (SELECT vid, cell FROM (
+  SELECT v.vid, c.cell,
+         row_number() OVER (PARTITION BY v.vid ORDER BY {dj('v.vec', 'c.vec', 0, dim)}, c.cell) AS rn
+  FROM v CROSS JOIN cells c) t WHERE rn = 1),
+qp AS (SELECT qid, cell FROM (
+  SELECT q.vid AS qid, c.cell,
+         row_number() OVER (PARTITION BY q.vid ORDER BY {dj('q.vec', 'c.vec', 0, dim)}, c.cell) AS rn
+  FROM v q CROSS JOIN cells c WHERE q.vid IN ({_KNN_IDS_SQL})) t WHERE rn <= {nprobe}),
+{enc_ctes},
+{qd_ctes},
+enc AS (SELECT * FROM e0 {enc_joins}),
+encl AS ({encl}),
+qd AS ({qd_all}),
+dlists AS (SELECT qd.qid, encl.vid AS nid, list(qd.d ORDER BY qd.j) AS ds
+           FROM encl
+           JOIN ca ON ca.vid = encl.vid
+           JOIN qd ON qd.j = encl.j AND qd.c = encl.c
+           JOIN qp ON qp.qid = qd.qid AND qp.cell = ca.cell
+           WHERE encl.vid != qd.qid
+           GROUP BY qd.qid, encl.vid),
+scored AS (SELECT qid, nid, round({adc_chain}, 6) AS approx_dist FROM dlists),
+ranked AS (SELECT qid, nid, approx_dist,
+           CAST(row_number() OVER (PARTITION BY qid
+                                   ORDER BY approx_dist, nid) AS INTEGER) AS rank
+           FROM scored)
+SELECT qid, nid, approx_dist, rank FROM ranked WHERE rank <= {k}"""
+
+
+
+
+def q_compact_shards(spark, sf_dir):
+    """Small-file compaction maintenance pass, driver-proven end to end:
+    fragment the corpus into 64 tiny parquet files, compact to the
+    byte-derived target count WITHOUT a shuffle (coalesce), re-read the
+    compacted table and report every document — hash-matched against an
+    oracle that never sees either file layout.  The pytest pins the
+    before/after file counts; here the content roundtrip is the check."""
+    from k_means_hadoop_spark.session import scratch_dir
+    from k_means_hadoop_spark.sources.sinks import compact_parquet
+
+    frag, out = scratch_dir("compact_in"), scratch_dir("compact_out")
+    _docs(spark, sf_dir).repartition(64).write.mode("overwrite").parquet(frag)
+    compact_parquet(spark, frag, out, target_bytes=512 * 1024)
+    back = spark.read.parquet(out)
+    return back.select("doc_id", "n_chars", F.md5("text").alias("text_md5"))
+
+
+COMPACT_SHARDS_SQL = """
+SELECT doc_id, n_chars, md5(text) AS text_md5 FROM documents
+"""
+
+
+def q_python_datasource_stream(spark, sf_dir):
+    """Spark 4 Python STREAMING data source (DataSourceStreamReader):
+    the arith_seq feed drained with availableNow through a memory sink —
+    the run exercises the initialOffset → latestOffset → partitions →
+    read cursor contract with the drain split across 4 input
+    partitions; every emitted row is then aggregated per value bucket
+    and checked against DuckDB range() (exactly-once: a dropped or
+    doubled partition flips the counts)."""
+    import uuid
+
+    from k_means_hadoop_spark.session import scratch_dir
+    from k_means_hadoop_spark.sources.python_datasource import read_arith_seq_stream
+
+    name = f"pyds_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        read_arith_seq_stream(spark, n=2000, parts=4)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", scratch_dir("ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy((F.col("val") % 10).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("id").alias("sum_id"),
+            F.sum("val").alias("sum_val"),
+        )
+    )
+
+
+PYDS_STREAM_SQL = """
+SELECT (val % 10) AS bucket, count(*)::BIGINT AS n,
+       sum(id)::BIGINT AS sum_id, sum(val)::BIGINT AS sum_val
+FROM (SELECT range AS id, (range * 2654435761) % 1000 AS val FROM range(2000))
+GROUP BY 1
+"""
 
 
 APPROX_TOP_K = 20
@@ -1879,6 +2035,71 @@ FROM t JOIN vocab USING (tok) CROSS JOIN n
 GROUP BY doc_id"""
 
 
+
+def _gopher_sql() -> str:
+    from k_means_hadoop_spark.operators.text import (
+        GOPHER_MAX_MEAN_LEN, GOPHER_MAX_TOP_RATIO, GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC, GOPHER_MIN_MEAN_LEN, GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS, STOPWORDS,
+    )
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    top = (
+        "list_max(list_transform(list_distinct(toks), "
+        "t -> len(list_filter(toks, x -> x = t))))"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, list_filter({_TOKS}, x -> x != '') AS toks FROM documents),
+m AS (SELECT doc_id,
+             len(toks)::BIGINT AS n_words,
+             list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks)::DOUBLE AS ml,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+               / len(toks)::DOUBLE AS af,
+             len(list_filter(toks, t -> t IN ({stops})))::BIGINT AS n_stop,
+             {top}::DOUBLE / len(toks)::DOUBLE AS tr
+      FROM t),
+r AS (SELECT *, CASE WHEN n_words < {GOPHER_MIN_WORDS} THEN 'too_few_words'
+                     WHEN n_words > {GOPHER_MAX_WORDS} THEN 'too_many_words'
+                     WHEN ml < {GOPHER_MIN_MEAN_LEN} THEN 'short_words'
+                     WHEN ml > {GOPHER_MAX_MEAN_LEN} THEN 'long_words'
+                     WHEN af < {GOPHER_MIN_ALPHA_FRAC} THEN 'non_alpha'
+                     WHEN n_stop < {GOPHER_MIN_STOPWORDS} THEN 'no_stopwords'
+                     WHEN tr > {GOPHER_MAX_TOP_RATIO} THEN 'repetitive'
+                     ELSE 'pass' END AS reason
+      FROM m)
+SELECT doc_id, n_words, round(ml, 6) AS mean_word_len, round(af, 6) AS alpha_frac,
+       n_stop, round(tr, 6) AS top_ratio, reason = 'pass' AS verdict, reason
+FROM r"""
+
+
+def _bigram_logprob_sql() -> str:
+    from k_means_hadoop_spark.operators.text import BIGRAM_LAMBDA
+
+    lam = BIGRAM_LAMBDA
+    return f"""
+WITH t AS (SELECT doc_id, list_filter({_TOKS}, x -> x != '') AS toks FROM documents),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                i -> {{'w1': toks[i], 'w2': toks[i + 1]}}), recursive := true)
+  FROM t),
+unn AS (SELECT unnest(toks) AS tok FROM t),
+uni AS (SELECT tok, count(*)::BIGINT AS cnt FROM unn GROUP BY tok),
+n AS (SELECT sum(cnt)::BIGINT AS n_total FROM uni),
+bg AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM pairs GROUP BY w1, w2),
+scored AS (
+  SELECT p.doc_id,
+         ln({lam} * (bg.cb::DOUBLE / u1.cnt::DOUBLE)
+            + {1.0 - lam} * (u2.cnt::DOUBLE / n.n_total::DOUBLE)) AS lp
+  FROM pairs p
+  JOIN bg ON bg.w1 = p.w1 AND bg.w2 = p.w2
+  JOIN uni u1 ON u1.tok = p.w1
+  JOIN uni u2 ON u2.tok = p.w2
+  CROSS JOIN n)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams, round(avg(lp), 6) AS avg_logprob
+FROM scored GROUP BY doc_id"""
+
+
 def _semdedup_sql(threshold: float) -> str:
     ids = ", ".join(str(i) for i in KNN_QUERY_IDS)
     return f"""
@@ -1983,6 +2204,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "text_simhash": f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM sh",
     "text_repetition_scores": _repetition_sql(),
     "text_unigram_logprob": _unigram_logprob_sql(),
+    "gopher_quality_gate": _gopher_sql(),
+    "text_bigram_logprob": _bigram_logprob_sql(),
     "dedup_semantic_cells": _semdedup_sql(SEMDEDUP_THRESHOLD),
     "knn_signbit_lsh": _knn_signbit_sql(5, KNN_SIGNBIT_BITS),
     "knn_lsh": _knn_lsh_sql(5),
@@ -1991,6 +2214,9 @@ PIPELINE_ORACLES: dict[str, str] = {
     "neardup_mllib_minhash": _neardup_mllib_contract_sql(),
     "approx_top_terms": APPROX_TOP_TERMS_SQL,
     "knn_pq": _knn_pq_sql(5, PQ_M, PQ_DIM),
+    "knn_ivf_pq": _knn_ivf_pq_sql(5, PQ_M, PQ_DIM, IVFPQ_NPROBE),
+    "compact_shards": COMPACT_SHARDS_SQL,
+    "python_datasource_stream": PYDS_STREAM_SQL,
     "knn_pq_rerank": _knn_pq_rerank_sql(5, PQ_M, PQ_DIM, PQ_SHORTLIST),
     "embedding_truncate_renorm": _truncate_renorm_sql(TRUNC_DIM),
     "streaming_upsert_snapshot": STREAMING_UPSERT_SQL,
@@ -2090,6 +2316,8 @@ PIPELINE_QUERIES = {
     "text_simhash": q_simhash,
     "text_repetition_scores": q_repetition_scores,
     "text_unigram_logprob": q_unigram_logprob,
+    "gopher_quality_gate": q_gopher_gate,
+    "text_bigram_logprob": q_bigram_logprob,
     "dedup_semantic_cells": q_dedup_semantic_cells,
     "embedding_truncate_renorm": q_truncate_renorm,
     "streaming_upsert_snapshot": q_streaming_upsert_snapshot,
@@ -2111,6 +2339,9 @@ PIPELINE_QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "knn_signbit_lsh": q_knn_signbit,
     "knn_pq": q_knn_pq,
+    "knn_ivf_pq": q_knn_ivf_pq,
+    "compact_shards": q_compact_shards,
+    "python_datasource_stream": q_python_datasource_stream,
     "knn_pq_rerank": q_knn_pq_rerank,
     "knn_lsh": q_knn_lsh,  # oracle-backed: literal-chain plane dots
     "knn_ivf": q_knn_ivf,  # contract oracle: aggregate recall verdict

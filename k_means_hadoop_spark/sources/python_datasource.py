@@ -85,3 +85,74 @@ def read_arith_seq(spark, n: int, parts: int = 8):
         .option("parts", str(parts))
         .load()
     )
+
+
+# ------------------------------------------------------------------ streaming
+
+from pyspark.sql.datasource import DataSourceStreamReader
+
+
+class _ArithSeqStreamReader(DataSourceStreamReader):
+    """Micro-batch reader over the same deterministic sequence: offsets
+    are plain row indices, each batch covers [start, end) split into
+    ``parts`` input partitions — the contract a real feed (Kafka-like
+    cursor, change stream) implements.  ``latestOffset`` reports full
+    availability (an availableNow run snapshots it ONCE up front — an
+    incrementally-advancing latest would silently truncate the drain to
+    the first micro-batch, which is exactly the bug the exactly-once
+    oracle count catches)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.parts = int(options.get("parts", 4))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def latestOffset(self):
+        return {"i": self.n}
+
+    def partitions(self, start, end):
+        a, b = start["i"], end["i"]
+        step = max(1, (b - a) // self.parts) if b > a else 1
+        bounds = list(range(a, b, step)) + [b]
+        return [_RangePartition(x, y) for x, y in zip(bounds, bounds[1:])]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield (i, (i * SEQ_MULT) % SEQ_MOD)
+
+    def commit(self, end):
+        pass
+
+
+class ArithSeqStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "arith_seq_stream"
+
+    def schema(self) -> str:
+        return "id bigint, val bigint"
+
+    def streamReader(self, schema) -> _ArithSeqStreamReader:
+        return _ArithSeqStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    """Pickle-by-value registration, as in ``register``."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.dataSource.register(ArithSeqStreamDataSource)
+
+
+def read_arith_seq_stream(spark, n: int, parts: int = 4):
+    register_stream(spark)
+    return (
+        spark.readStream.format("arith_seq_stream")
+        .option("n", str(n))
+        .option("parts", str(parts))
+        .load()
+    )

@@ -98,3 +98,30 @@ def write_clustered_parquet(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark, in_path: str, out_path: str, target_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-file compaction — the table-maintenance pass every long-
+    lived ingest needs: N tiny parquet files become ceil(bytes /
+    target_bytes) right-sized files, content-identical.
+
+    The target file count comes from the INPUT'S ACTUAL BYTES (listed
+    driver-side, no data read), and the rewrite uses ``coalesce`` —
+    a narrow dependency that concatenates input splits into fewer
+    tasks WITHOUT a shuffle; rows never leave their executor.  (A
+    repartition would shuffle the whole table to achieve the same file
+    count — the classic compaction mistake at 100 TB.)  Returns the
+    target file count."""
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(in_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(in_path).coalesce(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

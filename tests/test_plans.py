@@ -734,7 +734,12 @@ def test_window_schedule_regression():
     )
     if arts != ["CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json"]:
         return  # a later round re-rotates; the invariants above still ran
-    assert names[:30] == [
+    # The r4 additions interleave into the unverified rest-tier by
+    # registry iteration order; the 30 pre-r4 unverified names keep
+    # their relative order (the behavior-preservation claim of the
+    # _SCHEDULE consolidation, re-scoped to a subsequence check when
+    # new round-4 queries joined the window).
+    pre_r4 = [
         "streaming_ingest_dedup", "dedup_incremental_stored", "dedup_simhash_pairs",
         "dataset_card", "bpe_train_merges", "bpe_compression", "tokenizer_fit_bigrams",
         "text_repetition_scores", "text_unigram_logprob", "chunk_documents",
@@ -746,3 +751,8 @@ def test_window_schedule_regression():
         "hll_users_daily", "stratified_sample_langs", "quality_classifier",
         "approx_top_terms", "streaming_tws_user_stats",
     ]
+    got = [n for n in names[:front_len] if n in pre_r4]
+    assert got == pre_r4
+    # every unverified entry (pre-r4 + the r4 additions) fits the
+    # 50-slot driver window
+    assert front_len <= 50, front_len
