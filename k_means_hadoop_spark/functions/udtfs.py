@@ -41,6 +41,55 @@ class TokenizeUDTF:
             yield i, tok
 
 
+def _pickle_by_value() -> None:
+    """UDTF classes are cloudpickled to worker subprocesses (including
+    the plan-time analyze worker); by-reference pickling would require
+    this package on every worker's sys.path.  Registering the module
+    for pickle-by-value ships the class definitions inside the pickle —
+    same portability fix as sources/python_datasource.py."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
 def register(spark) -> None:
     """Idempotent session registration under the SQL name ``tokenize``."""
+    _pickle_by_value()
     spark.udtf.register("tokenize", TokenizeUDTF)
+
+
+class NgramColumnsUDTF:
+    """Dynamic-schema UDTF (Spark 4 ``analyze()`` static method): the
+    output schema is computed at PLAN TIME from the constant ``n``
+    argument — ``ngram_cols(text, 3)`` yields (pos, t0, t1, t2), a
+    different relation type per call site.  This is the polymorphic
+    table-function capability (like SQL-standard PTFs) that a fixed
+    ``returnType`` UDTF cannot express; everything else (Arrow batching,
+    per-row eval) matches TokenizeUDTF."""
+
+    @staticmethod
+    def analyze(text, n):
+        from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if n.value is None or not isinstance(n.value, int) or n.value < 1:
+            raise ValueError("ngram_cols: n must be a constant positive int")
+        fields = [StructField("pos", IntegerType())]
+        fields += [StructField(f"t{i}", StringType()) for i in range(n.value)]
+        return AnalyzeResult(StructType(fields))
+
+    def eval(self, text: str, n: int):
+        if text is None:
+            return
+        toks = [t for t in _WS.split(text.lower().strip()) if t]
+        for i in range(max(len(toks) - n + 1, 0)):
+            yield (i, *toks[i : i + n])
+
+
+def register_ngram_cols(spark) -> None:
+    from pyspark.sql.functions import udtf as _udtf
+
+    _pickle_by_value()
+    spark.udtf.register("ngram_cols", _udtf(NgramColumnsUDTF))

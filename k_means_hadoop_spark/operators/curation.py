@@ -1071,6 +1071,64 @@ FROM ({_quality_sql()}) t"""
 
 
 
+# ------------------------------------------------------ group-level split
+
+_GSPLIT_SALT = "gsplit:"
+_GSPLIT_TRAIN_LT = 8  # of 10 hash buckets: 80/10/10
+
+
+def split_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(split, n_groups, n_docs, n_tokens) — LEAKAGE-SAFE split: the
+    hash runs on the GROUP key (source), not the row id, so every
+    document of a source lands in the same split — near-duplicates and
+    templated documents cluster within sources, and a row-level split
+    would leak them across the train/eval boundary (the failure
+    leakage_audit measures; this operator prevents it by construction).
+
+    Same arithmetic-hash reproducibility story as split_train_val: no
+    RNG state, any engine computes the same membership.  One corpus
+    aggregate; the group→split map is derivable row-locally so no
+    group-table join is needed."""
+    from k_means_hadoop_spark.functions.hashing import stable_hash64
+
+    docs = _docs(spark, sf_dir)
+    h = stable_hash64(F.concat(F.lit(_GSPLIT_SALT), F.col("source"))) % F.lit(10)
+    split = (
+        F.when(h < _GSPLIT_TRAIN_LT, F.lit("train"))
+        .when(h < _GSPLIT_TRAIN_LT + 1, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    n_toks = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    return (
+        docs.select(split.alias("split"), "source", n_toks.alias("nt"))
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").alias("n_groups"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def _gsplit_sql() -> str:
+    from k_means_hadoop_spark.functions.hashing import stable_hash64_sql
+
+    h = stable_hash64_sql(f"'{_GSPLIT_SALT}' || source")
+    return f"""
+WITH t AS (
+  SELECT CASE WHEN {h} % 10 < {_GSPLIT_TRAIN_LT} THEN 'train'
+              WHEN {h} % 10 < {_GSPLIT_TRAIN_LT + 1} THEN 'val'
+              ELSE 'test' END AS split,
+         source,
+         len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS nt
+  FROM documents)
+SELECT split, count(DISTINCT source)::BIGINT AS n_groups,
+       count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens
+FROM t GROUP BY split
+"""
+
+
+
 # ------------------------------------------------------ mixture planning
 
 # Budget = 90% of the corpus token count (exact integer arithmetic, so
@@ -1188,6 +1246,7 @@ FROM fin
 CURATION_QUERIES = {
     "split_train_val": (split_train_val, SPLIT_SQL),
     "dataset_mixture_plan": (dataset_mixture_plan, MIXTURE_PLAN_SQL),
+    "split_by_group": (split_by_group, _gsplit_sql()),
     "quota_per_source": (quota_per_source, QUOTA_SQL),
     "histogram_doc_lengths": (histogram_doc_lengths, HISTOGRAM_SQL),
     "winsorize_acctbal": (winsorize_acctbal, WINSORIZE_SQL),

@@ -714,3 +714,49 @@ def neardup_mllib_minhash(
         )
         .filter(F.col("a_id") < F.col("b_id"))
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(a_id, b_id, common, c_a_in_b, c_b_in_a) — ASYMMETRIC near-dup
+    measure: shingle-set containment |A∩B|/|A| (and /|B|), emitted when
+    either direction ≥ threshold.  Containment catches what Jaccard
+    misses: a short document embedded inside a long one (quotes,
+    excerpts, page-in-crawl) scores containment ≈ 1 while its Jaccard
+    stays small because the union is large.
+
+    Same inverted-index candidate plan as ngram_jaccard_pairs (pairs
+    exist only for docs sharing a shingle; ``max_doc_freq`` stop-shingle
+    cap bounds the per-shingle fan-out at scale); only the final
+    row-local ratio differs."""
+    sh = shingle_table(docs, n, text_col)
+    join_side = sh if max_doc_freq is None else shingle_table(docs, n, text_col, max_doc_freq)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = join_side.alias("a")
+    b = join_side.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    c_ab = F.col("common").cast("double") / F.col("na").cast("double")
+    c_ba = F.col("common").cast("double") / F.col("nb").cast("double")
+    return (
+        common.join(ca, "a_id")
+        .join(cb, "b_id")
+        .filter(F.greatest(c_ab, c_ba) >= threshold)
+        .select(
+            "a_id",
+            "b_id",
+            "common",
+            F.round(c_ab, 6).alias("c_a_in_b"),
+            F.round(c_ba, 6).alias("c_b_in_a"),
+        )
+    )

@@ -704,3 +704,40 @@ def knn_ivf_pq(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def knn_filtered(
+    embeddings: DataFrame,
+    docs: DataFrame,
+    query_ids: Sequence[int],
+    k: int = 5,
+) -> DataFrame:
+    """(qid, nid, lang, cos_sim, rank) — metadata-FILTERED exact top-k:
+    each query's neighbors are restricted to corpus vectors whose
+    document shares the query's language — the filtered-ANN shape every
+    retrieval stack needs (filter + vector search in ONE pass, not
+    post-filtering a top-k that may then run dry).
+
+    The language joins onto the vector rows by id (at 100 TB the
+    attribute lives WITH the embedding row in the same parquet, making
+    this join a column read); the filter applies BEFORE scoring, so
+    selectivity cuts compute proportionally — the reason pre-filtering
+    beats over-fetch-then-filter.  Composes with the IVF/PQ tiers
+    unchanged (filter inside the probed cells).  Exact scoring keeps
+    the operator value-oracle-checkable."""
+    vecs = _vectors(embeddings).join(
+        docs.select(F.col("doc_id").cast("int").alias("vid"), "lang"), "vid"
+    )
+    queries = vecs.filter(F.col("vid").isin(list(query_ids))).select(
+        F.col("vid").alias("qid"), F.col("vec").alias("qvec"), F.col("lang").alias("qlang")
+    )
+    sim = cosine_similarity(F.col("qvec"), F.col("vec"))
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        vecs.join(F.broadcast(queries), F.col("lang") == F.col("qlang"))
+        .filter(F.col("vid") != F.col("qid"))
+        .select("qid", F.col("vid").alias("nid"), "lang", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "lang", F.round("sim", 6).alias("cos_sim"), "rank")
+    )

@@ -658,7 +658,7 @@ _SCHEDULE: dict[str, dict] = {
     "streaming_window_stats": _row(front=True),
     "streaming_stateful_totals": _row(front=True),
     "streaming_interval_join": _row(front=True),
-    "pca_project": _row(front=True),
+    "pca_project": _row(front=True, stale_after=3),
     # -- uncurated stale re-verifies (schedule with the registry-order
     #    remainder; the rest-tier sort sends stale-greens behind
     #    never-verified oracle entries, whose old rows at least proved

@@ -854,6 +854,149 @@ GROUP BY 1
 """
 
 
+
+
+CONTAIN_PLANT_IDS = [2, 52, 102]
+CONTAIN_PLANT_OFFSET = 200000
+CONTAIN_THRESHOLD = 0.8
+
+
+def _containment_corpus(spark, sf_dir):
+    """documents + planted PREFIX clones (first half of each planted
+    doc's tokens): the asymmetric case containment exists for — the
+    clone is contained in its original (c ≈ 1) while their Jaccard
+    stays ≈ 0.5 because the union doubles.  Token-slice arithmetic is
+    identical on both engines."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    clones = docs.filter(F.col("doc_id").isin(CONTAIN_PLANT_IDS)).select(
+        (F.col("doc_id") + CONTAIN_PLANT_OFFSET).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.floor(F.size(toks) / 2).cast("int")), " "
+        ).alias("text"),
+    )
+    return docs.unionByName(clones)
+
+
+def q_dedup_containment(spark, sf_dir):
+    return dedup.containment_pairs(
+        _containment_corpus(spark, sf_dir), n=NGRAM_N, threshold=CONTAIN_THRESHOLD
+    )
+
+
+def _containment_sql() -> str:
+    ids = ", ".join(str(i) for i in CONTAIN_PLANT_IDS)
+    toks = "string_split_regex(lower(trim(text)), '\\s+')"
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CONTAIN_PLANT_OFFSET},
+         array_to_string(array_slice({toks}, 1, len({toks}) // 2), ' ')
+  FROM documents WHERE doc_id IN ({ids})),
+sh_tbl AS (SELECT doc_id, unnest({word_ngrams_sql('text', NGRAM_N)}) AS shingle FROM corpus),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh_tbl GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS common
+          FROM sh_tbl a JOIN sh_tbl b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT a_id, b_id, common,
+       round(common::DOUBLE / ca.n_sh::DOUBLE, 6) AS c_a_in_b,
+       round(common::DOUBLE / cb.n_sh::DOUBLE, 6) AS c_b_in_a
+FROM pairs JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
+WHERE greatest(common::DOUBLE / ca.n_sh::DOUBLE, common::DOUBLE / cb.n_sh::DOUBLE)
+      >= {CONTAIN_THRESHOLD}"""
+
+
+def q_knn_filtered(spark, sf_dir):
+    return similarity.knn_filtered(
+        _emb(spark, sf_dir), _docs(spark, sf_dir), KNN_QUERY_IDS, k=5
+    )
+
+
+def _knn_filtered_sql(k: int) -> str:
+    return f"""
+WITH v AS (SELECT e.vec_id::INTEGER AS vid, e.embedding::DOUBLE[] AS vec, d.lang
+           FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+q AS (SELECT vid AS qid, vec AS qvec, lang AS qlang FROM v WHERE vid IN ({_KNN_IDS_SQL})),
+scored AS (SELECT q.qid, v.vid AS nid, v.lang,
+                  round(list_cosine_similarity(q.qvec, v.vec), 6) AS cos_sim
+           FROM v JOIN q ON v.lang = q.qlang AND v.vid != q.qid),
+ranked AS (SELECT qid, nid, lang, cos_sim,
+           CAST(row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, nid) AS INTEGER) AS rank
+           FROM scored)
+SELECT qid, nid, lang, cos_sim, rank FROM ranked WHERE rank <= {k}"""
+
+
+
+
+def q_udtf_ngram_cols(spark, sf_dir):
+    """Polymorphic (analyze()) UDTF driver proof: the 3-gram call site
+    gets a plan-time (pos, t0, t1, t2) schema; checked against the
+    token-window reconstruction DuckDB computes with list slicing.
+    Bounded to 50 docs — the UDTF row kernel is the extensibility seam,
+    not the hot path, and 50 docs × ~60 windows is plenty to pin the
+    schema + fan-out contract."""
+    from k_means_hadoop_spark.functions.udtfs import register_ngram_cols
+
+    register_ngram_cols(spark)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("_udtf_ngram_docs")
+    return spark.sql(
+        "SELECT d.doc_id, g.pos, g.t0, g.t1, g.t2 "
+        "FROM _udtf_ngram_docs d, LATERAL ngram_cols(d.text, 3) g"
+    )
+
+
+UDTF_NGRAM_COLS_SQL = """
+WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                      x -> x != '') AS toks
+           FROM documents WHERE doc_id < 50),
+x AS (SELECT doc_id, unnest(range(0, greatest(len(toks) - 2, 0))) AS pos, toks FROM t)
+SELECT doc_id, pos::INTEGER AS pos,
+       toks[pos + 1] AS t0, toks[pos + 2] AS t1, toks[pos + 3] AS t2
+FROM x
+"""
+
+
+def q_codec_roundtrip(spark, sf_dir):
+    """Columnar-codec audit: the corpus written under zstd and snappy
+    parquet compression, re-read, and fingerprinted per codec (XOR of
+    the portable 60-bit text hash — order-proof).  A codec that
+    corrupts, drops, or duplicates any row flips its fingerprint
+    against the oracle, which never sees either file.  At 100 TB codec
+    choice is a first-order storage/scan-cost decision; this pins that
+    switching codecs is value-neutral."""
+    from k_means_hadoop_spark.functions.hashing import stable_hash64
+    from k_means_hadoop_spark.session import scratch_dir
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    outs = []
+    for codec in ("snappy", "zstd"):
+        path = scratch_dir(f"codec_{codec}")
+        docs.write.mode("overwrite").option("compression", codec).parquet(path)
+        back = spark.read.parquet(path)
+        outs.append(
+            back.select(stable_hash64(F.col("text")).alias("h"), "doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.expr("bit_xor(h)").alias("text_fp"),
+                F.sum("doc_id").alias("id_sum"),
+            )
+            .select(F.lit(codec).alias("codec"), "n_docs", "text_fp", "id_sum")
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def _codec_roundtrip_sql() -> str:
+    h = stable_hash64_sql("text")
+    one = (
+        f"SELECT '{{codec}}' AS codec, count(*)::BIGINT AS n_docs, "
+        f"bit_xor({h})::BIGINT AS text_fp, sum(doc_id)::BIGINT AS id_sum FROM documents"
+    )
+    return one.format(codec="snappy") + " UNION ALL " + one.format(codec="zstd")
+
+
 APPROX_TOP_K = 20
 
 
@@ -1210,23 +1353,68 @@ FROM documents
 
 
 def q_pca_project(spark, sf_dir):
-    """N1-N5 PCA(k=2) over the k-means assignments (rows-only: eigenvector
-    sign is implementation-defined — PCA_Plot.ipynb inherits numpy's;
-    magnitude parity is asserted in tests/test_pca_streaming_multimodal.py)."""
-    from k_means_hadoop_spark.operators.pca import pca_project
+    """N1-N5 PCA(k=2), upgraded from rows-only to a CONTRACT oracle
+    (round-3 verdict ask): eigenvectors are engine-internal (sign and
+    solver are MLlib's), but the spectral CONTRACT is checkable — the
+    oracle recomputes the exact total variance of the input from per-dim
+    moment sums (hashable column), and the verdict booleans assert what
+    any correct PCA must satisfy: projected variances are ordered
+    (λ1 ≥ λ2), the two projections are uncorrelated (orthogonal
+    directions of a symmetric matrix), and λ1+λ2 never exceeds the
+    total variance.  A broken centering, a non-eigen direction, or a
+    correlated basis flips the hash.  Per-point projection parity vs
+    NumPy (sign-invariant) stays pinned in
+    tests/test_pca_streaming_multimodal.py."""
     from k_means_hadoop_spark.operators.assign import assign_expr
     from k_means_hadoop_spark.operators.kmeans import init_ids
+    from k_means_hadoop_spark.operators.pca import pca_project
     from k_means_hadoop_spark.sources.points import points_from_embeddings
 
     pts = points_from_embeddings(spark, sf_dir)
     asg = assign_expr(pts, init_ids(pts, KNN_QUERY_IDS))
     proj, _model = pca_project(asg, k=2)
-    return proj.select(
-        "id",
-        "cluster",
-        F.round(F.abs(F.col("pc")[0]), 6).alias("abs_pc1"),
-        F.round(F.abs(F.col("pc")[1]), 6).alias("abs_pc2"),
+    p1, p2 = F.col("pc")[0], F.col("pc")[1]
+    stats = proj.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(p1 * p1).alias("m11"),
+        F.avg(p1).alias("m1"),
+        F.avg(p2 * p2).alias("m22"),
+        F.avg(p2).alias("m2"),
+        F.avg(p1 * p2).alias("m12"),
     )
+    vp1 = F.col("m11") - F.col("m1") * F.col("m1")
+    vp2 = F.col("m22") - F.col("m2") * F.col("m2")
+    cov = F.col("m12") - F.col("m1") * F.col("m2")
+    # exact-total-variance side: per-dim moment sums over the SAME rows
+    tv = (
+        pts.select(F.posexplode("features").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("s1"), F.sum(F.col("v") * F.col("v")).alias("s2"),
+             F.count(F.lit(1)).alias("nd"))
+        .select(
+            (F.col("s2") / F.col("nd")
+             - (F.col("s1") / F.col("nd")) * (F.col("s1") / F.col("nd"))).alias("var_d")
+        )
+        .agg(F.sum("var_d").alias("total_var"))
+    )
+    return stats.crossJoin(tv).select(
+        "n",
+        F.round("total_var", 6).alias("total_var"),
+        (vp1 >= vp2).alias("ok_ordered"),
+        (F.abs(cov) < 1e-6).alias("ok_orthogonal"),
+        (vp1 + vp2 <= F.col("total_var") * 1.000000001 + 1e-9).alias("ok_bounded"),
+    )
+
+
+PCA_CONTRACT_SQL = """
+WITH pts AS (SELECT embedding::DOUBLE[] AS f FROM embeddings),
+e AS (SELECT generate_subscripts(f, 1) AS pos, unnest(f) AS v FROM pts),
+d AS (SELECT pos, sum(v) AS s1, sum(v * v) AS s2, count(*) AS nd FROM e GROUP BY pos)
+SELECT (SELECT count(*) FROM pts)::BIGINT AS n,
+       round(sum(s2 / nd - (s1 / nd) * (s1 / nd)), 6) AS total_var,
+       true AS ok_ordered, true AS ok_orthogonal, true AS ok_bounded
+FROM d
+"""
 
 
 def q_streaming_window_stats(spark, sf_dir):
@@ -2216,6 +2404,11 @@ PIPELINE_ORACLES: dict[str, str] = {
     "knn_pq": _knn_pq_sql(5, PQ_M, PQ_DIM),
     "knn_ivf_pq": _knn_ivf_pq_sql(5, PQ_M, PQ_DIM, IVFPQ_NPROBE),
     "compact_shards": COMPACT_SHARDS_SQL,
+    "pca_project": PCA_CONTRACT_SQL,
+    "udtf_ngram_cols": UDTF_NGRAM_COLS_SQL,
+    "codec_roundtrip": _codec_roundtrip_sql(),
+    "dedup_containment": _containment_sql(),
+    "knn_filtered": _knn_filtered_sql(5),
     "python_datasource_stream": PYDS_STREAM_SQL,
     "knn_pq_rerank": _knn_pq_rerank_sql(5, PQ_M, PQ_DIM, PQ_SHORTLIST),
     "embedding_truncate_renorm": _truncate_renorm_sql(TRUNC_DIM),
@@ -2341,6 +2534,10 @@ PIPELINE_QUERIES = {
     "knn_pq": q_knn_pq,
     "knn_ivf_pq": q_knn_ivf_pq,
     "compact_shards": q_compact_shards,
+    "dedup_containment": q_dedup_containment,
+    "knn_filtered": q_knn_filtered,
+    "udtf_ngram_cols": q_udtf_ngram_cols,
+    "codec_roundtrip": q_codec_roundtrip,
     "python_datasource_stream": q_python_datasource_stream,
     "knn_pq_rerank": q_knn_pq_rerank,
     "knn_lsh": q_knn_lsh,  # oracle-backed: literal-chain plane dots
@@ -2370,7 +2567,7 @@ PIPELINE_QUERIES = {
     "unpivot_quality_metrics": q_unpivot_quality,
     "dedup_components": q_dedup_components,
     "dedup_survivors": q_dedup_survivors,
-    "pca_project": q_pca_project,  # rows-only: eigenvector sign is impl-defined
+    "pca_project": q_pca_project,  # r4: spectral-contract oracle (total var + verdicts)
 }
 
 if _has_protobuf():  # pragma: no cover — absent in this container

@@ -1100,3 +1100,95 @@ def test_ivf_pq_agrees_with_pq_on_probed_cells(spark, sf_dir):
         assert full[(r["qid"], r["nid"])] == r["approx_dist"], r
     assert set(per_q) == set(KNN_QUERY_IDS)
     assert all(v == 5 for v in per_q.values()), per_q
+
+
+def test_containment_catches_asymmetric_subset(spark, sf_dir):
+    """Every planted prefix-clone must surface with containment exactly
+    1.0 in the clone→original direction while the symmetric Jaccard
+    stays below the near-dup threshold — the case Jaccard-only dedup
+    misses by design."""
+    from k_means_hadoop_spark.registry_pipeline import (
+        CONTAIN_PLANT_IDS,
+        CONTAIN_PLANT_OFFSET,
+        q_dedup_containment,
+    )
+
+    rows = {(r["a_id"], r["b_id"]): r for r in q_dedup_containment(spark, sf_dir).collect()}
+    for pid in CONTAIN_PLANT_IDS:
+        r = rows[(pid, pid + CONTAIN_PLANT_OFFSET)]
+        assert r["c_b_in_a"] == 1.0, r
+        jac = r["common"] / (r["common"] / r["c_a_in_b"] + r["common"] / r["c_b_in_a"] - r["common"])
+        assert jac < 0.7, (r, jac)
+
+
+def test_knn_filtered_respects_language(spark, sf_dir):
+    """Every neighbor shares the query's language, and the filter
+    actually changes at least one query's top-k vs the unfiltered
+    search (non-vacuous filter)."""
+    from k_means_hadoop_spark.operators.similarity import knn_bruteforce, knn_filtered
+    from k_means_hadoop_spark.registry_pipeline import KNN_QUERY_IDS
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lang = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    filt = knn_filtered(emb, docs, KNN_QUERY_IDS, k=5).collect()
+    assert filt
+    for r in filt:
+        assert r["lang"] == lang[r["qid"]], r
+        assert lang[r["nid"]] == lang[r["qid"]], r
+    unfiltered = {
+        (r["qid"], r["nid"]) for r in knn_bruteforce(emb, KNN_QUERY_IDS, k=5).collect()
+    }
+    assert {(r["qid"], r["nid"]) for r in filt} != unfiltered
+
+
+def test_split_by_group_no_source_crosses_splits(spark, sf_dir):
+    """Leakage-safety by construction: recompute the per-(source, split)
+    membership row-by-row and assert every source maps to exactly one
+    split, while all three splits are populated."""
+    from k_means_hadoop_spark.operators.curation import (
+        _GSPLIT_SALT,
+        _GSPLIT_TRAIN_LT,
+        split_by_group,
+    )
+    from k_means_hadoop_spark.functions.hashing import stable_hash64
+
+    from pyspark.sql import functions as SF
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = stable_hash64(SF.concat(SF.lit(_GSPLIT_SALT), SF.col("source"))) % SF.lit(10)
+    split = (
+        SF.when(h < _GSPLIT_TRAIN_LT, SF.lit("train"))
+        .when(h < _GSPLIT_TRAIN_LT + 1, SF.lit("val"))
+        .otherwise(SF.lit("test"))
+    )
+    per_source = (
+        docs.select("source", split.alias("split"))
+        .groupBy("source")
+        .agg(SF.countDistinct("split").alias("n_splits"))
+        .collect()
+    )
+    assert all(r["n_splits"] == 1 for r in per_source)
+    out = {r["split"]: r for r in split_by_group(spark, sf_dir).collect()}
+    assert set(out) == {"train", "val", "test"}, out
+    assert sum(r["n_docs"] for r in out.values()) == docs.count()
+
+
+def test_udtf_analyze_dynamic_schema_and_validation(spark):
+    """The analyze() UDTF produces a different relation type per call
+    site (n=2 vs n=4) and rejects a non-positive n at plan time."""
+    import pytest as _pytest
+
+    from k_means_hadoop_spark.functions.udtfs import register_ngram_cols
+
+    register_ngram_cols(spark)
+    spark.createDataFrame([(1, "a b c d e")], "doc_id int, text string").createOrReplaceTempView(
+        "_udtf_dyn_docs"
+    )
+    two = spark.sql("SELECT g.* FROM _udtf_dyn_docs d, LATERAL ngram_cols(d.text, 2) g")
+    four = spark.sql("SELECT g.* FROM _udtf_dyn_docs d, LATERAL ngram_cols(d.text, 4) g")
+    assert two.columns == ["pos", "t0", "t1"]
+    assert four.columns == ["pos", "t0", "t1", "t2", "t3"]
+    assert two.count() == 4 and four.count() == 2
+    with _pytest.raises(Exception, match="positive"):
+        spark.sql("SELECT g.* FROM _udtf_dyn_docs d, LATERAL ngram_cols(d.text, 0) g").collect()
