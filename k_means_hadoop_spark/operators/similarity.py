@@ -170,6 +170,14 @@ def knn_signbit_lsh(
     )
 
 
+# Trained IVF coarse quantizers keyed by (corpus key + data fingerprint,
+# n_cells, seed): training scans the sample corpus for 5 Lloyd
+# iterations (~10 jobs) and is by far the operator's dominant cost, yet
+# a production index trains ONCE and serves every query.  Same opt-in
+# contract and staleness protection as _PQ_PLAN_CACHE.
+_IVF_CELL_CACHE: dict[tuple, list] = {}
+
+
 def knn_ivf(
     embeddings: DataFrame,
     query_ids: Sequence[int],
@@ -177,6 +185,7 @@ def knn_ivf(
     n_cells: int = 8,
     nprobe: int = 2,
     seed: int = 42,
+    plan_cache_key: str | None = None,
 ) -> DataFrame:
     """(qid, nid, cos_sim, rank) — IVF approximate top-k.
 
@@ -195,13 +204,27 @@ def knn_ivf(
     """
     vecs = _vectors(embeddings)
     pts = vecs.select(F.col("vid").alias("id"), F.col("vec").alias("features"))
-    sample_mod = 4  # ~25% of the corpus; at 100 TB raise toward O(corpus/cells)
-    train = pts.filter(F.pmod(F.xxhash64(F.col("id") + F.lit(seed)), F.lit(sample_mod)) == 0)
-    # fast=True keeps the original xxhash64 seed ordering: the quantizer
-    # needs no cross-engine parity (knn_ivf's contract oracle recomputes
-    # the exact top-k independently of which cells were trained).
-    model = lloyd_kmeans(train, init_random(train, n_cells, seed=seed, fast=True), max_iter=5)
-    cells = model.centroids  # k×d driver-local
+    cache_key = (
+        (plan_cache_key, _data_fingerprint(plan_cache_key), n_cells, seed)
+        if plan_cache_key is not None
+        else None
+    )
+    if cache_key is not None and cache_key in _IVF_CELL_CACHE:
+        cells = _IVF_CELL_CACHE[cache_key]
+    else:
+        sample_mod = 4  # ~25% of the corpus; at 100 TB raise toward O(corpus/cells)
+        train = pts.filter(
+            F.pmod(F.xxhash64(F.col("id") + F.lit(seed)), F.lit(sample_mod)) == 0
+        )
+        # fast=True keeps the original xxhash64 seed ordering: the quantizer
+        # needs no cross-engine parity (knn_ivf's contract oracle recomputes
+        # the exact top-k independently of which cells were trained).
+        model = lloyd_kmeans(
+            train, init_random(train, n_cells, seed=seed, fast=True), max_iter=5
+        )
+        cells = model.centroids  # k×d driver-local
+        if cache_key is not None:
+            _IVF_CELL_CACHE[cache_key] = cells
     assigned = assign_expr(pts, cells).select(
         F.col("id").alias("vid"), F.col("features").alias("vec"), F.col("cluster").alias("cell")
     )

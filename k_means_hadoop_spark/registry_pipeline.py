@@ -575,7 +575,9 @@ def q_knn_ivf(spark, sf_dir):
     can: the oracle recomputes the exact top-5 count and asserts the
     verdict true, so a broken quantizer/probe pipeline flips the hash."""
     planted = _planted_emb(spark, sf_dir)
-    ivf = similarity.knn_ivf(planted, KNN_QUERY_IDS, k=5).select("qid", "nid")
+    ivf = similarity.knn_ivf(
+        planted, KNN_QUERY_IDS, k=5, plan_cache_key=sf_dir + ":planted"
+    ).select("qid", "nid")
     exact = similarity.knn_bruteforce(planted, KNN_QUERY_IDS, k=5).select("qid", "nid")
     hits = ivf.join(exact, ["qid", "nid"])
     return (

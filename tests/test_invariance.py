@@ -38,6 +38,14 @@ CASES = [
     "dedup_incremental_stored",  # statuses through the parquet store
     "bpe_train_merges",       # iterative top-1 selection must not depend on partitioning
     "dataset_card",           # order-proof integer-sum statistics
+    # round 4
+    "event_funnel_pattern",   # ordered symbol reassembly via rank structs
+    "ewma_daily_purchases",   # sequential fold over the sorted day array
+    "dataset_mixture_plan",   # integer micro-unit sums across strata
+    "er_blocked_fuzzy",       # block join at entity cardinality
+    "dedup_containment",      # inverted-index pair counts + ratio cut
+    "knn_ivf_pq",             # literal-fold encode + rounded-rank window
+    "split_by_group",         # group-key hash membership
 ]
 
 
