@@ -1170,8 +1170,11 @@ def dataset_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avail",
         "raw",
         F.sum("raw").over(w).alias("tot_raw"),
-        ((F.sum("avail").over(w) * _MIX_BUDGET_NUM) / F.lit(_MIX_BUDGET_DEN))
-        .cast("bigint")
+        # integer `div`, not `/` + cast: float division then cast
+        # TRUNCATES in Spark but ROUNDS in a DuckDB double→int cast —
+        # the two disagree whenever sum*num isn't a multiple of den
+        # (first bites at sf0.1)
+        F.expr(f"sum(avail) OVER () * {_MIX_BUDGET_NUM} div {_MIX_BUDGET_DEN}")
         .alias("budget"),
     )
     target = F.col("budget").cast("double") * (
@@ -1219,7 +1222,7 @@ staged AS (
 tot AS (
   SELECT lang, avail, raw,
          sum(raw) OVER () AS tot_raw,
-         CAST((sum(avail) OVER () * {_MIX_BUDGET_NUM}) / {_MIX_BUDGET_DEN} AS BIGINT) AS budget
+         (sum(avail) OVER () * {_MIX_BUDGET_NUM}) // {_MIX_BUDGET_DEN} AS budget
   FROM staged),
 t2 AS (
   SELECT *, budget::DOUBLE * (raw::DOUBLE / tot_raw::DOUBLE) AS target,
