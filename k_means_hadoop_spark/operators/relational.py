@@ -1223,19 +1223,26 @@ def window_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = [F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
     wr = Window.partitionBy("c_nationkey").orderBy(*order)
     wf = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # floor(x*1e6 + 0.5)/1e6, NOT round(x, 6): percent_rank/cume_dist are
+    # small-denominator rationals (k/(n-1)) that can land exactly on a
+    # 6-dp half — Spark rounds the SHORTEST-DECIMAL rep half-up while
+    # DuckDB rounds the BINARY value, and the two disagree on those ties
+    # (first bites at sf0.1 where a nation has 641 customers).  The
+    # floor chain is pure IEEE ops, bit-identical on any engine.
+    half_up6 = lambda col: F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     return c.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(wr), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(wr), 6).alias("cume"),
+        half_up6(F.percent_rank().over(wr)).alias("pct_rank"),
+        half_up6(F.cume_dist().over(wr)).alias("cume"),
         F.nth_value("c_acctbal", 2).over(wf).alias("second_bal"),
     )
 
 
 WINDOW_RANK_SQL = """
 SELECT c_custkey, c_nationkey,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6) AS cume,
+       floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+       floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume,
        nth_value(c_acctbal, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          AS second_bal
 FROM customer

@@ -669,6 +669,7 @@ _SCHEDULE: dict[str, dict] = {
     "approx_top_terms": _row(stale_after=2),
     "approx_distinct_parts": _row(stale_after=2),
     "approx_percentile_values": _row(stale_after=2),
+    "window_rank_metrics": _row(stale_after=3),
     "kmeans_lloyd": _row(stale_after=3),
     "i1_init_random": _row(stale_after=3),
 }

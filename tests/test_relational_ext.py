@@ -1192,3 +1192,40 @@ def test_udtf_analyze_dynamic_schema_and_validation(spark):
     assert two.count() == 4 and four.count() == 2
     with _pytest.raises(Exception, match="positive"):
         spark.sql("SELECT g.* FROM _udtf_dyn_docs d, LATERAL ngram_cols(d.text, 0) g").collect()
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    """The interpolated bigram score must equal a pure-Python
+    implementation of the same model (corpus-trained counts, λ-backoff
+    to unigram mass) on a small corpus computed by hand."""
+    import math
+
+    from k_means_hadoop_spark.operators.text import BIGRAM_LAMBDA, bigram_logprob
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat ran",
+        3: "a dog sat on a log",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"]) for r in bigram_logprob(docs).collect()}
+
+    toks = {i: t.split() for i, t in texts.items()}
+    uni: dict = {}
+    bg: dict = {}
+    for ts in toks.values():
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+    n_total = sum(uni.values())
+    lam = BIGRAM_LAMBDA
+    for i, ts in toks.items():
+        lps = [
+            math.log(lam * (bg[(a, b)] / uni[a]) + (1 - lam) * (uni[b] / n_total))
+            for a, b in zip(ts, ts[1:])
+        ]
+        assert got[i][0] == len(lps)
+        assert abs(got[i][1] - round(sum(lps) / len(lps), 6)) <= 1e-6, (i, got[i])
