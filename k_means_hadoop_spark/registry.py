@@ -221,14 +221,56 @@ def q_i1_init_random(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """I3: MLlib k-means|| scale path (rows-only: init and tie-handling
-    are MLlib-internal; agreement with the DataFrame loop is asserted in
-    tests/test_kmeans_core.py)."""
-    from k_means_hadoop_spark.operators.kmeans import mllib_kmeans
+    """I3: MLlib k-means|| scale path, upgraded from rows-only to a
+    QUALITY-CONTRACT oracle (the last substantive rows-only entry):
+    the clustering itself is MLlib-internal (k-means|| sampling order
+    depends on partitioning), but what a correct clustering must
+    satisfy is checkable — every point assigned exactly once (exact
+    hashable count), at most k clusters, and a WSSSE no worse than
+    1.2× the deterministic Lloyd loop's on the same points with the
+    same k (the solution-quality floor: a broken assignment or
+    degenerate init blows past it, while legitimate init variation
+    sits well inside).  Agreement with the DataFrame loop remains
+    pinned in tests/test_kmeans_core.py."""
+    from k_means_hadoop_spark.operators.kmeans import lloyd_kmeans, mllib_kmeans
 
-    pts = _points(spark, sf_dir)
+    pts = _points(spark, sf_dir).cache()
     out, _model = mllib_kmeans(pts, k=8, seed=42, max_iter=10)
-    return out.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    sq_err = F.aggregate(
+        F.zip_with("features", "centroid", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def wssse(asg: DataFrame, cent_df: DataFrame) -> float:
+        return (
+            asg.join(F.broadcast(cent_df), "cluster")
+            .agg(F.sum(sq_err).alias("w"))
+            .first()["w"]
+        )
+
+    ml_cents = [
+        (i + 1, [float(v) for v in c]) for i, c in enumerate(_model.clusterCenters())
+    ]
+    spark_sess = pts.sparkSession
+    ml_cent_df = spark_sess.createDataFrame(
+        ml_cents, "cluster int, centroid array<double>"
+    )
+    ml_w = wssse(out.select("cluster", "features"), ml_cent_df)
+    ll = lloyd_kmeans(pts, init_ids(pts, SEEDS), max_iter=10)
+    ll_cent_df = spark_sess.createDataFrame(
+        [(c, list(v)) for c, v in ll.centroids], "cluster int, centroid array<double>"
+    )
+    ll_w = wssse(ll.assignments.select("cluster", "features"), ll_cent_df)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.countDistinct("cluster").alias("k_found"),
+    )
+    return stats.select(
+        "n_points",
+        (F.col("k_found") <= 8).alias("ok_k"),
+        F.lit(bool(ml_w <= ll_w * 1.2)).alias("ok_quality"),
+    )
 
 
 def q_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,6 +509,10 @@ ORACLES: dict[str, str] = {
     "kmeans_lloyd": _lloyd_oracle_sql(10),
     # I1: identical md5 rank on both sides (stable_hash64 ==
     # ('0x' || substr(md5(s),1,15))::BIGINT), id as the collision tiebreak.
+    "kmeans_mllib": (
+        f"WITH pts AS ({_PTS}) SELECT count(*)::BIGINT AS n_points, "
+        "true AS ok_k, true AS ok_quality FROM pts"
+    ),
     "i1_init_random": (
         f"WITH pts AS ({_PTS}), ranked AS ("
         "SELECT features, CAST(row_number() OVER (ORDER BY "
@@ -524,7 +570,7 @@ QUERIES: dict[str, QueryFn] = {
     "s6_final_output_roundtrip": q_s6_final_output_roundtrip,
     "kmeans_lloyd": q_kmeans_lloyd,  # value oracle: 10-step unrolled CTE (C1-C5)
     "i1_init_random": q_i1_init_random,  # value oracle: portable md5 rank
-    "kmeans_mllib": q_kmeans_mllib,  # rows-only: I3 scale path, MLlib-internal init
+    "kmeans_mllib": q_kmeans_mllib,  # r4: quality-contract oracle (WSSSE floor vs Lloyd)
 }
 
 QUERIES.update({name: fn for name, (fn, _sql) in RELATIONAL_QUERIES.items()})
@@ -670,6 +716,7 @@ _SCHEDULE: dict[str, dict] = {
     "approx_distinct_parts": _row(stale_after=2),
     "approx_percentile_values": _row(stale_after=2),
     "window_rank_metrics": _row(stale_after=3),
+    "kmeans_mllib": _row(stale_after=3),
     "kmeans_lloyd": _row(stale_after=3),
     "i1_init_random": _row(stale_after=3),
 }
