@@ -999,6 +999,53 @@ def _codec_roundtrip_sql() -> str:
     return one.format(codec="snappy") + " UNION ALL " + one.format(codec="zstd")
 
 
+
+
+CONTAIN_MAX_DOC_FREQ = 100
+
+
+def q_dedup_containment_capped(spark, sf_dir):
+    """The containment operator's SCALE variant: the candidate join
+    drops shingles with document frequency > 100 (stop-shingle cap —
+    bounds the per-shingle fan-out at max_df² pairs, the same guarantee
+    dedup_ngram_jaccard_capped carries), while the per-doc denominators
+    stay exact.  A short doc embedded in a popular boilerplate would
+    need EVERY shared shingle hot to be missed — the same recall
+    argument as the capped Jaccard, here for the asymmetric measure."""
+    return dedup.containment_pairs(
+        _containment_corpus(spark, sf_dir),
+        n=NGRAM_N,
+        threshold=CONTAIN_THRESHOLD,
+        max_doc_freq=CONTAIN_MAX_DOC_FREQ,
+    )
+
+
+def _containment_capped_sql() -> str:
+    ids = ", ".join(str(i) for i in CONTAIN_PLANT_IDS)
+    toks = "string_split_regex(lower(trim(text)), '\\s+')"
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {CONTAIN_PLANT_OFFSET},
+         array_to_string(array_slice({toks}, 1, len({toks}) // 2), ' ')
+  FROM documents WHERE doc_id IN ({ids})),
+sh_tbl AS (SELECT doc_id, unnest({word_ngrams_sql('text', NGRAM_N)}) AS shingle FROM corpus),
+capped AS (SELECT doc_id, shingle FROM (
+    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh_tbl)
+  WHERE df <= {CONTAIN_MAX_DOC_FREQ}),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM sh_tbl GROUP BY doc_id),
+pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*)::BIGINT AS common
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT a_id, b_id, common,
+       round(common::DOUBLE / ca.n_sh::DOUBLE, 6) AS c_a_in_b,
+       round(common::DOUBLE / cb.n_sh::DOUBLE, 6) AS c_b_in_a
+FROM pairs JOIN cnt ca ON a_id = ca.doc_id JOIN cnt cb ON b_id = cb.doc_id
+WHERE greatest(common::DOUBLE / ca.n_sh::DOUBLE, common::DOUBLE / cb.n_sh::DOUBLE)
+      >= {CONTAIN_THRESHOLD}"""
+
+
 APPROX_TOP_K = 20
 
 
@@ -2410,6 +2457,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "udtf_ngram_cols": UDTF_NGRAM_COLS_SQL,
     "codec_roundtrip": _codec_roundtrip_sql(),
     "dedup_containment": _containment_sql(),
+    "dedup_containment_capped": _containment_capped_sql(),
     "knn_filtered": _knn_filtered_sql(5),
     "python_datasource_stream": PYDS_STREAM_SQL,
     "knn_pq_rerank": _knn_pq_rerank_sql(5, PQ_M, PQ_DIM, PQ_SHORTLIST),
@@ -2537,6 +2585,7 @@ PIPELINE_QUERIES = {
     "knn_ivf_pq": q_knn_ivf_pq,
     "compact_shards": q_compact_shards,
     "dedup_containment": q_dedup_containment,
+    "dedup_containment_capped": q_dedup_containment_capped,
     "knn_filtered": q_knn_filtered,
     "udtf_ngram_cols": q_udtf_ngram_cols,
     "codec_roundtrip": q_codec_roundtrip,
