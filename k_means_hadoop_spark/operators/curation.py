@@ -1071,6 +1071,46 @@ FROM ({_quality_sql()}) t"""
 
 
 
+# ------------------------------------------------ dynamic quality gate
+
+_QGATE_PCT = 0.25
+
+
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, quality, keep) — DATA-DEPENDENT quality gate: the
+    threshold is the corpus's own 25th percentile of the heuristic
+    quality score, so the gate adapts to corpus drift instead of a
+    hard-coded cutoff going stale (the CCNet/Gopher practice of
+    percentile-calibrated filtering).
+
+    Two-phase shape like winsorize: a 1-row exact-percentile aggregate
+    over the 6-dp-rounded scores, broadcast back onto the row-local
+    comparison — the corpus scans twice, shuffles never.  Both engines
+    interpolate the percentile over identical rounded inputs."""
+    from k_means_hadoop_spark.operators.text import quality_expr
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select("doc_id", quality_expr().alias("quality"))
+    thr = scored.agg(
+        F.expr(f"percentile(quality, {_QGATE_PCT})").alias("thr")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .select("doc_id", "quality", (F.col("quality") >= F.col("thr")).alias("keep"))
+    )
+
+
+def _qgate_sql() -> str:
+    from k_means_hadoop_spark.registry_pipeline import _quality_sql
+
+    return f"""
+WITH scored AS (SELECT doc_id, quality FROM ({_quality_sql()}) t),
+thr AS (SELECT quantile_cont(quality, {_QGATE_PCT}) AS thr FROM scored)
+SELECT doc_id, quality, quality >= thr AS keep FROM scored, thr
+"""
+
+
+
 # ------------------------------------------------------ group-level split
 
 _GSPLIT_SALT = "gsplit:"
@@ -1250,6 +1290,7 @@ CURATION_QUERIES = {
     "split_train_val": (split_train_val, SPLIT_SQL),
     "dataset_mixture_plan": (dataset_mixture_plan, MIXTURE_PLAN_SQL),
     "split_by_group": (split_by_group, _gsplit_sql()),
+    "quality_percentile_gate": (quality_percentile_gate, _qgate_sql()),
     "quota_per_source": (quota_per_source, QUOTA_SQL),
     "histogram_doc_lengths": (histogram_doc_lengths, HISTOGRAM_SQL),
     "winsorize_acctbal": (winsorize_acctbal, WINSORIZE_SQL),

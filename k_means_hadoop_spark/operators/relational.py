@@ -2085,7 +2085,115 @@ WHERE levenshtein(a.p_name, b.p_name) <= {_ER_MAX_LEV}
 """
 
 
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cohort, day_offset, n_users) — cohort retention: users grouped
+    by FIRST-ACTIVE day, counted on each subsequent day they return —
+    the daily-retention triangle every product analytics stack
+    maintains.
+
+    Shape: one user-keyed aggregate for cohort assignment, one distinct
+    (user, day) reduction, a join on user (at 100 TB the cohort table
+    is user-sized and co-partitions with the activity reduction), and
+    the final small aggregate.  All counts exact integers."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    first = ev.groupBy("user_id").agg(F.min(day).alias("cohort"))
+    active = ev.select("user_id", day.alias("day")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            F.datediff("day", "cohort").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+RETENTION_SQL = """
+WITH first AS (SELECT user_id, min(ts::DATE) AS cohort FROM events GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+       (a.day - f.cohort)::INTEGER AS day_offset,
+       count(*)::BIGINT AS n_users
+FROM active a JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_custkey, recency_days, frequency, monetary, segment) — RFM
+    quartile segmentation of customers from their order history: the
+    marketing-analytics classic (recency since the corpus's last order
+    date, order count, DECIMAL-exact spend), each scored into ntile(4)
+    quartiles under tie-proof orderings, concatenated into the 'RFM'
+    segment label.
+
+    Shape: one customer-keyed aggregate over orders, then three window
+    rankings over the resulting customer-sized table (tiny relative to
+    the fact table; at 100 TB this is the standard agg-then-rank
+    shape).  The corpus max date is a 1-row aggregate broadcast in."""
+    o = _t(spark, sf_dir, "orders")
+    asof = o.agg(F.max(F.to_date("o_orderdate")).alias("asof"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(asof))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.datediff("asof", "last_order").alias("recency_days"),
+            "frequency",
+            F.round("monetary", 6).alias("monetary"),
+        )
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("c_custkey").asc())
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("c_custkey").asc())
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("c_custkey").asc())
+    scored = per_cust.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).alias("r"),
+        F.ntile(4).over(f_w).alias("f"),
+        F.ntile(4).over(m_w).alias("m"),
+    )
+    return scored.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.concat(F.col("r"), F.col("f"), F.col("m")).alias("segment"),
+    )
+
+
+RFM_SQL = """
+WITH cutoff AS (SELECT max(o_orderdate::DATE) AS cutoff_day FROM orders),
+per_cust AS (
+  SELECT o_custkey AS c_custkey,
+         (cutoff.cutoff_day - max(o_orderdate::DATE))::INTEGER AS recency_days,
+         count(*)::BIGINT AS frequency,
+         round(sum(o_totalprice::DECIMAL(18,4))::DOUBLE, 6) AS monetary
+  FROM orders, cutoff GROUP BY o_custkey, cutoff.cutoff_day),
+scored AS (
+  SELECT c_custkey, recency_days, frequency, monetary,
+         ntile(4) OVER (ORDER BY recency_days ASC, c_custkey ASC) AS r,
+         ntile(4) OVER (ORDER BY frequency DESC, c_custkey ASC) AS f,
+         ntile(4) OVER (ORDER BY monetary DESC, c_custkey ASC) AS m
+  FROM per_cust)
+SELECT c_custkey, recency_days, frequency, monetary,
+       r::VARCHAR || f::VARCHAR || m::VARCHAR AS segment
+FROM scored
+"""
+
+
+
 RELATIONAL_QUERIES = {
+    "retention_cohorts": (retention_cohorts, RETENTION_SQL),
+    "rfm_segments": (rfm_segments, RFM_SQL),
     "event_funnel_pattern": (event_funnel_pattern, FUNNEL_PATTERN_SQL),
     "ewma_daily_purchases": (ewma_daily_purchases, EWMA_SQL),
     "anomaly_event_days": (anomaly_event_days, ANOMALY_SQL),

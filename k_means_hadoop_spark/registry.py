@@ -622,8 +622,8 @@ QUERIES.update(PIPELINE_QUERIES)
 # iteration order behind the curated front.
 
 
-def _row(front: bool = False, stale_after: int | None = None) -> dict:
-    return {"front": front, "stale_after": stale_after}
+def _row(front: bool = False, stale_after: int | None = None, defer: bool = False) -> dict:
+    return {"front": front, "stale_after": stale_after, "defer": defer}
 
 
 _SCHEDULE: dict[str, dict] = {
@@ -718,6 +718,17 @@ _SCHEDULE: dict[str, dict] = {
     "window_rank_metrics": _row(stale_after=3),
     "kmeans_mllib": _row(stale_after=3),
     "kmeans_lloyd": _row(stale_after=3),
+    # -- round-4c additions, deliberately DEFERRED to the round-5 window:
+    #    round 4 has 49 higher-priority unverified entries (the r3 dark
+    #    set, the r4 additions, and every stale redefinition) and the
+    #    driver checks exactly 50 — a stale redefinition losing its slot
+    #    to a brand-new (locally parity-green) entry would leave changed
+    #    semantics driver-unproven, the worse trade ------------------
+    "retention_cohorts": _row(defer=True),
+    "rfm_segments": _row(defer=True),
+    "vocab_coverage": _row(defer=True),
+    "source_lang_entropy": _row(defer=True),
+    "quality_percentile_gate": _row(defer=True),
     "i1_init_random": _row(stale_after=3),
 }
 
@@ -812,7 +823,11 @@ _rest = [n for n in QUERIES if n not in _front and n not in _verified]
 # oracle-backed, NEVER-verified entries before stale-green re-verifies
 # whose old rows at least proved execution.  The sort is stable, so the
 # curated order above survives within each bucket.
+_deferred = {n for n, row in _SCHEDULE.items() if row.get("defer")}
 _front.sort(key=lambda n: n not in ORACLES)
-_rest.sort(key=lambda n: (n not in ORACLES, n in _stale))
+# rest tier: deferred entries last (they cede their round-4 slot to
+# stale redefinitions), then oracle-backed before rows-only, then
+# never-verified before stale re-verifies
+_rest.sort(key=lambda n: (n in _deferred, n not in ORACLES, n in _stale))
 _back = [n for n in QUERIES if n in _verified]
 QUERIES = {n: QUERIES[n] for n in (*_front, *_rest, *_back)}

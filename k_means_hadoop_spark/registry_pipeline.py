@@ -1046,6 +1046,103 @@ WHERE greatest(common::DOUBLE / ca.n_sh::DOUBLE, common::DOUBLE / cb.n_sh::DOUBL
       >= {CONTAIN_THRESHOLD}"""
 
 
+
+
+VOCAB_COVERAGE_SIZES = (100, 1000)
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """(n_types, n_tokens, cov_top100, cov_top1000) — vocabulary
+    coverage curve: the share of all token OCCURRENCES covered by the
+    top-V most frequent types — the first statistic a tokenizer/vocab
+    design reads (how much of the stream a V-entry vocab explains;
+    1 − coverage is the OOV mass a fallback must absorb).
+
+    One corpus token aggregate, one rank over the (Heaps-law-sublinear)
+    vocabulary, conditional exact-integer sums; the coverage ratios
+    divide exact BIGINTs so both engines agree bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    uni = (
+        docs.select(F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = uni.select(
+        "cnt",
+        F.row_number()
+        .over(W.orderBy(F.col("cnt").desc(), F.col("tok").asc()))
+        .alias("rk"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("cnt").alias("n_tokens"),
+    ]
+    for v in VOCAB_COVERAGE_SIZES:
+        aggs.append(
+            F.sum(F.when(F.col("rk") <= v, F.col("cnt")).otherwise(F.lit(0))).alias(f"top{v}")
+        )
+    out = ranked.agg(*aggs)
+    cols = [F.col("n_types").cast("bigint"), F.col("n_tokens").cast("bigint")]
+    for v in VOCAB_COVERAGE_SIZES:
+        cols.append(
+            F.round(F.col(f"top{v}").cast("double") / F.col("n_tokens").cast("double"), 6)
+            .alias(f"cov_top{v}")
+        )
+    return out.select(*cols)
+
+
+def _vocab_coverage_sql() -> str:
+    tops = ", ".join(
+        f"round(sum(CASE WHEN rk <= {v} THEN cnt ELSE 0 END)::DOUBLE"
+        f" / sum(cnt)::DOUBLE, 6) AS cov_top{v}"
+        for v in VOCAB_COVERAGE_SIZES
+    )
+    return f"""
+WITH t AS (SELECT list_filter({_TOKS}, x -> x != '') AS toks FROM documents),
+unn AS (SELECT unnest(toks) AS tok FROM t),
+uni AS (SELECT tok, count(*)::BIGINT AS cnt FROM unn GROUP BY tok),
+ranked AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rk FROM uni)
+SELECT count(*)::BIGINT AS n_types, sum(cnt)::BIGINT AS n_tokens, {tops}
+FROM ranked"""
+
+
+def q_source_lang_entropy(spark, sf_dir):
+    """(source, n_docs, lang_entropy) — per-source language diversity:
+    Shannon entropy (nats) of each source's language mix — the
+    mixture-monitoring stat that flags a source silently collapsing to
+    one language (entropy → 0) or drifting (entropy jump).  Two tiny
+    aggregates; probabilities are ratios of exact integers, the ≤5-term
+    entropy sum rounds at 6 dp far above float reassociation noise."""
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window as W
+
+    tot = F.sum("n").over(W.partitionBy("source"))
+    p = F.col("n").cast("double") / F.col("tot").cast("double")
+    return (
+        counts.withColumn("tot", tot)
+        .select("source", "tot", (-(p * F.log(p))).alias("term"), "n")
+        .groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.round(F.sum("term"), 6).alias("lang_entropy"),
+        )
+    )
+
+
+SOURCE_LANG_ENTROPY_SQL = """
+WITH counts AS (SELECT source, lang, count(*)::BIGINT AS n FROM documents GROUP BY 1, 2),
+wt AS (SELECT source, n, sum(n) OVER (PARTITION BY source) AS tot FROM counts)
+SELECT source, sum(n)::BIGINT AS n_docs,
+       round(sum(-(n::DOUBLE / tot::DOUBLE) * ln(n::DOUBLE / tot::DOUBLE)), 6) AS lang_entropy
+FROM wt GROUP BY source
+"""
+
+
 APPROX_TOP_K = 20
 
 
@@ -2458,6 +2555,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "codec_roundtrip": _codec_roundtrip_sql(),
     "dedup_containment": _containment_sql(),
     "dedup_containment_capped": _containment_capped_sql(),
+    "vocab_coverage": _vocab_coverage_sql(),
+    "source_lang_entropy": SOURCE_LANG_ENTROPY_SQL,
     "knn_filtered": _knn_filtered_sql(5),
     "python_datasource_stream": PYDS_STREAM_SQL,
     "knn_pq_rerank": _knn_pq_rerank_sql(5, PQ_M, PQ_DIM, PQ_SHORTLIST),
@@ -2586,6 +2685,8 @@ PIPELINE_QUERIES = {
     "compact_shards": q_compact_shards,
     "dedup_containment": q_dedup_containment,
     "dedup_containment_capped": q_dedup_containment_capped,
+    "vocab_coverage": q_vocab_coverage,
+    "source_lang_entropy": q_source_lang_entropy,
     "knn_filtered": q_knn_filtered,
     "udtf_ngram_cols": q_udtf_ngram_cols,
     "codec_roundtrip": q_codec_roundtrip,

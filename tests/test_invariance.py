@@ -46,6 +46,9 @@ CASES = [
     "dedup_containment",      # inverted-index pair counts + ratio cut
     "knn_ivf_pq",             # literal-fold encode + rounded-rank window
     "split_by_group",         # group-key hash membership
+    "retention_cohorts",      # exact distinct-day cohort counts
+    "rfm_segments",           # three ntile rankings, custkey tie-proof
+    "vocab_coverage",         # exact-integer coverage sums under a global rank
 ]
 
 

@@ -753,6 +753,11 @@ def test_window_schedule_regression():
     ]
     got = [n for n in names[:front_len] if n in pre_r4]
     assert got == pre_r4
-    # every unverified entry (pre-r4 + the r4 additions) fits the
-    # 50-slot driver window
-    assert front_len <= 50, front_len
+    # every NON-DEFERRED unverified entry — in particular every stale
+    # redefinition — fits the 50-slot driver window; entries marked
+    # defer=True deliberately cede their slot to the next round
+    deferred = {n for n, row in registry._SCHEDULE.items() if row.get("defer")}
+    n_window = len([n for n in names[:front_len] if n not in deferred])
+    assert n_window <= 50, n_window
+    for n in registry._stale:
+        assert names.index(n) < 50, f"stale {n} fell outside the driver window"
