@@ -2191,8 +2191,89 @@ FROM scored
 
 
 
+_BASKET_TOP_K = 50
+
+
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part_a, part_b, n_pairs, support, confidence_a_b, lift) —
+    market-basket association mining over order baskets: the TOP-50
+    most co-purchased part pairs (count ties broken by part ids — a
+    fixed absolute count threshold goes vacuous as the catalog grows,
+    a rank cut never does), each with support (pair share of all
+    orders), directional confidence P(b|a), and lift
+    (observed / expected-if-independent) — the classic association-rule
+    screen.
+
+    Scale shape: the pair generation self-joins WITHIN orderkey only
+    (baskets are small — cost Σ|basket|², never corpus²), part counts
+    broadcast back, and the order total is a 1-row broadcast.  All
+    ratios divide exact integers, so 6-dp rounding is engine-stable."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    part_n = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(_BASKET_TOP_K)
+    )
+    na = part_n.select(F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a"))
+    nb = part_n.select(F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b"))
+    d = F.col("n_orders").cast("double")
+    support = F.col("n_pairs").cast("double") / d
+    conf = F.col("n_pairs").cast("double") / F.col("n_a").cast("double")
+    lift = (F.col("n_pairs").cast("double") * d) / (
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    return (
+        pairs.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pairs",
+            F.round(support, 6).alias("support"),
+            F.round(conf, 6).alias("confidence_a_b"),
+            F.round(lift, 6).alias("lift"),
+        )
+    )
+
+
+MARKET_BASKET_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM li),
+part_n AS (SELECT l_partkey, count(*)::BIGINT AS n_part FROM li GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*)::BIGINT AS n_pairs
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 ORDER BY n_pairs DESC, part_a ASC, part_b ASC LIMIT {_BASKET_TOP_K})
+SELECT part_a, part_b, n_pairs,
+       round(n_pairs::DOUBLE / n.n_orders::DOUBLE, 6) AS support,
+       round(n_pairs::DOUBLE / na.n_part::DOUBLE, 6) AS confidence_a_b,
+       round((n_pairs::DOUBLE * n.n_orders::DOUBLE)
+             / (na.n_part::DOUBLE * nb.n_part::DOUBLE), 6) AS lift
+FROM pairs
+JOIN part_n na ON na.l_partkey = pairs.part_a
+JOIN part_n nb ON nb.l_partkey = pairs.part_b
+CROSS JOIN n
+"""
+
+
+
 RELATIONAL_QUERIES = {
     "retention_cohorts": (retention_cohorts, RETENTION_SQL),
+    "market_basket_pairs": (market_basket_pairs, MARKET_BASKET_SQL),
     "rfm_segments": (rfm_segments, RFM_SQL),
     "event_funnel_pattern": (event_funnel_pattern, FUNNEL_PATTERN_SQL),
     "ewma_daily_purchases": (ewma_daily_purchases, EWMA_SQL),

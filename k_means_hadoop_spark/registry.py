@@ -729,6 +729,7 @@ _SCHEDULE: dict[str, dict] = {
     "vocab_coverage": _row(defer=True),
     "source_lang_entropy": _row(defer=True),
     "quality_percentile_gate": _row(defer=True),
+    "market_basket_pairs": _row(defer=True),
     "i1_init_random": _row(stale_after=3),
 }
 
