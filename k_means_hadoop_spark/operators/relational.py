@@ -2271,9 +2271,94 @@ CROSS JOIN n
 
 
 
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cur, next, n, p) — first-order Markov transition matrix of
+    event types: for each consecutive per-user event pair, the count
+    and conditional probability P(next|cur) — the session-model /
+    next-action-prediction baseline.
+
+    Shape: ONE user-hash Exchange (ranking window), consecutive pairs
+    via a row-local lead() in the same window, then a types²-sized
+    aggregate; probabilities divide exact integers."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", F.col("event_type").alias("cur"))
+        .withColumn("next", F.lead("cur").over(w))
+        .filter(F.col("next").isNotNull())
+    )
+    counts = pairs.groupBy("cur", "next").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("cur")
+    return counts.select(
+        "cur",
+        "next",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(tot).cast("double"), 6
+        ).alias("p"),
+    )
+
+
+TRANSITION_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next
+  FROM events),
+counts AS (SELECT cur, next, count(*)::BIGINT AS n
+           FROM ordered WHERE next IS NOT NULL GROUP BY cur, next)
+SELECT cur, next, n,
+       round(n::DOUBLE / sum(n) OVER (PARTITION BY cur)::DOUBLE, 6) AS p
+FROM counts
+"""
+
+
+def dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, dau, wau, mau) — daily / trailing-7-day / trailing-30-day
+    distinct active users, the engagement dashboard every product
+    reports.  EXACT via the (user, day) reduction joined to a trailing
+    day range — at fixture scale that join is days×users-sized; at
+    100 TB the same columns feed the mergeable HLL-sketch path
+    (hll_users_daily) whose per-day registers union across any trailing
+    window without re-scanning events — this operator is the exact
+    ground truth that path is tolerance-checked against."""
+    ev = _t(spark, sf_dir, "events")
+    active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = active.select("day").distinct()
+    a, d = active.alias("a"), days.alias("d")
+    joined = d.join(
+        a,
+        (F.datediff(F.col("d.day"), F.col("a.day")) >= 0)
+        & (F.datediff(F.col("d.day"), F.col("a.day")) < 30),
+    )
+    off = F.datediff(F.col("d.day"), F.col("a.day"))
+    return (
+        joined.groupBy(F.date_format(F.col("d.day"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.countDistinct(F.when(off == 0, F.col("a.user_id"))).alias("dau"),
+            F.countDistinct(F.when(off < 7, F.col("a.user_id"))).alias("wau"),
+            F.countDistinct(F.col("a.user_id")).alias("mau"),
+        )
+    )
+
+
+DAU_SQL = """
+WITH active AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+days AS (SELECT DISTINCT day FROM active)
+SELECT strftime(d.day, '%Y-%m-%d') AS day,
+       count(DISTINCT CASE WHEN d.day = a.day THEN a.user_id END)::BIGINT AS dau,
+       count(DISTINCT CASE WHEN d.day - a.day < 7 THEN a.user_id END)::BIGINT AS wau,
+       count(DISTINCT a.user_id)::BIGINT AS mau
+FROM days d JOIN active a ON d.day - a.day >= 0 AND d.day - a.day < 30
+GROUP BY d.day
+"""
+
+
+
 RELATIONAL_QUERIES = {
     "retention_cohorts": (retention_cohorts, RETENTION_SQL),
     "market_basket_pairs": (market_basket_pairs, MARKET_BASKET_SQL),
+    "event_transition_matrix": (event_transition_matrix, TRANSITION_SQL),
+    "dau_wau_mau": (dau_wau_mau, DAU_SQL),
     "rfm_segments": (rfm_segments, RFM_SQL),
     "event_funnel_pattern": (event_funnel_pattern, FUNNEL_PATTERN_SQL),
     "ewma_daily_purchases": (ewma_daily_purchases, EWMA_SQL),

@@ -730,6 +730,8 @@ _SCHEDULE: dict[str, dict] = {
     "source_lang_entropy": _row(defer=True),
     "quality_percentile_gate": _row(defer=True),
     "market_basket_pairs": _row(defer=True),
+    "event_transition_matrix": _row(defer=True),
+    "dau_wau_mau": _row(defer=True),
     "i1_init_random": _row(stale_after=3),
 }
 

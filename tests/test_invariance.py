@@ -49,6 +49,8 @@ CASES = [
     "retention_cohorts",      # exact distinct-day cohort counts
     "rfm_segments",           # three ntile rankings, custkey tie-proof
     "vocab_coverage",         # exact-integer coverage sums under a global rank
+    "market_basket_pairs",    # rank-cut top-k with part-id tie-break
+    "event_transition_matrix",  # lead() pairs under one user partition
 ]
 
 
