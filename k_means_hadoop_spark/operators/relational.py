@@ -2354,11 +2354,109 @@ GROUP BY d.day
 
 
 
+_PR_DAMPING = 0.85
+_PR_ITERS = 5
+_PR_EDGE_TOP = 200
+
+
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part, rank) — PageRank over the co-purchase graph (nodes =
+    parts, undirected edges = the top-200 most co-purchased pairs),
+    5 fixed iterations, damping 0.85 — the fourth iterative algorithm
+    in the engine next to Lloyd, connected components, and the BPE
+    trainer, and like them it carries a FULL VALUE oracle: every input
+    is deterministic (rank-cut edge set, integer degrees), so the
+    oracle unrolls the identical 5 steps as a DuckDB CTE chain.
+
+    Shape per iteration: ranks join edges on src (both tables edge- /
+    node-sized, co-partitioned at scale), one grouped sum; only the
+    final node-sized table leaves the loop.  r_{i+1}(v) = (1-d)/N +
+    d·Σ_{u~v} r_i(u)/deg(u); the undirected edge set lists both
+    directions so every node has out-degree ≥ 1 (no dangling mass)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    top = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pa").asc(), F.col("pb").asc())
+        .limit(_PR_EDGE_TOP)
+    )
+    edges = top.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
+        top.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    ).cache()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("part"), "deg").cache()
+    n_nodes_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    n = n_nodes_df.first()["n"]
+    d = _PR_DAMPING
+    ranks = nodes.select("part", F.lit(1.0 / n).alias("rank"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ranks.join(nodes, "part")
+            .select(
+                F.col("part").alias("src"),
+                (F.col("rank") / F.col("deg").cast("double")).alias("c"),
+            )
+            .join(edges, "src")
+            .groupBy(F.col("dst").alias("part"))
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = nodes.select("part").join(contrib, "part", "left").select(
+            "part",
+            (
+                F.lit((1.0 - d) / n)
+                + F.lit(d) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("part", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_sql() -> str:
+    d = _PR_DAMPING
+    parts = [
+        """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+top AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*)::BIGINT AS n
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 ORDER BY n DESC, pa ASC, pb ASC LIMIT """
+        + str(_PR_EDGE_TOP)
+        + """),
+edges AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM top
+                       UNION ALL SELECT pb, pa FROM top),
+deg AS MATERIALIZED (SELECT src AS part, count(*)::BIGINT AS deg FROM edges GROUP BY src),
+nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+r0 AS (SELECT part, 1.0::DOUBLE / nn.n::DOUBLE AS rank FROM deg, nn)"""
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        parts.append(
+            f"""c{i} AS (SELECT e.dst AS part, sum(r.rank / dg.deg::DOUBLE) AS in_sum
+  FROM r{i - 1} r JOIN deg dg ON dg.part = r.part JOIN edges e ON e.src = r.part
+  GROUP BY e.dst),
+r{i} AS (SELECT dg.part,
+         (1.0::DOUBLE - {d}::DOUBLE) / nn.n::DOUBLE
+           + {d}::DOUBLE * coalesce(c.in_sum, 0.0::DOUBLE) AS rank
+  FROM deg dg CROSS JOIN nn LEFT JOIN c{i} c ON c.part = dg.part)"""
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT part, round(rank, 6) AS rank FROM r{_PR_ITERS}"
+    )
+
+
+
 RELATIONAL_QUERIES = {
     "retention_cohorts": (retention_cohorts, RETENTION_SQL),
     "market_basket_pairs": (market_basket_pairs, MARKET_BASKET_SQL),
     "event_transition_matrix": (event_transition_matrix, TRANSITION_SQL),
     "dau_wau_mau": (dau_wau_mau, DAU_SQL),
+    "pagerank_copurchase": (pagerank_copurchase, _pagerank_sql()),
     "rfm_segments": (rfm_segments, RFM_SQL),
     "event_funnel_pattern": (event_funnel_pattern, FUNNEL_PATTERN_SQL),
     "ewma_daily_purchases": (ewma_daily_purchases, EWMA_SQL),

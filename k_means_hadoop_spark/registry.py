@@ -732,6 +732,7 @@ _SCHEDULE: dict[str, dict] = {
     "market_basket_pairs": _row(defer=True),
     "event_transition_matrix": _row(defer=True),
     "dau_wau_mau": _row(defer=True),
+    "pagerank_copurchase": _row(defer=True),
     "i1_init_random": _row(stale_after=3),
 }
 

@@ -51,6 +51,7 @@ CASES = [
     "vocab_coverage",         # exact-integer coverage sums under a global rank
     "market_basket_pairs",    # rank-cut top-k with part-id tie-break
     "event_transition_matrix",  # lead() pairs under one user partition
+    "pagerank_copurchase",    # 5 iterative rank joins, rank-cut edge set
 ]
 
 

@@ -1229,3 +1229,15 @@ def test_bigram_logprob_matches_python_reference(spark):
         ]
         assert got[i][0] == len(lps)
         assert abs(got[i][1] - round(sum(lps) / len(lps), 6)) <= 1e-6, (i, got[i])
+
+
+def test_pagerank_mass_conserved(spark, sf_dir):
+    """Rank mass must be conserved (Σrank = 1 within float tolerance on
+    a dangling-free graph) and every node strictly positive."""
+    from k_means_hadoop_spark.operators.relational import pagerank_copurchase
+
+    rows = pagerank_copurchase(spark, sf_dir).collect()
+    assert rows
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-3, total
+    assert all(r["rank"] > 0 for r in rows)
