@@ -104,6 +104,13 @@ HEADLINE = [
     "text_bigram_logprob",
     "event_funnel_pattern",
     "knn_ivf_pq",
+    # round 4c: cohort retention (distinct-day reduction + join),
+    # PageRank (iterative rank joins), and the retrieval stack's
+    # lexical + hybrid tiers.
+    "retention_cohorts",
+    "pagerank_copurchase",
+    "bm25_search",
+    "hybrid_retrieval",
 ]
 
 

@@ -662,3 +662,70 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         F.round(F.avg("lp"), 6).alias("avg_logprob"),
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(
+    docs: DataFrame, query_terms: list[str], k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, score, rank) — Okapi BM25 lexical retrieval for a fixed
+    query-term set: the inverted-index scoring tier of a retrieval
+    stack (the dense ANN family is its semantic sibling; hybrid fusion
+    joins the two).
+
+    Shape: term frequencies come from one corpus scan filtered to the
+    query terms (at 100 TB this is the posting-list read an inverted
+    index serves; here the scan IS the index), document frequencies and
+    average doc length are tiny aggregates broadcast back, and scoring
+    is row-local.  idf uses the standard +1 form (never negative);
+    ranking is on the 6-dp-rounded score with doc_id tie-break so the
+    top-k is cross-engine deterministic."""
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = F.filter(_tokens(F.col(text_col)), lambda x: x != "")
+    base = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", "toks", F.size("toks").cast("double").alias("dl")
+    )
+    corpus_stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        base.select(
+            "doc_id",
+            "dl",
+            F.explode(F.filter("toks", lambda t: F.array_contains(terms, t))).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    term_score = idf * (
+        F.col("tf") * F.lit(BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    from pyspark.sql import Window as W
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus_stats))
+        .select("doc_id", term_score.alias("ts"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("ts"), 6).alias("score"))
+    )
+    w = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

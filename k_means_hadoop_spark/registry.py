@@ -733,6 +733,8 @@ _SCHEDULE: dict[str, dict] = {
     "event_transition_matrix": _row(defer=True),
     "dau_wau_mau": _row(defer=True),
     "pagerank_copurchase": _row(defer=True),
+    "bm25_search": _row(defer=True),
+    "hybrid_retrieval": _row(defer=True),
     "i1_init_random": _row(stale_after=3),
 }
 

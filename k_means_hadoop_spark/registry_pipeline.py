@@ -1143,6 +1143,107 @@ FROM wt GROUP BY source
 """
 
 
+
+
+BM25_QUERY_TERMS = ["spark", "query", "fast"]
+BM25_TOP_K = 20
+RRF_C = 60
+RRF_DEPTH = 100
+RRF_QUERY_DOC = 1  # doc_id whose text/embedding form the hybrid query
+
+
+def q_bm25_search(spark, sf_dir):
+    return text.bm25_search(_docs(spark, sf_dir), BM25_QUERY_TERMS, k=BM25_TOP_K)
+
+
+def _bm25_sql() -> str:
+    from k_means_hadoop_spark.operators.text import BM25_B, BM25_K1
+
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH base AS (SELECT doc_id, list_filter({_TOKS}, x -> x != '') AS toks FROM documents),
+b2 AS (SELECT doc_id, toks, len(toks)::DOUBLE AS dl FROM base),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM b2),
+unn AS (SELECT doc_id, dl, unnest(toks) AS term FROM b2),
+tf AS (SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+       FROM unn WHERE term IN ({terms}) GROUP BY doc_id, dl, term),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln((stats.n_docs::DOUBLE - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+           * (tf.tf * {BM25_K1 + 1.0}
+              / (tf.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * tf.dl / stats.avgdl)))
+         ), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+FROM scored QUALIFY rank <= {BM25_TOP_K}"""
+
+
+def q_hybrid_retrieval(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion: the lexical BM25
+    list (query = doc 1's top TF-IDF terms... fixed literal terms here)
+    and the dense cosine list (query = doc 1's embedding) fused as
+    Σ 1/(60 + rank) over the lists each doc appears in — the standard
+    RRF composition serving modern search (lexical recall + semantic
+    recall, no score calibration needed).  Both lists are 100 deep and
+    individually deterministic (rounded-score + id tie-breaks), so the
+    fused ranking carries a full value oracle."""
+    docs = _docs(spark, sf_dir)
+    lex = text.bm25_search(docs, BM25_QUERY_TERMS, k=RRF_DEPTH).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    dense = (
+        similarity.knn_bruteforce(_emb(spark, sf_dir), [RRF_QUERY_DOC], k=RRF_DEPTH)
+        .select(F.col("nid").cast("bigint").alias("doc_id"), F.col("rank").alias("dense_rank"))
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(1.0 / (F.lit(RRF_C) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(RRF_C) + F.col("dense_rank")), F.lit(0.0))
+            ).alias("rrf"),
+            F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+            F.coalesce("dense_rank", F.lit(0)).alias("dense_rank"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.round("rrf", 9).desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select("doc_id", F.round("rrf", 6).alias("rrf"), "lex_rank", "dense_rank", "rank")
+    )
+
+
+def _hybrid_sql() -> str:
+    return f"""
+WITH lex AS (SELECT doc_id, rank AS lex_rank FROM (
+  {_bm25_sql().replace(f"QUALIFY rank <= {BM25_TOP_K}", f"QUALIFY rank <= {RRF_DEPTH}")}) t),
+v AS (SELECT vec_id::BIGINT AS doc_id, embedding::DOUBLE[] AS vec FROM embeddings),
+q AS (SELECT vec FROM v WHERE doc_id = {RRF_QUERY_DOC}),
+dense AS (SELECT doc_id, CAST(row_number() OVER (
+            ORDER BY round(list_cosine_similarity(v.vec, q.vec), 6) DESC, doc_id ASC)
+          AS INTEGER) AS dense_rank
+          FROM v, q WHERE v.doc_id != {RRF_QUERY_DOC}
+          QUALIFY dense_rank <= {RRF_DEPTH}),
+fused AS (
+  SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+         coalesce(1.0 / ({RRF_C} + lex.lex_rank), 0.0)
+           + coalesce(1.0 / ({RRF_C} + dense.dense_rank), 0.0) AS rrf,
+         coalesce(lex.lex_rank, 0) AS lex_rank,
+         coalesce(dense.dense_rank, 0) AS dense_rank
+  FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id)
+SELECT doc_id, round(rrf, 6) AS rrf, lex_rank, dense_rank,
+       CAST(row_number() OVER (ORDER BY round(rrf, 9) DESC, doc_id ASC) AS INTEGER) AS rank
+FROM fused QUALIFY rank <= {BM25_TOP_K}"""
+
+
 APPROX_TOP_K = 20
 
 
@@ -2556,6 +2657,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "dedup_containment": _containment_sql(),
     "dedup_containment_capped": _containment_capped_sql(),
     "vocab_coverage": _vocab_coverage_sql(),
+    "bm25_search": _bm25_sql(),
+    "hybrid_retrieval": _hybrid_sql(),
     "source_lang_entropy": SOURCE_LANG_ENTROPY_SQL,
     "knn_filtered": _knn_filtered_sql(5),
     "python_datasource_stream": PYDS_STREAM_SQL,
@@ -2686,6 +2789,8 @@ PIPELINE_QUERIES = {
     "dedup_containment": q_dedup_containment,
     "dedup_containment_capped": q_dedup_containment_capped,
     "vocab_coverage": q_vocab_coverage,
+    "bm25_search": q_bm25_search,
+    "hybrid_retrieval": q_hybrid_retrieval,
     "source_lang_entropy": q_source_lang_entropy,
     "knn_filtered": q_knn_filtered,
     "udtf_ngram_cols": q_udtf_ngram_cols,
