@@ -1,0 +1,583 @@
+"""Statistical and graph analytics over the driver fixtures.
+
+Round-4d surface: distributed descriptive statistics (correlation
+matrix, OLS regression via normal equations, chi-square independence,
+key-skew profiling) and co-purchase graph analytics (triangle counting,
+degree distribution, fixed-iteration label propagation) — the kinds of
+queries the reference's notebook stage (``SURVEY.md §2.8``, the
+post-clustering analysis in ``Kmeans_visualisation.ipynb``) performs
+client-side after the MapReduce job, re-expressed as distributed
+DataFrame plans with full DuckDB value oracles.
+
+Cross-engine float determinism: every query whose output chains more
+than one float operation computes its sums EXACTLY (decimal(18,4)
+casts — the fixture's money/ratio columns carry ≤4 decimal places, so
+the cast is lossless and the decimal SUM is exact in both engines),
+then applies the SAME literal arithmetic text (shared between the
+Spark plan and the DuckDB oracle via ``str.format``) to the exact
+sums, so both engines execute the identical IEEE-754 op sequence.
+Integer-exact queries (triangles, degrees, label propagation,
+contingency counts) need no such care.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        from k_means_hadoop_spark.sources.events import load_events
+
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,4)")
+
+
+def _dec14(c: str) -> F.Column:
+    # product operands: 14+14 digits keeps the pairwise product inside
+    # DuckDB's 38-digit multiply; fixture values are < 1e10 with ≤4dp,
+    # so the narrower cast is still lossless
+    return F.col(c).cast("decimal(14,4)")
+
+
+# ------------------------------------------------- correlation matrix
+#
+# Pearson correlation over the four lineitem measures, long format
+# (col_a < col_b).  One full-scan aggregate computes the exact decimal
+# sums Σx, Σxy for every pair (map-side partial agg, one row out); the
+# 6 output rows are then pure driver-free arithmetic on that single
+# row.  At 100 TB this is the minimal plan: one scan, one 10-column
+# reduce, no shuffle wider than the partial-agg exchange.
+
+_CORR_COLS = {
+    "q": "l_quantity",
+    "p": "l_extendedprice",
+    "d": "l_discount",
+    "t": "l_tax",
+}
+
+# shared literal formula — identical text runs in both engines
+_CORR_FORMULA = (
+    "round((CAST(n AS DOUBLE) * CAST(s_{a}{b} AS DOUBLE)"
+    " - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+    " / sqrt((CAST(n AS DOUBLE) * CAST(s_{a}{a} AS DOUBLE)"
+    " - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(s_{b}{b} AS DOUBLE)"
+    " - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))), 6)"
+)
+
+
+def _corr_pairs() -> list[tuple[str, str]]:
+    keys = list(_CORR_COLS)
+    return [(a, b) for i, a in enumerate(keys) for b in keys[i:]]
+
+
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(col_a, col_b, corr) — Pearson correlation for the 6 unordered
+    pairs of (l_quantity, l_extendedprice, l_discount, l_tax)."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for k, c in _CORR_COLS.items():
+        aggs.append(F.sum(_dec(c)).alias(f"s_{k}"))
+    for a, b in _corr_pairs():
+        aggs.append(
+            F.sum(_dec14(_CORR_COLS[a]) * _dec14(_CORR_COLS[b])).alias(f"s_{a}{b}")
+        )
+    sums = li.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(_CORR_COLS[a]).alias("col_a"),
+            F.lit(_CORR_COLS[b]).alias("col_b"),
+            F.expr(_CORR_FORMULA.format(a=a, b=b)).alias("corr"),
+        )
+        for a, b in _corr_pairs()
+        if a != b
+    ]
+    return sums.select(F.explode(F.array(*structs)).alias("kv")).select("kv.*")
+
+
+def _corr_sql() -> str:
+    sum_exprs = ["count(*) AS n"]
+    for k, c in _CORR_COLS.items():
+        sum_exprs.append(f"SUM(CAST({c} AS DECIMAL(18,4))) AS s_{k}")
+    for a, b in _corr_pairs():
+        # (24,4)×(14,4): DuckDB 1.0 keeps an 18×18-width product in
+        # int64 and overflows; widening one side forces the exact
+        # hugeint DECIMAL(38,8) path.  Spark uses (14,4)×(14,4) →
+        # decimal(29,8) — both EXACT, so the sums agree bit-for-bit
+        # after the shared CAST-to-DOUBLE.
+        sum_exprs.append(
+            f"SUM(CAST({_CORR_COLS[a]} AS DECIMAL(24,4))"
+            f" * CAST({_CORR_COLS[b]} AS DECIMAL(14,4))) AS s_{a}{b}"
+        )
+    rows = [
+        f"SELECT '{_CORR_COLS[a]}' AS col_a, '{_CORR_COLS[b]}' AS col_b, "
+        + _CORR_FORMULA.format(a=a, b=b)
+        + " AS corr FROM sums"
+        for a, b in _corr_pairs()
+        if a != b
+    ]
+    return (
+        "WITH sums AS (SELECT " + ", ".join(sum_exprs) + " FROM lineitem) "
+        + " UNION ALL ".join(rows)
+    )
+
+
+# ------------------------------------------------- OLS via normal equations
+#
+# l_extendedprice ~ intercept + l_quantity + l_discount, solved with
+# the 3x3 normal equations by Cramer's rule.  The distributed part is
+# ONE exact-decimal aggregate (10 sums); the solve is constant-size
+# arithmetic applied identically in both engines.  This is the
+# scale-correct shape for closed-form linear models: k small → the
+# Gram matrix, not the data, crosses the network.
+
+# shared literal formulas (identical text in both engines), applied to
+# the CAST-to-DOUBLE images of the engine-specific exact decimal sums
+_OLS_DET = (
+    "(n * (s11 * s22 - s12 * s12)"
+    " - sx1 * (sx1 * s22 - s12 * sx2)"
+    " + sx2 * (sx1 * s12 - s11 * sx2))"
+)
+_OLS_B0 = (
+    "(sy * (s11 * s22 - s12 * s12)"
+    " - sx1 * (s1y * s22 - s12 * s2y)"
+    " + sx2 * (s1y * s12 - s11 * s2y)) / det"
+)
+_OLS_B1 = (
+    "(n * (s1y * s22 - s12 * s2y)"
+    " - sy * (sx1 * s22 - s12 * sx2)"
+    " + sx2 * (sx1 * s2y - s1y * sx2)) / det"
+)
+_OLS_B2 = (
+    "(n * (s11 * s2y - s1y * s12)"
+    " - sx1 * (sx1 * s2y - s1y * sx2)"
+    " + sy * (sx1 * s12 - s11 * sx2)) / det"
+)
+_OLS_R2 = (
+    "round(1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y)"
+    " / (syy - sy * sy / n), 6)"
+)
+
+_OLS_COLS = {
+    "sx1": "l_quantity",
+    "sx2": "l_discount",
+    "sy": "l_extendedprice",
+}
+_OLS_PRODS = {
+    "s11": ("l_quantity", "l_quantity"),
+    "s12": ("l_quantity", "l_discount"),
+    "s22": ("l_discount", "l_discount"),
+    "s1y": ("l_quantity", "l_extendedprice"),
+    "s2y": ("l_discount", "l_extendedprice"),
+    "syy": ("l_extendedprice", "l_extendedprice"),
+}
+
+
+def ols_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_rows, intercept, beta_quantity, beta_discount, r2) —
+    the exact least-squares fit of l_extendedprice on l_quantity and
+    l_discount.  Sums are exact decimals (engine-specific widths, see
+    ``_corr_sql``); every double op after them is shared literal text
+    (``_OLS_DET``..``_OLS_R2``).  A NumPy ``lstsq`` parity test pins
+    the algebra."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("nb")]
+    for alias, c in _OLS_COLS.items():
+        aggs.append(F.sum(_dec(c)).alias(f"{alias}_d"))
+    for alias, (a, b) in _OLS_PRODS.items():
+        aggs.append(F.sum(_dec14(a) * _dec14(b)).alias(f"{alias}_d"))
+    s = li.agg(*aggs).select(
+        F.col("nb"),
+        F.col("nb").cast("double").alias("n"),
+        *[
+            F.col(f"{alias}_d").cast("double").alias(alias)
+            for alias in (*_OLS_COLS, *_OLS_PRODS)
+        ],
+    )
+    m = s.withColumn("det", F.expr(_OLS_DET))
+    c = (
+        m.withColumn("b0", F.expr(_OLS_B0))
+        .withColumn("b1", F.expr(_OLS_B1))
+        .withColumn("b2", F.expr(_OLS_B2))
+    )
+    return c.select(
+        F.col("nb").alias("n_rows"),
+        F.round("b0", 6).alias("intercept"),
+        F.round("b1", 6).alias("beta_quantity"),
+        F.round("b2", 6).alias("beta_discount"),
+        F.expr(_OLS_R2).alias("r2"),
+    )
+
+
+def _ols_sql() -> str:
+    sums = ["CAST(count(*) AS BIGINT) AS nb"]
+    for alias, c in _OLS_COLS.items():
+        sums.append(f"SUM(CAST({c} AS DECIMAL(18,4))) AS {alias}_d")
+    for alias, (a, b) in _OLS_PRODS.items():
+        sums.append(
+            f"SUM(CAST({a} AS DECIMAL(24,4)) * CAST({b} AS DECIMAL(14,4))) AS {alias}_d"
+        )
+    casts = ", ".join(
+        f"CAST({alias}_d AS DOUBLE) AS {alias}" for alias in (*_OLS_COLS, *_OLS_PRODS)
+    )
+    return f"""
+WITH s0 AS (SELECT {', '.join(sums)} FROM lineitem),
+s AS (SELECT nb, CAST(nb AS DOUBLE) AS n, {casts} FROM s0),
+m AS (SELECT s.*, {_OLS_DET} AS det FROM s),
+c AS (SELECT m.*, {_OLS_B0} AS b0, {_OLS_B1} AS b1, {_OLS_B2} AS b2 FROM m)
+SELECT nb AS n_rows,
+       round(b0, 6) AS intercept,
+       round(b1, 6) AS beta_quantity,
+       round(b2, 6) AS beta_discount,
+       {_OLS_R2} AS r2
+FROM c
+"""
+
+
+# ------------------------------------------------- chi-square independence
+#
+# event_type × day-of-week contingency table with expected counts and
+# per-cell chi-square contributions.  Counts are exact integers; each
+# float output is a fixed two-op sequence on integers, so no shared
+# text is needed.  The totals tables are tiny → broadcast joins.
+
+
+def chi2_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, dow, observed, expected, contrib) — the per-cell
+    chi-square decomposition for event-type vs day-of-week (0=Sunday).
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", (F.dayofweek("ts") - F.lit(1)).alias("dow")
+    )
+    obs = ev.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("observed"))
+    rt = obs.groupBy("event_type").agg(F.sum("observed").alias("rt"))
+    ct = obs.groupBy("dow").agg(F.sum("observed").alias("ct"))
+    tot = obs.agg(F.sum("observed").alias("tot"))
+    e = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("expected_raw", (F.col("rt") * F.col("ct")) / F.col("tot"))
+    )
+    contrib = (
+        (F.col("observed") - F.col("expected_raw"))
+        * (F.col("observed") - F.col("expected_raw"))
+        / F.col("expected_raw")
+    )
+    return e.select(
+        "event_type",
+        "dow",
+        "observed",
+        F.round("expected_raw", 6).alias("expected"),
+        F.round(contrib, 6).alias("contrib"),
+    )
+
+
+_CHI2_SQL = """
+WITH cells AS (
+  SELECT event_type, dayofweek(ts) AS dow, count(*)::BIGINT AS observed
+  FROM events GROUP BY 1, 2),
+rt AS (SELECT event_type, SUM(observed)::BIGINT AS rt FROM cells GROUP BY 1),
+ct AS (SELECT dow, SUM(observed)::BIGINT AS ct FROM cells GROUP BY 1),
+tot AS (SELECT SUM(observed)::BIGINT AS tot FROM cells),
+e AS (
+  SELECT c.event_type, c.dow, c.observed,
+         (rt.rt * ct.ct) / tot.tot AS expected_raw
+  FROM cells c JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tot)
+SELECT event_type, dow, observed,
+       round(expected_raw, 6) AS expected,
+       round((observed - expected_raw) * (observed - expected_raw)
+             / expected_raw, 6) AS contrib
+FROM e
+"""
+
+
+# ------------------------------------------------- key-skew profile
+#
+# The operational question behind salting and AQE skew-join: how
+# skewed is the orders→customer key?  One row of distribution facts
+# over the per-key counts.  The per-key aggregate is the only shuffle;
+# the stats reduce is over |keys| rows.
+
+
+def skew_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_keys, total, max_cnt, p50, p90, p99, top_share,
+    gini) profiling o_custkey fan-out.  Gini uses the exact rank-sum
+    identity on integer counts: G = (2·Σ i·c_i − (n+1)·Σc) / (n·Σc)
+    with i the ascending-count rank — ties commute, so any stable
+    order gives the same sum."""
+    cnt = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").asc(), F.col("o_custkey").asc())
+    ranked = cnt.withColumn("i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(cnt, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99"),
+        F.round(
+            F.max("cnt").cast("double") / F.sum("cnt").cast("double"), 6
+        ).alias("top_share"),
+        F.round(
+            (
+                F.lit(2) * F.sum(F.col("i").cast("bigint") * F.col("cnt"))
+                - (F.count(F.lit(1)) + F.lit(1)) * F.sum("cnt")
+            ).cast("double")
+            / (F.count(F.lit(1)) * F.sum("cnt")).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+_SKEW_SQL = """
+WITH cnt AS (
+  SELECT o_custkey, count(*)::BIGINT AS cnt FROM orders GROUP BY 1),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt ASC, o_custkey ASC) AS i FROM cnt)
+SELECT count(*)::BIGINT AS n_keys,
+       SUM(cnt)::BIGINT AS total,
+       MAX(cnt)::BIGINT AS max_cnt,
+       round(quantile_cont(cnt, 0.5), 6) AS p50,
+       round(quantile_cont(cnt, 0.9), 6) AS p90,
+       round(quantile_cont(cnt, 0.99), 6) AS p99,
+       round(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS top_share,
+       round(CAST(2 * SUM(i * cnt) - (count(*) + 1) * SUM(cnt) AS DOUBLE)
+             / CAST(count(*) * SUM(cnt) AS DOUBLE), 6) AS gini
+FROM ranked
+"""
+
+
+# ------------------------------------------------- 2-D skyline (Pareto front)
+#
+# Parts not dominated on (minimize p_retailprice, maximize p_size).
+# The naive formulation is an O(n²) self-join; the 2-D skyline is an
+# O(n log n) window computation — per-size price minima, then a
+# running strict-suffix minimum over descending size.  The oracle
+# keeps the NOT EXISTS formulation, so the two engines prove each
+# other through DIFFERENT algorithms.
+
+
+def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(p_partkey, p_size, p_retailprice) — the Pareto front.  A part
+    survives iff it has the minimum price at its size AND its price is
+    strictly below every price seen at any larger size."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_size", "p_retailprice")
+    per_size = p.groupBy("p_size").agg(F.min("p_retailprice").alias("min_at"))
+    w = Window.orderBy(F.col("p_size").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = per_size.withColumn("min_gt", F.min("min_at").over(w))
+    return (
+        p.join(F.broadcast(frontier), "p_size")
+        .where(
+            (F.col("p_retailprice") == F.col("min_at"))
+            & (
+                F.col("min_gt").isNull()
+                | (F.col("p_retailprice") < F.col("min_gt"))
+            )
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+    )
+
+
+_PARETO_SQL = """
+SELECT p_partkey, p_size, p_retailprice
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+"""
+
+
+# ------------------------------------------------- co-purchase graph
+#
+# Nodes = parts with id ≤ _GRAPH_MAX_PART (a deterministic id-bounded
+# subgraph — dense enough to carry triangles at every fixture scale,
+# and the bound is the standard trick this repo uses to keep O(n²)-ish
+# graph ops fixture-safe; at production scale the bound becomes the
+# partition predicate of a per-subgraph run).  Undirected edges =
+# distinct co-purchased pairs.
+
+_GRAPH_MAX_PART = 300
+
+_EDGES_CTE = """
+li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       WHERE l_partkey <= {maxp}),
+e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+""".format(maxp=_GRAPH_MAX_PART)
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (pa < pb) distinct co-purchase edges on the bounded
+    subgraph.  Per-order pair expansion is O(Σ basket²) — baskets are
+    bounded small (TPC-H ≤ 7 lines/order), so this scales linearly in
+    orders."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") <= _GRAPH_MAX_PART)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+
+
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part, n_triangles) for every part in ≥1 triangle of the
+    co-purchase graph.  Canonical-orientation join (pa<pb<pc): each
+    triangle enumerated exactly once, the standard shuffle-efficient
+    formulation (edges joined on their shared endpoint, then one
+    existence probe)."""
+    e = _copurchase_edges(spark, sf_dir).cache()
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("x"),
+            F.col("e1.pb").alias("y"),
+            F.col("e2.pb").alias("z"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+_TRIANGLE_SQL = (
+    "WITH "
+    + _EDGES_CTE
+    + """,
+tri AS (SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+        FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+        JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+m AS (SELECT x AS part FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+SELECT part, count(*)::BIGINT AS n_triangles FROM m GROUP BY part
+"""
+)
+
+
+def copurchase_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(degree, n_parts) — degree distribution of the co-purchase
+    graph.  Two integer aggregates; the histogram is the input to
+    partition-sizing decisions for any downstream graph op."""
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("pa").alias("part"))
+        .unionAll(e.select(F.col("pb").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+_DEGREE_SQL = (
+    "WITH "
+    + _EDGES_CTE
+    + """,
+d AS (SELECT part, count(*)::BIGINT AS degree
+      FROM (SELECT pa AS part FROM e UNION ALL SELECT pb FROM e) GROUP BY part)
+SELECT degree, count(*)::BIGINT AS n_parts FROM d GROUP BY degree
+"""
+)
+
+
+_LP_ITERS = 4
+
+
+def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part, community) — min-label propagation, exactly
+    ``_LP_ITERS`` synchronous iterations seeded with community=part.
+    l_{i+1}(v) = min(l_i(v), min over neighbors of l_i) — integer
+    min-semilattice, so the unrolled DuckDB CTE is an exact value
+    oracle (same pattern as the PageRank and Lloyd oracles).  Per
+    iteration: one node⋈edge join + one grouped min — node- and
+    edge-sized tables only, co-partitionable on the id key at scale."""
+    e = _copurchase_edges(spark, sf_dir).cache()
+    both = e.unionAll(e.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
+    labels = (
+        both.select(F.col("pa").alias("part"))
+        .distinct()
+        .withColumn("community", F.col("part"))
+    )
+    for _ in range(_LP_ITERS):
+        nbr_min = (
+            labels.join(both, labels.part == both.pa)
+            .groupBy(F.col("pb").alias("part"))
+            .agg(F.min("community").alias("nbr"))
+        )
+        labels = (
+            labels.join(nbr_min, "part", "left")
+            .select(
+                "part",
+                F.least(
+                    F.col("community"), F.coalesce(F.col("nbr"), F.col("community"))
+                ).alias("community"),
+            )
+        )
+    return labels
+
+
+def _label_prop_sql() -> str:
+    parts = [
+        _EDGES_CTE.strip()
+        + """,
+nbrs AS (SELECT pa, pb FROM e UNION ALL SELECT pb, pa FROM e),
+l0 AS (SELECT DISTINCT pa AS part, pa AS community FROM nbrs)"""
+    ]
+    for i in range(1, _LP_ITERS + 1):
+        parts.append(
+            f"""n{i} AS (SELECT b.pb AS part, min(l.community) AS nbr
+  FROM l{i - 1} l JOIN nbrs b ON b.pa = l.part GROUP BY b.pb),
+l{i} AS (SELECT l.part,
+         least(l.community, coalesce(n.nbr, l.community)) AS community
+  FROM l{i - 1} l LEFT JOIN n{i} n ON n.part = l.part)"""
+        )
+    return (
+        "WITH " + ", ".join(parts) + f" SELECT part, community FROM l{_LP_ITERS}"
+    )
+
+
+ANALYTICS_QUERIES = {
+    "corr_matrix_lineitem": (corr_matrix_lineitem, _corr_sql()),
+    "ols_price_model": (ols_price_model, _ols_sql()),
+    "chi2_event_dow": (chi2_event_dow, _CHI2_SQL),
+    "skew_report_orders": (skew_report_orders, _SKEW_SQL),
+    "pareto_front_parts": (pareto_front_parts, _PARETO_SQL),
+    "triangle_count_parts": (triangle_count_parts, _TRIANGLE_SQL),
+    "copurchase_degree_hist": (copurchase_degree_hist, _DEGREE_SQL),
+    "label_prop_communities": (label_prop_communities, _label_prop_sql()),
+}

@@ -534,6 +534,8 @@ ORACLES: dict[str, str] = {
     ),
 }
 
+from k_means_hadoop_spark.operators.analytics import ANALYTICS_QUERIES
+from k_means_hadoop_spark.operators.corpus_extra import CORPUS_EXTRA_QUERIES
 from k_means_hadoop_spark.operators.curation import CURATION_QUERIES, CURATION_ROWS_ONLY
 from k_means_hadoop_spark.operators.relational import RELATIONAL_QUERIES, RELATIONAL_ROWS_ONLY
 from k_means_hadoop_spark.operators.tpch_extra import TPCH_EXTRA_QUERIES
@@ -543,6 +545,8 @@ for _name, (_fn, _sql) in {
     **RELATIONAL_QUERIES,
     **TPCH_EXTRA_QUERIES,
     **CURATION_QUERIES,
+    **ANALYTICS_QUERIES,
+    **CORPUS_EXTRA_QUERIES,
 }.items():
     ORACLES[_name] = _sql
 
@@ -576,6 +580,8 @@ QUERIES: dict[str, QueryFn] = {
 QUERIES.update({name: fn for name, (fn, _sql) in RELATIONAL_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in TPCH_EXTRA_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in CURATION_QUERIES.items()})
+QUERIES.update({name: fn for name, (fn, _sql) in ANALYTICS_QUERIES.items()})
+QUERIES.update({name: fn for name, (fn, _sql) in CORPUS_EXTRA_QUERIES.items()})
 QUERIES.update(RELATIONAL_ROWS_ONLY)
 QUERIES.update(CURATION_ROWS_ONLY)
 QUERIES.update(PIPELINE_QUERIES)
@@ -736,6 +742,22 @@ _SCHEDULE: dict[str, dict] = {
     "bm25_search": _row(defer=True),
     "hybrid_retrieval": _row(defer=True),
     "i1_init_random": _row(stale_after=3),
+    # -- round-4d additions (statistics + graph analytics), likewise
+    #    deferred behind the 4c set: the round-4 window is already full
+    #    with the r3 dark set plus the stale redefinitions ------------
+    "corr_matrix_lineitem": _row(defer=True),
+    "ols_price_model": _row(defer=True),
+    "chi2_event_dow": _row(defer=True),
+    "skew_report_orders": _row(defer=True),
+    "pareto_front_parts": _row(defer=True),
+    "triangle_count_parts": _row(defer=True),
+    "copurchase_degree_hist": _row(defer=True),
+    "label_prop_communities": _row(defer=True),
+    "curriculum_schedule": _row(defer=True),
+    "perplexity_buckets": _row(defer=True),
+    "repeated_ngram_spans": _row(defer=True),
+    "mad_outlier_docs": _row(defer=True),
+    "dedup_rate_by_source": _row(defer=True),
 }
 
 

@@ -1,0 +1,207 @@
+"""Algebra and semantics pins for the round-4d analytics operators.
+
+The cross-engine oracle (tests/test_oracle_parity.py) proves Spark and
+DuckDB agree; these tests prove both agree with the MATH — NumPy for
+the closed-form statistics, brute force for the skyline and triangle
+semantics — and that the distributed plans keep their scale shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from k_means_hadoop_spark.operators import analytics
+
+
+@pytest.fixture(scope="module")
+def lineitem_pd(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .toPandas()
+    )
+
+
+def test_ols_matches_numpy_lstsq(spark, sf_dir, lineitem_pd):
+    row = analytics.ols_price_model(spark, sf_dir).first()
+    X = np.column_stack(
+        [
+            np.ones(len(lineitem_pd)),
+            lineitem_pd["l_quantity"].to_numpy(),
+            lineitem_pd["l_discount"].to_numpy(),
+        ]
+    )
+    y = lineitem_pd["l_extendedprice"].to_numpy()
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert row["n_rows"] == len(lineitem_pd)
+    assert row["intercept"] == pytest.approx(beta[0], rel=1e-6, abs=1e-4)
+    assert row["beta_quantity"] == pytest.approx(beta[1], rel=1e-6, abs=1e-4)
+    assert row["beta_discount"] == pytest.approx(beta[2], rel=1e-6, abs=1e-4)
+    pred = X @ beta
+    r2 = 1.0 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    assert row["r2"] == pytest.approx(r2, abs=1e-5)
+    assert 0.0 <= row["r2"] <= 1.0  # fixture prices ⊥ quantity → r2 ≈ 0
+
+
+def test_corr_matches_numpy(spark, sf_dir, lineitem_pd):
+    rows = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in analytics.corr_matrix_lineitem(spark, sf_dir).collect()
+    }
+    assert len(rows) == 6
+    for (a, b), v in rows.items():
+        expect = np.corrcoef(lineitem_pd[a], lineitem_pd[b])[0, 1]
+        assert v == pytest.approx(expect, abs=1e-6), (a, b)
+    # fixture prices are synthetic (independent of quantity — measured
+    # corr ≈ -0.01), so assert only the mathematical envelope
+    assert all(abs(v) <= 1.0 for v in rows.values())
+
+
+def test_chi2_cells_sum_to_statistic(spark, sf_dir):
+    import pandas as pd
+
+    df = analytics.chi2_event_dow(spark, sf_dir).toPandas()
+    # expected counts reconstruct the observed marginals exactly
+    piv_o = df.pivot_table(index="event_type", columns="dow", values="observed", aggfunc="sum")
+    piv_e = df.pivot_table(index="event_type", columns="dow", values="expected", aggfunc="sum")
+    assert np.allclose(piv_o.sum(axis=1).to_numpy(dtype=float),
+                       piv_e.sum(axis=1).to_numpy(), rtol=1e-6)
+    assert np.allclose(piv_o.sum(axis=0).to_numpy(dtype=float),
+                       piv_e.sum(axis=0).to_numpy(), rtol=1e-6)
+    # contributions reproduce (o-e)^2/e
+    recon = (df["observed"] - df["expected"]) ** 2 / df["expected"]
+    assert np.allclose(recon, df["contrib"], atol=1e-4)
+
+
+def test_skew_gini_matches_direct_formula(spark, sf_dir):
+    row = analytics.skew_report_orders(spark, sf_dir).first()
+    cnt = (
+        analytics._t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .count()
+        .toPandas()["count"]
+        .to_numpy()
+    )
+    c = np.sort(cnt)
+    n = len(c)
+    gini = (2 * np.sum(np.arange(1, n + 1) * c) - (n + 1) * c.sum()) / (n * c.sum())
+    assert row["n_keys"] == n
+    assert row["total"] == int(c.sum())
+    assert row["max_cnt"] == int(c.max())
+    assert row["gini"] == pytest.approx(gini, abs=1e-6)
+    assert row["p50"] == pytest.approx(np.percentile(c, 50), abs=1e-6)
+    assert row["p99"] == pytest.approx(np.percentile(c, 99), abs=1e-6)
+
+
+def test_pareto_ties_survive_together(spark):
+    # two parts sharing the frontier point (same size, same price) both
+    # survive (neither strictly dominates); a same-size higher price
+    # falls; a larger-size equal-price part kills the smaller size
+    rows = [
+        (1, 10, 5.0),
+        (2, 10, 5.0),   # tie with 1 → both survive unless a larger size ≤ 5.0
+        (3, 10, 6.0),   # dominated within size 10
+        (4, 20, 5.0),   # larger size, equal price → dominates 1 and 2
+        (5, 20, 7.0),   # dominated by 4
+        (6, 30, 9.0),   # largest size → survives
+    ]
+    df = spark.createDataFrame(rows, ["p_partkey", "p_size", "p_retailprice"])
+    import k_means_hadoop_spark.operators.analytics as an
+
+    orig = an._t
+    an._t = lambda s, d, n: df
+    try:
+        got = sorted(r["p_partkey"] for r in an.pareto_front_parts(spark, "-").collect())
+    finally:
+        an._t = orig
+    assert got == [4, 6]
+
+
+def test_pareto_tied_frontier_pair(spark):
+    rows = [(1, 10, 5.0), (2, 10, 5.0), (3, 5, 4.0), (4, 5, 4.5)]
+    df = spark.createDataFrame(rows, ["p_partkey", "p_size", "p_retailprice"])
+    import k_means_hadoop_spark.operators.analytics as an
+
+    orig = an._t
+    an._t = lambda s, d, n: df
+    try:
+        got = sorted(r["p_partkey"] for r in an.pareto_front_parts(spark, "-").collect())
+    finally:
+        an._t = orig
+    # 1 and 2 tie on the frontier; 3 survives (cheaper than everything
+    # larger); 4 is beaten at its own size
+    assert got == [1, 2, 3]
+
+
+def test_triangles_match_bruteforce(spark, sf_dir):
+    edges = {
+        (r["pa"], r["pb"])
+        for r in analytics._copurchase_edges(spark, sf_dir).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    per_node: dict[int, int] = {}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if a < b < c:
+                for v in (a, b, c):
+                    per_node[v] = per_node.get(v, 0) + 1
+    got = {
+        r["part"]: r["n_triangles"]
+        for r in analytics.triangle_count_parts(spark, sf_dir).collect()
+    }
+    assert got == per_node
+    assert per_node, "fixture graph must contain triangles (vacuity guard)"
+
+
+def test_label_prop_refines_toward_components(spark, sf_dir):
+    labels = {
+        r["part"]: r["community"]
+        for r in analytics.label_prop_communities(spark, sf_dir).collect()
+    }
+    edges = [
+        (r["pa"], r["pb"])
+        for r in analytics._copurchase_edges(spark, sf_dir).collect()
+    ]
+    # exact union-find components
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for v in parent:
+        r = find(v)
+        comp_min.setdefault(r, v)
+        comp_min[r] = min(comp_min[r], v)
+    # after k rounds every label is a valid node id of the same
+    # component, never below the component minimum
+    for v, lab in labels.items():
+        assert find(lab) == find(v)
+        assert lab >= comp_min[find(v)]
+    # and nodes within 4 hops of their component min have converged:
+    # at minimum, the component min itself keeps its label
+    for r, m in comp_min.items():
+        assert labels[m] == m
+
+
+def test_corr_plan_is_single_scan_single_agg(spark, sf_dir):
+    plan = analytics.corr_matrix_lineitem(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") <= 1  # partial-agg + one final exchange
+
+
+def test_pareto_plan_broadcasts_frontier(spark, sf_dir):
+    plan = analytics.pareto_front_parts(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

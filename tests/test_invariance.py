@@ -52,6 +52,14 @@ CASES = [
     "market_basket_pairs",    # rank-cut top-k with part-id tie-break
     "event_transition_matrix",  # lead() pairs under one user partition
     "pagerank_copurchase",    # 5 iterative rank joins, rank-cut edge set
+    # round 4d
+    "corr_matrix_lineitem",   # exact decimal moment sums, shared-text combine
+    "ols_price_model",        # exact decimal Gram matrix, Cramer solve
+    "skew_report_orders",     # rank-sum Gini — tie positions must commute
+    "pareto_front_parts",     # window skyline with strict/tie dominance split
+    "label_prop_communities", # synchronous min-label rounds, per-round shuffles
+    "curriculum_schedule",    # cumulative token budget over a global quality order
+    "repeated_ngram_spans",   # gram-partitioned inverted-index pair counts
 ]
 
 
