@@ -571,6 +571,115 @@ l{i} AS (SELECT l.part,
     )
 
 
+# ------------------------------------------------- A/B conversion lift
+#
+# Two-proportion z-test over a deterministic user split (user_id % 2 —
+# the hash-bucket assignment an experimentation system uses).
+# Conversion = the user purchases within 24 h of their FIRST view (a
+# real funnel outcome: measured rates ~35-60% per cohort at every sf,
+# never saturated — "has any purchase ever" converts ~100% of this
+# fixture and degenerates the variance).  Counts are exact integers;
+# the rate/lift/z chain is shared literal text with lazy CASE guards
+# for the zero-variance and empty-cohort edges (Spark ANSI mode errors
+# on 1/0 where DuckDB returns inf — the guard keeps both engines off
+# that surface entirely).
+
+_AB_WINDOW_HOURS = 24
+_AB_STAGE1 = {
+    "rate0": "CASE WHEN n0 = 0 THEN 0.0 ELSE CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) END",
+    "rate1": "CASE WHEN n1 = 0 THEN 0.0 ELSE CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) END",
+    "pool": "CASE WHEN n0 + n1 = 0 THEN 0.0 ELSE CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) END",
+}
+_AB_Z = (
+    "CASE WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN 0.0"
+    " ELSE (rate1 - rate0) / sqrt(pool * (1.0 - pool)"
+    " * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) END"
+)
+
+
+def ab_conversion_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n0, c0, n1, c1, rate0, rate1, lift, z) — purchase-
+    within-24h-of-first-view conversion compared across the two
+    user_id-parity cohorts.  Shape: first-view agg, one user-key join,
+    per-user conversion agg, constant-size reduce."""
+    ev = _t(spark, sf_dir, "events")
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    conv = (
+        fv.join(ev, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("first_view"))
+                    & (
+                        F.col("ts")
+                        <= F.col("first_view")
+                        + F.expr(f"INTERVAL {_AB_WINDOW_HOURS} HOURS")
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("conv")
+        )
+    )
+    g = conv.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(
+            F.when(F.col("user_id") % 2 == 0, F.col("conv")).otherwise(0)
+        ).alias("c0"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(
+            F.when(F.col("user_id") % 2 == 1, F.col("conv")).otherwise(0)
+        ).alias("c1"),
+    )
+    s = g
+    for alias, expr in _AB_STAGE1.items():
+        s = s.withColumn(alias, F.expr(expr))
+    return s.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round("rate0", 6).alias("rate0"),
+        F.round("rate1", 6).alias("rate1"),
+        F.round(F.col("rate1") - F.col("rate0"), 6).alias("lift"),
+        F.round(F.expr(_AB_Z), 6).alias("z"),
+    )
+
+
+def _ab_sql() -> str:
+    stage1 = ", ".join(f"{e} AS {a}" for a, e in _AB_STAGE1.items())
+    return f"""
+WITH fv AS (
+  SELECT user_id, min(ts) AS first_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+conv AS (
+  SELECT f.user_id,
+         max(CASE WHEN e.event_type = 'purchase' AND e.ts > f.first_view
+                   AND e.ts <= f.first_view + INTERVAL {_AB_WINDOW_HOURS} HOUR
+                  THEN 1 ELSE 0 END) AS conv
+  FROM fv f JOIN events e ON e.user_id = f.user_id
+  GROUP BY f.user_id),
+g AS (
+  SELECT SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+         SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)::BIGINT AS c0,
+         SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END)::BIGINT AS c1
+  FROM conv),
+s AS (SELECT g.*, {stage1} FROM g)
+SELECT n0, c0, n1, c1,
+       round(rate0, 6) AS rate0,
+       round(rate1, 6) AS rate1,
+       round(rate1 - rate0, 6) AS lift,
+       round({_AB_Z}, 6) AS z
+FROM s
+"""
+
+
 ANALYTICS_QUERIES = {
     "corr_matrix_lineitem": (corr_matrix_lineitem, _corr_sql()),
     "ols_price_model": (ols_price_model, _ols_sql()),
@@ -580,4 +689,5 @@ ANALYTICS_QUERIES = {
     "triangle_count_parts": (triangle_count_parts, _TRIANGLE_SQL),
     "copurchase_degree_hist": (copurchase_degree_hist, _DEGREE_SQL),
     "label_prop_communities": (label_prop_communities, _label_prop_sql()),
+    "ab_conversion_lift": (ab_conversion_lift, _ab_sql()),
 }

@@ -284,10 +284,174 @@ FROM d GROUP BY source
 """
 
 
+# ------------------------------------------------- PMI collocations
+#
+# Pointwise mutual information over adjacent token pairs — the classic
+# collocation detector ("new york" scores high, "of the" low).  All
+# counts are exact integers; PMI is ONE ln() on a ratio of exact-int
+# products, identical in both engines.  The top-40 cut is a
+# distributed TakeOrdered (partial top-k per partition, no global
+# sort), tie-broken on the pair text.
+
+_PMI_TOP = 40
+
+
+def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w1, w2, n_pair, pmi) — the 40 most frequent adjacent token
+    pairs with ln(P(w1,w2) / (P(w1)·P(w2)))."""
+    toks = F.filter(text._tokens(F.col("text")), lambda x: x != "")
+    base = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    pairs = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, n - 1),
+                F.slice("toks", 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = (
+        base.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = uni.agg(F.sum("cnt").alias("n_total"))
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    top = bg.orderBy(
+        F.col("n_pair").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(_PMI_TOP)
+    return (
+        top.join(
+            F.broadcast(uni.select(F.col("tok").alias("w1"), F.col("cnt").alias("c1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("w2"), F.col("cnt").alias("c2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") * F.col("n_total")).cast("double")
+                    / (F.col("c1") * F.col("c2")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def _pmi_sql() -> str:
+    from k_means_hadoop_spark.registry_pipeline import _TOKS
+
+    return f"""
+WITH t AS (SELECT doc_id, list_filter({_TOKS}, x -> x != '') AS toks FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> {{'w1': toks[i], 'w2': toks[i + 1]}}), recursive := true)
+  FROM t),
+uni AS (SELECT tok, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+n AS (SELECT sum(cnt)::BIGINT AS n_total FROM uni),
+bg AS (SELECT w1, w2, count(*)::BIGINT AS n_pair FROM pairs GROUP BY w1, w2
+       ORDER BY n_pair DESC, w1 ASC, w2 ASC LIMIT {_PMI_TOP})
+SELECT bg.w1, bg.w2, bg.n_pair,
+       round(ln(CAST(bg.n_pair * n.n_total AS DOUBLE)
+                / CAST(u1.cnt * u2.cnt AS DOUBLE)), 6) AS pmi
+FROM bg JOIN uni u1 ON u1.tok = bg.w1 JOIN uni u2 ON u2.tok = bg.w2 CROSS JOIN n
+"""
+
+
+# ------------------------------------------------- per-language regression
+#
+# Does quality correlate with document length, per language?  Exact
+# per-group simple regression: x = ln(n_chars) rounded to 6dp and
+# re-cast to DECIMAL(18,6) — the rounded double IS a 6dp decimal, so
+# the cast is lossless and the group sums are exact in both engines;
+# y = the (hash-verified, 6dp) quality score likewise.  The slope /
+# intercept formulas are shared literal text on the exact sums.
+
+_SLOPE_EXPR = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+_INTERCEPT_EXPR = "(sy - slope * sx) / n"
+
+
+def quality_length_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs, slope, intercept) — per-language least-squares
+    fit of quality on ln(n_chars)."""
+    docs = _docs(spark, sf_dir)
+    q = text.quality_scores(docs).select("doc_id", "quality")
+    d = (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(q, "doc_id")
+        .select(
+            "lang",
+            F.round(F.log(F.col("n_chars").cast("double")), 6)
+            .cast("decimal(18,6)")
+            .alias("x"),
+            F.col("quality").cast("decimal(12,6)").alias("y"),
+        )
+    )
+    sums = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("x").alias("sx_d"),
+        F.sum("y").alias("sy_d"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy_d"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx_d"),
+    )
+    s = sums.select(
+        "lang",
+        "nb",
+        F.col("nb").cast("double").alias("n"),
+        F.col("sx_d").cast("double").alias("sx"),
+        F.col("sy_d").cast("double").alias("sy"),
+        F.col("sxy_d").cast("double").alias("sxy"),
+        F.col("sxx_d").cast("double").alias("sxx"),
+    )
+    m = s.withColumn("slope", F.expr(_SLOPE_EXPR))
+    return m.select(
+        "lang",
+        F.col("nb").alias("n_docs"),
+        F.round("slope", 6).alias("slope"),
+        F.round(F.expr(_INTERCEPT_EXPR), 6).alias("intercept"),
+    )
+
+
+def _slopes_sql() -> str:
+    from k_means_hadoop_spark.registry_pipeline import _quality_sql
+
+    return f"""
+WITH q AS (SELECT doc_id, quality FROM ({_quality_sql()})),
+d AS (SELECT lang,
+             CAST(round(ln(CAST(n_chars AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+             CAST(quality AS DECIMAL(12,6)) AS y
+      FROM documents JOIN q USING (doc_id)),
+s0 AS (SELECT lang, count(*)::BIGINT AS nb,
+              SUM(x) AS sx_d, SUM(y) AS sy_d,
+              SUM(x * y) AS sxy_d, SUM(x * x) AS sxx_d
+       FROM d GROUP BY lang),
+s AS (SELECT lang, nb, CAST(nb AS DOUBLE) AS n,
+             CAST(sx_d AS DOUBLE) AS sx, CAST(sy_d AS DOUBLE) AS sy,
+             CAST(sxy_d AS DOUBLE) AS sxy, CAST(sxx_d AS DOUBLE) AS sxx
+      FROM s0),
+m AS (SELECT s.*, {_SLOPE_EXPR} AS slope FROM s)
+SELECT lang, nb AS n_docs,
+       round(slope, 6) AS slope,
+       round({_INTERCEPT_EXPR}, 6) AS intercept
+FROM m
+"""
+
+
 CORPUS_EXTRA_QUERIES = {
     "curriculum_schedule": (curriculum_schedule, _curriculum_sql()),
     "perplexity_buckets": (perplexity_buckets, _perplexity_sql()),
     "repeated_ngram_spans": (repeated_ngram_spans, _spans_sql()),
     "mad_outlier_docs": (mad_outlier_docs, _MAD_SQL),
     "dedup_rate_by_source": (dedup_rate_by_source, _DUP_RATE_SQL),
+    "pmi_bigrams": (pmi_bigrams, _pmi_sql()),
+    "quality_length_slopes": (quality_length_slopes, _slopes_sql()),
 }

@@ -758,6 +758,9 @@ _SCHEDULE: dict[str, dict] = {
     "repeated_ngram_spans": _row(defer=True),
     "mad_outlier_docs": _row(defer=True),
     "dedup_rate_by_source": _row(defer=True),
+    "pmi_bigrams": _row(defer=True),
+    "quality_length_slopes": _row(defer=True),
+    "ab_conversion_lift": _row(defer=True),
 }
 
 

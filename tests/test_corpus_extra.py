@@ -77,3 +77,74 @@ def test_dup_rate_engages_only_on_planted_sources(spark, sf_dir):
     # rate definition holds exactly
     recon = 1.0 - df["n_unique"] / df["n_docs"]
     assert (recon.round(6) == df["dup_rate"]).all()
+
+
+def test_pmi_matches_local_computation(spark, sf_dir):
+    import collections
+    import math
+
+    import numpy as np
+
+    docs = corpus_extra._docs(spark, sf_dir).select("text").toPandas()["text"]
+    uni: collections.Counter = collections.Counter()
+    bg: collections.Counter = collections.Counter()
+    for t in docs:
+        toks = [w for w in str(t).lower().strip().split() if w]
+        uni.update(toks)
+        bg.update(zip(toks, toks[1:]))
+    n_total = sum(uni.values())
+    top = sorted(bg.items(), key=lambda kv: (-kv[1], kv[0]))[: corpus_extra._PMI_TOP]
+    expect = {
+        (w1, w2): (c, round(math.log(c * n_total / (uni[w1] * uni[w2])), 6))
+        for (w1, w2), c in top
+    }
+    got = {
+        (r["w1"], r["w2"]): (r["n_pair"], r["pmi"])
+        for r in corpus_extra.pmi_bigrams(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k][0] == expect[k][0], k
+        assert got[k][1] == pytest.approx(expect[k][1], abs=2e-6), k
+
+
+def test_quality_length_slopes_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    rows = corpus_extra.quality_length_slopes(spark, sf_dir).collect()
+    docs = corpus_extra._docs(spark, sf_dir)
+    from k_means_hadoop_spark.operators import text as text_ops
+
+    q = text_ops.quality_scores(docs).select("doc_id", "quality")
+    d = (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(q, "doc_id")
+        .toPandas()
+    )
+    for r in rows:
+        sub = d[d.lang == r["lang"]]
+        x = np.round(np.log(sub["n_chars"].to_numpy(dtype=float)), 6)
+        y = sub["quality"].to_numpy(dtype=float)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert r["n_docs"] == len(sub)
+        assert r["slope"] == pytest.approx(slope, abs=1e-5), r["lang"]
+        assert r["intercept"] == pytest.approx(intercept, abs=1e-5), r["lang"]
+
+
+def test_ab_lift_reconstructs_from_counts(spark, sf_dir):
+    import math
+
+    r = corpus_extra  # noqa: F841  (module kept imported for symmetry)
+    from k_means_hadoop_spark.operators.analytics import ab_conversion_lift
+
+    row = ab_conversion_lift(spark, sf_dir).first()
+    n0, c0, n1, c1 = row["n0"], row["c0"], row["n1"], row["c1"]
+    assert n0 > 0 and n1 > 0, "both cohorts must exist at test scale"
+    assert 0 < c0 + c1 < n0 + n1, "conversion must be non-degenerate"
+    rate0, rate1 = c0 / n0, c1 / n1
+    pool = (c0 + c1) / (n0 + n1)
+    z = (rate1 - rate0) / math.sqrt(pool * (1 - pool) * (1 / n0 + 1 / n1))
+    assert row["rate0"] == pytest.approx(rate0, abs=1e-6)
+    assert row["rate1"] == pytest.approx(rate1, abs=1e-6)
+    assert row["lift"] == pytest.approx(rate1 - rate0, abs=1e-6)
+    assert row["z"] == pytest.approx(z, abs=1e-5)

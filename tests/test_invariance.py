@@ -60,6 +60,8 @@ CASES = [
     "label_prop_communities", # synchronous min-label rounds, per-round shuffles
     "curriculum_schedule",    # cumulative token budget over a global quality order
     "repeated_ngram_spans",   # gram-partitioned inverted-index pair counts
+    "pmi_bigrams",            # distributed top-k cut + broadcast unigram joins
+    "quality_length_slopes",  # exact per-group decimal Gram sums
 ]
 
 
