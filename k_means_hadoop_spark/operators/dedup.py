@@ -112,6 +112,83 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filtered_jaccard(
+    docs: DataFrame, n: int = 3, threshold: float = 0.7, text_col: str = "text"
+) -> DataFrame:
+    """(a_id, b_id, jaccard) — identical semantics (and registered
+    oracle) as ``ngram_jaccard_pairs``, computed by the PPJoin-style
+    PREFIX FILTER instead of the full inverted-index self-join.
+
+    Candidate generation joins only each document's prefix — its first
+    ``|x| − ⌈t·|x|⌉ + 1`` shingles in the global rarest-first order
+    (ascending document frequency, shingle text as tiebreak).  The
+    standard prefix-filtering theorem guarantees completeness: any pair
+    with Jaccard ≥ t shares at least one shingle inside both prefixes
+    under a consistent total order.  Verification then counts the FULL
+    intersection for surviving candidates only (cost Σ_cand |A|), so
+    the quadratic explosion moves from all co-occurring pairs to pairs
+    sharing a RARE shingle — the asymptotic win at 100 TB, where hot
+    boilerplate shingles dominate the full index's fan-out.
+
+    A pytest pins result-set equality with ``ngram_jaccard_pairs`` and
+    that the candidate set is strictly smaller than the full index's.
+    """
+    from pyspark.sql import Window
+
+    sh = shingle_table(docs, n, text_col)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("shingle").asc()
+    )
+    pref = (
+        sh.join(df_tbl, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(counts, "doc_id")
+        .where(
+            F.col("rn")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        .select("doc_id", "shingle")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingle").alias("s_a"))
+    sb = sh.select(F.col("doc_id").alias("b_id2"), F.col("shingle").alias("s_b"))
+    common = (
+        cand.join(sa, "a_id")
+        # equi hash join on BOTH keys (doc id + shingle): cost Σ_cand |A|,
+        # never the per-pair A×B cross a filter-after-join would make
+        .join(
+            sb,
+            (F.col("b_id") == F.col("b_id2")) & (F.col("s_a") == F.col("s_b")),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
+    jac = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    )
+    return (
+        common.join(ca, "a_id")
+        .join(cb, "b_id")
+        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """(doc_id, m0..m15) — MinHash signature: per-doc minimum of each
     universal hash over the shingle hashes.  One explode + one groupBy

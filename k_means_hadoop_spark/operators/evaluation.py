@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from k_means_hadoop_spark.functions.vector import euclidean as _euclidean
+
 
 def contingency(assignments: DataFrame, label_col: str = "label", cluster_col: str = "cluster") -> DataFrame:
     """(label, cluster, n) co-occurrence counts (A7's base aggregate)."""
@@ -84,3 +86,72 @@ def wssse(assignments: DataFrame, dist_col: str = "dist") -> float:
     telemetry; property tests assert it is non-increasing per iteration)."""
     row = assignments.agg(F.sum(F.col(dist_col) * F.col(dist_col)).alias("w")).first()
     return float(row["w"]) if row and row["w"] is not None else 0.0
+
+
+# ------------------------------------------------- silhouette (internal)
+#
+# The reference evaluates clusterings externally (Jaccard vs ground
+# truth, above); silhouette is the standard INTERNAL complement — it
+# needs no labels, only distances.  s(i) = (b−a)/max(a,b) with a =
+# mean distance to own cluster (excl. self), b = the smallest mean
+# distance to another cluster; singleton clusters define s = 0.
+#
+# All-pairs distances are O(n²): the registered query bounds ids (the
+# repo-standard fixture-safe cap; at production scale silhouette runs
+# on a uniform sample — the estimator is a mean, so a sample bound is
+# principled).  Determinism: each pairwise distance is ONE euclidean
+# fold (ascending-dim order, hash-proven equal to DuckDB list_distance
+# by f1_euclidean) rounded to 6dp and cast DECIMAL(18,6), so every
+# mean is a ratio of an exact decimal sum and an integer count, and
+# the s formula is shared literal text.
+
+SIL_MEAN = "CAST(sum_d AS DOUBLE) / cnt"
+SIL_S = (
+    "CASE WHEN a IS NULL OR b IS NULL THEN 0.0"
+    " WHEN greatest(a, b) = 0.0 THEN 0.0"
+    " ELSE (b - a) / greatest(a, b) END"
+)
+
+
+def silhouette_by_cluster(assigned: DataFrame) -> DataFrame:
+    """(cluster, n_points, mean_silhouette) from an assignment carrying
+    (id, cluster, features)."""
+    pts = assigned.select("id", "cluster", "features")
+    a, b = pts.alias("a"), pts.alias("b")
+    d = F.round(
+        _euclidean(F.col("a.features"), F.col("b.features")), 6
+    ).cast("decimal(18,6)")
+    grp = (
+        a.join(b, F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("i"),
+            F.col("a.cluster").alias("ci"),
+            F.col("b.cluster").alias("cj"),
+            d.alias("d"),
+        )
+        .groupBy("i", "ci", "cj")
+        .agg(F.sum("d").alias("sum_d"), F.count(F.lit(1)).alias("cnt"))
+    )
+    own = grp.where(F.col("ci") == F.col("cj")).select(
+        "i", F.expr(SIL_MEAN).alias("a")
+    )
+    oth = (
+        grp.where(F.col("ci") != F.col("cj"))
+        .select("i", "ci", F.expr(SIL_MEAN).alias("mean_j"))
+        .groupBy("i")
+        .agg(F.min("mean_j").alias("b"))
+    )
+    s = (
+        pts.select(F.col("id").alias("i"), "cluster")
+        .join(own, "i", "left")
+        .join(oth, "i", "left")
+        .withColumn("s", F.expr(SIL_S))
+    )
+    return s.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(
+            F.sum(F.round(F.col("s"), 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_silhouette"),
+    )

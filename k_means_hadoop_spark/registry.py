@@ -193,6 +193,54 @@ def q_c1_one_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reassigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
 
 
+_SIL_MAX_ID = 400  # fixture-safe all-pairs bound (sampled estimator at scale)
+
+
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Internal clustering quality: per-cluster mean silhouette over
+    the id-bounded point set under the I2-seeded assignment — the
+    label-free complement of the reference's external Jaccard
+    (``operators/evaluation.py`` module docstring).  Full value
+    oracle: every pairwise distance is rounded+DECIMAL'd before any
+    mean, and the s-formula is shared literal text (SIL_S)."""
+    from k_means_hadoop_spark.operators.evaluation import silhouette_by_cluster
+
+    pts = _points(spark, sf_dir).where(F.col("id") <= _SIL_MAX_ID)
+    return silhouette_by_cluster(assign_expr(pts, init_ids(pts, SEEDS)))
+
+
+def _silhouette_sql() -> str:
+    from k_means_hadoop_spark.operators.evaluation import SIL_MEAN, SIL_S
+
+    return f"""
+WITH pts AS (SELECT vec_id::INTEGER AS id, embedding::DOUBLE[] AS features
+             FROM embeddings WHERE vec_id <= {_SIL_MAX_ID}),
+cents AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INTEGER) AS cluster,
+                 features AS centroid
+          FROM pts WHERE id IN ({_SEEDS_SQL})),
+asg AS (SELECT id, cluster, features FROM (
+  SELECT p.id, p.features, c.cluster,
+         row_number() OVER (PARTITION BY p.id
+                            ORDER BY list_distance(p.features, c.centroid), c.cluster) AS rn
+  FROM pts p CROSS JOIN cents c) WHERE rn = 1),
+grp AS (
+  SELECT a.id AS i, a.cluster AS ci, b.cluster AS cj,
+         SUM(CAST(round(list_distance(a.features, b.features), 6) AS DECIMAL(18,6))) AS sum_d,
+         count(*)::BIGINT AS cnt
+  FROM asg a JOIN asg b ON a.id <> b.id
+  GROUP BY 1, 2, 3),
+own AS (SELECT i, {SIL_MEAN} AS a FROM grp WHERE ci = cj),
+oth AS (SELECT i, min(mean_j) AS b FROM (
+          SELECT i, {SIL_MEAN} AS mean_j FROM grp WHERE ci <> cj) GROUP BY i),
+s AS (SELECT p.id AS i, p.cluster, {SIL_S} AS s
+      FROM asg p LEFT JOIN own ON own.i = p.id LEFT JOIN oth ON oth.i = p.id)
+SELECT cluster, count(*)::BIGINT AS n_points,
+       round(CAST(SUM(CAST(round(s, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS mean_silhouette
+FROM s GROUP BY cluster
+"""
+
+
 def q_j3_comembership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: co-membership pair counts via self equi-join on cluster —
     the reference materializes n×n 0/1 matrices (KMeans.java:624-644);
@@ -507,6 +555,7 @@ ORACLES: dict[str, str] = {
     # Flagship value oracle: the registered query runs lloyd_kmeans with
     # max_iter=10; the oracle unrolls the identical 10 steps in DuckDB.
     "kmeans_lloyd": _lloyd_oracle_sql(10),
+    "silhouette_by_cluster": _silhouette_sql(),
     # I1: identical md5 rank on both sides (stable_hash64 ==
     # ('0x' || substr(md5(s),1,15))::BIGINT), id as the collision tiebreak.
     "kmeans_mllib": (
@@ -573,6 +622,7 @@ QUERIES: dict[str, QueryFn] = {
     "s3_centroid_wire_roundtrip": q_s3_centroid_wire_roundtrip,
     "s6_final_output_roundtrip": q_s6_final_output_roundtrip,
     "kmeans_lloyd": q_kmeans_lloyd,  # value oracle: 10-step unrolled CTE (C1-C5)
+    "silhouette_by_cluster": q_silhouette,  # value oracle: decimal-exact means
     "i1_init_random": q_i1_init_random,  # value oracle: portable md5 rank
     "kmeans_mllib": q_kmeans_mllib,  # r4: quality-contract oracle (WSSSE floor vs Lloyd)
 }
@@ -761,6 +811,8 @@ _SCHEDULE: dict[str, dict] = {
     "pmi_bigrams": _row(defer=True),
     "quality_length_slopes": _row(defer=True),
     "ab_conversion_lift": _row(defer=True),
+    "dedup_prefix_filter": _row(defer=True),
+    "silhouette_by_cluster": _row(defer=True),
 }
 
 

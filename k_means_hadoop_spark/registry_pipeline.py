@@ -281,6 +281,16 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=NGRAM_N, threshold=NGRAM_THRESHOLD)
 
 
+def q_dedup_prefix_filter(spark, sf_dir):
+    """PPJoin-style prefix-filtered set-similarity join, registered
+    against the SAME oracle as dedup_ngram_jaccard: a hash-match proves
+    the prefix filter loses no pair — two ALGORITHMS, one answer (the
+    pareto_front_parts pattern)."""
+    return dedup.prefix_filtered_jaccard(
+        _docs(spark, sf_dir), n=NGRAM_N, threshold=NGRAM_THRESHOLD
+    )
+
+
 def q_ngram_jaccard_capped(spark, sf_dir):
     """Scale-safe n-gram Jaccard: identical pipeline with the
     stop-shingle document-frequency cap engaged — hot shingles are
@@ -2671,6 +2681,8 @@ PIPELINE_ORACLES: dict[str, str] = {
         "count(*)::BIGINT AS n_copies FROM documents GROUP BY md5(text)"
     ),
     "dedup_ngram_jaccard": _ngram_jaccard_sql(NGRAM_N, NGRAM_THRESHOLD),
+    # deliberately the SAME oracle: prefix filtering must be lossless
+    "dedup_prefix_filter": _ngram_jaccard_sql(NGRAM_N, NGRAM_THRESHOLD),
     "dedup_incremental": _incremental_sql(
         NGRAM_N, NGRAM_THRESHOLD, INCR_BATCH_MOD, INCR_BATCH_REM
     ),
@@ -2769,6 +2781,7 @@ PIPELINE_QUERIES = {
     "streaming_kmeans_foreachbatch": q_streaming_kmeans_foreachbatch,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_prefix_filter": q_dedup_prefix_filter,
     "dedup_ngram_jaccard_capped": q_ngram_jaccard_capped,
     "dedup_simhash_banded": q_simhash_banded,
     "dedup_embedding_bucketed": q_embedding_bucketed,

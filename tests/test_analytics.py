@@ -205,3 +205,97 @@ def test_corr_plan_is_single_scan_single_agg(spark, sf_dir):
 def test_pareto_plan_broadcasts_frontier(spark, sf_dir):
     plan = analytics.pareto_front_parts(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_prefix_filter_equals_inverted_index(spark, sf_dir):
+    """The PPJoin prefix filter must lose no pair and must prune the
+    candidate space vs the full inverted-index join."""
+    from k_means_hadoop_spark.operators import dedup
+    from k_means_hadoop_spark.registry_pipeline import NGRAM_N, NGRAM_THRESHOLD, _docs
+
+    docs = _docs(spark, sf_dir)
+    full = sorted(
+        tuple(r)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, n=NGRAM_N, threshold=NGRAM_THRESHOLD
+        ).collect()
+    )
+    pref = sorted(
+        tuple(r)
+        for r in dedup.prefix_filtered_jaccard(
+            docs, n=NGRAM_N, threshold=NGRAM_THRESHOLD
+        ).collect()
+    )
+    assert pref == full
+    assert full, "fixture must contain near-dup pairs (vacuity guard)"
+    # candidate pruning: pairs sharing >=1 PREFIX shingle must be fewer
+    # than pairs sharing >=1 shingle at all
+    from pyspark.sql import functions as F
+
+    sh = dedup.shingle_table(docs, NGRAM_N)
+    a, b = sh.alias("a"), sh.alias("b")
+    full_cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    prefix = (
+        sh.join(df_tbl, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(counts, "doc_id")
+        .where(F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(NGRAM_THRESHOLD) * F.col("n_sh")) + 1)
+        .select("doc_id", "shingle")
+    )
+    pa, pb = prefix.alias("a"), prefix.alias("b")
+    pref_cand = (
+        pa.join(
+            pb,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id"), F.col("b.doc_id"))
+        .distinct()
+        .count()
+    )
+    assert pref_cand < full_cand, (pref_cand, full_cand)
+
+
+def test_silhouette_matches_numpy(spark, sf_dir):
+    from k_means_hadoop_spark.registry import q_silhouette, _SIL_MAX_ID, SEEDS, _points
+    from k_means_hadoop_spark.operators.assign import assign_expr
+    from k_means_hadoop_spark.operators.kmeans import init_ids
+
+    got = {
+        r["cluster"]: (r["n_points"], r["mean_silhouette"])
+        for r in q_silhouette(spark, sf_dir).collect()
+    }
+    pts = _points(spark, sf_dir).where(f"id <= {_SIL_MAX_ID}")
+    asg = assign_expr(pts, init_ids(pts, SEEDS)).select("id", "cluster", "features").toPandas()
+    X = np.array(asg["features"].tolist())
+    lab = asg["cluster"].to_numpy()
+    D = np.round(np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)), 6)
+    s_vals: dict[int, list[float]] = {}
+    for i in range(len(X)):
+        own = lab == lab[i]
+        own[i] = False
+        a = D[i][own].mean() if own.any() else None
+        bs = [D[i][lab == c].mean() for c in set(lab) if c != lab[i] and (lab == c).any()]
+        b = min(bs) if bs else None
+        s = 0.0 if a is None or b is None else (b - a) / max(a, b) if max(a, b) > 0 else 0.0
+        s_vals.setdefault(int(lab[i]), []).append(s)
+    for c, vals in s_vals.items():
+        n, mean_s = got[c]
+        assert n == len(vals)
+        assert mean_s == pytest.approx(float(np.mean(vals)), abs=2e-6), c
+    # non-vacuity: a sane clustering has positive mean silhouette somewhere
+    assert any(v[1] > 0 for v in got.values())

@@ -62,6 +62,8 @@ CASES = [
     "repeated_ngram_spans",   # gram-partitioned inverted-index pair counts
     "pmi_bigrams",            # distributed top-k cut + broadcast unigram joins
     "quality_length_slopes",  # exact per-group decimal Gram sums
+    "dedup_prefix_filter",    # rarest-first prefix rank must not depend on partitioning
+    "silhouette_by_cluster",  # decimal-exact distance means over all pairs
 ]
 
 
