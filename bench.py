@@ -111,6 +111,21 @@ HEADLINE = [
     "pagerank_copurchase",
     "bm25_search",
     "hybrid_retrieval",
+    # round 4d: one-scan statistics (corr matrix / OLS — the minimal
+    # moment-reduce plans), the window skyline, graph analytics
+    # (triangles + label propagation), the PPJoin prefix filter vs the
+    # inverted index it must match, the all-pairs silhouette, and the
+    # curriculum/PMI corpus passes.
+    "corr_matrix_lineitem",
+    "ols_price_model",
+    "pareto_front_parts",
+    "triangle_count_parts",
+    "label_prop_communities",
+    "dedup_prefix_filter",
+    "silhouette_by_cluster",
+    "curriculum_schedule",
+    "pmi_bigrams",
+    "ab_conversion_lift",
 ]
 
 
