@@ -1,0 +1,268 @@
+"""Deterministic probabilistic-sketch operators with FULL value oracles.
+
+The registry's other sketch entries (HLL, approx percentile/top-k,
+MLlib MinHash) carry contract oracles because their registers are
+engine-internal.  These two are built from the repo's portable hash
+(``stable_hash64`` — md5-based, bit-identical in DuckDB), so every
+register value is reproducible cross-engine and the driver hash checks
+the SKETCH ITSELF, not just a tolerance envelope:
+
+- Count-Min: d×w integer counter matrix over the event stream;
+  estimate(u) = min_i counters[i][h_i(u)].  Overestimate-only is a
+  theorem (each counter sums a superset of u's events) — pinned by
+  test AND visible in the output as ``over = est - exact ≥ 0``.
+- Bloom: m-bit membership filter over customer keys probed with a
+  half-members/half-nonmembers id set; zero false negatives is the
+  structural guarantee, the false-positive count is the measured rate.
+
+Both sketches are pure groupBy/join plans: counters are built with ONE
+map-side-combinable aggregation over d·N hash rows, probes join the
+(tiny, broadcast) counter table.  At 100 TB the counter matrix is the
+mergeable per-partition state CMS exists for — w·d integers per
+executor, merged by addition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k_means_hadoop_spark.functions.hashing import stable_hash64, stable_hash64_sql
+
+CMS_D = 4
+# w=16 is the FIXTURE-scale width: small enough that the 15-user sf0.001
+# corpus still produces all-rows collisions (the overestimate path must
+# engage at test scale to be tested at all); production sizes w = e/eps.
+CMS_W = 16
+BLOOM_M_PER_KEY = 4  # m = 4·n_keys → load k/4, fp ≈ (1−e^{-3/4})³ ≈ 15%
+BLOOM_K = 3
+BLOOM_PROBE_N = 300
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from k_means_hadoop_spark.sources.events import load_events
+
+    return load_events(spark, sf_dir)
+
+
+def _cms_key(i: int, col: str) -> F.Column:
+    return F.concat(F.lit(f"cms{i}:"), F.col(col).cast("string"))
+
+
+def _cms_key_sql(i: int, expr: str) -> str:
+    return f"('cms{i}:' || {expr}::VARCHAR)"
+
+
+def cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, exact, est, over) — per-user event counts, exact vs
+    the Count-Min estimate from a d={d}, w={w} sketch.""".format(
+        d=CMS_D, w=CMS_W
+    )
+    ev = _events(spark, sf_dir).select("user_id")
+    rows = ev.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (stable_hash64(_cms_key(i, "user_id")) % CMS_W).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("hb"),
+    ).select("user_id", "hb.i", "hb.bucket")
+    counters = rows.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    probe = exact.select(
+        "user_id",
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (stable_hash64(_cms_key(i, "user_id")) % CMS_W).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("hb"),
+    ).select("user_id", "exact", "hb.i", "hb.bucket")
+    return (
+        probe.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("user_id", "exact")
+        .agg(F.min("cnt").alias("est"))
+        .select(
+            "user_id",
+            "exact",
+            "est",
+            (F.col("est") - F.col("exact")).alias("over"),
+        )
+    )
+
+
+def _cms_sql() -> str:
+    hash_rows = " UNION ALL ".join(
+        f"SELECT user_id, {i} AS i, "
+        f"{stable_hash64_sql(_cms_key_sql(i, 'user_id'))} % {CMS_W} AS bucket "
+        "FROM events"
+        for i in range(CMS_D)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT user_id, exact, {i} AS i, "
+        f"{stable_hash64_sql(_cms_key_sql(i, 'user_id'))} % {CMS_W} AS bucket "
+        "FROM exact"
+        for i in range(CMS_D)
+    )
+    return f"""
+WITH rows_h AS ({hash_rows}),
+counters AS (SELECT i, bucket, count(*)::BIGINT AS cnt FROM rows_h GROUP BY 1, 2),
+exact AS (SELECT user_id, count(*)::BIGINT AS exact FROM events GROUP BY user_id),
+probe AS ({probe_rows}),
+est AS (
+  SELECT p.user_id, p.exact, min(c.cnt)::BIGINT AS est
+  FROM probe p JOIN counters c ON c.i = p.i AND c.bucket = p.bucket
+  GROUP BY 1, 2)
+SELECT user_id, exact, est, (est - exact)::BIGINT AS over FROM est
+"""
+
+
+def _bloom_key(j: int, col: str) -> F.Column:
+    return F.concat(F.lit(f"bloom{j}:"), F.col(col).cast("string"))
+
+
+def _bloom_key_sql(j: int, expr: str) -> str:
+    return f"('bloom{j}:' || {expr}::VARCHAR)"
+
+
+def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_members, n_nonmembers, false_positives,
+    false_negatives) — a Bloom filter sized m = {c}·n_keys (constant
+    k/{c} load at EVERY corpus size — the sizing rule a production
+    filter uses), k={k} hashes, built over ALL customer keys and
+    probed with up to {p} known members and as many known non-members
+    (ids beyond max(c_custkey)).  false_negatives = 0 is the Bloom
+    guarantee; false_positives is the measured rate (~15% by design,
+    so the exhibit never goes vacuous or saturated).""".format(
+        c=BLOOM_M_PER_KEY, k=BLOOM_K, p=BLOOM_PROBE_N
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    m_df = cust.agg((F.count(F.lit(1)) * BLOOM_M_PER_KEY).alias("m"))
+    bits = (
+        cust.crossJoin(F.broadcast(m_df))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        (stable_hash64(_bloom_key(j, "c_custkey")) % F.col("m")).alias(
+                            "b"
+                        )
+                        for j in range(BLOOM_K)
+                    ]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    max_key = cust.agg(F.max("c_custkey").alias("mx"))
+    members = cust.where(F.col("c_custkey") < BLOOM_PROBE_N).select(
+        F.col("c_custkey").alias("probe"), F.lit(1).alias("is_member")
+    )
+    nonmembers = (
+        cust.where(F.col("c_custkey") < BLOOM_PROBE_N)
+        .crossJoin(F.broadcast(max_key))
+        .select(
+            (F.col("c_custkey") + F.col("mx") + F.lit(1)).alias("probe"),
+            F.lit(0).alias("is_member"),
+        )
+    )
+    probes = members.unionByName(nonmembers)
+    probe_bits = probes.crossJoin(F.broadcast(m_df)).select(
+        "probe",
+        "is_member",
+        F.explode(
+            F.array(
+                *[
+                    (stable_hash64(_bloom_key(j, "probe")) % F.col("m")).alias("b")
+                    for j in range(BLOOM_K)
+                ]
+            )
+        ).alias("bit"),
+    )
+    hits = (
+        probe_bits.join(
+            F.broadcast(bits.withColumn("set_", F.lit(1))), "bit", "left"
+        )
+        .groupBy("probe", "is_member")
+        .agg(
+            (F.count(F.lit(1)) == F.sum(F.coalesce(F.col("set_"), F.lit(0))))
+            .cast("int")
+            .alias("positive")
+        )
+    )
+    return hits.agg(
+        F.sum("is_member").cast("bigint").alias("n_members"),
+        F.sum(1 - F.col("is_member")).cast("bigint").alias("n_nonmembers"),
+        F.sum(
+            F.when((F.col("is_member") == 0) & (F.col("positive") == 1), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("false_positives"),
+        F.sum(
+            F.when((F.col("is_member") == 1) & (F.col("positive") == 0), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("false_negatives"),
+    )
+
+
+def _bloom_sql() -> str:
+    bit_rows = " UNION ALL ".join(
+        f"SELECT {stable_hash64_sql(_bloom_key_sql(j, 'c_custkey'))} % mm.m AS bit "
+        "FROM customer CROSS JOIN mm"
+        for j in range(BLOOM_K)
+    )
+    probe_bit_rows = " UNION ALL ".join(
+        f"SELECT probe, is_member, "
+        f"{stable_hash64_sql(_bloom_key_sql(j, 'probe'))} % mm.m AS bit "
+        "FROM probes CROSS JOIN mm"
+        for j in range(BLOOM_K)
+    )
+    return f"""
+WITH mm AS (SELECT (count(*) * {BLOOM_M_PER_KEY})::BIGINT AS m FROM customer),
+bits AS (SELECT DISTINCT bit FROM ({bit_rows})),
+mx AS (SELECT max(c_custkey) AS mx FROM customer),
+probes AS (
+  SELECT c_custkey AS probe, 1 AS is_member FROM customer
+  WHERE c_custkey < {BLOOM_PROBE_N}
+  UNION ALL
+  SELECT c_custkey + mx.mx + 1, 0 FROM customer CROSS JOIN mx
+  WHERE c_custkey < {BLOOM_PROBE_N}),
+pb AS ({probe_bit_rows}),
+hits AS (
+  SELECT p.probe, p.is_member,
+         CAST(count(*) = SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS positive
+  FROM pb p LEFT JOIN bits b ON b.bit = p.bit
+  GROUP BY 1, 2)
+SELECT SUM(is_member)::BIGINT AS n_members,
+       SUM(1 - is_member)::BIGINT AS n_nonmembers,
+       SUM(CASE WHEN is_member = 0 AND positive = 1 THEN 1 ELSE 0 END)::BIGINT AS false_positives,
+       SUM(CASE WHEN is_member = 1 AND positive = 0 THEN 1 ELSE 0 END)::BIGINT AS false_negatives
+FROM hits
+"""
+
+
+SKETCH_QUERIES = {
+    "cms_event_counts": (cms_event_counts, _cms_sql()),
+    "bloom_membership_audit": (bloom_membership_audit, _bloom_sql()),
+}

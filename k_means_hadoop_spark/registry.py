@@ -585,6 +585,7 @@ ORACLES: dict[str, str] = {
 
 from k_means_hadoop_spark.operators.analytics import ANALYTICS_QUERIES
 from k_means_hadoop_spark.operators.corpus_extra import CORPUS_EXTRA_QUERIES
+from k_means_hadoop_spark.operators.sketches import SKETCH_QUERIES
 from k_means_hadoop_spark.operators.curation import CURATION_QUERIES, CURATION_ROWS_ONLY
 from k_means_hadoop_spark.operators.relational import RELATIONAL_QUERIES, RELATIONAL_ROWS_ONLY
 from k_means_hadoop_spark.operators.tpch_extra import TPCH_EXTRA_QUERIES
@@ -596,6 +597,7 @@ for _name, (_fn, _sql) in {
     **CURATION_QUERIES,
     **ANALYTICS_QUERIES,
     **CORPUS_EXTRA_QUERIES,
+    **SKETCH_QUERIES,
 }.items():
     ORACLES[_name] = _sql
 
@@ -632,6 +634,7 @@ QUERIES.update({name: fn for name, (fn, _sql) in TPCH_EXTRA_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in CURATION_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in ANALYTICS_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in CORPUS_EXTRA_QUERIES.items()})
+QUERIES.update({name: fn for name, (fn, _sql) in SKETCH_QUERIES.items()})
 QUERIES.update(RELATIONAL_ROWS_ONLY)
 QUERIES.update(CURATION_ROWS_ONLY)
 QUERIES.update(PIPELINE_QUERIES)
@@ -813,6 +816,8 @@ _SCHEDULE: dict[str, dict] = {
     "ab_conversion_lift": _row(defer=True),
     "dedup_prefix_filter": _row(defer=True),
     "silhouette_by_cluster": _row(defer=True),
+    "cms_event_counts": _row(defer=True),
+    "bloom_membership_audit": _row(defer=True),
 }
 
 

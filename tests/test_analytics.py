@@ -299,3 +299,25 @@ def test_silhouette_matches_numpy(spark, sf_dir):
         assert mean_s == pytest.approx(float(np.mean(vals)), abs=2e-6), c
     # non-vacuity: a sane clustering has positive mean silhouette somewhere
     assert any(v[1] > 0 for v in got.values())
+
+
+def test_cms_overestimates_only_and_collides(spark, sf_dir):
+    from k_means_hadoop_spark.operators.sketches import cms_event_counts
+
+    df = cms_event_counts(spark, sf_dir).toPandas()
+    assert (df["over"] >= 0).all(), "CMS must never underestimate"
+    assert (df["est"] - df["exact"] == df["over"]).all()
+    # with |users| >> w the sketch must actually collide somewhere,
+    # otherwise the estimate path is untested
+    assert (df["over"] > 0).any(), "no collision engaged — sketch vacuous"
+
+
+def test_bloom_guarantees(spark, sf_dir):
+    from k_means_hadoop_spark.operators.sketches import bloom_membership_audit
+
+    row = bloom_membership_audit(spark, sf_dir).first()
+    assert row["false_negatives"] == 0, "Bloom must never miss a member"
+    assert row["n_members"] == row["n_nonmembers"] > 0
+    assert 0 < row["false_positives"] < row["n_nonmembers"], (
+        "fp rate must be engaged but not saturated"
+    )

@@ -64,6 +64,7 @@ CASES = [
     "quality_length_slopes",  # exact per-group decimal Gram sums
     "dedup_prefix_filter",    # rarest-first prefix rank must not depend on partitioning
     "silhouette_by_cluster",  # decimal-exact distance means over all pairs
+    "cms_event_counts",       # integer counter matrix + min-probe
 ]
 
 
