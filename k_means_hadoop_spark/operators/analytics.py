@@ -680,6 +680,210 @@ FROM s
 """
 
 
+# ------------------------------------------------- data-quality battery
+#
+# A deequ-style expectation suite: each check is (name, n_checked,
+# n_violations), all exact integers.  One scan per table computes that
+# table's checks as conditional sums (no per-check re-scan); the
+# referential check is one anti-join count.  The battery deliberately
+# mixes checks the fixture PASSES (range/null/pk — 0 violations) with
+# checks it VIOLATES (a 1995-2000 date window the 2001 orders break,
+# a non-negative balance rule ~9% of customers break), so both result
+# classes are driver-hash-verified.
+
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(check_name, n_checked, n_violations) — the data-quality
+    expectation battery over lineitem / orders / customer."""
+    li = _t(spark, sf_dir, "lineitem")
+    li_checks = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+            ).otherwise(0)
+        ).alias("v_qty"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1
+            ).otherwise(0)
+        ).alias("v_disc"),
+        F.sum(
+            F.when(
+                F.col("l_orderkey").isNull()
+                | F.col("l_partkey").isNull()
+                | F.col("l_suppkey").isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("v_null"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lineitem_quantity_range").alias("check_name"),
+                    F.col("n").alias("n_checked"),
+                    F.col("v_qty").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("lineitem_discount_range").alias("check_name"),
+                    F.col("n").alias("n_checked"),
+                    F.col("v_disc").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("lineitem_null_keys").alias("check_name"),
+                    F.col("n").alias("n_checked"),
+                    F.col("v_null").alias("n_violations"),
+                ),
+            )
+        ).alias("kv")
+    ).select("kv.*")
+    o = _t(spark, sf_dir, "orders")
+    o_checks = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_pk"),
+        F.sum(
+            F.when(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"), 1)
+            .otherwise(0)
+        ).alias("v_date"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("orders_pk_unique").alias("check_name"),
+                    F.col("n").alias("n_checked"),
+                    F.col("v_pk").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("orders_date_window_1995_2000").alias("check_name"),
+                    F.col("n").alias("n_checked"),
+                    F.col("v_date").alias("n_violations"),
+                ),
+            )
+        ).alias("kv")
+    ).select("kv.*")
+    c = _t(spark, sf_dir, "customer")
+    c_checks = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0)).alias("v_bal"),
+    ).select(
+        F.lit("customer_acctbal_nonneg").alias("check_name"),
+        F.col("n").alias("n_checked"),
+        F.col("v_bal").alias("n_violations"),
+    )
+    orphan = (
+        li.select("l_orderkey")
+        .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .crossJoin(F.broadcast(li.agg(F.count(F.lit(1)).alias("n_checked"))))
+        .select(
+            F.lit("lineitem_orphan_orderkeys").alias("check_name"),
+            "n_checked",
+            "n_violations",
+        )
+    )
+    return li_checks.unionByName(o_checks).unionByName(c_checks).unionByName(orphan)
+
+
+_DQ_SQL = """
+WITH li AS (
+  SELECT count(*)::BIGINT AS n,
+         SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)::BIGINT AS v_qty,
+         SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END)::BIGINT AS v_disc,
+         SUM(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL OR l_suppkey IS NULL
+                  THEN 1 ELSE 0 END)::BIGINT AS v_null
+  FROM lineitem),
+o AS (
+  SELECT count(*)::BIGINT AS n,
+         (count(*) - count(DISTINCT o_orderkey))::BIGINT AS v_pk,
+         SUM(CASE WHEN o_orderdate >= TIMESTAMP '2001-01-01' THEN 1 ELSE 0 END)::BIGINT AS v_date
+  FROM orders),
+c AS (
+  SELECT count(*)::BIGINT AS n,
+         SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)::BIGINT AS v_bal
+  FROM customer),
+orphan AS (
+  SELECT (SELECT count(*)::BIGINT FROM lineitem) AS n,
+         count(*)::BIGINT AS v
+  FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders oo WHERE oo.o_orderkey = l.l_orderkey))
+SELECT 'lineitem_quantity_range' AS check_name, n AS n_checked, v_qty AS n_violations FROM li
+UNION ALL SELECT 'lineitem_discount_range', n, v_disc FROM li
+UNION ALL SELECT 'lineitem_null_keys', n, v_null FROM li
+UNION ALL SELECT 'orders_pk_unique', n, v_pk FROM o
+UNION ALL SELECT 'orders_date_window_1995_2000', n, v_date FROM o
+UNION ALL SELECT 'customer_acctbal_nonneg', n, v_bal FROM c
+UNION ALL SELECT 'lineitem_orphan_orderkeys', n, v FROM orphan
+"""
+
+
+# ------------------------------------------------- BFS levels
+#
+# Hop distance from the graph's minimum node id, 4 synchronous rounds
+# of the min-plus recurrence d_{i+1}(v) = min(d_i(v), min_{u~v} d_i(u)
+# + 1) — the tropical-semiring sibling of the min-label propagation
+# above, with the same unrolled-CTE exact oracle.  Only nodes reached
+# within 4 hops are emitted.
+
+_BFS_ITERS = 4
+
+
+def bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part, dist) — BFS hop distance (≤ 4) from the minimum part id
+    of the bounded co-purchase graph."""
+    e = _copurchase_edges(spark, sf_dir).cache()
+    nbrs = e.unionAll(e.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
+    nodes = nbrs.select(F.col("pa").alias("part")).distinct()
+    src = nodes.agg(F.min("part").alias("src"))
+    labels = nodes.crossJoin(F.broadcast(src)).select(
+        "part",
+        F.when(F.col("part") == F.col("src"), F.lit(0))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("dist"),
+    )
+    nbrs = nbrs.cache()
+    for _ in range(_BFS_ITERS):
+        relax = (
+            labels.where(F.col("dist").isNotNull())
+            .join(nbrs, labels.part == nbrs.pa)
+            .groupBy(F.col("pb").alias("part"))
+            .agg((F.min("dist") + F.lit(1)).alias("via"))
+        )
+        labels = labels.join(relax, "part", "left").select(
+            "part", F.least(F.col("dist"), F.col("via")).alias("dist")
+        )
+        # node-sized table; truncating lineage per round keeps Catalyst
+        # analysis flat instead of doubling per iteration (the
+        # lloyd_kmeans pattern) — measured 3-8× on the fixture
+        labels = labels.localCheckpoint(eager=True)
+    return labels.where(F.col("dist").isNotNull()).select(
+        "part", F.col("dist").cast("int").alias("dist")
+    )
+
+
+def _bfs_sql() -> str:
+    parts = [
+        _EDGES_CTE.strip()
+        + """,
+nbrs AS (SELECT pa, pb FROM e UNION ALL SELECT pb, pa FROM e),
+nodes AS (SELECT DISTINCT pa AS part FROM nbrs),
+src AS (SELECT min(part) AS src FROM nodes),
+l0 AS (SELECT part, CASE WHEN part = src.src THEN 0 END AS dist
+       FROM nodes CROSS JOIN src)"""
+    ]
+    for i in range(1, _BFS_ITERS + 1):
+        parts.append(
+            f"""r{i} AS (SELECT b.pb AS part, min(l.dist) + 1 AS via
+  FROM l{i - 1} l JOIN nbrs b ON b.pa = l.part
+  WHERE l.dist IS NOT NULL GROUP BY b.pb),
+l{i} AS (SELECT l.part, least(l.dist, r.via) AS dist
+  FROM l{i - 1} l LEFT JOIN r{i} r ON r.part = l.part)"""
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT part, dist::INTEGER AS dist FROM l{_BFS_ITERS} WHERE dist IS NOT NULL"
+    )
+
+
 ANALYTICS_QUERIES = {
     "corr_matrix_lineitem": (corr_matrix_lineitem, _corr_sql()),
     "ols_price_model": (ols_price_model, _ols_sql()),
@@ -690,4 +894,6 @@ ANALYTICS_QUERIES = {
     "copurchase_degree_hist": (copurchase_degree_hist, _DEGREE_SQL),
     "label_prop_communities": (label_prop_communities, _label_prop_sql()),
     "ab_conversion_lift": (ab_conversion_lift, _ab_sql()),
+    "dq_expectations": (dq_expectations, _DQ_SQL),
+    "bfs_levels": (bfs_levels, _bfs_sql()),
 }

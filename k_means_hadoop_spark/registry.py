@@ -818,6 +818,8 @@ _SCHEDULE: dict[str, dict] = {
     "silhouette_by_cluster": _row(defer=True),
     "cms_event_counts": _row(defer=True),
     "bloom_membership_audit": _row(defer=True),
+    "dq_expectations": _row(defer=True),
+    "bfs_levels": _row(defer=True),
 }
 
 

@@ -321,3 +321,45 @@ def test_bloom_guarantees(spark, sf_dir):
     assert 0 < row["false_positives"] < row["n_nonmembers"], (
         "fp rate must be engaged but not saturated"
     )
+
+
+def test_bfs_matches_local_bfs(spark, sf_dir):
+    from collections import deque
+
+    from k_means_hadoop_spark.operators.analytics import _BFS_ITERS, bfs_levels, _copurchase_edges
+
+    edges = [(r["pa"], r["pb"]) for r in _copurchase_edges(spark, sf_dir).collect()]
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    src = min(adj)
+    dist = {src: 0}
+    q = deque([src])
+    while q:
+        u = q.popleft()
+        if dist[u] >= _BFS_ITERS:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    got = {r["part"]: r["dist"] for r in bfs_levels(spark, sf_dir).collect()}
+    assert got == dist
+    assert len(set(dist.values())) > 2, "graph must have multi-hop depth (vacuity guard)"
+
+
+def test_dq_battery_has_both_result_classes(spark, sf_dir):
+    from k_means_hadoop_spark.operators.analytics import dq_expectations
+
+    rows = {r["check_name"]: r for r in dq_expectations(spark, sf_dir).collect()}
+    assert len(rows) == 7
+    clean = {k for k, r in rows.items() if r["n_violations"] == 0}
+    dirty = {k for k, r in rows.items() if r["n_violations"] > 0}
+    # the fixture passes the range/null/pk/referential checks...
+    assert {"lineitem_quantity_range", "lineitem_null_keys",
+            "orders_pk_unique", "lineitem_orphan_orderkeys"} <= clean
+    # ...and genuinely violates the date-window and balance rules
+    assert {"orders_date_window_1995_2000", "customer_acctbal_nonneg"} <= dirty
+    for r in rows.values():
+        assert 0 <= r["n_violations"] <= r["n_checked"]

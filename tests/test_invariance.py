@@ -65,6 +65,7 @@ CASES = [
     "dedup_prefix_filter",    # rarest-first prefix rank must not depend on partitioning
     "silhouette_by_cluster",  # decimal-exact distance means over all pairs
     "cms_event_counts",       # integer counter matrix + min-probe
+    "bfs_levels",             # min-plus rounds with per-round checkpoints
 ]
 
 
