@@ -266,3 +266,112 @@ SKETCH_QUERIES = {
     "cms_event_counts": (cms_event_counts, _cms_sql()),
     "bloom_membership_audit": (bloom_membership_audit, _bloom_sql()),
 }
+
+
+def cms_event_counts_streaming(
+    spark: SparkSession, sf_dir: str, store_path: str | None = None
+) -> DataFrame:
+    """The SAME Count-Min result as ``cms_event_counts``, built by
+    MERGING per-micro-batch counter partials across a real multi-batch
+    Structured Streaming drain — the property CMS exists for: counters
+    merge by ADDITION, so the stream-of-partials equals the one-shot
+    batch sketch exactly, and the entry registers against the SAME
+    oracle (``_cms_sql``) to prove it.
+
+    Shape: the event stream (4 source files, maxFilesPerTrigger=1 → 4
+    micro-batches) runs ``foreachBatch``; each batch writes its OWN
+    (i, bucket, cnt) partial into a batch_id-partitioned store
+    (overwrite-by-partition → idempotent under micro-batch retry, the
+    repo's streaming-sink convention); the merged counters are one
+    grouped SUM over the store.  At scale this is exactly the
+    per-executor-partial + merge topology the batch aggregate already
+    uses, made durable across time."""
+    import uuid
+
+    from k_means_hadoop_spark.session import scratch_dir
+
+    src = scratch_dir("cms_src")
+    store = store_path or scratch_dir("cms_store")
+    ev = _events(spark, sf_dir).select("user_id")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    def _hash_rows(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            (stable_hash64(_cms_key(i, "user_id")) % CMS_W).alias(
+                                "bucket"
+                            ),
+                        )
+                        for i in range(CMS_D)
+                    ]
+                )
+            ).alias("hb")
+        ).select("hb.i", "hb.bucket")
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = (
+            _hash_rows(batch_df)
+            .groupBy("i", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            partial.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(store)
+        )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", scratch_dir("cms_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counters = (
+        spark.read.parquet(store)
+        .groupBy("i", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    probe = exact.select(
+        "user_id",
+        "exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (stable_hash64(_cms_key(i, "user_id")) % CMS_W).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("hb"),
+    ).select("user_id", "exact", "hb.i", "hb.bucket")
+    return (
+        probe.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("user_id", "exact")
+        .agg(F.min("cnt").cast("bigint").alias("est"))
+        .select(
+            "user_id",
+            "exact",
+            "est",
+            (F.col("est") - F.col("exact")).alias("over"),
+        )
+    )
+
+
+SKETCH_QUERIES["streaming_cms_counts"] = (cms_event_counts_streaming, _cms_sql())

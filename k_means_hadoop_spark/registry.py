@@ -820,6 +820,7 @@ _SCHEDULE: dict[str, dict] = {
     "bloom_membership_audit": _row(defer=True),
     "dq_expectations": _row(defer=True),
     "bfs_levels": _row(defer=True),
+    "streaming_cms_counts": _row(defer=True),
 }
 
 

@@ -363,3 +363,26 @@ def test_dq_battery_has_both_result_classes(spark, sf_dir):
     assert {"orders_date_window_1995_2000", "customer_acctbal_nonneg"} <= dirty
     for r in rows.values():
         assert 0 <= r["n_violations"] <= r["n_checked"]
+
+
+def test_streaming_cms_merges_multiple_batches(spark, sf_dir):
+    """The stream must actually produce >1 micro-batch partial (else
+    the merge path is untested) and equal the one-shot batch sketch."""
+    from k_means_hadoop_spark.operators.sketches import (
+        cms_event_counts,
+        cms_event_counts_streaming,
+    )
+
+    from k_means_hadoop_spark.session import scratch_dir
+
+    store = scratch_dir("cms_store_test")
+    batch = sorted(tuple(r) for r in cms_event_counts(spark, sf_dir).collect())
+    streamed = sorted(
+        tuple(r)
+        for r in cms_event_counts_streaming(spark, sf_dir, store_path=store).collect()
+    )
+    assert streamed == batch
+    n_batches = (
+        spark.read.parquet(store).select("batch_id").distinct().count()
+    )
+    assert n_batches > 1, "stream must split into multiple micro-batches"
