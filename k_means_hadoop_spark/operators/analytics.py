@@ -310,33 +310,59 @@ FROM e
 
 def skew_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row (n_keys, total, max_cnt, p50, p90, p99, top_share,
-    gini) profiling o_custkey fan-out.  Gini uses the exact rank-sum
-    identity on integer counts: G = (2·Σ i·c_i − (n+1)·Σc) / (n·Σc)
-    with i the ascending-count rank — ties commute, so any stable
-    order gives the same sum."""
+    gini) profiling o_custkey fan-out.
+
+    Gini WITHOUT a global per-key rank (a row_number over 10⁹ keys is
+    a single-partition sort — the one scale-killer the first draft of
+    this operator had): since ties commute in the rank-sum identity
+    G = (2·Σ i·c_i − (n+1)·Σc)/(n·Σc), the doubled rank-sum has a
+    closed form over the DISTINCT-count histogram —
+    2·Σ i·c_i = Σ_v v·m_v·(2·B_v + m_v + 1), with m_v = #keys at
+    count v and B_v = #keys at counts < v.  The histogram has at most
+    max_cnt rows (≈ dozens), so the only window runs over a tiny
+    table; everything else is distributed aggregates."""
     cnt = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.orderBy(F.col("cnt").asc(), F.col("o_custkey").asc())
-    ranked = cnt.withColumn("i", F.row_number().over(w))
-    return ranked.agg(
+    hist = cnt.groupBy("cnt").agg(F.count(F.lit(1)).alias("m"))
+    w = Window.orderBy(F.col("cnt").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    t_df = (
+        hist.withColumn("below", F.coalesce(F.sum("m").over(w), F.lit(0)))
+        .agg(
+            F.sum(
+                F.col("cnt")
+                * F.col("m")
+                * (F.lit(2) * F.col("below") + F.col("m") + F.lit(1))
+            ).alias("t2")  # = 2·Σ i·c_i exactly
+        )
+    )
+    stats = cnt.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("cnt").alias("total"),
         F.max("cnt").alias("max_cnt"),
         F.round(F.expr("percentile(cnt, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(cnt, 0.9)"), 6).alias("p90"),
         F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99"),
+    )
+    return stats.crossJoin(F.broadcast(t_df)).select(
+        "n_keys",
+        "total",
+        "max_cnt",
+        "p50",
+        "p90",
+        "p99",
         F.round(
-            F.max("cnt").cast("double") / F.sum("cnt").cast("double"), 6
+            F.col("max_cnt").cast("double") / F.col("total").cast("double"), 6
         ).alias("top_share"),
         F.round(
             (
-                F.lit(2) * F.sum(F.col("i").cast("bigint") * F.col("cnt"))
-                - (F.count(F.lit(1)) + F.lit(1)) * F.sum("cnt")
+                F.col("t2") - (F.col("n_keys") + F.lit(1)) * F.col("total")
             ).cast("double")
-            / (F.count(F.lit(1)) * F.sum("cnt")).cast("double"),
+            / (F.col("n_keys") * F.col("total")).cast("double"),
             6,
         ).alias("gini"),
     )
