@@ -49,22 +49,25 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     highest-quality documents up to 1/4 of total tokens, and so on.
     A document's phase is decided by the cumulative tokens BEFORE it,
     so phases are contiguous in the quality ordering."""
+    from k_means_hadoop_spark.partitioning import prefix_sum
+
     q = text.quality_scores(_docs(spark, sf_dir)).select(
         "doc_id", "n_tokens", "quality"
     )
-    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     total = q.agg(F.sum("n_tokens").alias("total"))
-    return (
-        q.withColumn("cum", F.sum("n_tokens").over(w))
-        .crossJoin(F.broadcast(total))
-        .select(
-            "doc_id",
-            "n_tokens",
-            "quality",
-            F.expr(_PHASE_EXPR).alias("phase"),
-        )
+    # distributed two-phase prefix sum: a bare Window.orderBy here would
+    # sort the whole corpus into ONE partition (see partitioning.prefix_sum)
+    cum = prefix_sum(
+        q,
+        "n_tokens",
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        out_col="cum",
+    )
+    return cum.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        F.expr(_PHASE_EXPR).alias("phase"),
     )
 
 

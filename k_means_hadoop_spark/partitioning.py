@@ -23,3 +23,62 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def prefix_sum(
+    df,
+    value_col: str,
+    order_cols: list,
+    out_col: str = "cum",
+    num_parts: int = 8,
+):
+    """Distributed inclusive prefix sum of ``value_col`` under the
+    total order ``order_cols`` — the two-phase scan that replaces a
+    global ``Window.orderBy`` (which collapses every row into ONE
+    partition: the classic hidden scale-killer of cumulative queries).
+
+    Phase 1: range-repartition by the order (each partition holds a
+    contiguous key range), per-partition window cumsum.  Phase 2: the
+    per-partition totals (num_parts rows) are collected into broadcast
+    offsets added to each row.  Identical result to the single-window
+    form for ANY total order; cost is one range shuffle + one tiny
+    collect instead of an all-to-one sort."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ordered = df.repartitionByRange(num_parts, *order_cols)
+    # PIN the partition assignment: repartitionByRange samples its
+    # bounds per evaluation, so computing the local cumsums and the
+    # partition totals from two separate evaluations can see DIFFERENT
+    # _pid assignments (observed as off-by-one phases at sf0.1).  The
+    # checkpoint materializes one assignment both passes share.
+    part = ordered.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
+    w_in = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("_local", F.sum(value_col).over(w_in))
+    # per-partition totals via SUM of the raw values (not max of the
+    # cumsum — that identity needs non-negative values; sum is sign-safe)
+    totals = (
+        part.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_ptot"))
+        .orderBy("_pid")
+        .collect()
+    )
+    offsets = {}
+    running = 0
+    for r in totals:
+        offsets[r["_pid"]] = running
+        running += r["_ptot"] or 0
+    off_df = df.sparkSession.createDataFrame(
+        [(int(k), int(v)) for k, v in offsets.items()], ["_pid", "_off"]
+    )
+    return (
+        local.join(F.broadcast(off_df), "_pid")
+        .withColumn(out_col, F.col("_local") + F.col("_off"))
+        .drop("_pid", "_local", "_off")
+    )

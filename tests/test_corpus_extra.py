@@ -148,3 +148,25 @@ def test_ab_lift_reconstructs_from_counts(spark, sf_dir):
     assert row["rate1"] == pytest.approx(rate1, abs=1e-6)
     assert row["lift"] == pytest.approx(rate1 - rate0, abs=1e-6)
     assert row["z"] == pytest.approx(z, abs=1e-5)
+
+
+def test_prefix_sum_matches_single_window(spark):
+    """The two-phase distributed prefix sum must equal the naive global
+    window for any total order, including negative values."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from k_means_hadoop_spark.partitioning import prefix_sum
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(-50, 100)) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r["k"]: r["cum"]
+        for r in prefix_sum(df, "v", [F.col("k").asc()], num_parts=7).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = {r["k"]: r["cum"] for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert got == want
