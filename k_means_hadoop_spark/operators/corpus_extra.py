@@ -100,10 +100,20 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     head/middle/tail, best scores first.  At 100 TB the global ntile
     sort is replaced by a sampled-quantile cut; the fixture-exact form
     keeps the oracle total."""
+    from k_means_hadoop_spark.partitioning import prefix_sum
+
     lp = text.unigram_logprob(_docs(spark, sf_dir))
-    w = Window.orderBy(F.col("avg_logprob").desc(), F.col("doc_id").asc())
-    n = F.ntile(3).over(w)
-    return lp.select(
+    # distributed rank (two-phase prefix count) + the exact ntile
+    # closed form bucket(r) = ((r−1)·n) div N + 1 — no global window
+    ranked = prefix_sum(
+        lp.withColumn("_one", F.lit(1)),
+        "_one",
+        [F.col("avg_logprob").desc(), F.col("doc_id").asc()],
+        out_col="rk",
+    ).drop("_one")
+    total = lp.agg(F.count(F.lit(1)).alias("n_docs_total"))
+    n = F.expr("CAST((rk - 1) * 3 DIV n_docs_total AS INT) + 1")
+    return ranked.crossJoin(F.broadcast(total)).select(
         "doc_id",
         "n_tokens",
         "avg_logprob",
