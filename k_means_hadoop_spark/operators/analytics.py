@@ -573,6 +573,8 @@ def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("community"), F.coalesce(F.col("nbr"), F.col("community"))
                 ).alias("community"),
             )
+            # node-sized; per-round lineage truncation (bfs_levels pattern)
+            .localCheckpoint(eager=True)
         )
     return labels
 
