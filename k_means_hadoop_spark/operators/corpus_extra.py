@@ -459,6 +459,78 @@ FROM m
 """
 
 
+# ------------------------------------------------- exact distributed AUC
+#
+# Ranking quality of one quality signal against another: the exact
+# (tie-aware) Mann-Whitney AUC of the heuristic quality score
+# predicting the Gopher-gate verdict.  Computed WITHOUT a global
+# per-row rank: ties commute, so the positives' rank-sum has the
+# histogram closed form 2·R_pos = Σ_v p_v·(2·B_v + m_v + 1) over
+# distinct score values (the same identity the skew report's Gini
+# uses), with B_v from the distributed prefix sum.  All inputs are
+# exact integers; AUC is one division — full value oracle.
+
+_AUC_GUARD = "CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.0 ELSE {x} END"
+_AUC_EXPR = _AUC_GUARD.format(
+    x="round(CAST(t2 - n_pos * (n_pos + 1) AS DOUBLE)"
+    " / CAST(2 * n_pos * n_neg AS DOUBLE), 6)"
+)
+
+
+def auc_quality_vs_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_pos, n_neg, auc) — does the continuous quality score
+    rank Gopher-passing documents above failing ones?  (Measured ~0.9:
+    the two signals agree strongly but not perfectly — exactly the
+    separation a calibration review wants quantified.)"""
+    from k_means_hadoop_spark.partitioning import prefix_sum
+
+    docs = _docs(spark, sf_dir)
+    q = text.quality_scores(docs).select("doc_id", "quality")
+    g = text.gopher_quality_gate(docs).select(
+        "doc_id", F.col("verdict").cast("int").alias("pos")
+    )
+    hist = (
+        q.join(g, "doc_id")
+        .groupBy("quality")
+        .agg(F.count(F.lit(1)).alias("m"), F.sum("pos").alias("p"))
+    )
+    cum = prefix_sum(hist, "m", [F.col("quality").asc()], out_col="cumm")
+    t = cum.agg(
+        F.sum(
+            F.col("p")
+            * (
+                F.lit(2) * (F.col("cumm") - F.col("m"))
+                + F.col("m")
+                + F.lit(1)
+            )
+        ).alias("t2"),
+        F.sum("p").cast("bigint").alias("n_pos"),
+        (F.sum("m") - F.sum("p")).cast("bigint").alias("n_neg"),
+    )
+    return t.select("n_pos", "n_neg", F.expr(_AUC_EXPR).alias("auc"))
+
+
+def _auc_sql() -> str:
+    from k_means_hadoop_spark.registry_pipeline import _gopher_sql, _quality_sql
+
+    return f"""
+WITH q AS (SELECT doc_id, quality FROM ({_quality_sql()})),
+g AS (SELECT doc_id, CASE WHEN verdict THEN 1 ELSE 0 END AS pos
+      FROM ({_gopher_sql()})),
+hist AS (SELECT quality, count(*)::BIGINT AS m, SUM(pos)::BIGINT AS p
+         FROM q JOIN g USING (doc_id) GROUP BY quality),
+cum AS (SELECT quality, m, p,
+               SUM(m) OVER (ORDER BY quality ASC
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS cumm
+        FROM hist),
+t AS (SELECT SUM(p * (2 * (cumm - m) + m + 1))::BIGINT AS t2,
+             SUM(p)::BIGINT AS n_pos,
+             (SUM(m) - SUM(p))::BIGINT AS n_neg
+      FROM cum)
+SELECT n_pos, n_neg, {_AUC_EXPR} AS auc FROM t
+"""
+
+
 CORPUS_EXTRA_QUERIES = {
     "curriculum_schedule": (curriculum_schedule, _curriculum_sql()),
     "perplexity_buckets": (perplexity_buckets, _perplexity_sql()),
@@ -467,4 +539,5 @@ CORPUS_EXTRA_QUERIES = {
     "dedup_rate_by_source": (dedup_rate_by_source, _DUP_RATE_SQL),
     "pmi_bigrams": (pmi_bigrams, _pmi_sql()),
     "quality_length_slopes": (quality_length_slopes, _slopes_sql()),
+    "auc_quality_vs_gopher": (auc_quality_vs_gopher, _auc_sql()),
 }

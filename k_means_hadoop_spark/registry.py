@@ -821,6 +821,7 @@ _SCHEDULE: dict[str, dict] = {
     "dq_expectations": _row(defer=True),
     "bfs_levels": _row(defer=True),
     "streaming_cms_counts": _row(defer=True),
+    "auc_quality_vs_gopher": _row(defer=True),
 }
 
 

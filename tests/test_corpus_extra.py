@@ -170,3 +170,39 @@ def test_prefix_sum_matches_single_window(spark):
     w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     want = {r["k"]: r["cum"] for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
     assert got == want
+
+
+def test_auc_matches_local_rank_computation(spark, sf_dir):
+    from k_means_hadoop_spark.operators import text as text_ops
+    from k_means_hadoop_spark.operators.corpus_extra import (
+        _docs,
+        auc_quality_vs_gopher,
+    )
+
+    row = auc_quality_vs_gopher(spark, sf_dir).first()
+    docs = _docs(spark, sf_dir)
+    q = {r["doc_id"]: r["quality"] for r in text_ops.quality_scores(docs).collect()}
+    g = {
+        r["doc_id"]: int(r["verdict"])
+        for r in text_ops.gopher_quality_gate(docs).collect()
+    }
+    pairs = [(q[d], g[d]) for d in q]
+    # tie-aware average ranks, ascending score
+    pairs.sort()
+    ranks: dict[int, float] = {}
+    i = 0
+    rank_sum_pos = 0.0
+    while i < len(pairs):
+        j = i
+        while j < len(pairs) and pairs[j][0] == pairs[i][0]:
+            j += 1
+        avg_rank = (i + 1 + j) / 2  # positions i+1..j
+        rank_sum_pos += avg_rank * sum(lab for _, lab in pairs[i:j])
+        i = j
+    n_pos = sum(lab for _, lab in pairs)
+    n_neg = len(pairs) - n_pos
+    auc = (rank_sum_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert row["n_pos"] == n_pos and row["n_neg"] == n_neg
+    assert row["auc"] == pytest.approx(auc, abs=1e-6)
+    # the two quality signals must rank-agree well above chance
+    assert row["auc"] > 0.7
