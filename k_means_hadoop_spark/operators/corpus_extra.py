@@ -531,6 +531,78 @@ SELECT n_pos, n_neg, {_AUC_EXPR} AS auc FROM t
 """
 
 
+# ------------------------------------------------- calibration deciles
+#
+# The reliability-curve companion to the AUC: score-ranked deciles with
+# exact per-bucket mean score, positive rate, and Brier contribution.
+# Ranks come from the distributed prefix count (no global window);
+# every mean is a ratio of an exact decimal/integer sum and a count.
+# (p − y) has ≤6 decimals and magnitude ≤ 1, so its square is exact in
+# DECIMAL(14,12) on both engines — no width tricks needed.
+
+
+def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(decile, n, mean_score, frac_pos, brier) — quality-score deciles
+    (1 = best scores) against the Gopher verdict."""
+    from k_means_hadoop_spark.partitioning import prefix_sum
+
+    docs = _docs(spark, sf_dir)
+    q = text.quality_scores(docs).select("doc_id", "quality")
+    g = text.gopher_quality_gate(docs).select(
+        "doc_id", F.col("verdict").cast("int").alias("pos")
+    )
+    d = q.join(g, "doc_id")
+    ranked = prefix_sum(
+        d.withColumn("_one", F.lit(1)),
+        "_one",
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        out_col="rk",
+    ).drop("_one")
+    total = d.agg(F.count(F.lit(1)).alias("n_total"))
+    qd = F.col("quality").cast("decimal(12,6)")
+    sq = (qd - F.col("pos").cast("decimal(12,6)")) * (
+        qd - F.col("pos").cast("decimal(12,6)")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("decile", F.expr("CAST((rk - 1) * 10 DIV n_total AS INT) + 1"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(qd).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_score"),
+            F.round(
+                F.sum("pos").cast("double") / F.count(F.lit(1)), 6
+            ).alias("frac_pos"),
+            F.round(F.sum(sq).cast("double") / F.count(F.lit(1)), 6).alias(
+                "brier"
+            ),
+        )
+    )
+
+
+def _calibration_sql() -> str:
+    from k_means_hadoop_spark.registry_pipeline import _gopher_sql, _quality_sql
+
+    return f"""
+WITH q AS (SELECT doc_id, quality FROM ({_quality_sql()})),
+g AS (SELECT doc_id, CASE WHEN verdict THEN 1 ELSE 0 END AS pos
+      FROM ({_gopher_sql()})),
+d AS (SELECT doc_id, quality, pos FROM q JOIN g USING (doc_id)),
+r AS (SELECT quality, pos,
+             ntile(10) OVER (ORDER BY quality DESC, doc_id ASC) AS decile
+      FROM d)
+SELECT decile, count(*)::BIGINT AS n,
+       round(CAST(SUM(CAST(quality AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6) AS mean_score,
+       round(CAST(SUM(pos) AS DOUBLE) / count(*), 6) AS frac_pos,
+       round(CAST(SUM((CAST(quality AS DECIMAL(12,6)) - CAST(pos AS DECIMAL(12,6)))
+                    * (CAST(quality AS DECIMAL(12,6)) - CAST(pos AS DECIMAL(12,6)))) AS DOUBLE)
+             / count(*), 6) AS brier
+FROM r GROUP BY decile
+"""
+
+
 CORPUS_EXTRA_QUERIES = {
     "curriculum_schedule": (curriculum_schedule, _curriculum_sql()),
     "perplexity_buckets": (perplexity_buckets, _perplexity_sql()),
@@ -540,4 +612,5 @@ CORPUS_EXTRA_QUERIES = {
     "pmi_bigrams": (pmi_bigrams, _pmi_sql()),
     "quality_length_slopes": (quality_length_slopes, _slopes_sql()),
     "auc_quality_vs_gopher": (auc_quality_vs_gopher, _auc_sql()),
+    "classifier_calibration": (classifier_calibration, _calibration_sql()),
 }

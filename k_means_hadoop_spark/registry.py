@@ -822,6 +822,7 @@ _SCHEDULE: dict[str, dict] = {
     "bfs_levels": _row(defer=True),
     "streaming_cms_counts": _row(defer=True),
     "auc_quality_vs_gopher": _row(defer=True),
+    "classifier_calibration": _row(defer=True),
 }
 
 

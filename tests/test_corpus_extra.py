@@ -206,3 +206,21 @@ def test_auc_matches_local_rank_computation(spark, sf_dir):
     assert row["auc"] == pytest.approx(auc, abs=1e-6)
     # the two quality signals must rank-agree well above chance
     assert row["auc"] > 0.7
+
+
+def test_calibration_deciles_are_monotone_and_consistent(spark, sf_dir):
+    from k_means_hadoop_spark.operators.corpus_extra import classifier_calibration
+
+    df = classifier_calibration(spark, sf_dir).toPandas().sort_values("decile")
+    assert list(df["decile"]) == list(range(1, 11))
+    # rank-cut deciles: sizes differ by at most 1
+    assert df["n"].max() - df["n"].min() <= 1
+    # mean score must be non-increasing across deciles (sorted best-first)
+    ms = df["mean_score"].to_numpy()
+    assert all(ms[i] >= ms[i + 1] - 1e-9 for i in range(9))
+    # a well-behaved signal: positive rate higher in the top half than
+    # the bottom half
+    assert df.head(5)["frac_pos"].mean() > df.tail(5)["frac_pos"].mean()
+    # per-bucket Brier consistency: brier >= (mean residual)^2 (Jensen)
+    resid = df["mean_score"] - df["frac_pos"]
+    assert (df["brier"] + 1e-9 >= resid**2).all()
