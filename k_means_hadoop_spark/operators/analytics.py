@@ -912,6 +912,82 @@ l{i} AS (SELECT l.part, least(l.dist, r.via) AS dist
     )
 
 
+# ------------------------------------------------- MERGE changelog apply
+#
+# The batch MERGE INTO pattern: apply an insert/update/delete changelog
+# to a keyed snapshot in ONE full-outer join + CASE projection — the
+# lakehouse operation behind every CDC sink (the streaming face of the
+# idea is `streaming_upsert_snapshot`; this is its three-verb batch
+# form, deletes included).  The changelog is derived deterministically
+# from the key space so every verb engages at every sf: custkey%10==0 →
+# DELETE, %10∈{1,2} → UPDATE (acctbal+100), and INSERTs beyond
+# max(custkey).
+
+
+def merge_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_custkey, c_acctbal, src) — the post-MERGE snapshot with row
+    provenance: src ∈ base/updated/inserted; deleted keys absent."""
+    base = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    mx = base.agg(F.max("c_custkey").alias("mx"))
+    deletes = base.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("k"), F.lit("D").alias("op"), F.lit(None).cast("double").alias("val")
+    )
+    updates = base.where(F.col("c_custkey") % 10 <= 2).where(
+        F.col("c_custkey") % 10 != 0
+    ).select(
+        F.col("c_custkey").alias("k"),
+        F.lit("U").alias("op"),
+        (F.col("c_acctbal") + F.lit(100.0)).alias("val"),
+    )
+    inserts = (
+        base.where(F.col("c_custkey") % 10 == 3)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("c_custkey") + F.col("mx") + F.lit(1)).alias("k"),
+            F.lit("I").alias("op"),
+            F.col("c_acctbal").alias("val"),
+        )
+    )
+    chg = deletes.unionByName(updates).unionByName(inserts)
+    merged = base.join(chg, base.c_custkey == chg.k, "full_outer").select(
+        F.coalesce(F.col("c_custkey"), F.col("k")).alias("c_custkey"),
+        F.when(F.col("op") == "U", F.col("val"))
+        .when(F.col("op") == "I", F.col("val"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        F.when(F.col("op") == "U", F.lit("updated"))
+        .when(F.col("op") == "I", F.lit("inserted"))
+        .otherwise(F.lit("base"))
+        .alias("src"),
+        F.col("op"),
+    )
+    return merged.where((F.col("op").isNull()) | (F.col("op") != "D")).drop("op")
+
+
+_MERGE_SQL = """
+WITH base AS (SELECT c_custkey, c_acctbal FROM customer),
+mx AS (SELECT max(c_custkey) AS mx FROM base),
+chg AS (
+  SELECT c_custkey AS k, 'D' AS op, CAST(NULL AS DOUBLE) AS val
+  FROM base WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, 'U', c_acctbal + 100.0
+  FROM base WHERE c_custkey % 10 <= 2 AND c_custkey % 10 != 0
+  UNION ALL
+  SELECT c_custkey + mx.mx + 1, 'I', c_acctbal
+  FROM base CROSS JOIN mx WHERE c_custkey % 10 = 3),
+merged AS (
+  SELECT coalesce(b.c_custkey, c.k) AS c_custkey,
+         CASE WHEN c.op IN ('U', 'I') THEN c.val ELSE b.c_acctbal END AS c_acctbal,
+         CASE WHEN c.op = 'U' THEN 'updated'
+              WHEN c.op = 'I' THEN 'inserted'
+              ELSE 'base' END AS src,
+         c.op AS op
+  FROM base b FULL OUTER JOIN chg c ON b.c_custkey = c.k)
+SELECT c_custkey, c_acctbal, src FROM merged WHERE op IS NULL OR op != 'D'
+"""
+
+
 ANALYTICS_QUERIES = {
     "corr_matrix_lineitem": (corr_matrix_lineitem, _corr_sql()),
     "ols_price_model": (ols_price_model, _ols_sql()),
@@ -924,4 +1000,5 @@ ANALYTICS_QUERIES = {
     "ab_conversion_lift": (ab_conversion_lift, _ab_sql()),
     "dq_expectations": (dq_expectations, _DQ_SQL),
     "bfs_levels": (bfs_levels, _bfs_sql()),
+    "merge_apply_changelog": (merge_apply_changelog, _MERGE_SQL),
 }

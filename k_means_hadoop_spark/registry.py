@@ -823,6 +823,7 @@ _SCHEDULE: dict[str, dict] = {
     "streaming_cms_counts": _row(defer=True),
     "auc_quality_vs_gopher": _row(defer=True),
     "classifier_calibration": _row(defer=True),
+    "merge_apply_changelog": _row(defer=True),
 }
 
 

@@ -386,3 +386,31 @@ def test_streaming_cms_merges_multiple_batches(spark, sf_dir):
         spark.read.parquet(store).select("batch_id").distinct().count()
     )
     assert n_batches > 1, "stream must split into multiple micro-batches"
+
+
+def test_merge_changelog_applies_all_three_verbs(spark, sf_dir):
+    from k_means_hadoop_spark.operators.analytics import merge_apply_changelog, _t
+
+    df = merge_apply_changelog(spark, sf_dir).toPandas()
+    base = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal").toPandas()
+    mx = base["c_custkey"].max()
+    # deletes gone
+    assert not (df["c_custkey"] % 10 == 0)[df["c_custkey"] <= mx].any()
+    # updates applied
+    upd = df[(df.src == "updated")]
+    assert len(upd) > 0
+    merged_bal = dict(zip(df["c_custkey"], df["c_acctbal"]))
+    base_bal = dict(zip(base["c_custkey"], base["c_acctbal"]))
+    for k in upd["c_custkey"]:
+        assert merged_bal[k] == pytest.approx(base_bal[k] + 100.0)
+    # inserts present beyond the original key space
+    ins = df[df.src == "inserted"]
+    assert len(ins) > 0 and (ins["c_custkey"] > mx).all()
+    # untouched rows unchanged
+    b = df[df.src == "base"]
+    for k in b["c_custkey"].head(50):
+        assert merged_bal[k] == pytest.approx(base_bal[k])
+    # row count = base - deletes + inserts
+    n_del = (base["c_custkey"] % 10 == 0).sum()
+    n_ins = (base["c_custkey"] % 10 == 3).sum()
+    assert len(df) == len(base) - n_del + n_ins
