@@ -912,6 +912,100 @@ l{i} AS (SELECT l.part, least(l.dist, r.via) AS dist
     )
 
 
+# ------------------------------------------------- one-way ANOVA
+#
+# Does mean event value differ by event type?  Exact-decimal group
+# sums (value ≤ ~600 with ≤6dp → DECIMAL(10,6) is lossless and its
+# square stays inside DuckDB's int64 multiply), one double term per
+# group, and the cross-group Σ S_g²/n_g runs as an ORDERED left fold
+# over the type-sorted term list (Spark ``aggregate`` ≡ DuckDB
+# ``list_reduce`` — the deterministic sum-chain pattern the PQ/ADC
+# tier established), so both engines execute the identical IEEE
+# sequence even across groups.
+
+_ANOVA_TERM = "CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE)"
+_ANOVA_FINAL = {
+    "ssb": "sumterm - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)",
+    "ssw": "CAST(q_tot AS DOUBLE) - sumterm",
+}
+_ANOVA_F = (
+    "CASE WHEN k_groups <= 1 OR n_tot <= k_groups OR ssw <= 0.0 THEN 0.0"
+    " ELSE (ssb / CAST(k_groups - 1 AS DOUBLE))"
+    " / (ssw / CAST(n_tot - k_groups AS DOUBLE)) END"
+)
+
+
+def anova_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (k_groups, n_tot, ssb, ssw, f_stat) — one-way ANOVA of
+    event value across event types."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(10,6)").alias("x")
+    )
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum("x").alias("s_g"),
+        F.sum(F.col("x") * F.col("x")).alias("q_g"),
+    )
+    terms = g.select(
+        "event_type",
+        "n_g",
+        "s_g",
+        "q_g",
+        F.expr(_ANOVA_TERM).alias("term"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("k_groups"),
+        F.sum("n_g").alias("n_tot"),
+        F.sum("s_g").alias("s_tot"),
+        F.sum("q_g").alias("q_tot"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("event_type", "term"))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("sumterm"),
+    )
+    staged = agg
+    for alias, expr in _ANOVA_FINAL.items():
+        staged = staged.withColumn(alias, F.expr(expr))
+    return staged.select(
+        "k_groups",
+        F.col("n_tot").cast("bigint").alias("n_tot"),
+        F.round("ssb", 6).alias("ssb"),
+        F.round("ssw", 6).alias("ssw"),
+        F.round(F.expr(_ANOVA_F), 6).alias("f_stat"),
+    )
+
+
+def _anova_sql() -> str:
+    finals = ", ".join(f"{e} AS {a}" for a, e in _ANOVA_FINAL.items())
+    return f"""
+WITH ev AS (SELECT event_type, CAST(value AS DECIMAL(10,6)) AS x FROM events),
+g AS (SELECT event_type, count(*)::BIGINT AS n_g,
+             SUM(x) AS s_g, SUM(x * x) AS q_g
+      FROM ev GROUP BY event_type),
+terms AS (SELECT event_type, n_g, s_g, q_g, {_ANOVA_TERM} AS term FROM g),
+agg AS (
+  SELECT count(*)::BIGINT AS k_groups,
+         SUM(n_g)::BIGINT AS n_tot,
+         SUM(s_g) AS s_tot,
+         SUM(q_g) AS q_tot,
+         list_reduce(
+           list_transform(
+             list_sort(list({{'event_type': event_type, 'term': term}})),
+             s -> s.term),
+           (a, b) -> a + b) AS sumterm
+  FROM terms),
+s AS (SELECT agg.*, {finals} FROM agg)
+SELECT k_groups, n_tot,
+       round(ssb, 6) AS ssb,
+       round(ssw, 6) AS ssw,
+       round({_ANOVA_F}, 6) AS f_stat
+FROM s
+"""
+
+
 # ------------------------------------------------- MERGE changelog apply
 #
 # The batch MERGE INTO pattern: apply an insert/update/delete changelog
@@ -1001,4 +1095,5 @@ ANALYTICS_QUERIES = {
     "dq_expectations": (dq_expectations, _DQ_SQL),
     "bfs_levels": (bfs_levels, _bfs_sql()),
     "merge_apply_changelog": (merge_apply_changelog, _MERGE_SQL),
+    "anova_event_values": (anova_event_values, _anova_sql()),
 }

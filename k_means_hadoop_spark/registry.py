@@ -824,6 +824,7 @@ _SCHEDULE: dict[str, dict] = {
     "auc_quality_vs_gopher": _row(defer=True),
     "classifier_calibration": _row(defer=True),
     "merge_apply_changelog": _row(defer=True),
+    "anova_event_values": _row(defer=True),
 }
 
 

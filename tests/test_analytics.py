@@ -414,3 +414,27 @@ def test_merge_changelog_applies_all_three_verbs(spark, sf_dir):
     n_del = (base["c_custkey"] % 10 == 0).sum()
     n_ins = (base["c_custkey"] % 10 == 3).sum()
     assert len(df) == len(base) - n_del + n_ins
+
+
+def test_anova_matches_scipy_free_formula(spark, sf_dir):
+    from k_means_hadoop_spark.operators.analytics import anova_event_values, _t
+
+    row = anova_event_values(spark, sf_dir).first()
+    pdf = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    # mirror the operator's 6dp-decimal quantization of the input
+    pdf["x"] = pdf["value"].round(6)
+    groups = [g["x"].to_numpy() for _, g in pdf.groupby("event_type")]
+    k = len(groups)
+    n = sum(len(g) for g in groups)
+    grand = np.concatenate(groups).mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["k_groups"] == k and row["n_tot"] == n
+    assert row["ssb"] == pytest.approx(ssb, rel=1e-6, abs=1e-3)
+    assert row["ssw"] == pytest.approx(ssw, rel=1e-6, abs=1e-3)
+    assert row["f_stat"] == pytest.approx(f, rel=1e-5, abs=1e-5)
