@@ -603,6 +603,212 @@ FROM r GROUP BY decile
 """
 
 
+# ------------------------------------------------- exact Spearman rho
+#
+# Rank correlation between the two corpus quality signals (heuristic
+# quality vs unigram-LM logprob) — exact tie-averaged ranks from the
+# value histogram (avg rank = B_v + (m_v+1)/2, half-integer → exact in
+# DECIMAL(18,1)), then Pearson over the rank pairs with exact decimal
+# sums and the shared corr formula text.  Ranks use the distributed
+# prefix sum — no global per-row window.
+
+_SPEARMAN_FORMULA = (
+    "round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"
+)
+
+
+def _avg_ranks(df: DataFrame, value_col: str, out_col: str) -> DataFrame:
+    """(value_col, out_col) — tie-averaged ascending rank per DISTINCT
+    value, exact half-integers, via the histogram + prefix sum."""
+    from k_means_hadoop_spark.partitioning import prefix_sum
+
+    hist = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("m"))
+    cum = prefix_sum(hist, "m", [F.col(value_col).asc()], out_col="cumm")
+    # avg rank = B + (m+1)/2 = cumm - m + (m+1)/2; ×2 stays integral
+    return cum.select(
+        value_col,
+        (
+            (F.lit(2) * (F.col("cumm") - F.col("m")) + F.col("m") + F.lit(1))
+            .cast("decimal(20,1)")
+            / F.lit(2).cast("decimal(2,0)")
+        ).cast("decimal(18,1)").alias(out_col),
+    )
+
+
+def spearman_quality_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_docs, rho) — exact tie-aware Spearman correlation of
+    the heuristic quality score and the unigram-LM logprob."""
+    docs = _docs(spark, sf_dir)
+    q = text.quality_scores(docs).select("doc_id", "quality")
+    lp = text.unigram_logprob(docs).select("doc_id", "avg_logprob")
+    d = q.join(lp, "doc_id")
+    rq = _avg_ranks(d, "quality", "rx")
+    rl = _avg_ranks(d, "avg_logprob", "ry")
+    ranked = (
+        d.join(F.broadcast(rq), "quality")
+        .join(F.broadcast(rl), "avg_logprob")
+        .select("rx", "ry")
+    )
+    rx14 = F.col("rx").cast("decimal(14,1)")
+    ry14 = F.col("ry").cast("decimal(14,1)")
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(rx14 * ry14).alias("sxy"),
+        F.sum(rx14 * rx14).alias("sxx"),
+        F.sum(ry14 * ry14).alias("syy"),
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.expr(_SPEARMAN_FORMULA).alias("rho"),
+    )
+
+
+def _spearman_sql() -> str:
+    from k_means_hadoop_spark.registry_pipeline import (
+        _quality_sql,
+        _unigram_logprob_sql,
+    )
+
+    def ranks(src: str, col: str, out: str) -> str:
+        return f"""
+SELECT {col},
+       CAST(CAST(2 * (cumm - m) + m + 1 AS DECIMAL(20,1))
+            / CAST(2 AS DECIMAL(2,0)) AS DECIMAL(18,1)) AS {out}
+FROM (SELECT {col}, m,
+             SUM(m) OVER (ORDER BY {col} ASC ROWS UNBOUNDED PRECEDING)::BIGINT AS cumm
+      FROM (SELECT {col}, count(*)::BIGINT AS m FROM {src} GROUP BY {col}))"""
+
+    return f"""
+WITH q AS (SELECT doc_id, quality FROM ({_quality_sql()})),
+lp AS (SELECT doc_id, avg_logprob FROM ({_unigram_logprob_sql()})),
+d AS (SELECT doc_id, quality, avg_logprob FROM q JOIN lp USING (doc_id)),
+rq AS ({ranks('d', 'quality', 'rx')}),
+rl AS ({ranks('d', 'avg_logprob', 'ry')}),
+ranked AS (SELECT rx, ry FROM d JOIN rq USING (quality) JOIN rl USING (avg_logprob)),
+sums AS (
+  SELECT count(*)::BIGINT AS n,
+         SUM(rx) AS sx, SUM(ry) AS sy,
+         SUM(CAST(rx AS DECIMAL(24,1)) * CAST(ry AS DECIMAL(14,1))) AS sxy,
+         SUM(CAST(rx AS DECIMAL(24,1)) * CAST(rx AS DECIMAL(14,1))) AS sxx,
+         SUM(CAST(ry AS DECIMAL(24,1)) * CAST(ry AS DECIMAL(14,1))) AS syy
+  FROM ranked)
+SELECT n AS n_docs, {_SPEARMAN_FORMULA} AS rho FROM sums
+"""
+
+
+# ------------------------------------------------- Kolmogorov-Smirnov
+#
+# Two-sample KS distance between the quality distributions of the
+# even- and odd-doc_id halves — the drift test a pipeline runs between
+# corpus snapshots.  Exact: per-value counts per side, cumulative via
+# prefix sum, per-value |F1 − F2| is two single divisions on exact
+# integers; the max is order-free.
+
+
+def ks_quality_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_even, n_odd, ks_d) — sup |F_even − F_odd| over the
+    quality score."""
+    from k_means_hadoop_spark.partitioning import prefix_sum
+
+    d = text.quality_scores(_docs(spark, sf_dir)).select(
+        "doc_id", "quality", (F.col("doc_id") % 2 == 0).cast("int").alias("even")
+    )
+    hist = d.groupBy("quality").agg(
+        F.sum("even").alias("m1"),
+        F.sum(F.lit(1) - F.col("even")).alias("m2"),
+    )
+    c1 = prefix_sum(hist, "m1", [F.col("quality").asc()], out_col="c1")
+    both = prefix_sum(c1, "m2", [F.col("quality").asc()], out_col="c2")
+    totals = d.agg(
+        F.sum("even").cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - F.col("even")).cast("bigint").alias("n2"),
+    )
+    dv = F.abs(
+        F.col("c1").cast("double") / F.col("n1").cast("double")
+        - F.col("c2").cast("double") / F.col("n2").cast("double")
+    )
+    return (
+        both.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("n1").alias("n_even"),
+            F.max("n2").alias("n_odd"),
+            F.round(F.max(dv), 6).alias("ks_d"),
+        )
+    )
+
+
+def _ks_sql() -> str:
+    from k_means_hadoop_spark.registry_pipeline import _quality_sql
+
+    return f"""
+WITH q AS (SELECT doc_id, quality FROM ({_quality_sql()})),
+d AS (SELECT quality, CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS even FROM q),
+hist AS (SELECT quality, SUM(even)::BIGINT AS m1, SUM(1 - even)::BIGINT AS m2
+         FROM d GROUP BY quality),
+cum AS (SELECT quality,
+               SUM(m1) OVER (ORDER BY quality ASC ROWS UNBOUNDED PRECEDING)::BIGINT AS c1,
+               SUM(m2) OVER (ORDER BY quality ASC ROWS UNBOUNDED PRECEDING)::BIGINT AS c2
+        FROM hist),
+t AS (SELECT SUM(even)::BIGINT AS n1, SUM(1 - even)::BIGINT AS n2 FROM d)
+SELECT max(t.n1)::BIGINT AS n_even, max(t.n2)::BIGINT AS n_odd,
+       round(max(abs(CAST(c1 AS DOUBLE) / CAST(t.n1 AS DOUBLE)
+                   - CAST(c2 AS DOUBLE) / CAST(t.n2 AS DOUBLE))), 6) AS ks_d
+FROM cum CROSS JOIN t
+"""
+
+
+# ------------------------------------------------- mutual information cells
+#
+# Categorical dependence of language × source as the per-cell MI
+# decomposition: contrib = (n/N)·ln(n·N / (r·c)).  Counts exact; each
+# cell's contribution is a fixed op sequence on exact integers, and NO
+# cross-cell float sum is emitted (the per-cell table IS the result —
+# the total would be order-dependent; a consumer can ordered-fold it).
+
+
+def mi_lang_source_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, source, n, contrib) — observed cell counts and their MI
+    contributions (nats)."""
+    d = _docs(spark, sf_dir).select("lang", "source")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    r = cells.groupBy("lang").agg(F.sum("n").alias("r"))
+    c = cells.groupBy("source").agg(F.sum("n").alias("c"))
+    tot = cells.agg(F.sum("n").alias("nn"))
+    contrib = (
+        F.col("n").cast("double") / F.col("nn").cast("double")
+    ) * F.log(
+        (F.col("n") * F.col("nn")).cast("double")
+        / (F.col("r") * F.col("c")).cast("double")
+    )
+    return (
+        cells.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(tot))
+        .select("lang", "source", "n", F.round(contrib, 6).alias("contrib"))
+    )
+
+
+_MI_SQL = """
+WITH cells AS (SELECT lang, source, count(*)::BIGINT AS n
+               FROM documents GROUP BY lang, source),
+r AS (SELECT lang, SUM(n)::BIGINT AS r FROM cells GROUP BY lang),
+c AS (SELECT source, SUM(n)::BIGINT AS c FROM cells GROUP BY source),
+t AS (SELECT SUM(n)::BIGINT AS nn FROM cells)
+SELECT cells.lang, cells.source, cells.n,
+       round((CAST(cells.n AS DOUBLE) / CAST(t.nn AS DOUBLE))
+             * ln(CAST(cells.n * t.nn AS DOUBLE)
+                  / CAST(r.r * c.c AS DOUBLE)), 6) AS contrib
+FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
+"""
+
+
 CORPUS_EXTRA_QUERIES = {
     "curriculum_schedule": (curriculum_schedule, _curriculum_sql()),
     "perplexity_buckets": (perplexity_buckets, _perplexity_sql()),
@@ -613,4 +819,7 @@ CORPUS_EXTRA_QUERIES = {
     "quality_length_slopes": (quality_length_slopes, _slopes_sql()),
     "auc_quality_vs_gopher": (auc_quality_vs_gopher, _auc_sql()),
     "classifier_calibration": (classifier_calibration, _calibration_sql()),
+    "spearman_quality_logprob": (spearman_quality_logprob, _spearman_sql()),
+    "ks_quality_halves": (ks_quality_halves, _ks_sql()),
+    "mi_lang_source_cells": (mi_lang_source_cells, _MI_SQL),
 }

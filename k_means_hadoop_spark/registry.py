@@ -825,6 +825,9 @@ _SCHEDULE: dict[str, dict] = {
     "classifier_calibration": _row(defer=True),
     "merge_apply_changelog": _row(defer=True),
     "anova_event_values": _row(defer=True),
+    "spearman_quality_logprob": _row(defer=True),
+    "ks_quality_halves": _row(defer=True),
+    "mi_lang_source_cells": _row(defer=True),
 }
 
 

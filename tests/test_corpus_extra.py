@@ -224,3 +224,84 @@ def test_calibration_deciles_are_monotone_and_consistent(spark, sf_dir):
     # per-bucket Brier consistency: brier >= (mean residual)^2 (Jensen)
     resid = df["mean_score"] - df["frac_pos"]
     assert (df["brier"] + 1e-9 >= resid**2).all()
+
+
+def test_spearman_matches_numpy_ranks(spark, sf_dir):
+    import numpy as np
+    from k_means_hadoop_spark.operators import text as text_ops
+    from k_means_hadoop_spark.operators.corpus_extra import (
+        _docs,
+        spearman_quality_logprob,
+    )
+
+    row = spearman_quality_logprob(spark, sf_dir).first()
+    docs = _docs(spark, sf_dir)
+    q = {r["doc_id"]: r["quality"] for r in text_ops.quality_scores(docs).collect()}
+    lp = {r["doc_id"]: r["avg_logprob"] for r in text_ops.unigram_logprob(docs).collect()}
+    ids = sorted(set(q) & set(lp))
+    x = np.array([q[i] for i in ids])
+    y = np.array([lp[i] for i in ids])
+
+    def avg_rank(v):
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v))
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2
+            i = j
+        return ranks
+
+    rx, ry = avg_rank(x), avg_rank(y)
+    rho = np.corrcoef(rx, ry)[0, 1]
+    assert row["n_docs"] == len(ids)
+    assert row["rho"] == pytest.approx(rho, abs=1e-6)
+    # the two quality signals genuinely co-rank (non-vacuity)
+    assert abs(row["rho"]) > 0.05
+
+
+def test_ks_matches_numpy(spark, sf_dir):
+    import numpy as np
+    from k_means_hadoop_spark.operators import text as text_ops
+    from k_means_hadoop_spark.operators.corpus_extra import _docs, ks_quality_halves
+
+    row = ks_quality_halves(spark, sf_dir).first()
+    d = {
+        r["doc_id"]: r["quality"]
+        for r in text_ops.quality_scores(_docs(spark, sf_dir)).collect()
+    }
+    a = np.sort([v for k, v in d.items() if k % 2 == 0])
+    b = np.sort([v for k, v in d.items() if k % 2 == 1])
+    values = np.unique(np.concatenate([a, b]))
+    f1 = np.searchsorted(a, values, side="right") / len(a)
+    f2 = np.searchsorted(b, values, side="right") / len(b)
+    ks = np.abs(f1 - f2).max()
+    assert row["n_even"] == len(a) and row["n_odd"] == len(b)
+    assert row["ks_d"] == pytest.approx(ks, abs=1e-6)
+
+
+def test_mi_cells_reconstruct_nonnegative_total(spark, sf_dir):
+    import math
+    from k_means_hadoop_spark.operators.corpus_extra import (
+        _docs,
+        mi_lang_source_cells,
+    )
+
+    rows = mi_lang_source_cells(spark, sf_dir).collect()
+    pdf = _docs(spark, sf_dir).select("lang", "source").toPandas()
+    n_total = len(pdf)
+    assert sum(r["n"] for r in rows) == n_total
+    # recompute each contribution locally
+    r_tot = pdf.groupby("lang").size().to_dict()
+    c_tot = pdf.groupby("source").size().to_dict()
+    for r in rows:
+        expect = (r["n"] / n_total) * math.log(
+            r["n"] * n_total / (r_tot[r["lang"]] * c_tot[r["source"]])
+        )
+        assert r["contrib"] == pytest.approx(expect, abs=2e-6)
+    # the MI total (ordered fold) is non-negative by Gibbs' inequality
+    total = sum(sorted(r["contrib"] for r in rows))
+    assert total >= -1e-6
