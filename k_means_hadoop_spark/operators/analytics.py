@@ -912,6 +912,110 @@ l{i} AS (SELECT l.part, least(l.dist, r.via) AS dist
     )
 
 
+# ------------------------------------------------- weighted shortest paths
+#
+# Bellman-Ford over the co-purchase graph with edge weight
+# w(u,v) = round(1 / n_uv, 6) (strong ties are cheap) — the min-plus
+# (tropical) semiring sibling of the BFS hop levels: path costs are
+# SUMS of ≤ _SP_ITERS exact DECIMAL(12,6) weights, so every candidate
+# distance is exact and the min is order-free — a full value oracle
+# for a weighted-graph iteration.
+
+_SP_ITERS = 3
+
+
+def shortest_paths_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part, dist) — cheapest-path cost (≤ {i} hops) from the minimum
+    node of the bounded co-purchase graph.""".format(i=_SP_ITERS)
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey") <= _GRAPH_MAX_PART)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    cnt = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_uv"))
+    )
+    w = F.round(F.lit(1.0) / F.col("n_uv").cast("double"), 6).cast(
+        "decimal(12,6)"
+    )
+    e = cnt.select("pa", "pb", w.alias("w"))
+    nbrs = e.unionAll(
+        e.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"), "w")
+    ).cache()
+    nodes = nbrs.select(F.col("pa").alias("part")).distinct()
+    src = nodes.agg(F.min("part").alias("src"))
+    labels = nodes.crossJoin(F.broadcast(src)).select(
+        "part",
+        F.when(F.col("part") == F.col("src"), F.lit(0).cast("decimal(14,6)"))
+        .otherwise(F.lit(None).cast("decimal(14,6)"))
+        .alias("dist"),
+    )
+    for _ in range(_SP_ITERS):
+        relax = (
+            labels.where(F.col("dist").isNotNull())
+            .join(nbrs, labels.part == nbrs.pa)
+            .groupBy(F.col("pb").alias("part"))
+            .agg(
+                F.min(
+                    (F.col("dist") + F.col("w")).cast("decimal(14,6)")
+                ).alias("via")
+            )
+        )
+        labels = (
+            labels.join(relax, "part", "left")
+            .select("part", F.least(F.col("dist"), F.col("via")).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.where(F.col("dist").isNotNull()).select(
+        "part", F.round(F.col("dist").cast("double"), 6).alias("dist")
+    )
+
+
+def _sp_sql() -> str:
+    parts = [
+        """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       WHERE l_partkey <= {maxp}),
+cnt AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*)::BIGINT AS n_uv
+        FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2),
+e AS (SELECT pa, pb,
+             CAST(round(1.0 / CAST(n_uv AS DOUBLE), 6) AS DECIMAL(12,6)) AS w
+      FROM cnt),
+nbrs AS (SELECT pa, pb, w FROM e UNION ALL SELECT pb, pa, w FROM e),
+nodes AS (SELECT DISTINCT pa AS part FROM nbrs),
+src AS (SELECT min(part) AS src FROM nodes),
+l0 AS (SELECT part,
+              CASE WHEN part = src.src THEN CAST(0 AS DECIMAL(14,6)) END AS dist
+       FROM nodes CROSS JOIN src)""".format(maxp=_GRAPH_MAX_PART)
+    ]
+    for i in range(1, _SP_ITERS + 1):
+        parts.append(
+            f"""r{i} AS (SELECT b.pb AS part,
+         min(CAST(l.dist + b.w AS DECIMAL(14,6))) AS via
+  FROM l{i - 1} l JOIN nbrs b ON b.pa = l.part
+  WHERE l.dist IS NOT NULL GROUP BY b.pb),
+l{i} AS (SELECT l.part, least(l.dist, r.via) AS dist
+  FROM l{i - 1} l LEFT JOIN r{i} r ON r.part = l.part)"""
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f""" SELECT part, round(CAST(dist AS DOUBLE), 6) AS dist
+FROM l{_SP_ITERS} WHERE dist IS NOT NULL"""
+    )
+
+
 # ------------------------------------------------- one-way ANOVA
 #
 # Does mean event value differ by event type?  Exact-decimal group
@@ -1096,4 +1200,5 @@ ANALYTICS_QUERIES = {
     "bfs_levels": (bfs_levels, _bfs_sql()),
     "merge_apply_changelog": (merge_apply_changelog, _MERGE_SQL),
     "anova_event_values": (anova_event_values, _anova_sql()),
+    "shortest_paths_weighted": (shortest_paths_weighted, _sp_sql()),
 }

@@ -375,3 +375,116 @@ def cms_event_counts_streaming(
 
 
 SKETCH_QUERIES["streaming_cms_counts"] = (cms_event_counts_streaming, _cms_sql())
+
+
+def bloom_bits_streaming(
+    spark: SparkSession, sf_dir: str, store_path: str | None = None
+) -> DataFrame:
+    """The SAME Bloom membership audit as ``bloom_membership_audit``,
+    with the bit set built by OR-MERGING per-micro-batch bit partials
+    across a multi-batch drain — the union-merge counterpart of the
+    Count-Min's addition merge, registered against the SAME oracle.
+    Each batch writes its batch's distinct bits into a
+    batch_id-partitioned store; the merged filter is one DISTINCT over
+    the store (bitwise OR ≡ set union of set bit positions)."""
+    from k_means_hadoop_spark.session import scratch_dir
+
+    src = scratch_dir("bloom_src")
+    store = store_path or scratch_dir("bloom_store")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    m_df = cust.agg((F.count(F.lit(1)) * BLOOM_M_PER_KEY).alias("m"))
+    m_val = m_df.first()["m"]
+    cust.repartition(4).write.mode("overwrite").parquet(src)
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = (
+            batch_df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            (
+                                stable_hash64(_bloom_key(j, "c_custkey"))
+                                % F.lit(m_val)
+                            ).alias("b")
+                            for j in range(BLOOM_K)
+                        ]
+                    )
+                ).alias("bit")
+            )
+            .distinct()
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            partial.write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(store)
+        )
+
+    stream = (
+        spark.readStream.schema(cust.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", scratch_dir("bloom_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    bits = spark.read.parquet(store).select("bit").distinct()
+    max_key = cust.agg(F.max("c_custkey").alias("mx"))
+    members = cust.where(F.col("c_custkey") < BLOOM_PROBE_N).select(
+        F.col("c_custkey").alias("probe"), F.lit(1).alias("is_member")
+    )
+    nonmembers = (
+        cust.where(F.col("c_custkey") < BLOOM_PROBE_N)
+        .crossJoin(F.broadcast(max_key))
+        .select(
+            (F.col("c_custkey") + F.col("mx") + F.lit(1)).alias("probe"),
+            F.lit(0).alias("is_member"),
+        )
+    )
+    probe_bits = members.unionByName(nonmembers).select(
+        "probe",
+        "is_member",
+        F.explode(
+            F.array(
+                *[
+                    (stable_hash64(_bloom_key(j, "probe")) % F.lit(m_val)).alias(
+                        "b"
+                    )
+                    for j in range(BLOOM_K)
+                ]
+            )
+        ).alias("bit"),
+    )
+    hits = (
+        probe_bits.join(
+            F.broadcast(bits.withColumn("set_", F.lit(1))), "bit", "left"
+        )
+        .groupBy("probe", "is_member")
+        .agg(
+            (F.count(F.lit(1)) == F.sum(F.coalesce(F.col("set_"), F.lit(0))))
+            .cast("int")
+            .alias("positive")
+        )
+    )
+    return hits.agg(
+        F.sum("is_member").cast("bigint").alias("n_members"),
+        F.sum(1 - F.col("is_member")).cast("bigint").alias("n_nonmembers"),
+        F.sum(
+            F.when((F.col("is_member") == 0) & (F.col("positive") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("false_positives"),
+        F.sum(
+            F.when((F.col("is_member") == 1) & (F.col("positive") == 0), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("false_negatives"),
+    )
+
+
+SKETCH_QUERIES["streaming_bloom_bits"] = (bloom_bits_streaming, _bloom_sql())

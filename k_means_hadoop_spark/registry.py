@@ -828,6 +828,8 @@ _SCHEDULE: dict[str, dict] = {
     "spearman_quality_logprob": _row(defer=True),
     "ks_quality_halves": _row(defer=True),
     "mi_lang_source_cells": _row(defer=True),
+    "shortest_paths_weighted": _row(defer=True),
+    "streaming_bloom_bits": _row(defer=True),
 }
 
 

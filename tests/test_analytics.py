@@ -438,3 +438,76 @@ def test_anova_matches_scipy_free_formula(spark, sf_dir):
     assert row["ssb"] == pytest.approx(ssb, rel=1e-6, abs=1e-3)
     assert row["ssw"] == pytest.approx(ssw, rel=1e-6, abs=1e-3)
     assert row["f_stat"] == pytest.approx(f, rel=1e-5, abs=1e-5)
+
+
+def test_weighted_shortest_paths_match_local_bellman_ford(spark, sf_dir):
+    from k_means_hadoop_spark.operators.analytics import (
+        _SP_ITERS,
+        shortest_paths_weighted,
+        _copurchase_edges,
+        _t,
+    )
+    from pyspark.sql import functions as F
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where("l_partkey <= 300")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    cnt = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .count()
+        .collect()
+    )
+    adj: dict[int, list] = {}
+    for r in cnt:
+        w = round(1.0 / r["count"], 6)
+        adj.setdefault(r["pa"], []).append((r["pb"], w))
+        adj.setdefault(r["pb"], []).append((r["pa"], w))
+    src = min(adj)
+    dist = {v: None for v in adj}
+    dist[src] = 0.0
+    for _ in range(_SP_ITERS):
+        nxt = dict(dist)
+        for u, d in dist.items():
+            if d is None:
+                continue
+            for v, w in adj[u]:
+                cand = round(d + w, 6)
+                if nxt[v] is None or cand < nxt[v]:
+                    nxt[v] = cand
+        dist = nxt
+    want = {v: d for v, d in dist.items() if d is not None}
+    got = {
+        r["part"]: r["dist"]
+        for r in shortest_paths_weighted(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-6), v
+    assert len({round(v, 3) for v in want.values()}) > 2
+
+
+def test_streaming_bloom_merges_multiple_batches(spark, sf_dir):
+    from k_means_hadoop_spark.operators.sketches import (
+        bloom_bits_streaming,
+        bloom_membership_audit,
+    )
+    from k_means_hadoop_spark.session import scratch_dir
+
+    store = scratch_dir("bloom_store_test")
+    batch = sorted(tuple(r) for r in bloom_membership_audit(spark, sf_dir).collect())
+    streamed = sorted(
+        tuple(r)
+        for r in bloom_bits_streaming(spark, sf_dir, store_path=store).collect()
+    )
+    assert streamed == batch
+    n_batches = spark.read.parquet(store).select("batch_id").distinct().count()
+    assert n_batches > 1
