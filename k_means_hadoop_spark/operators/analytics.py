@@ -912,6 +912,126 @@ l{i} AS (SELECT l.part, least(l.dist, r.via) AS dist
     )
 
 
+# ------------------------------------------------- k-core peeling
+#
+# 2-core membership by iterative peeling: repeatedly drop nodes whose
+# CURRENT degree is below k, recomputing degrees on the survivors —
+# a shrinking-fixed-point iteration (the opposite shape of the
+# label/rank propagations, whose node set is static).  Integer-exact,
+# unrolled-CTE oracle; _KC_ITERS rounds suffice for the fixture (a
+# production run iterates to emptiness-of-change with the same body).
+
+_KC_K = 2  # sf0.1's sparser subgraph has NO 3-core — k=2 survives at every sf
+_KC_ITERS = 4
+
+
+def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part, degree) — the nodes surviving ``_KC_ITERS`` peeling
+    rounds at k={k}, with their residual in-core degree.""".format(k=_KC_K)
+    e = _copurchase_edges(spark, sf_dir).cache()
+    nbrs = e.unionAll(
+        e.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    ).cache()
+    alive = nbrs.select(F.col("pa").alias("part")).distinct()
+    for _ in range(_KC_ITERS):
+        deg = (
+            nbrs.join(alive.withColumnRenamed("part", "pa"), "pa")
+            .join(alive.withColumnRenamed("part", "pb"), "pb")
+            .groupBy(F.col("pa").alias("part"))
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        alive = (
+            deg.where(F.col("degree") >= _KC_K)
+            .select("part")
+            .localCheckpoint(eager=True)
+        )
+    final_deg = (
+        nbrs.join(alive.withColumnRenamed("part", "pa"), "pa")
+        .join(alive.withColumnRenamed("part", "pb"), "pb")
+        .groupBy(F.col("pa").alias("part"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return final_deg
+
+
+def _kcore_sql() -> str:
+    parts = [
+        _EDGES_CTE.strip()
+        + """,
+nbrs AS (SELECT pa, pb FROM e UNION ALL SELECT pb, pa FROM e),
+a0 AS (SELECT DISTINCT pa AS part FROM nbrs)"""
+    ]
+    for i in range(1, _KC_ITERS + 1):
+        parts.append(
+            f"""d{i} AS (SELECT n.pa AS part, count(*)::BIGINT AS degree
+  FROM nbrs n
+  JOIN a{i - 1} x ON x.part = n.pa
+  JOIN a{i - 1} y ON y.part = n.pb
+  GROUP BY n.pa),
+a{i} AS (SELECT part FROM d{i} WHERE degree >= {_KC_K})"""
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f"""
+SELECT n.pa AS part, count(*)::BIGINT AS degree
+FROM nbrs n
+JOIN a{_KC_ITERS} x ON x.part = n.pa
+JOIN a{_KC_ITERS} y ON y.part = n.pb
+GROUP BY n.pa"""
+    )
+
+
+# ------------------------------------------------- inter-arrival stats
+#
+# Per-event-type inter-arrival gaps (seconds between a user's
+# consecutive events of that type) — the cadence profile behind
+# rate-limit and anomaly thresholds.  Gaps are exact integer seconds
+# from a user-partitioned lag (partitioned window — scale-fine, unlike
+# the global windows this module refactored away); the percentile
+# aggregates interpolate over identical integer multisets.
+
+
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_gaps, p50_gap_s, p90_gap_s, max_gap_s)."""
+    # event_id breaks exact-timestamp ties deterministically
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    gaps = (
+        ev.withColumn("prev", F.lag("us").over(w))
+        .where(F.col("prev").isNotNull())
+        .select(
+            "event_type",
+            ((F.col("us") - F.col("prev")) / F.lit(1000000)).cast("bigint").alias(
+                "gap_s"
+            ),
+        )
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("p50_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.9)"), 6).alias("p90_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )
+
+
+_INTERARRIVAL_SQL = """
+WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+g AS (SELECT event_type,
+             (us - lag(us) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY us, event_id)) // 1000000 AS gap_s
+      FROM ev)
+SELECT event_type, count(*)::BIGINT AS n_gaps,
+       round(quantile_cont(gap_s, 0.5), 6) AS p50_gap_s,
+       round(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s,
+       max(gap_s)::BIGINT AS max_gap_s
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY event_type
+"""
+
+
 # ------------------------------------------------- weighted shortest paths
 #
 # Bellman-Ford over the co-purchase graph with edge weight
@@ -1201,4 +1321,6 @@ ANALYTICS_QUERIES = {
     "merge_apply_changelog": (merge_apply_changelog, _MERGE_SQL),
     "anova_event_values": (anova_event_values, _anova_sql()),
     "shortest_paths_weighted": (shortest_paths_weighted, _sp_sql()),
+    "kcore_membership": (kcore_membership, _kcore_sql()),
+    "interarrival_stats": (interarrival_stats, _INTERARRIVAL_SQL),
 }

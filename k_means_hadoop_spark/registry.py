@@ -830,6 +830,8 @@ _SCHEDULE: dict[str, dict] = {
     "mi_lang_source_cells": _row(defer=True),
     "shortest_paths_weighted": _row(defer=True),
     "streaming_bloom_bits": _row(defer=True),
+    "kcore_membership": _row(defer=True),
+    "interarrival_stats": _row(defer=True),
 }
 
 

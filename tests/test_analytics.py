@@ -511,3 +511,53 @@ def test_streaming_bloom_merges_multiple_batches(spark, sf_dir):
     assert streamed == batch
     n_batches = spark.read.parquet(store).select("batch_id").distinct().count()
     assert n_batches > 1
+
+
+def test_kcore_matches_local_peeling(spark, sf_dir):
+    from k_means_hadoop_spark.operators.analytics import (
+        _KC_ITERS,
+        _KC_K,
+        _copurchase_edges,
+        kcore_membership,
+    )
+
+    edges = {(r["pa"], r["pb"]) for r in _copurchase_edges(spark, sf_dir).collect()}
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    for _ in range(_KC_ITERS):
+        alive = {v for v in alive if len(adj[v] & alive) >= _KC_K}
+    want = {v: len(adj[v] & alive) for v in alive}
+    got = {r["part"]: r["degree"] for r in kcore_membership(spark, sf_dir).collect()}
+    assert got == want
+    assert want, "core must be non-empty (vacuity guard)"
+    # the defining core property holds for every survivor
+    assert all(d >= _KC_K for d in want.values())
+
+
+def test_interarrival_stats_match_pandas(spark, sf_dir):
+    import numpy as np
+    from k_means_hadoop_spark.operators.analytics import _t, interarrival_stats
+
+    got = {
+        r["event_type"]: (r["n_gaps"], r["p50_gap_s"], r["p90_gap_s"], r["max_gap_s"])
+        for r in interarrival_stats(spark, sf_dir).collect()
+    }
+    pdf = (
+        _t(spark, sf_dir, "events")
+        .selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) as us")
+        .toPandas()
+        .sort_values(["user_id", "event_type", "us", "event_id"])
+    )
+    pdf["prev"] = pdf.groupby(["user_id", "event_type"])["us"].shift()
+    g = pdf.dropna(subset=["prev"])
+    gaps = ((g["us"] - g["prev"]) // 1_000_000).astype("int64")
+    for et, sub in gaps.groupby(g["event_type"]):
+        v = sub.to_numpy()
+        n, p50, p90, mx = got[et]
+        assert n == len(v)
+        assert p50 == pytest.approx(np.percentile(v, 50), abs=1e-6)
+        assert p90 == pytest.approx(np.percentile(v, 90), abs=1e-6)
+        assert mx == v.max()
