@@ -561,3 +561,81 @@ def test_interarrival_stats_match_pandas(spark, sf_dir):
         assert p50 == pytest.approx(np.percentile(v, 50), abs=1e-6)
         assert p90 == pytest.approx(np.percentile(v, 90), abs=1e-6)
         assert mx == v.max()
+
+
+def test_prefix_sum_property_random_orders(spark):
+    """Property: prefix_sum equals the naive global window for random
+    values, duplicate keys, and any partition count."""
+    from hypothesis import given, settings, strategies as st
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from k_means_hadoop_spark.partitioning import prefix_sum
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        vals=st.lists(
+            st.tuples(st.integers(0, 30), st.integers(-100, 100)),
+            min_size=1,
+            max_size=120,
+        ),
+        nparts=st.integers(2, 9),
+    )
+    def check(vals, nparts):
+        rows = [(i, k, v) for i, (k, v) in enumerate(vals)]
+        df = spark.createDataFrame(rows, ["i", "k", "v"])
+        order = [F.col("k").asc(), F.col("i").asc()]
+        got = {
+            r["i"]: r["cum"]
+            for r in prefix_sum(df, "v", order, num_parts=nparts).collect()
+        }
+        w = Window.orderBy("k", "i").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        want = {
+            r["i"]: r["cum"]
+            for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+        }
+        assert got == want
+
+    check()
+
+
+def test_pareto_property_random_points(spark):
+    """Property: the window skyline equals the brute-force dominance
+    scan for random (size, price) clouds with ties."""
+    from hypothesis import given, settings, strategies as st
+
+    from k_means_hadoop_spark.operators import analytics as an
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        pts=st.lists(
+            st.tuples(st.integers(1, 8), st.integers(1, 8)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(pts):
+        rows = [(i, s, float(p)) for i, (s, p) in enumerate(pts)]
+        df = spark.createDataFrame(rows, ["p_partkey", "p_size", "p_retailprice"])
+        orig = an._t
+        an._t = lambda sp, d, n: df
+        try:
+            got = sorted(
+                r["p_partkey"] for r in an.pareto_front_parts(spark, "-").collect()
+            )
+        finally:
+            an._t = orig
+        want = sorted(
+            i
+            for i, s, p in rows
+            if not any(
+                (q_p <= p and q_s >= s and (q_p < p or q_s > s))
+                for _, q_s, q_p in rows
+            )
+        )
+        assert got == want
+
+    check()
