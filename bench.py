@@ -126,6 +126,13 @@ HEADLINE = [
     "curriculum_schedule",
     "pmi_bigrams",
     "ab_conversion_lift",
+    # round 4d later batch: the exact ranking metrics (histogram
+    # rank-sum AUC + Spearman over prefix-sum ranks), the three-verb
+    # MERGE, and the value-oracle Count-Min.
+    "auc_quality_vs_gopher",
+    "spearman_quality_logprob",
+    "merge_apply_changelog",
+    "cms_event_counts",
 ]
 
 
