@@ -926,8 +926,8 @@ _KC_ITERS = 4
 
 
 def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(part, degree) — the nodes surviving ``_KC_ITERS`` peeling
-    rounds at k={k}, with their residual in-core degree.""".format(k=_KC_K)
+    # __doc__ assigned after the def: a literal followed by .format()
+    # is a discarded expression, not a docstring
     e = _copurchase_edges(spark, sf_dir).cache()
     nbrs = e.unionAll(
         e.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
@@ -952,6 +952,12 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return final_deg
+
+
+kcore_membership.__doc__ = (
+    "(part, degree) — the nodes surviving ``_KC_ITERS`` peeling "
+    "rounds at k={k}, with their residual in-core degree."
+).format(k=_KC_K)
 
 
 def _kcore_sql() -> str:
@@ -1045,8 +1051,8 @@ _SP_ITERS = 3
 
 
 def shortest_paths_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(part, dist) — cheapest-path cost (≤ {i} hops) from the minimum
-    node of the bounded co-purchase graph.""".format(i=_SP_ITERS)
+    # __doc__ assigned after the def: a literal followed by .format()
+    # is a discarded expression, not a docstring
     li = (
         _t(spark, sf_dir, "lineitem")
         .where(F.col("l_partkey") <= _GRAPH_MAX_PART)
@@ -1099,6 +1105,12 @@ def shortest_paths_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.where(F.col("dist").isNotNull()).select(
         "part", F.round(F.col("dist").cast("double"), 6).alias("dist")
     )
+
+
+shortest_paths_weighted.__doc__ = (
+    "(part, dist) — cheapest-path cost (≤ {i} hops) from the minimum "
+    "node of the bounded co-purchase graph."
+).format(i=_SP_ITERS)
 
 
 def _sp_sql() -> str:

@@ -315,11 +315,14 @@ def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(text._tokens(F.col("text")), lambda x: x != "")
     base = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
     n = F.size("toks")
+    # clamp: n=0 (whitespace-only doc) would make the slice length -1,
+    # a runtime error; the oracle's range(1, 0) yields empty instead
+    pair_len = F.greatest(n - F.lit(1), F.lit(0))
     pairs = base.select(
         F.explode(
             F.zip_with(
-                F.slice("toks", 1, n - 1),
-                F.slice("toks", 2, n - 1),
+                F.slice("toks", 1, pair_len),
+                F.slice("toks", 2, pair_len),
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("p")
@@ -590,8 +593,12 @@ WITH q AS (SELECT doc_id, quality FROM ({_quality_sql()})),
 g AS (SELECT doc_id, CASE WHEN verdict THEN 1 ELSE 0 END AS pos
       FROM ({_gopher_sql()})),
 d AS (SELECT doc_id, quality, pos FROM q JOIN g USING (doc_id)),
+-- decile via the SAME closed form as the Spark side (floor((rk-1)*10/N)+1):
+-- ntile(10) disagrees whenever N mod 10 is in 2..9 (ntile front-loads the
+-- remainder; the closed form spreads it), so the two must share the formula.
 r AS (SELECT quality, pos,
-             ntile(10) OVER (ORDER BY quality DESC, doc_id ASC) AS decile
+             CAST((row_number() OVER (ORDER BY quality DESC, doc_id ASC) - 1) * 10
+                  // (SELECT count(*) FROM d) AS INT) + 1 AS decile
       FROM d)
 SELECT decile, count(*)::BIGINT AS n,
        round(CAST(SUM(CAST(quality AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6) AS mean_score,

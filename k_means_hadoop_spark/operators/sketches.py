@@ -54,10 +54,8 @@ def _cms_key_sql(i: int, expr: str) -> str:
 
 
 def cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(user_id, exact, est, over) — per-user event counts, exact vs
-    the Count-Min estimate from a d={d}, w={w} sketch.""".format(
-        d=CMS_D, w=CMS_W
-    )
+    # __doc__ assigned below: a literal followed by .format() is a
+    # discarded expression, not a docstring
     ev = _events(spark, sf_dir).select("user_id")
     rows = ev.select(
         "user_id",
@@ -105,6 +103,12 @@ def cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est") - F.col("exact")).alias("over"),
         )
     )
+
+
+cms_event_counts.__doc__ = (
+    "(user_id, exact, est, over) — per-user event counts, exact vs "
+    "the Count-Min estimate from a d={d}, w={w} sketch."
+).format(d=CMS_D, w=CMS_W)
 
 
 def _cms_sql() -> str:

@@ -63,19 +63,42 @@ def prefix_sum(
     local = part.withColumn("_local", F.sum(value_col).over(w_in))
     # per-partition totals via SUM of the raw values (not max of the
     # cumsum — that identity needs non-negative values; sum is sign-safe)
-    totals = (
-        part.groupBy("_pid")
-        .agg(F.sum(value_col).alias("_ptot"))
-        .orderBy("_pid")
-        .collect()
+    totals_df = part.groupBy("_pid").agg(F.sum(value_col).alias("_ptot"))
+    sum_type = totals_df.schema["_ptot"].dataType
+    totals = totals_df.orderBy("_pid").collect()
+    # offsets must keep the SUM's type: int() here would silently
+    # truncate fractional totals for float/decimal value columns
+    import decimal
+
+    from pyspark.sql.types import (
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
     )
+
+    if isinstance(sum_type, DecimalType):
+        zero, conv = decimal.Decimal(0), decimal.Decimal
+    elif isinstance(sum_type, (DoubleType, FloatType)):
+        zero, conv = 0.0, float
+    else:
+        zero, conv = 0, int
     offsets = {}
-    running = 0
+    running = zero
     for r in totals:
         offsets[r["_pid"]] = running
-        running += r["_ptot"] or 0
+        running += conv(r["_ptot"]) if r["_ptot"] is not None else zero
     off_df = df.sparkSession.createDataFrame(
-        [(int(k), int(v)) for k, v in offsets.items()], ["_pid", "_off"]
+        [(int(k), v) for k, v in offsets.items()],
+        StructType(
+            [
+                StructField("_pid", IntegerType()),
+                StructField("_off", sum_type if not isinstance(sum_type, IntegerType) else LongType()),
+            ]
+        ),
     )
     return (
         local.join(F.broadcast(off_df), "_pid")
