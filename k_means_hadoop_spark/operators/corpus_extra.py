@@ -554,7 +554,10 @@ def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = text.gopher_quality_gate(docs).select(
         "doc_id", F.col("verdict").cast("int").alias("pos")
     )
-    d = q.join(g, "doc_id")
+    # cached for the same reason as spearman's d: the ranked rows AND
+    # the n_total aggregate both reference d, and each uncached
+    # reference re-runs the quality + Gopher pipelines from raw docs
+    d = q.join(g, "doc_id").persist()
     ranked = prefix_sum(
         d.withColumn("_one", F.lit(1)),
         "_one",
@@ -653,7 +656,12 @@ def spearman_quality_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     q = text.quality_scores(docs).select("doc_id", "quality")
     lp = text.unigram_logprob(docs).select("doc_id", "avg_logprob")
-    d = q.join(lp, "doc_id")
+    # cache the joined scores: d is referenced three times (both rank
+    # histograms + the final rank join) and each reference would
+    # otherwise re-run BOTH full scoring pipelines from the raw docs —
+    # the round-4 bench's dominant cost.  d is (doc_id, 2 doubles):
+    # thin enough to cache at any corpus scale.
+    d = q.join(lp, "doc_id").persist()
     rq = _avg_ranks(d, "quality", "rx")
     rl = _avg_ranks(d, "avg_logprob", "ry")
     ranked = (

@@ -777,61 +777,59 @@ _SCHEDULE: dict[str, dict] = {
     "window_rank_metrics": _row(stale_after=3),
     "kmeans_mllib": _row(stale_after=3),
     "kmeans_lloyd": _row(stale_after=3),
-    # -- round-4c additions, deliberately DEFERRED to the round-5 window:
-    #    round 4 has 49 higher-priority unverified entries (the r3 dark
-    #    set, the r4 additions, and every stale redefinition) and the
-    #    driver checks exactly 50 — a stale redefinition losing its slot
-    #    to a brand-new (locally parity-green) entry would leave changed
-    #    semantics driver-unproven, the worse trade ------------------
-    "retention_cohorts": _row(defer=True),
-    "rfm_segments": _row(defer=True),
-    "vocab_coverage": _row(defer=True),
-    "source_lang_entropy": _row(defer=True),
-    "quality_percentile_gate": _row(defer=True),
-    "market_basket_pairs": _row(defer=True),
-    "event_transition_matrix": _row(defer=True),
-    "dau_wau_mau": _row(defer=True),
-    "pagerank_copurchase": _row(defer=True),
-    "bm25_search": _row(defer=True),
-    "hybrid_retrieval": _row(defer=True),
+    # -- round-4c additions, deferred during round 4 and PROMOTED to
+    #    the round-5 window (the flush the round-4 verdict mandated):
+    #    with the r3 dark set and the stale redefinitions all green in
+    #    CORRECTNESS_r04, these 44 unverified entries plus the 6 new
+    #    round-5 queries fill the 50-slot window exactly -------------
+    "retention_cohorts": _row(front=True),
+    "rfm_segments": _row(front=True),
+    "vocab_coverage": _row(front=True),
+    "source_lang_entropy": _row(front=True),
+    "quality_percentile_gate": _row(front=True),
+    "market_basket_pairs": _row(front=True),
+    "event_transition_matrix": _row(front=True),
+    "dau_wau_mau": _row(front=True),
+    "pagerank_copurchase": _row(front=True),
+    "bm25_search": _row(front=True),
+    "hybrid_retrieval": _row(front=True),
     "i1_init_random": _row(stale_after=3),
     # -- round-4d additions (statistics + graph analytics), likewise
-    #    deferred behind the 4c set: the round-4 window is already full
-    #    with the r3 dark set plus the stale redefinitions ------------
-    "corr_matrix_lineitem": _row(defer=True),
-    "ols_price_model": _row(defer=True),
-    "chi2_event_dow": _row(defer=True),
-    "skew_report_orders": _row(defer=True),
-    "pareto_front_parts": _row(defer=True),
-    "triangle_count_parts": _row(defer=True),
-    "copurchase_degree_hist": _row(defer=True),
-    "label_prop_communities": _row(defer=True),
-    "curriculum_schedule": _row(defer=True),
-    "perplexity_buckets": _row(defer=True),
-    "repeated_ngram_spans": _row(defer=True),
-    "mad_outlier_docs": _row(defer=True),
-    "dedup_rate_by_source": _row(defer=True),
-    "pmi_bigrams": _row(defer=True),
-    "quality_length_slopes": _row(defer=True),
-    "ab_conversion_lift": _row(defer=True),
-    "dedup_prefix_filter": _row(defer=True),
-    "silhouette_by_cluster": _row(defer=True),
-    "cms_event_counts": _row(defer=True),
-    "bloom_membership_audit": _row(defer=True),
-    "dq_expectations": _row(defer=True),
-    "bfs_levels": _row(defer=True),
-    "streaming_cms_counts": _row(defer=True),
-    "auc_quality_vs_gopher": _row(defer=True),
-    "classifier_calibration": _row(defer=True),
-    "merge_apply_changelog": _row(defer=True),
-    "anova_event_values": _row(defer=True),
-    "spearman_quality_logprob": _row(defer=True),
-    "ks_quality_halves": _row(defer=True),
-    "mi_lang_source_cells": _row(defer=True),
-    "shortest_paths_weighted": _row(defer=True),
-    "streaming_bloom_bits": _row(defer=True),
-    "kcore_membership": _row(defer=True),
-    "interarrival_stats": _row(defer=True),
+    #    promoted into the round-5 window --------------------------
+    "corr_matrix_lineitem": _row(front=True),
+    "ols_price_model": _row(front=True),
+    "chi2_event_dow": _row(front=True),
+    "skew_report_orders": _row(front=True),
+    "pareto_front_parts": _row(front=True),
+    "triangle_count_parts": _row(front=True),
+    "copurchase_degree_hist": _row(front=True),
+    "label_prop_communities": _row(front=True),
+    "curriculum_schedule": _row(front=True),
+    "perplexity_buckets": _row(front=True),
+    "repeated_ngram_spans": _row(front=True),
+    "mad_outlier_docs": _row(front=True),
+    "dedup_rate_by_source": _row(front=True),
+    "pmi_bigrams": _row(front=True),
+    "quality_length_slopes": _row(front=True),
+    "ab_conversion_lift": _row(front=True),
+    "dedup_prefix_filter": _row(front=True),
+    "silhouette_by_cluster": _row(front=True),
+    "cms_event_counts": _row(front=True),
+    "bloom_membership_audit": _row(front=True),
+    "dq_expectations": _row(front=True),
+    "bfs_levels": _row(front=True),
+    "streaming_cms_counts": _row(front=True),
+    "auc_quality_vs_gopher": _row(front=True),
+    "classifier_calibration": _row(front=True),
+    "merge_apply_changelog": _row(front=True),
+    "anova_event_values": _row(front=True),
+    "spearman_quality_logprob": _row(front=True),
+    "ks_quality_halves": _row(front=True),
+    "mi_lang_source_cells": _row(front=True),
+    "shortest_paths_weighted": _row(front=True),
+    "streaming_bloom_bits": _row(front=True),
+    "kcore_membership": _row(front=True),
+    "interarrival_stats": _row(front=True),
 }
 
 
