@@ -1318,6 +1318,82 @@ SELECT c_custkey, c_acctbal, src FROM merged WHERE op IS NULL OR op != 'D'
 """
 
 
+
+# ------------------------------------------------- CUSUM changepoint
+#
+# Page's cumulative-sum statistic over the daily event series — the
+# level-shift detector a pipeline runs on ingest volume ("did the
+# crawler break on the 14th?").  S_k = Σ_{j<=k}(c_j − T/K) peaks at
+# the changepoint; we keep everything integer-exact by working with
+# the K-scaled form K·S_k = K·cum_k − k·T (counts, day ranks and
+# totals are all BIGINT), dividing back to S_k only at the final
+# 6dp rounding — both engines do the identical single division.
+#
+# Scale shape: the raw pass is one partial-agg groupBy(day); every
+# window below runs on the DAILY table (one row per day — a bounded,
+# tiny domain at any corpus size), so no global sort ever touches
+# event-level rows.
+
+
+def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, n_events, cusum, is_changepoint) — the CUSUM of daily
+    event counts against thewhole-series mean; is_changepoint marks the
+    |CUSUM| argmax (ties all marked)."""
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wk = Window.orderBy("day")
+    tot = daily.agg(
+        F.sum("n_events").alias("t_total"),
+        F.count(F.lit(1)).alias("k_days"),
+    )
+    scaled = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.sum("n_events").over(w))
+        .withColumn("k", F.row_number().over(wk))
+        .withColumn(
+            "scaled",
+            F.col("k_days") * F.col("cum") - F.col("k") * F.col("t_total"),
+        )
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return scaled.withColumn(
+        "peak", F.max(F.abs("scaled")).over(wall)
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.round(F.col("scaled").cast("double") / F.col("k_days"), 6).alias(
+            "cusum"
+        ),
+        (F.abs("scaled") == F.col("peak")).alias("is_changepoint"),
+    )
+
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT ts::DATE AS day, count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1),
+tot AS (SELECT SUM(n_events)::BIGINT AS t_total, count(*)::BIGINT AS k_days
+        FROM daily),
+scaled AS (
+  SELECT day, n_events, k_days,
+         k_days * SUM(n_events) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+           - row_number() OVER (ORDER BY day) * t_total AS scaled
+  FROM daily CROSS JOIN tot)
+SELECT strftime(day, '%Y-%m-%d') AS day, n_events,
+       round(CAST(scaled AS DOUBLE) / k_days, 6) AS cusum,
+       abs(scaled) = max(abs(scaled)) OVER () AS is_changepoint
+FROM scaled
+"""
+
+
 ANALYTICS_QUERIES = {
     "corr_matrix_lineitem": (corr_matrix_lineitem, _corr_sql()),
     "ols_price_model": (ols_price_model, _ols_sql()),
@@ -1335,4 +1411,5 @@ ANALYTICS_QUERIES = {
     "shortest_paths_weighted": (shortest_paths_weighted, _sp_sql()),
     "kcore_membership": (kcore_membership, _kcore_sql()),
     "interarrival_stats": (interarrival_stats, _INTERARRIVAL_SQL),
+    "cusum_changepoints": (cusum_changepoints, _CUSUM_SQL),
 }

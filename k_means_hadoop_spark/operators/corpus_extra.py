@@ -824,6 +824,102 @@ FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
 """
 
 
+
+# ------------------------------------------------- Welch two-sample t
+#
+# Pairwise Welch's unequal-variance t-test of the heuristic quality
+# score between languages — the A/B drift check a curation pipeline
+# runs across corpus slices ("did the de slice get worse than en?").
+# Per-group n/Σx/Σx² are exact DECIMAL aggregates (quality has ≤6
+# decimals); mean, variance, t and the Welch–Satterthwaite df are then
+# the SAME double-expression text evaluated on identical exact inputs
+# in both engines.  Scale shape: one partial-agg groupBy producing one
+# row per group, then an all-pairs join of the TINY group-stat table.
+
+_W_VAR = (
+    "(CAST(qq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)"
+)
+_W_SE2 = "(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE))"
+_W_T = (
+    f"CASE WHEN {_W_SE2} <= 0.0 THEN 0.0"
+    f" ELSE (mean_a - mean_b) / sqrt({_W_SE2}) END"
+)
+_W_DF = (
+    f"CASE WHEN {_W_SE2} <= 0.0 THEN 0.0 ELSE"
+    f" {_W_SE2} * {_W_SE2} /"
+    " ((var_a / CAST(n_a AS DOUBLE)) * (var_a / CAST(n_a AS DOUBLE))"
+    "  / CAST(n_a - 1 AS DOUBLE)"
+    "  + (var_b / CAST(n_b AS DOUBLE)) * (var_b / CAST(n_b AS DOUBLE))"
+    "  / CAST(n_b - 1 AS DOUBLE)) END"
+)
+
+
+def welch_ttest_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang_a, lang_b, n_a, n_b, mean_a, mean_b, t_stat, df) for every
+    unordered language pair (a < b alphabetically)."""
+    docs = _docs(spark, sf_dir)
+    q = text.quality_scores(docs).select("doc_id", "quality")
+    d = docs.select("doc_id", "lang").join(q, "doc_id")
+    qd = F.col("quality").cast("decimal(12,6)")
+    g = (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(qd).alias("s"),
+            F.sum(qd * qd).alias("qq"),
+        )
+        .withColumn("mean", (F.col("s").cast("double") / F.col("n")))
+        .withColumn("var", F.expr(_W_VAR))
+    )
+    a = g.select(
+        F.col("lang").alias("lang_a"),
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = g.select(
+        F.col("lang").alias("lang_b"),
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("lang_a") < F.col("lang_b"))
+        .select(
+            "lang_a",
+            "lang_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round("mean_a", 6).alias("mean_a"),
+            F.round("mean_b", 6).alias("mean_b"),
+            F.round(F.expr(_W_T), 6).alias("t_stat"),
+            F.round(F.expr(_W_DF), 6).alias("df"),
+        )
+    )
+
+
+def _welch_sql() -> str:
+    from k_means_hadoop_spark.registry_pipeline import _quality_sql
+
+    return f"""
+WITH q AS (SELECT doc_id, quality FROM ({_quality_sql()})),
+d AS (SELECT doc_id, lang, CAST(quality AS DECIMAL(12,6)) AS quality
+      FROM documents JOIN q USING (doc_id)),
+g AS (SELECT lang, count(*)::BIGINT AS n,
+             SUM(quality) AS s, SUM(quality * quality) AS qq
+      FROM d GROUP BY lang),
+m AS (SELECT lang, n, CAST(s AS DOUBLE) / n AS mean, {_W_VAR} AS var FROM g),
+p AS (SELECT a.lang AS lang_a, b.lang AS lang_b, a.n AS n_a, b.n AS n_b,
+             a.mean AS mean_a, b.mean AS mean_b, a.var AS var_a, b.var AS var_b
+      FROM m a JOIN m b ON a.lang < b.lang)
+SELECT lang_a, lang_b, n_a, n_b,
+       round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+       round({_W_T}, 6) AS t_stat, round({_W_DF}, 6) AS df
+FROM p
+"""
+
+
 CORPUS_EXTRA_QUERIES = {
     "curriculum_schedule": (curriculum_schedule, _curriculum_sql()),
     "perplexity_buckets": (perplexity_buckets, _perplexity_sql()),
@@ -837,4 +933,5 @@ CORPUS_EXTRA_QUERIES = {
     "spearman_quality_logprob": (spearman_quality_logprob, _spearman_sql()),
     "ks_quality_halves": (ks_quality_halves, _ks_sql()),
     "mi_lang_source_cells": (mi_lang_source_cells, _MI_SQL),
+    "welch_ttest_langs": (welch_ttest_langs, _welch_sql()),
 }

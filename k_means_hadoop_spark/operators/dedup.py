@@ -209,7 +209,13 @@ def banded_signatures(
     Band hash = md5 of the '|'-joined band rows; joining two of these
     tables on (band, bucket) is the LSH trick that makes near-dup
     detection linear-ish in corpus size at 100 TB."""
-    sig = minhash_signatures(docs, n, text_col)
+    return bands_from_signatures(minhash_signatures(docs, n, text_col), bands)
+
+
+def bands_from_signatures(sig: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """(doc_id, band, bucket) from an existing (doc_id, m0..m15)
+    signature table — split out so signatures merged from a store
+    (streaming min-merge) band identically to freshly computed ones."""
     rows_per_band = len(MINHASH_PARAMS) // bands
     band_cols = []
     for bi in range(bands):
@@ -836,4 +842,126 @@ def containment_pairs(
             F.round(c_ab, 6).alias("c_a_in_b"),
             F.round(c_ba, 6).alias("c_b_in_a"),
         )
+    )
+
+
+# ----------------------------------------------- streaming MinHash store
+#
+# The min-merge counterpart of streaming_cms_counts' addition merge:
+# MinHash signatures are mergeable sketches — sig(A ∪ B) =
+# elementwise-min(sig(A), sig(B)) — so a signature STORE can absorb a
+# document's content in pieces, across micro-batches, in any order,
+# with replays (min is idempotent and commutative).  That is the 100 TB
+# admission shape: each arriving chunk contributes a partial signature
+# (one map-side-combinable groupBy of the batch only), the store merges
+# by min, and near-dup candidate generation bands the MERGED signatures
+# — the corpus text is never re-read, and a batch's cost is O(batch).
+#
+# Chunks overlap by n-1 tokens so the union of chunk shingle sets is
+# exactly the whole-document shingle set; duplicate shingles across
+# chunks are harmless under min.  Drained to completion, the merged
+# store is therefore bit-identical to batch-computed signatures, and
+# the candidate pairs hash-match dedup_minhash_lsh's oracle — the
+# driver checks the cross-batch merge itself, not just its plumbing.
+
+_MH_STREAM_CHUNKS = 3
+
+
+def chunked_docs(docs: DataFrame, n: int, n_chunks: int = _MH_STREAM_CHUNKS, text_col: str = "text") -> DataFrame:
+    """(doc_id, chunk_id, chunk) — each document's token array cut into
+    ``n_chunks`` ranges overlapping by n-1 tokens (shingle-preserving)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    # per-doc chunk length: ceil(len / n_chunks), floor at 1
+    clen = F.greatest(-F.floor(-F.size(toks) / F.lit(n_chunks)).cast("int"), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.lit(n_chunks - 1)),
+        lambda c: F.array_join(
+            F.slice(toks, c * clen + 1, clen + F.lit(n - 1)), " "
+        ),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+        .where(F.col("chunk") != "")
+    )
+
+
+def partial_signatures(chunks: DataFrame, n: int, text_col: str = "chunk") -> DataFrame:
+    """(doc_id, m0..m15) partial MinHash signatures over whatever
+    chunks are present — same explode + 16-min groupBy as the batch
+    signature, applied to a slice of the corpus."""
+    sh = chunks.select(
+        "doc_id", F.explode(word_ngrams(F.col(text_col), n)).alias("shingle")
+    ).withColumn("h", stable_hash64(F.col("shingle")))
+    aggs = [
+        F.min(minhash_value(F.col("h"), a, b)).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def merge_signature_store(store: DataFrame) -> DataFrame:
+    """Elementwise min-merge of partial signatures: the store fold."""
+    return store.groupBy("doc_id").agg(
+        *[F.min(f"m{i}").alias(f"m{i}") for i in range(len(MINHASH_PARAMS))]
+    )
+
+
+def minhash_candidates_streaming(
+    spark,
+    docs: DataFrame,
+    n: int = 3,
+    bands: int = LSH_BANDS,
+    text_col: str = "text",
+    store_path: str | None = None,
+) -> DataFrame:
+    """(a_id, b_id) LSH candidate pairs computed through the streaming
+    signature store: document chunks arrive as a multi-batch stream,
+    each micro-batch writes its partial signatures (idempotent per
+    batch_id), and candidates band the min-merged store.  Pass
+    ``store_path`` to inspect the per-batch partial-signature
+    partitions afterwards (the multi-batch materialization pin)."""
+    from k_means_hadoop_spark.session import scratch_dir
+
+    src = scratch_dir("mh_stream_src")
+    store = store_path or scratch_dir("mh_stream_store")
+    chunks = chunked_docs(docs, n, text_col=text_col)
+    # one file per chunk_id -> maxFilesPerTrigger=1 gives a genuinely
+    # multi-batch drain (the cross-batch merge is the thing under test)
+    chunks.repartition(_MH_STREAM_CHUNKS, "chunk_id").write.mode("overwrite").parquet(src)
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            partial_signatures(batch_df, n)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(store)
+        )
+
+    stream = (
+        spark.readStream.schema(chunks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", scratch_dir("mh_stream_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = merge_signature_store(spark.read.parquet(store))
+    stacked = bands_from_signatures(merged, bands)
+    a, b = stacked.alias("a"), stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
     )

@@ -241,6 +241,61 @@ FROM s GROUP BY cluster
 """
 
 
+def q_silhouette_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-scale silhouette (round-5 verdict item 2): exact
+    s(i) for a deterministic md5-ranked per-cluster sample against ALL
+    points — O(m·k·n), no id bound needed.  Full value oracle: the
+    sample predicate is the same portable hash rank on both sides, and
+    every distance/mean keeps the exact-decimal discipline of the
+    all-pairs operator."""
+    from k_means_hadoop_spark.operators.evaluation import silhouette_sampled
+
+    pts = _points(spark, sf_dir)
+    return silhouette_sampled(assign_expr(pts, init_ids(pts, SEEDS)))
+
+
+def _silhouette_sampled_sql() -> str:
+    from k_means_hadoop_spark.functions.hashing import stable_hash64_sql
+    from k_means_hadoop_spark.operators.evaluation import (
+        _SIL_SALT,
+        SIL_MEAN,
+        SIL_S,
+        SIL_SAMPLE_PER_CLUSTER,
+    )
+
+    h = stable_hash64_sql(f"id::VARCHAR || '{_SIL_SALT}'")
+    return f"""
+WITH pts AS (SELECT vec_id::INTEGER AS id, embedding::DOUBLE[] AS features
+             FROM embeddings),
+cents AS (SELECT CAST(row_number() OVER (ORDER BY id) AS INTEGER) AS cluster,
+                 features AS centroid
+          FROM pts WHERE id IN ({_SEEDS_SQL})),
+asg AS (SELECT id, cluster, features FROM (
+  SELECT p.id, p.features, c.cluster,
+         row_number() OVER (PARTITION BY p.id
+                            ORDER BY list_distance(p.features, c.centroid), c.cluster) AS rn
+  FROM pts p CROSS JOIN cents c) WHERE rn = 1),
+sample AS (SELECT id, cluster, features FROM (
+  SELECT *, row_number() OVER (PARTITION BY cluster ORDER BY {h}, id) AS rk
+  FROM asg) WHERE rk <= {SIL_SAMPLE_PER_CLUSTER}),
+grp AS (
+  SELECT a.id AS i, a.cluster AS ci, b.cluster AS cj,
+         SUM(CAST(round(list_distance(a.features, b.features), 6) AS DECIMAL(18,6))) AS sum_d,
+         count(*)::BIGINT AS cnt
+  FROM sample a JOIN asg b ON a.id <> b.id
+  GROUP BY 1, 2, 3),
+own AS (SELECT i, {SIL_MEAN} AS a FROM grp WHERE ci = cj),
+oth AS (SELECT i, min(mean_j) AS b FROM (
+          SELECT i, {SIL_MEAN} AS mean_j FROM grp WHERE ci <> cj) GROUP BY i),
+s AS (SELECT p.id AS i, p.cluster, {SIL_S} AS s
+      FROM sample p LEFT JOIN own ON own.i = p.id LEFT JOIN oth ON oth.i = p.id)
+SELECT cluster, count(*)::BIGINT AS n_sampled,
+       round(CAST(SUM(CAST(round(s, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS mean_silhouette
+FROM s GROUP BY cluster
+"""
+
+
 def q_j3_comembership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: co-membership pair counts via self equi-join on cluster —
     the reference materializes n×n 0/1 matrices (KMeans.java:624-644);
@@ -556,6 +611,7 @@ ORACLES: dict[str, str] = {
     # max_iter=10; the oracle unrolls the identical 10 steps in DuckDB.
     "kmeans_lloyd": _lloyd_oracle_sql(10),
     "silhouette_by_cluster": _silhouette_sql(),
+    "silhouette_sampled": _silhouette_sampled_sql(),
     # I1: identical md5 rank on both sides (stable_hash64 ==
     # ('0x' || substr(md5(s),1,15))::BIGINT), id as the collision tiebreak.
     "kmeans_mllib": (
@@ -625,6 +681,7 @@ QUERIES: dict[str, QueryFn] = {
     "s6_final_output_roundtrip": q_s6_final_output_roundtrip,
     "kmeans_lloyd": q_kmeans_lloyd,  # value oracle: 10-step unrolled CTE (C1-C5)
     "silhouette_by_cluster": q_silhouette,  # value oracle: decimal-exact means
+    "silhouette_sampled": q_silhouette_sampled,  # r5: the O(m·k·n) scale path, same value discipline
     "i1_init_random": q_i1_init_random,  # value oracle: portable md5 rank
     "kmeans_mllib": q_kmeans_mllib,  # r4: quality-contract oracle (WSSSE floor vs Lloyd)
 }

