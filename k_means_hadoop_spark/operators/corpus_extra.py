@@ -825,6 +825,105 @@ FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
 
 
 
+# ------------------------------------------------- span scrub plan
+#
+# The ACTIONABLE face of repeated_ngram_spans: instead of reporting
+# which document PAIRS share exact 8-grams, report — per document —
+# how much of it is "hot" (8-grams appearing in 2+ documents) and the
+# resulting removal action (keep / scrub the hot spans / drop the
+# document), i.e. the sub-document dedup gate a training pipeline
+# actually executes.  No pair join anywhere: gram document-frequency
+# is one groupBy over the exploded grams and the per-doc hot fraction
+# is a second — both linear, gram-partitioned shuffles, so unlike the
+# pair detector this form needs NO id bound at any corpus size.
+#
+# Clones of docs 1-3 are planted (ids +300000) on both engine sides so
+# hot grams exist at every sf (the fixture corpus shares no natural
+# 8-gram; a keep-only hash-match would be vacuous).
+
+_SCRUB_N = _SPAN_N  # same gram width as the pair detector
+_SCRUB_DROP = 0.5
+_SCRUB_SCRUB = 0.1
+
+
+def span_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_grams, n_hot, hot_frac, action) for every document
+    (clones included): action = drop if >50% of its distinct 8-grams
+    are shared, scrub if >10%, else keep; <8-token docs have no grams
+    and keep."""
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    d = base.unionByName(
+        base.where(F.col("doc_id") <= 3).select(
+            (F.col("doc_id") + F.lit(300000)).alias("doc_id"), "text"
+        )
+    )
+    g = d.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), _SCRUB_N)).alias("gram")
+    )
+    hot = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= 2)
+        .select("gram")
+    )
+    per_doc = (
+        g.join(F.broadcast(hot.withColumn("_hot", F.lit(1))), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hot"), F.lit(0))).alias("n_hot"),
+        )
+    )
+    out = d.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("n_hot", F.lit(0)).cast("bigint").alias("n_hot"),
+    )
+    frac = F.when(
+        F.col("n_grams") > 0,
+        F.col("n_hot").cast("double") / F.col("n_grams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("hot_frac", F.round(frac, 6)).withColumn(
+        "action",
+        F.when(F.col("hot_frac") > _SCRUB_DROP, F.lit("drop"))
+        .when(F.col("hot_frac") > _SCRUB_SCRUB, F.lit("scrub"))
+        .otherwise(F.lit("keep")),
+    )
+
+
+def _span_scrub_sql() -> str:
+    ng = word_ngrams_sql("text", _SCRUB_N)
+    return f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000, text FROM documents WHERE doc_id <= 3),
+g AS (SELECT doc_id, unnest({ng}) AS gram FROM d),
+hot AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+per_doc AS (
+  SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+         SUM(CASE WHEN h.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hot
+  FROM g LEFT JOIN hot h ON g.gram = h.gram
+  GROUP BY g.doc_id),
+o AS (
+  SELECT d.doc_id,
+         COALESCE(p.n_grams, 0)::BIGINT AS n_grams,
+         COALESCE(p.n_hot, 0)::BIGINT AS n_hot
+  FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id),
+f AS (
+  SELECT doc_id, n_grams, n_hot,
+         round(CASE WHEN n_grams > 0
+                    THEN CAST(n_hot AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                    ELSE 0.0 END, 6) AS hot_frac
+  FROM o)
+SELECT doc_id, n_grams, n_hot, hot_frac,
+       CASE WHEN hot_frac > {_SCRUB_DROP} THEN 'drop'
+            WHEN hot_frac > {_SCRUB_SCRUB} THEN 'scrub'
+            ELSE 'keep' END AS action
+FROM f
+"""
+
+
 # ------------------------------------------------- Welch two-sample t
 #
 # Pairwise Welch's unequal-variance t-test of the heuristic quality
@@ -934,4 +1033,5 @@ CORPUS_EXTRA_QUERIES = {
     "ks_quality_halves": (ks_quality_halves, _ks_sql()),
     "mi_lang_source_cells": (mi_lang_source_cells, _MI_SQL),
     "welch_ttest_langs": (welch_ttest_langs, _welch_sql()),
+    "span_scrub_docs": (span_scrub_docs, _span_scrub_sql()),
 }

@@ -438,6 +438,40 @@ def q_minhash_candidates(spark, sf_dir):
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir), n=NGRAM_N)
 
 
+def q_minhash_estimate_audit(spark, sf_dir):
+    """Sketch-calibration telemetry: the signature-agreement Jaccard
+    estimate next to the exact shingle Jaccard for every LSH candidate
+    pair — integer-exact counts, shared division text."""
+    return dedup.minhash_estimate_audit(_docs(spark, sf_dir), n=NGRAM_N)
+
+
+def _minhash_audit_sql(n: int) -> str:
+    k = len(dedup.MINHASH_PARAMS)
+    match_sum = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END" for i in range(k)
+    )
+    exact = "CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE)"
+    return f"""
+WITH {_minhash_ctes(n)},
+cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM stacked a JOIN stacked b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+arrs AS (SELECT doc_id, {word_ngrams_sql('text', n)} AS sh_arr FROM documents),
+j AS (SELECT c.a_id, c.b_id,
+             ({match_sum})::BIGINT AS n_match,
+             len(list_intersect(aa.sh_arr, ab.sh_arr))::BIGINT AS inter,
+             len(aa.sh_arr)::BIGINT AS la, len(ab.sh_arr)::BIGINT AS lb
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.a_id JOIN sig sb ON sb.doc_id = c.b_id
+      JOIN arrs aa ON aa.doc_id = c.a_id JOIN arrs ab ON ab.doc_id = c.b_id)
+SELECT a_id, b_id, n_match,
+       round(CAST(n_match AS DOUBLE) / {float(k)}, 6) AS est_jaccard,
+       round({exact}, 6) AS exact_jaccard,
+       round(abs(round(CAST(n_match AS DOUBLE) / {float(k)}, 6)
+                 - round({exact}, 6)), 6) AS abs_err
+FROM j"""
+
+
 def q_streaming_minhash_store(spark, sf_dir):
     """Cross-batch MinHash signature-store merge driven to completion
     (round-5 verdict item 5): document chunks stream in over multiple
@@ -2715,6 +2749,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     # Same oracle as dedup_minhash_lsh on purpose: the drained min-merge
     # store must band to the identical candidate set.
     "streaming_minhash_store": _minhash_sql(NGRAM_N),
+    "minhash_estimate_audit": _minhash_audit_sql(NGRAM_N),
     "dedup_minhash_verified": _minhash_verified_sql(NGRAM_N, NGRAM_THRESHOLD),
     "tfidf_top_terms": _tfidf_sql(TFIDF_TOP_K),
     # Bounded like the query (no-op at correctness scale: corpus is 500
@@ -2807,6 +2842,7 @@ PIPELINE_QUERIES = {
     "streaming_ingest_dedup": q_streaming_ingest_dedup,
     "dedup_minhash_lsh": q_minhash_candidates,
     "streaming_minhash_store": q_streaming_minhash_store,
+    "minhash_estimate_audit": q_minhash_estimate_audit,
     "dedup_minhash_verified": q_minhash_verified,
     "tfidf_top_terms": q_tfidf_top_terms,
     "dedup_simhash_pairs": q_simhash_pairs,
