@@ -133,6 +133,15 @@ HEADLINE = [
     "spearman_quality_logprob",
     "merge_apply_changelog",
     "cms_event_counts",
+    # round 5: the sampled silhouette (the O(m·k·n) scale path), the
+    # cross-batch MinHash store merge, the sub-document span scrub, the
+    # sketch-calibration audit, and the two closed-form stats passes.
+    "silhouette_sampled",
+    "streaming_minhash_store",
+    "span_scrub_docs",
+    "minhash_estimate_audit",
+    "welch_ttest_langs",
+    "cusum_changepoints",
 ]
 
 

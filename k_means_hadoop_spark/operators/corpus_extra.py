@@ -1019,6 +1019,109 @@ FROM p
 """
 
 
+# ------------------------------------------------- IPF raking
+#
+# Iterative proportional fitting of the lang x source document-count
+# table to UNIFORM target marginals — the mixture-rebalancing
+# computation behind "equal token budget per language, equal per
+# source" requirements (raking/matrix scaling; Sinkhorn's algorithm on
+# counts).  _IPF_ITERS row+column scaling rounds; every fitted value
+# is re-rounded to 6dp DECIMAL after each scaling step with the
+# engine-identical floor(x*1e6+0.5) form, so the iteration is
+# deterministic cross-engine and the unrolled DuckDB CTE is a full
+# value oracle.  Scale shape: the cell table has |langs|*|sources|
+# rows regardless of corpus size — the only corpus-sized pass is the
+# initial groupBy.
+
+_IPF_ITERS = 3
+_IPF_R6 = "CAST(floor(CAST({x} AS DOUBLE) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS DECIMAL(18,6))"
+
+
+def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, source, n, fitted) — cell counts raked to uniform lang
+    and source marginals (3 row+column scaling rounds)."""
+    cells = (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("fitted", F.expr(_IPF_R6.format(x="n")))
+    )
+    tot = cells.agg(
+        F.sum("n").alias("total"),
+        F.countDistinct("lang").alias("n_lang"),
+        F.countDistinct("source").alias("n_src"),
+    )
+    cells = cells.crossJoin(F.broadcast(tot))
+    t_row = "CAST(total AS DOUBLE) / CAST(n_lang AS DOUBLE)"
+    t_col = "CAST(total AS DOUBLE) / CAST(n_src AS DOUBLE)"
+    for _ in range(_IPF_ITERS):
+        rs = cells.groupBy("lang").agg(F.sum("fitted").alias("row_sum"))
+        cells = cells.join(F.broadcast(rs), "lang").withColumn(
+            "fitted",
+            F.expr(
+                _IPF_R6.format(
+                    x=f"CAST(fitted AS DOUBLE) * ({t_row}) / CAST(row_sum AS DOUBLE)"
+                )
+            ),
+        ).drop("row_sum")
+        cs = cells.groupBy("source").agg(F.sum("fitted").alias("col_sum"))
+        cells = cells.join(F.broadcast(cs), "source").withColumn(
+            "fitted",
+            F.expr(
+                _IPF_R6.format(
+                    x=f"CAST(fitted AS DOUBLE) * ({t_col}) / CAST(col_sum AS DOUBLE)"
+                )
+            ),
+        ).drop("col_sum")
+    # final cast to DOUBLE: the iteration carries DECIMAL(18,6) for
+    # exactness, but pandas/duckdb render decimals differently — the
+    # exact 6dp value survives the cast bit-for-bit on both sides
+    return cells.select(
+        "lang",
+        "source",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("fitted").cast("double").alias("fitted"),
+    )
+
+
+def _ipf_sql() -> str:
+    t_row = "CAST(total AS DOUBLE) / CAST(n_lang AS DOUBLE)"
+    t_col = "CAST(total AS DOUBLE) / CAST(n_src AS DOUBLE)"
+    parts = [
+        "c0 AS (SELECT lang, source, count(*)::BIGINT AS n, "
+        + _IPF_R6.format(x="count(*)")
+        + " AS fitted FROM documents GROUP BY lang, source)",
+        "tot AS (SELECT SUM(n)::BIGINT AS total, "
+        "count(DISTINCT lang)::BIGINT AS n_lang, "
+        "count(DISTINCT source)::BIGINT AS n_src FROM c0)",
+    ]
+    prev = "c0"
+    for i in range(1, _IPF_ITERS + 1):
+        r_expr = _IPF_R6.format(
+            x=f"CAST(c.fitted AS DOUBLE) * ({t_row}) / CAST(rs.row_sum AS DOUBLE)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT c.lang, c.source, c.n, {r_expr} AS fitted "
+            f"FROM {prev} c "
+            f"JOIN (SELECT lang, SUM(fitted) AS row_sum FROM {prev} GROUP BY lang) rs "
+            "ON c.lang = rs.lang CROSS JOIN tot)"
+        )
+        c_expr = _IPF_R6.format(
+            x=f"CAST(c.fitted AS DOUBLE) * ({t_col}) / CAST(cs.col_sum AS DOUBLE)"
+        )
+        parts.append(
+            f"c{i} AS (SELECT c.lang, c.source, c.n, {c_expr} AS fitted "
+            f"FROM r{i} c "
+            f"JOIN (SELECT source, SUM(fitted) AS col_sum FROM r{i} GROUP BY source) cs "
+            "ON c.source = cs.source CROSS JOIN tot)"
+        )
+        prev = f"c{i}"
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT lang, source, n, CAST(fitted AS DOUBLE) AS fitted FROM {prev}"
+    )
+
+
 CORPUS_EXTRA_QUERIES = {
     "curriculum_schedule": (curriculum_schedule, _curriculum_sql()),
     "perplexity_buckets": (perplexity_buckets, _perplexity_sql()),
@@ -1034,4 +1137,5 @@ CORPUS_EXTRA_QUERIES = {
     "mi_lang_source_cells": (mi_lang_source_cells, _MI_SQL),
     "welch_ttest_langs": (welch_ttest_langs, _welch_sql()),
     "span_scrub_docs": (span_scrub_docs, _span_scrub_sql()),
+    "ipf_raking": (ipf_raking, _ipf_sql()),
 }

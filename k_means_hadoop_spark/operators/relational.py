@@ -1975,6 +1975,97 @@ SELECT strftime(day, '%Y-%m-%d') AS day, round(total, 6) AS total, round(ewma, 6
 """
 
 
+_HOLT_A = 0.5   # level smoothing
+_HOLT_B = 0.3   # trend smoothing
+
+
+def holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day, n_events, level, trend) — Holt's linear
+    (double-exponential) smoothing of the daily event-count series PER
+    EVENT TYPE: l' = a·x + (1-a)(l+b), b' = b_s·(l'-l) + (1-b_s)·b,
+    seeded l=x_first, b=0 — the trend-aware sibling of
+    ewma_daily_purchases.  Same scale shape: the corpus-sized pass is
+    one partial-agg groupBy; the sequential recurrence folds over a
+    per-type array bounded by the calendar, and both engines run the
+    IDENTICAL double expression text (ordered fold ≡ recursive CTE),
+    so the chain is bit-reproducible."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    arr = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("a")
+    )
+    a, b = _HOLT_A, _HOLT_B
+    lvl_new = (
+        f"CAST(x.x AS DOUBLE) * CAST({a} AS DOUBLE)"
+        f" + CAST({1 - a} AS DOUBLE) * (acc.l + acc.b)"
+    )
+    folded = arr.select(
+        "event_type",
+        F.expr(
+            f"""
+            aggregate(
+              a,
+              named_struct('l', CAST(0.0 AS DOUBLE), 'b', CAST(0.0 AS DOUBLE), 'started', false,
+                           'out', CAST(array() AS ARRAY<STRUCT<day: DATE, x: BIGINT, level: DOUBLE, trend: DOUBLE>>)),
+              (acc, x) -> named_struct(
+                'l', CASE WHEN acc.started THEN {lvl_new} ELSE CAST(x.x AS DOUBLE) END,
+                'b', CASE WHEN acc.started
+                          THEN CAST({b} AS DOUBLE) * (({lvl_new}) - acc.l)
+                               + CAST({1 - b} AS DOUBLE) * acc.b
+                          ELSE CAST(0.0 AS DOUBLE) END,
+                'started', true,
+                'out', array_append(acc.out, named_struct(
+                  'day', x.day, 'x', x.x,
+                  'level', CASE WHEN acc.started THEN {lvl_new} ELSE CAST(x.x AS DOUBLE) END,
+                  'trend', CASE WHEN acc.started
+                                THEN CAST({b} AS DOUBLE) * (({lvl_new}) - acc.l)
+                                     + CAST({1 - b} AS DOUBLE) * acc.b
+                                ELSE CAST(0.0 AS DOUBLE) END))),
+              acc -> acc.out)
+            """
+        ).alias("out"),
+    )
+    row = folded.select("event_type", F.explode("out").alias("r"))
+    return row.select(
+        "event_type",
+        F.date_format("r.day", "yyyy-MM-dd").alias("day"),
+        F.col("r.x").cast("bigint").alias("n_events"),
+        F.round("r.level", 6).alias("level"),
+        F.round("r.trend", 6).alias("trend"),
+    )
+
+
+def _holt_sql() -> str:
+    a, b = _HOLT_A, _HOLT_B
+    lvl_new = (
+        f"CAST(o.x AS DOUBLE) * CAST({a} AS DOUBLE)"
+        f" + CAST({1 - a} AS DOUBLE) * (h.level + h.trend)"
+    )
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2),
+ord AS (SELECT event_type, day, x,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        FROM daily),
+h AS (
+  SELECT event_type, rn, day, x,
+         CAST(x AS DOUBLE) AS level, CAST(0.0 AS DOUBLE) AS trend
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.event_type, o.rn, o.day, o.x,
+         {lvl_new},
+         CAST({b} AS DOUBLE) * (({lvl_new}) - h.level)
+           + CAST({1 - b} AS DOUBLE) * h.trend
+  FROM ord o JOIN h ON o.event_type = h.event_type AND o.rn = h.rn + 1)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x AS n_events,
+       round(level, 6) AS level, round(trend, 6) AS trend
+FROM h
+"""
+
+
 def anomaly_event_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, day, n, z, is_anomaly) — daily-volume anomaly flags
     per event type: z-score of each day's event count against that
@@ -2460,6 +2551,7 @@ RELATIONAL_QUERIES = {
     "rfm_segments": (rfm_segments, RFM_SQL),
     "event_funnel_pattern": (event_funnel_pattern, FUNNEL_PATTERN_SQL),
     "ewma_daily_purchases": (ewma_daily_purchases, EWMA_SQL),
+    "holt_linear_daily": (holt_linear_daily, _holt_sql()),
     "anomaly_event_days": (anomaly_event_days, ANOMALY_SQL),
     "er_blocked_fuzzy": (er_blocked_fuzzy, ER_FUZZY_SQL),
     "stats_by_flag": (stats_by_flag, STATS_SQL),

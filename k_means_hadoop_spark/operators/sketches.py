@@ -492,3 +492,194 @@ def bloom_bits_streaming(
 
 
 SKETCH_QUERIES["streaming_bloom_bits"] = (bloom_bits_streaming, _bloom_sql())
+
+
+# ----------------------------------------------------- portable HLL
+#
+# HyperLogLog with FULLY portable registers — unlike the
+# `hll_users_daily` entry (Spark's internal HLL++, contract-oracled),
+# every register here derives from the md5 stable_hash64, so the
+# driver hash checks the sketch registers themselves:
+#
+#   h = stable_hash64('hll:' || user_id)   (60-bit, non-negative)
+#   bucket = h mod 64,  w = h div 64       (54-bit remainder)
+#   rho = 55 - bitlen(w)  (w > 0)   |   55 (w = 0)
+#       — leading zeros in the 54-bit window + 1; bitlen via the
+#         engine-identical bin() string length (verified: Spark and
+#         DuckDB bin() both print without leading zeros)
+#
+# The harmonic sum is kept EXACT by scaling: Σ 2^(-M_j) over all 64
+# buckets (absent bucket ⇒ M=0) becomes the integer
+# S = Σ 2^(55 - M_j) ≤ 64·2^55 < 2^62 — both engines then do ONE
+# identical double division for the estimate.  The streaming face is
+# the MAX-merge (registers are max-mergeable), completing the
+# sketch-merge family: Count-Min = addition, Bloom = OR,
+# MinHash = min, HLL = max.
+
+HLL_M = 64
+_HLL_W_BITS = 54  # 60-bit hash minus 6 bucket bits
+# alpha_m for m = 64, the standard bias constant — every literal is
+# CAST to DOUBLE because bare decimal-point literals parse as DECIMAL
+# in BOTH engines (with different precision rules); the explicit casts
+# make the multiply/divide chain identical IEEE double ops.
+_HLL_EST = (
+    "(CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)"
+    " + CAST(1.079 AS DOUBLE) / CAST({m} AS DOUBLE)))"
+    " * CAST({m} AS DOUBLE) * CAST({m} AS DOUBLE)"
+    " * CAST({two_pow} AS DOUBLE) / CAST(s_scaled AS DOUBLE)"
+).format(m=HLL_M, two_pow=1 << (_HLL_W_BITS + 1))
+
+
+def _hll_rho(h: F.Column) -> F.Column:
+    w = (h / F.lit(HLL_M)).cast("bigint")  # h div 64 (h is non-negative)
+    return F.when(w == 0, F.lit(_HLL_W_BITS + 1)).otherwise(
+        F.lit(_HLL_W_BITS + 1) - F.length(F.bin(w))
+    )
+
+
+def _hll_registers(keys: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """(bucket, register) for buckets hit by ≥1 key (register = max rho)."""
+    h = stable_hash64(F.concat(F.lit("hll:"), F.col(key_col).cast("string")))
+    return (
+        keys.select((h % HLL_M).cast("int").alias("bucket"), _hll_rho(h).alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+def _hll_summary(registers: DataFrame, exact: DataFrame) -> DataFrame:
+    """One row (n_exact, n_buckets_hit, sum_rho, max_rho, s_scaled,
+    estimate, rel_err) — s_scaled/sum_rho/max_rho pin the register
+    table; the estimate is the classic alpha·m²/Σ2^(-M)."""
+    regs = registers.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_hit"),
+        F.sum("register").cast("bigint").alias("sum_rho"),
+        F.max("register").cast("bigint").alias("max_rho"),
+        # hit buckets contribute 2^(55-M); the (64 - hit) empty buckets
+        # contribute 2^55 each, added below via n_buckets_hit
+        F.sum(
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), {_HLL_W_BITS + 1} - CAST(register AS INT))"
+            )
+        )
+        .cast("bigint")
+        .alias("s_hit"),
+    )
+    s_all = (
+        F.col("s_hit")
+        + (F.lit(HLL_M) - F.col("n_buckets_hit")) * F.lit(1 << (_HLL_W_BITS + 1))
+    ).cast("bigint")
+    # floor(x·1e6 + 0.5)/1e6 instead of round(x, 6): the estimate is a
+    # small-denominator rational that can sit exactly on a 6-dp half,
+    # where Spark's and DuckDB's round() disagree (round-4 divergence
+    # class); the floor form is engine-identical.
+    est = F.expr(
+        f"floor(({_HLL_EST}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        " / CAST(1000000 AS DOUBLE)"
+    )
+    return (
+        regs.crossJoin(F.broadcast(exact))
+        .withColumn("s_scaled", s_all)
+        .withColumn("estimate", est)
+        .select(
+            "n_exact",
+            "n_buckets_hit",
+            "sum_rho",
+            "max_rho",
+            "s_scaled",
+            "estimate",
+            F.expr(
+                "floor(abs(estimate - n_exact) / CAST(n_exact AS DOUBLE)"
+                " * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+                " / CAST(1000000 AS DOUBLE)"
+            ).alias("rel_err"),
+        )
+    )
+
+
+def hll_portable_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch portable HLL over distinct event users."""
+    ev = _events(spark, sf_dir).select("user_id")
+    exact = ev.agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    return _hll_summary(_hll_registers(ev), exact)
+
+
+def streaming_hll_merge(
+    spark: SparkSession, sf_dir: str, store_path: str | None = None
+) -> DataFrame:
+    """The max-merge: per-micro-batch registers written idempotently,
+    merged by groupBy(bucket).max — same oracle as the batch sketch."""
+    from k_means_hadoop_spark.session import scratch_dir
+
+    ev = _events(spark, sf_dir).select("user_id")
+    src = scratch_dir("hll_src")
+    store = store_path or scratch_dir("hll_store")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            _hll_registers(batch_df)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(store)
+        )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", scratch_dir("hll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    exact = ev.agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    return _hll_summary(merged, exact)
+
+
+def _hll_sql() -> str:
+    h = stable_hash64_sql("('hll:' || user_id::VARCHAR)")
+    w_bits1 = _HLL_W_BITS + 1
+    return f"""
+WITH hb AS (
+  SELECT ({h}) % {HLL_M} AS bucket,
+         ({h}) // {HLL_M} AS w
+  FROM events),
+regs AS (
+  SELECT bucket,
+         MAX(CASE WHEN w = 0 THEN {w_bits1}
+                  ELSE {w_bits1} - length(bin(w)) END) AS register
+  FROM hb GROUP BY bucket),
+agg AS (
+  SELECT count(*)::BIGINT AS n_buckets_hit,
+         SUM(register)::BIGINT AS sum_rho,
+         MAX(register)::BIGINT AS max_rho,
+         SUM((1::BIGINT << ({w_bits1} - register)))::BIGINT AS s_hit
+  FROM regs),
+ex AS (SELECT count(DISTINCT user_id)::BIGINT AS n_exact FROM events),
+s AS (SELECT n_exact, n_buckets_hit, sum_rho, max_rho,
+             (s_hit + ({HLL_M} - n_buckets_hit) * (1::BIGINT << {w_bits1}))::BIGINT AS s_scaled
+      FROM agg CROSS JOIN ex),
+e AS (SELECT *, floor(({_HLL_EST}) * CAST(1000000 AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS estimate
+      FROM s)
+SELECT n_exact, n_buckets_hit, sum_rho, max_rho, s_scaled, estimate,
+       floor(abs(estimate - n_exact) / CAST(n_exact AS DOUBLE)
+             * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         / CAST(1000000 AS DOUBLE) AS rel_err
+FROM e
+"""
+
+
+SKETCH_QUERIES["hll_portable_registers"] = (hll_portable_registers, _hll_sql())
+SKETCH_QUERIES["streaming_hll_merge"] = (streaming_hll_merge, _hll_sql())

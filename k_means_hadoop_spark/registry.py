@@ -887,6 +887,13 @@ _SCHEDULE: dict[str, dict] = {
     "streaming_bloom_bits": _row(front=True),
     "kcore_membership": _row(front=True),
     "interarrival_stats": _row(front=True),
+    # -- round-5 additions beyond the 6 window slots, deferred to the
+    #    round-6 window (the same trade round 4 made: the 44 promoted
+    #    entries must keep their slots this round) -------------------
+    "hll_portable_registers": _row(defer=True),
+    "streaming_hll_merge": _row(defer=True),
+    "ipf_raking": _row(defer=True),
+    "holt_linear_daily": _row(defer=True),
 }
 
 

@@ -123,3 +123,73 @@ def test_merged_signatures_equal_batch_signatures(spark, sf_dir):
     ).collect()
     key = lambda rows: {r["doc_id"]: tuple(r[f"m{i}"] for i in range(16)) for r in rows}
     assert key(whole) == key(merged)
+
+
+def test_streaming_hll_merge_multibatch_and_equals_batch(spark, sf_dir):
+    """Max-merge pin: >1 micro-batch materialized, and the merged
+    registers produce the identical summary row as the batch sketch."""
+    from k_means_hadoop_spark.operators import sketches
+    from k_means_hadoop_spark.session import scratch_dir
+
+    store = scratch_dir("hll_pin_store")
+    got = sketches.streaming_hll_merge(spark, sf_dir, store_path=store).collect()
+    batches = spark.read.parquet(store).select("batch_id").distinct().count()
+    assert batches > 1
+    want = sketches.hll_portable_registers(spark, sf_dir).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+
+
+def test_cusum_telescopes_to_zero(spark, sf_dir):
+    """S_K = Σ(c_j − T/K) over the whole series is identically 0, so
+    the last day's cusum must be 0 (integer-exactness check)."""
+    from k_means_hadoop_spark.operators.analytics import cusum_changepoints
+
+    rows = sorted(
+        cusum_changepoints(spark, sf_dir).collect(), key=lambda r: r["day"]
+    )
+    assert rows[-1]["cusum"] == 0.0
+    assert any(r["is_changepoint"] for r in rows)
+
+
+def test_welch_is_antisymmetric_in_sign(spark, sf_dir):
+    """t(a,b) with mean_a > mean_b must be positive and |t| equal to
+    the flipped pair's (the formula is antisymmetric)."""
+    from k_means_hadoop_spark.operators.corpus_extra import welch_ttest_langs
+
+    for r in welch_ttest_langs(spark, sf_dir).collect():
+        if r["mean_a"] != r["mean_b"] and r["t_stat"] != 0.0:
+            assert (r["t_stat"] > 0) == (r["mean_a"] > r["mean_b"]), r
+        assert r["df"] >= min(r["n_a"], r["n_b"]) - 1 or r["df"] == 0.0
+
+
+def test_holt_seeds_level_and_zero_trend(spark, sf_dir):
+    from k_means_hadoop_spark.operators.relational import holt_linear_daily
+
+    rows = holt_linear_daily(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for typ, rs in by_type.items():
+        rs.sort(key=lambda r: r["day"])
+        assert rs[0]["level"] == float(rs[0]["n_events"]), typ
+        assert rs[0]["trend"] == 0.0, typ
+
+
+def test_ipf_raking_converges_to_uniform_marginals(spark, sf_dir):
+    """After 3 row+col rounds the COLUMN marginals (the last-scaled
+    axis) must equal total/n_src up to per-cell rounding; row marginals
+    are within a loose band (IPF alternates which axis is exact)."""
+    from k_means_hadoop_spark.operators.corpus_extra import ipf_raking
+
+    rows = ipf_raking(spark, sf_dir).collect()
+    total = sum(r["n"] for r in rows)
+    srcs, langs = {}, {}
+    for r in rows:
+        srcs[r["source"]] = srcs.get(r["source"], 0.0) + r["fitted"]
+        langs[r["lang"]] = langs.get(r["lang"], 0.0) + r["fitted"]
+    t_src = total / len(srcs)
+    for s, v in srcs.items():
+        assert abs(v - t_src) < 0.01, (s, v, t_src)
+    t_lang = total / len(langs)
+    for l, v in langs.items():
+        assert abs(v - t_lang) / t_lang < 0.15, (l, v, t_lang)
