@@ -1065,14 +1065,23 @@ def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).drop("row_sum")
         cs = cells.groupBy("source").agg(F.sum("fitted").alias("col_sum"))
-        cells = cells.join(F.broadcast(cs), "source").withColumn(
-            "fitted",
-            F.expr(
-                _IPF_R6.format(
-                    x=f"CAST(fitted AS DOUBLE) * ({t_col}) / CAST(col_sum AS DOUBLE)"
-                )
-            ),
-        ).drop("col_sum")
+        cells = (
+            cells.join(F.broadcast(cs), "source")
+            .withColumn(
+                "fitted",
+                F.expr(
+                    _IPF_R6.format(
+                        x=f"CAST(fitted AS DOUBLE) * ({t_col}) / CAST(col_sum AS DOUBLE)"
+                    )
+                ),
+            )
+            .drop("col_sum")
+            # cell-table-sized (|langs|·|sources| rows); truncating
+            # lineage per round keeps the plan flat instead of
+            # re-deriving every prior scaling step at each reference
+            # (the label_prop/bfs pattern — was 1020 Exchanges without)
+            .localCheckpoint(eager=True)
+        )
     # final cast to DOUBLE: the iteration carries DECIMAL(18,6) for
     # exactness, but pandas/duckdb render decimals differently — the
     # exact 6dp value survives the cast bit-for-bit on both sides

@@ -220,8 +220,13 @@ def silhouette_sampled(
     """(cluster, n_sampled, mean_silhouette) — exact s(i) for the
     deterministic per-cluster sample, each against ALL points."""
     pts = assigned.select("id", "cluster", "features")
-    sample = sample_per_cluster(assigned, m, salt).select(
-        "id", "cluster", "features"
+    # k·m rows; persisted because the plan references it twice (the
+    # distance build side and the final per-sample s rows) and each
+    # uncached reference would re-run the thin rank pass over all points
+    sample = (
+        sample_per_cluster(assigned, m, salt)
+        .select("id", "cluster", "features")
+        .persist()
     )
     a, b = F.broadcast(sample).alias("a"), pts.alias("b")
     d = F.round(

@@ -2542,6 +2542,87 @@ r{i} AS (SELECT dg.part,
 
 
 
+# ------------------------------------------------ recursive CTE BFS
+#
+# Spark 4's WITH RECURSIVE, exercised on the bounded co-purchase
+# graph: min-hop distance from the minimum node, the PURE-SQL sibling
+# of the driver-loop bfs_levels — the recursion runs inside the engine
+# (Catalyst's recursive-CTE operator), not as an unrolled Python loop,
+# and DuckDB executes the IDENTICAL statement text as the oracle.
+# Depth is bounded (dist < 4) so the walk table is finite even with
+# cycles; the aggregate outside the recursion collapses walks to
+# shortest hops.  Graph tables are node-/edge-sized throughout.
+
+_RCTE_MAX_PART = 300  # same bounded subgraph as the analytics graph ops
+_RCTE_HOPS = 4
+
+
+def _rcte_sql(lineitem_ref: str) -> str:
+    return f"""
+WITH RECURSIVE
+li AS (SELECT DISTINCT l_orderkey, l_partkey FROM {lineitem_ref}
+       WHERE l_partkey <= {_RCTE_MAX_PART}),
+e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+undir AS (SELECT pa, pb FROM e UNION ALL SELECT pb AS pa, pa AS pb FROM e),
+src AS (SELECT MIN(pa) AS s FROM undir),
+walk(part, dist) AS (
+  SELECT s AS part, CAST(0 AS INT) AS dist FROM src
+  UNION ALL
+  -- DISTINCT bounds every recursion level at |nodes| rows (a frontier,
+  -- not an all-walks enumeration — without it the level-k working
+  -- table holds every length-k walk and trips the engine row limit)
+  SELECT DISTINCT b.pb AS part, CAST(w.dist + 1 AS INT) AS dist
+  FROM walk w JOIN undir b ON b.pa = w.part
+  WHERE w.dist < {_RCTE_HOPS}
+)
+SELECT part, CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY part
+"""
+
+
+def recursive_cte_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part, dist) — min-hop BFS via an engine-side recursive CTE."""
+    return spark.sql(_rcte_sql(f"parquet.`{sf_dir}/lineitem.parquet`"))
+
+
+# ------------------------------------------------ LATERAL top-k join
+#
+# The correlated LATERAL subquery surface: per order, its 2 most
+# expensive line items — the "top-k per key without a window over the
+# whole fact table" idiom.  Both engines run the same statement text.
+
+_LATERAL_MAX_ORDER = 30000
+
+
+def _lateral_sql(orders_ref: str, lineitem_ref: str) -> str:
+    return f"""
+SELECT o.o_orderkey, t.l_linenumber,
+       CAST(t.price AS DOUBLE) AS price
+FROM (SELECT o_orderkey FROM {orders_ref}
+      WHERE o_orderkey <= {_LATERAL_MAX_ORDER}) o,
+LATERAL (
+  SELECT l_linenumber, round(CAST(l_extendedprice AS DOUBLE), 2) AS price
+  FROM {lineitem_ref} l
+  WHERE l.l_orderkey = o.o_orderkey
+  ORDER BY l_extendedprice DESC, l_linenumber ASC
+  LIMIT 2
+) t
+"""
+
+
+def lateral_top2_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderkey, l_linenumber, price) — top-2 line items per order
+    via a correlated LATERAL subquery."""
+    return spark.sql(
+        _lateral_sql(
+            f"parquet.`{sf_dir}/orders.parquet`",
+            f"parquet.`{sf_dir}/lineitem.parquet`",
+        )
+    )
+
+
 RELATIONAL_QUERIES = {
     "retention_cohorts": (retention_cohorts, RETENTION_SQL),
     "market_basket_pairs": (market_basket_pairs, MARKET_BASKET_SQL),
@@ -2551,6 +2632,8 @@ RELATIONAL_QUERIES = {
     "rfm_segments": (rfm_segments, RFM_SQL),
     "event_funnel_pattern": (event_funnel_pattern, FUNNEL_PATTERN_SQL),
     "ewma_daily_purchases": (ewma_daily_purchases, EWMA_SQL),
+    "recursive_cte_bfs": (recursive_cte_bfs, _rcte_sql("lineitem")),
+    "lateral_top2_lineitems": (lateral_top2_lineitems, _lateral_sql("orders", "lineitem")),
     "holt_linear_daily": (holt_linear_daily, _holt_sql()),
     "anomaly_event_days": (anomaly_event_days, ANOMALY_SQL),
     "er_blocked_fuzzy": (er_blocked_fuzzy, ER_FUZZY_SQL),

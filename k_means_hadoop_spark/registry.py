@@ -894,6 +894,8 @@ _SCHEDULE: dict[str, dict] = {
     "streaming_hll_merge": _row(defer=True),
     "ipf_raking": _row(defer=True),
     "holt_linear_daily": _row(defer=True),
+    "recursive_cte_bfs": _row(defer=True),
+    "lateral_top2_lineitems": _row(defer=True),
 }
 
 

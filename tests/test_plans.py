@@ -705,6 +705,43 @@ def test_incremental_from_store_scans_store_only(spark, sf_dir, tmp_path):
     assert "incoming" in p
 
 
+def test_round5_ops_no_quadratic_joins(plans):
+    """The round-5 additions must keep their linear join shapes: no
+    CartesianProduct anywhere; the only nested-loop joins allowed are
+    broadcast one-row/tiny-side forms (the crossJoin(broadcast(tot))
+    pattern and the sampled-silhouette distance build)."""
+    for name in (
+        "span_scrub_docs",
+        "minhash_estimate_audit",
+        "welch_ttest_langs",
+        "cusum_changepoints",
+        "holt_linear_daily",
+        "silhouette_sampled",
+        "hll_portable_registers",
+    ):
+        p = plans(name)
+        assert "CartesianProduct" not in p, name
+    # the gram/signature equi-joins must never degrade to nested loops
+    for name in ("span_scrub_docs", "minhash_estimate_audit"):
+        assert "BroadcastNestedLoopJoin" not in plans(name), name
+
+
+def test_ipf_lineage_truncated(plans):
+    """IPF's per-round localCheckpoint must keep the final plan flat:
+    without it the 6 scaling steps re-derive each other into a
+    1000-Exchange plan (measured before the fix)."""
+    p = plans("ipf_raking")
+    assert p.count("Exchange") == 0, p.count("Exchange")
+
+
+def test_holt_is_two_aggregations_no_join(plans):
+    """Daily partial agg + per-type fold: no join anywhere, and the
+    corpus-sized pass is the FIRST aggregation only."""
+    p = plans("holt_linear_daily")
+    assert "Join" not in p
+    assert p.count("Exchange") <= 4
+
+
 def test_window_schedule_regression():
     """The round-4 consolidation of the three rotation lists into the
     single _SCHEDULE table must be behavior-preserving: given the
