@@ -896,6 +896,7 @@ _SCHEDULE: dict[str, dict] = {
     "holt_linear_daily": _row(defer=True),
     "recursive_cte_bfs": _row(defer=True),
     "lateral_top2_lineitems": _row(defer=True),
+    "power_iteration_pc1": _row(defer=True),
 }
 
 

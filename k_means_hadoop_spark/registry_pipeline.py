@@ -2665,6 +2665,21 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
 
 _KNN_IDS_SQL = ", ".join(str(i) for i in KNN_QUERY_IDS)
 
+def q_power_iteration_pc1(spark, sf_dir):
+    """Dominant eigenvector of the embedding covariance by explicit
+    distributed power iteration — the full-value-oracle complement of
+    the MLlib eigensolver behind pca_project."""
+    from k_means_hadoop_spark.operators.pca import power_iteration_pc1
+
+    return power_iteration_pc1(spark, sf_dir)
+
+
+def _pi_sql_lazy() -> str:
+    from k_means_hadoop_spark.operators.pca import _power_iteration_sql
+
+    return _power_iteration_sql(64)
+
+
 PIPELINE_ORACLES: dict[str, str] = {
     "text_token_counts": (
         f"SELECT doc_id, len({_TOKS})::INTEGER AS ws_tokens, "
@@ -2709,6 +2724,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "knn_ivf_pq": _knn_ivf_pq_sql(5, PQ_M, PQ_DIM, IVFPQ_NPROBE),
     "compact_shards": COMPACT_SHARDS_SQL,
     "pca_project": PCA_CONTRACT_SQL,
+    "power_iteration_pc1": _pi_sql_lazy(),
     "udtf_ngram_cols": UDTF_NGRAM_COLS_SQL,
     "codec_roundtrip": _codec_roundtrip_sql(),
     "dedup_containment": _containment_sql(),
@@ -2891,6 +2907,7 @@ PIPELINE_QUERIES = {
     "dedup_components": q_dedup_components,
     "dedup_survivors": q_dedup_survivors,
     "pca_project": q_pca_project,  # r4: spectral-contract oracle (total var + verdicts)
+    "power_iteration_pc1": q_power_iteration_pc1,  # r5: full value oracle (unrolled matvec CTE)
 }
 
 if _has_protobuf():  # pragma: no cover — absent in this container

@@ -193,3 +193,33 @@ def test_ipf_raking_converges_to_uniform_marginals(spark, sf_dir):
     t_lang = total / len(langs)
     for l, v in langs.items():
         assert abs(v - t_lang) / t_lang < 0.15, (l, v, t_lang)
+
+
+def test_power_iteration_matches_mllib_pc1(spark, sf_dir):
+    """The explicit power iteration must converge to MLlib's top
+    principal direction: |cos(v_power, v_mllib)| ≈ 1 (sign-invariant)
+    and the Rayleigh eigenvalue ≈ the top eigenvalue of the covariance
+    MLlib diagonalizes."""
+    import math
+
+    from pyspark.ml.feature import PCA as MLPCA
+    from pyspark.ml.functions import array_to_vector
+
+    from k_means_hadoop_spark.operators.pca import power_iteration_pc1
+
+    rows = sorted(
+        power_iteration_pc1(spark, sf_dir).collect(), key=lambda r: r["pos"]
+    )
+    v = [r["loading"] for r in rows]
+    lam = rows[0]["eigenvalue"]
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(array_to_vector(F.col("embedding").cast("array<double>")).alias("f"))
+    )
+    model = MLPCA(k=1, inputCol="f", outputCol="pc").fit(emb)
+    w = [float(x) for x in model.pc.toArray()[:, 0]]
+    dot = sum(a * b for a, b in zip(v, w))
+    nv = math.sqrt(sum(a * a for a in v))
+    nw = math.sqrt(sum(b * b for b in w))
+    assert abs(dot / (nv * nw)) > 0.99, abs(dot / (nv * nw))
+    assert lam > 0
