@@ -2623,6 +2623,112 @@ def lateral_top2_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ SQL pipe syntax
+#
+# Spark 4's pipe-syntax (|>) surface: the same revenue-per-priority
+# rollup a user would write imperatively, executed by Catalyst as the
+# equivalent relational plan.  DuckDB has no pipe parser, so the
+# oracle is the standard-SQL equivalent — the hash match proves the
+# pipe form compiles to the same semantics, which is exactly what a
+# user migrating queries needs to know.
+
+
+def pipe_syntax_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_orderpriority, n_orders, revenue) via |> stages."""
+    return spark.sql(f"""
+      FROM parquet.`{sf_dir}/orders.parquet` AS o
+      |> JOIN parquet.`{sf_dir}/lineitem.parquet` AS l ON l.l_orderkey = o.o_orderkey
+      |> WHERE o.o_orderstatus = 'F'
+      |> AGGREGATE count(DISTINCT o.o_orderkey) AS n_orders,
+                   round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                              * (CAST(1 AS DECIMAL(5,4)) - CAST(l.l_discount AS DECIMAL(5,4)))) AS DOUBLE), 2) AS revenue
+         GROUP BY o.o_orderpriority
+    """)
+
+
+PIPE_SYNTAX_SQL = """
+SELECT o.o_orderpriority,
+       count(DISTINCT o.o_orderkey)::BIGINT AS n_orders,
+       round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                  * (CAST(1 AS DECIMAL(5,4)) - CAST(l.l_discount AS DECIMAL(5,4)))) AS DOUBLE), 2) AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY o.o_orderpriority
+"""
+
+
+# ------------------------------------------ neighbor-set Jaccard
+#
+# Link-prediction similarity on the co-purchase graph: for every edge
+# (a, b), |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — common-neighbor counting by
+# pure equi-joins (edge ⋈ adjacency ⋈ adjacency on the shared
+# endpoint), integer-exact, one shared division text.  Triangle
+# counting's per-edge refinement: the same wedge join, kept per edge
+# instead of summed.
+
+
+def neighbor_jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pa, pb, common, deg_a, deg_b, jaccard) per co-purchase edge."""
+    from k_means_hadoop_spark.operators.analytics import _copurchase_edges
+
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    undir = e.unionByName(
+        e.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    )
+    deg = undir.groupBy("pa").agg(F.count(F.lit(1)).alias("deg"))
+    na = undir.select(F.col("pa").alias("ea"), F.col("pb").alias("x"))
+    nb = undir.select(F.col("pa").alias("eb"), F.col("pb").alias("x"))
+    common = (
+        e.join(na, e.pa == na.ea)
+        .join(nb, (F.col("pb") == F.col("eb")) & (na.x == nb.x))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        e.join(common, ["pa", "pb"], "left")
+        .join(deg.select(F.col("pa"), F.col("deg").alias("deg_a")), "pa")
+        .join(
+            deg.select(F.col("pa").alias("pb"), F.col("deg").alias("deg_b")),
+            "pb",
+        )
+        .select(
+            "pa",
+            "pb",
+            F.coalesce("common", F.lit(0)).cast("bigint").alias("common"),
+            F.col("deg_a").cast("bigint").alias("deg_a"),
+            F.col("deg_b").cast("bigint").alias("deg_b"),
+        )
+    )
+    jac = (
+        "round(CAST(common AS DOUBLE)"
+        " / CAST(deg_a + deg_b - common AS DOUBLE), 6)"
+    )
+    return out.withColumn("jaccard", F.expr(jac))
+
+
+NEIGHBOR_JACCARD_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_partkey <= 300),
+e AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+undir AS (SELECT pa, pb FROM e UNION ALL SELECT pb AS pa, pa AS pb FROM e),
+deg AS (SELECT pa, count(*)::BIGINT AS deg FROM undir GROUP BY pa),
+common AS (
+  SELECT e.pa, e.pb, count(*)::BIGINT AS common
+  FROM e JOIN undir na ON na.pa = e.pa JOIN undir nb ON nb.pa = e.pb AND nb.pb = na.pb
+  GROUP BY e.pa, e.pb)
+SELECT e.pa, e.pb,
+       COALESCE(c.common, 0)::BIGINT AS common,
+       da.deg AS deg_a, db.deg AS deg_b,
+       round(CAST(COALESCE(c.common, 0) AS DOUBLE)
+             / CAST(da.deg + db.deg - COALESCE(c.common, 0) AS DOUBLE), 6) AS jaccard
+FROM e LEFT JOIN common c ON c.pa = e.pa AND c.pb = e.pb
+JOIN deg da ON da.pa = e.pa JOIN deg db ON db.pa = e.pb
+"""
+
+
 RELATIONAL_QUERIES = {
     "retention_cohorts": (retention_cohorts, RETENTION_SQL),
     "market_basket_pairs": (market_basket_pairs, MARKET_BASKET_SQL),
@@ -2633,6 +2739,8 @@ RELATIONAL_QUERIES = {
     "event_funnel_pattern": (event_funnel_pattern, FUNNEL_PATTERN_SQL),
     "ewma_daily_purchases": (ewma_daily_purchases, EWMA_SQL),
     "recursive_cte_bfs": (recursive_cte_bfs, _rcte_sql("lineitem")),
+    "pipe_syntax_priority_revenue": (pipe_syntax_priority_revenue, PIPE_SYNTAX_SQL),
+    "neighbor_jaccard_edges": (neighbor_jaccard_edges, NEIGHBOR_JACCARD_SQL),
     "lateral_top2_lineitems": (lateral_top2_lineitems, _lateral_sql("orders", "lineitem")),
     "holt_linear_daily": (holt_linear_daily, _holt_sql()),
     "anomaly_event_days": (anomaly_event_days, ANOMALY_SQL),

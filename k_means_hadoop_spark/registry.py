@@ -897,6 +897,8 @@ _SCHEDULE: dict[str, dict] = {
     "recursive_cte_bfs": _row(defer=True),
     "lateral_top2_lineitems": _row(defer=True),
     "power_iteration_pc1": _row(defer=True),
+    "pipe_syntax_priority_revenue": _row(defer=True),
+    "neighbor_jaccard_edges": _row(defer=True),
 }
 
 
