@@ -223,3 +223,36 @@ def test_power_iteration_matches_mllib_pc1(spark, sf_dir):
     nw = math.sqrt(sum(b * b for b in w))
     assert abs(dot / (nv * nw)) > 0.99, abs(dot / (nv * nw))
     assert lam > 0
+
+
+def test_minhash_merge_identity_property(spark):
+    """Hypothesis: for ANY document texts (empty, single-token, exotic
+    whitespace), the min-merge of chunked partial signatures equals the
+    whole-document signature — the mergeability identity the streaming
+    store relies on.  Docs with no shingles must be absent from BOTH."""
+    from hypothesis import given, settings, strategies as st
+
+    from k_means_hadoop_spark.operators import dedup
+
+    word = st.text(alphabet="abcXYZ09", min_size=1, max_size=6)
+    doc = st.lists(word, min_size=0, max_size=30).map(" ".join)
+    sep = st.sampled_from([" ", "  ", "\t", " \n "])
+
+    @settings(max_examples=8, deadline=None)
+    @given(texts=st.lists(st.tuples(doc, sep), min_size=1, max_size=12))
+    def check(texts):
+        rows = [(i + 1, t.replace(" ", s, 1) if s != " " else t) for i, (t, s) in enumerate(texts)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        whole = {
+            r["doc_id"]: tuple(r[f"m{i}"] for i in range(16))
+            for r in dedup.minhash_signatures(docs, n=3).collect()
+        }
+        merged = {
+            r["doc_id"]: tuple(r[f"m{i}"] for i in range(16))
+            for r in dedup.merge_signature_store(
+                dedup.partial_signatures(dedup.chunked_docs(docs, n=3), n=3)
+            ).collect()
+        }
+        assert whole == merged
+
+    check()
