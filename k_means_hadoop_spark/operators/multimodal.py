@@ -7,13 +7,13 @@ correct 100 TB shape: payloads never leave their partition, Python sees
 columnar batches, and the output schema is declared up front so the
 rest of the plan stays Catalyst-planned.
 
-The decode kernels themselves are STUBBED (this container ships no
-image/audio codecs): ``decode_media`` computes deterministic
-pseudo-features from the raw bytes and is clearly marked as a fake;
-``decode_media_real`` raises NotImplementedError at the exact seam
-where Pillow/torchaudio/ffmpeg would plug in.  Everything around the
-stub — schema, batching, partitioning, UDF signature — is real and
-tested.
+``decode_media`` computes deterministic pseudo-features from the raw
+bytes and is clearly marked as a fake.  ``decode_media_real`` (round
+5) is a REAL decoder for the formats that need no third-party codec —
+uncompressed 24-bit BMP and PCM WAV, parsed byte-for-byte by
+``functions/codecs.py`` — with honest ok=false rows for everything
+else (video / compressed codecs: the remaining Pillow/ffmpeg seam,
+now visible in the output instead of raising).
 """
 
 from __future__ import annotations
@@ -200,12 +200,174 @@ def arrow_byte_stats(media: DataFrame) -> DataFrame:
     )
 
 
-def decode_media_real(media: DataFrame, target_size: tuple[int, int] | None = None) -> DataFrame:
-    """The real-decoder seam: resize images / resample audio / sample
-    video frames.  Requires codec libraries not present in this
-    container."""
-    raise NotImplementedError(
-        "real media decode requires Pillow/torchaudio/ffmpeg; "
-        "wire them into decode_media's mapInPandas kernel — the Spark-side "
-        "plumbing (schema, Arrow batching, partition locality) is already in place"
+# ------------------------------------------------- REAL decode (BMP/WAV)
+#
+# Round 5 closed half of the round-4 seam WITHOUT new dependencies:
+# uncompressed 24-bit BMP is a fixed-layout struct and PCM WAV is
+# stdlib `wave` — complete parsers live in functions/codecs.py
+# (header validation, bottom-up rows, 4-byte padding, 16-bit PCM
+# framing).  Video (and any compressed image/audio codec) remains the
+# documented Pillow/ffmpeg seam — those payloads come back as honest
+# ok=false rows instead of fake features.
+
+REAL_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("reason", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("thumb_hash", T.StringType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zcr", T.DoubleType(), True),
+    ]
+)
+
+
+def _pickle_by_value() -> None:
+    """The real-decode kernels import functions/codecs; cloudpickle
+    ships module-level closures BY REFERENCE, which breaks on any
+    driver not launched from the repo root (the off-path failure
+    run_window_check exercises from /tmp).  Register this module AND
+    the codecs module for pickle-by-value so the kernels ship inside
+    the plan — the stateful.py / udtfs.py portability fix."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from k_means_hadoop_spark.functions import codecs
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    cloudpickle.register_pickle_by_value(codecs)
+
+
+def decode_media_real(media: DataFrame, thumb: tuple[int, int] = (4, 3)) -> DataFrame:
+    """REAL decode of BMP images and PCM-WAV audio payloads: pixels and
+    samples are parsed from the actual bytes (not metadata), images get
+    a nearest-neighbor thumbnail whose pixel bytes are hashed, audio
+    gets RMS / zero-crossing rate from the waveform.  Payloads the
+    container has no codec for yield ok=false rows carrying the reason
+    — the remaining Pillow/ffmpeg seam, kept visible in the output
+    instead of raising."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from k_means_hadoop_spark.functions import codecs
+
+    _pickle_by_value()
+    tw, th = thumb
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                mid, kind = int(mid), str(kind)
+                base = {
+                    "media_id": mid, "kind": kind, "ok": False, "reason": None,
+                    "width": None, "height": None, "mean_r": None, "mean_g": None,
+                    "mean_b": None, "thumb_hash": None, "sample_rate": None,
+                    "n_samples": None, "rms": None, "zcr": None,
+                }
+                try:
+                    if kind == "image":
+                        img = codecs.decode_bmp(bytes(payload))
+                        h, w, _ = img.shape
+                        # integer channel sums, ONE division each — the
+                        # same op order the oracle's closed form uses
+                        sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                        n_px = h * w
+                        tb = codecs.resize_nearest(img, tw, th)
+                        base.update(
+                            ok=True, width=w, height=h,
+                            mean_r=float(sums[0]) / n_px,
+                            mean_g=float(sums[1]) / n_px,
+                            mean_b=float(sums[2]) / n_px,
+                            # md5 over the HEX of the thumb bytes (not the
+                            # raw bytes): the oracle can only md5 strings,
+                            # and hex is a faithful byte-level encoding
+                            thumb_hash=hashlib.md5(
+                                tb.tobytes().hex().encode()
+                            ).hexdigest(),
+                        )
+                    elif kind == "audio":
+                        samples, rate = codecs.decode_wav(bytes(payload))
+                        s = samples.astype(np.int64)
+                        n = len(s)
+                        import math
+
+                        base.update(
+                            ok=True, sample_rate=rate, n_samples=n,
+                            rms=math.sqrt(float((s * s).sum()) / n) if n else 0.0,
+                            zcr=(
+                                float(int((s[1:] * s[:-1] < 0).sum())) / (n - 1)
+                                if n > 1 else 0.0
+                            ),
+                        )
+                    else:
+                        base["reason"] = "no codec for kind=video in this container (ffmpeg seam)"
+                except ValueError as e:
+                    base["reason"] = str(e)
+                rows.append(base)
+            yield pd.DataFrame(rows, columns=[f.name for f in REAL_DECODE_SCHEMA.fields])
+
+    return media.mapInPandas(_batches, schema=REAL_DECODE_SCHEMA)
+
+
+def synthesize_codec_media(docs: DataFrame) -> DataFrame:
+    """Planted REAL-format payloads, closed-form so an engine with no
+    codec (DuckDB) can still predict every decoded statistic:
+
+    - image (doc_id % 3 == 0): 8×6 BMP whose flattened pixel i has all
+      three channels equal to (doc_id·31 + i) mod 256;
+    - audio (doc_id % 3 == 1): 64-sample 16 kHz PCM WAV with
+      s_i = (doc_id·7 + i) mod 201 − 100;
+    - video (doc_id % 3 == 2): utf-8 text bytes (no codec here — the
+      honest ffmpeg seam, asserted as ok=false downstream).
+    """
+    import pandas as pd
+
+    from k_means_hadoop_spark.functions import codecs
+
+    _pickle_by_value()
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
     )
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                m = did % 3
+                if m == 0:
+                    i = np.arange(48, dtype=np.int64)
+                    px = ((did * 31 + i) % 256).astype(np.uint8)
+                    img = np.repeat(px, 3).reshape(6, 8, 3)
+                    payload = codecs.encode_bmp(img)
+                    kind = "image"
+                elif m == 1:
+                    i = np.arange(64, dtype=np.int64)
+                    s = ((did * 7 + i) % 201 - 100).astype(np.int16)
+                    payload = codecs.encode_wav(s, 16000)
+                    kind = "audio"
+                else:
+                    payload = str(text).encode("utf-8")
+                    kind = "video"
+                rows.append((did, kind, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    return docs.select("doc_id", "text").mapInPandas(_batches, schema=out_schema)

@@ -899,6 +899,7 @@ _SCHEDULE: dict[str, dict] = {
     "power_iteration_pc1": _row(defer=True),
     "pipe_syntax_priority_revenue": _row(defer=True),
     "neighbor_jaccard_edges": _row(defer=True),
+    "multimodal_decode_real": _row(defer=True),
 }
 
 

@@ -1576,6 +1576,92 @@ FROM documents
 """
 
 
+def q_multimodal_decode_real(spark, sf_dir):
+    """REAL codec round-trip (round-4 verdict item 7, closed without
+    new dependencies): deterministic closed-form pixels/samples are
+    ENCODED into actual BMP / PCM-WAV bytes, DECODED back by the pure
+    struct/stdlib parsers in functions/codecs.py, thumbnailed /
+    waveform-analyzed — and the DuckDB oracle predicts every decoded
+    statistic (including the md5 of the 4×3 nearest-neighbor
+    thumbnail's hex bytes) straight from the closed form, never seeing
+    a BMP or WAV.  A hash match certifies the byte-level encode →
+    decode → resize pipeline.  Video rows stay ok=false with the
+    ffmpeg-seam reason — the honest remainder of the seam."""
+    from k_means_hadoop_spark.operators.multimodal import (
+        decode_media_real,
+        synthesize_codec_media,
+    )
+
+    out = decode_media_real(synthesize_codec_media(_docs(spark, sf_dir)))
+    return out.select(
+        "media_id",
+        "kind",
+        "ok",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "thumb_hash",
+        "sample_rate",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+    )
+
+
+def _decode_real_sql() -> str:
+    # thumbnail of the 6-row × 8-col closed-form image at 4×3 nearest
+    # neighbor: ys = floor(y*6/3) = {0,2,4}, xs = floor(x*8/4) = {0,2,4,6};
+    # byte stream is row-major (y, x, channel×3), each byte
+    # (doc_id*31 + y*8 + x) % 256, hex-encoded then md5'd
+    return """
+WITH d AS (SELECT doc_id FROM documents),
+img AS (
+  SELECT d.doc_id,
+         round(CAST(SUM((d.doc_id * 31 + i.range) % 256) AS DOUBLE) / 48, 6) AS mean_c
+  FROM d CROSS JOIN range(48) i
+  WHERE d.doc_id % 3 = 0 GROUP BY d.doc_id),
+thumb AS (
+  SELECT d.doc_id,
+         md5(string_agg(
+           repeat(printf('%02x', (d.doc_id * 31 + ys.y * 8 + xs.x) % 256), 3),
+           '' ORDER BY ys.y, xs.x)) AS thumb_hash
+  FROM d
+  CROSS JOIN (SELECT range * 2 AS y FROM range(3)) ys
+  CROSS JOIN (SELECT range * 2 AS x FROM range(4)) xs
+  WHERE d.doc_id % 3 = 0 GROUP BY d.doc_id),
+wav AS (
+  SELECT d.doc_id,
+         round(sqrt(CAST(SUM(s * s) AS DOUBLE) / 64), 6) AS rms
+  FROM (SELECT doc_id, (doc_id * 7 + i.range) % 201 - 100 AS s
+        FROM d CROSS JOIN range(64) i WHERE doc_id % 3 = 1) t(doc_id, s)
+  JOIN d ON d.doc_id = t.doc_id GROUP BY d.doc_id),
+zc AS (
+  SELECT doc_id,
+         round(CAST(SUM(CASE WHEN ((doc_id * 7 + i.range) % 201 - 100)
+                              * ((doc_id * 7 + i.range - 1) % 201 - 100) < 0
+                        THEN 1 ELSE 0 END) AS DOUBLE) / 63, 6) AS zcr
+  FROM d CROSS JOIN range(64) i WHERE doc_id % 3 = 1 AND i.range >= 1
+  GROUP BY doc_id)
+SELECT d.doc_id AS media_id,
+       CASE d.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       d.doc_id % 3 <= 1 AS ok,
+       CASE WHEN d.doc_id % 3 = 0 THEN 8 END AS width,
+       CASE WHEN d.doc_id % 3 = 0 THEN 6 END AS height,
+       img.mean_c AS mean_r, img.mean_c AS mean_g, img.mean_c AS mean_b,
+       thumb.thumb_hash,
+       CASE WHEN d.doc_id % 3 = 1 THEN 16000 END AS sample_rate,
+       CASE WHEN d.doc_id % 3 = 1 THEN 64 END AS n_samples,
+       wav.rms, zc.zcr
+FROM d
+LEFT JOIN img ON img.doc_id = d.doc_id
+LEFT JOIN thumb ON thumb.doc_id = d.doc_id
+LEFT JOIN wav ON wav.doc_id = d.doc_id
+LEFT JOIN zc ON zc.doc_id = d.doc_id
+"""
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched mapInPandas media decode (deterministic fake kernel —
     operators/multimodal.py); the oracle checks the oracle-expressible
@@ -2724,6 +2810,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "knn_ivf_pq": _knn_ivf_pq_sql(5, PQ_M, PQ_DIM, IVFPQ_NPROBE),
     "compact_shards": COMPACT_SHARDS_SQL,
     "pca_project": PCA_CONTRACT_SQL,
+    "multimodal_decode_real": _decode_real_sql(),
     "power_iteration_pc1": _pi_sql_lazy(),
     "udtf_ngram_cols": UDTF_NGRAM_COLS_SQL,
     "codec_roundtrip": _codec_roundtrip_sql(),
@@ -2887,6 +2974,7 @@ PIPELINE_QUERIES = {
     "chunk_documents": q_chunk_documents,
     "prepare_corpus": q_prepare_corpus,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_decode_real": q_multimodal_decode_real,
     "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
     "schema_evolution_merge": q_schema_evolution_merge,
     "lineitem_csv_roundtrip": q_lineitem_csv_roundtrip,

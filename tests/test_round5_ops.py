@@ -256,3 +256,45 @@ def test_minhash_merge_identity_property(spark):
         assert whole == merged
 
     check()
+
+
+def test_bmp_wav_codecs_roundtrip_and_reject():
+    """The dependency-free codecs are REAL parsers: byte-exact
+    round-trip on arbitrary pixel/sample arrays (including non-4-byte-
+    aligned row widths) and header validation on junk."""
+    import numpy as np
+    import pytest as pt
+
+    from k_means_hadoop_spark.functions import codecs
+
+    rng = np.random.RandomState(7)
+    for w, h in [(8, 6), (5, 3), (1, 1), (7, 2)]:  # w=5,7: padded rows
+        img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(img)), img), (w, h)
+    s = rng.randint(-32768, 32767, size=137).astype(np.int16)
+    back, rate = codecs.decode_wav(codecs.encode_wav(s, 22050))
+    assert rate == 22050 and np.array_equal(back, s)
+    with pt.raises(ValueError):
+        codecs.decode_bmp(b"NOTABMP" + b"\x00" * 64)
+    tb = codecs.resize_nearest(
+        np.arange(48, dtype=np.uint8).repeat(3).reshape(6, 8, 3), 4, 3
+    )
+    assert tb.shape == (3, 4, 3)
+    assert tb[0, 0, 0] == 0 and tb[1, 1, 0] == 2 * 8 + 2
+
+
+def test_decode_media_real_marks_video_unsupported(spark, sf_dir):
+    from k_means_hadoop_spark.operators.multimodal import (
+        decode_media_real,
+        synthesize_codec_media,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    rows = decode_media_real(synthesize_codec_media(docs)).collect()
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"image", "audio", "video"}
+    for r in rows:
+        if r["kind"] == "video":
+            assert not r["ok"] and "ffmpeg" in r["reason"]
+        else:
+            assert r["ok"], r
