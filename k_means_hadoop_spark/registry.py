@@ -900,6 +900,7 @@ _SCHEDULE: dict[str, dict] = {
     "pipe_syntax_priority_revenue": _row(defer=True),
     "neighbor_jaccard_edges": _row(defer=True),
     "multimodal_decode_real": _row(defer=True),
+    "webdataset_tar_scan": _row(defer=True),
 }
 
 

@@ -1662,6 +1662,47 @@ LEFT JOIN zc ON zc.doc_id = d.doc_id
 """
 
 
+def q_webdataset_tar_scan(spark, sf_dir):
+    """WebDataset round trip: the closed-form media payloads are staged
+    as .tar shards (one input partition per shard — the layout and
+    parallelism contract multimodal corpora actually use), re-read
+    through the tar_shards Python Data Source, and REAL-decoded; same
+    closed-form oracle as multimodal_decode_real, so the hash match
+    covers tar framing + shard partitioning + codec parsing."""
+    from k_means_hadoop_spark.operators.multimodal import (
+        decode_media_real,
+        synthesize_codec_media,
+    )
+    from k_means_hadoop_spark.session import scratch_dir
+    from k_means_hadoop_spark.sources.tar_shards import (
+        read_tar_shards,
+        write_tar_shards,
+    )
+
+    media = synthesize_codec_media(_docs(spark, sf_dir))
+    shard_dir = scratch_dir("wds_shards")
+    write_tar_shards(
+        ((r["media_id"], r["kind"], r["payload"]) for r in media.toLocalIterator()),
+        shard_dir,
+    )
+    out = decode_media_real(read_tar_shards(spark, shard_dir))
+    return out.select(
+        "media_id",
+        "kind",
+        "ok",
+        "width",
+        "height",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        "thumb_hash",
+        "sample_rate",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+    )
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched mapInPandas media decode (deterministic fake kernel —
     operators/multimodal.py); the oracle checks the oracle-expressible
@@ -2811,6 +2852,8 @@ PIPELINE_ORACLES: dict[str, str] = {
     "compact_shards": COMPACT_SHARDS_SQL,
     "pca_project": PCA_CONTRACT_SQL,
     "multimodal_decode_real": _decode_real_sql(),
+    # same oracle on purpose: the tar round trip must decode identically
+    "webdataset_tar_scan": _decode_real_sql(),
     "power_iteration_pc1": _pi_sql_lazy(),
     "udtf_ngram_cols": UDTF_NGRAM_COLS_SQL,
     "codec_roundtrip": _codec_roundtrip_sql(),
@@ -2975,6 +3018,7 @@ PIPELINE_QUERIES = {
     "prepare_corpus": q_prepare_corpus,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_decode_real": q_multimodal_decode_real,
+    "webdataset_tar_scan": q_webdataset_tar_scan,
     "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
     "schema_evolution_merge": q_schema_evolution_merge,
     "lineitem_csv_roundtrip": q_lineitem_csv_roundtrip,
