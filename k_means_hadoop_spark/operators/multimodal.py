@@ -371,3 +371,54 @@ def synthesize_codec_media(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
 
     return docs.select("doc_id", "text").mapInPandas(_batches, schema=out_schema)
+
+
+WAV_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("energy", T.LongType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+    ]
+)
+
+
+def wav_frame_features(media: DataFrame, frame: int = 16) -> DataFrame:
+    """Framewise features from REAL WAV decode — the row-expanding
+    counterpart of ``decode_media_real``'s 1:1 shape (``sample_frames``
+    does row expansion over a stub; this one parses actual PCM bytes):
+    each audio payload becomes n_samples/frame rows of exact integer
+    energy (Σ s², order-free) and its RMS.  Non-audio rows are
+    filtered JVM-side before the kernel."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from k_means_hadoop_spark.functions import codecs
+
+    _pickle_by_value()
+    audio = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, _rate = codecs.decode_wav(bytes(payload))
+                s = samples.astype(np.int64)
+                for fi in range(len(s) // frame):
+                    chunk = s[fi * frame : (fi + 1) * frame]
+                    energy = int((chunk * chunk).sum())
+                    rows.append(
+                        (
+                            int(mid),
+                            fi,
+                            energy,
+                            math.sqrt(energy / float(frame)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "energy", "rms"]
+            )
+
+    return audio.mapInPandas(_batches, schema=WAV_FRAME_SCHEMA)

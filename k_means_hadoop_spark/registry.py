@@ -901,6 +901,7 @@ _SCHEDULE: dict[str, dict] = {
     "neighbor_jaccard_edges": _row(defer=True),
     "multimodal_decode_real": _row(defer=True),
     "webdataset_tar_scan": _row(defer=True),
+    "wav_frame_energy": _row(defer=True),
 }
 
 

@@ -1703,6 +1703,35 @@ def q_webdataset_tar_scan(spark, sf_dir):
     )
 
 
+def q_wav_frame_energy(spark, sf_dir):
+    """Row-expanding REAL audio decode: 16-sample frame energies from
+    actual PCM bytes; closed-form oracle (energies are exact integer
+    sums of the planted waveform)."""
+    from k_means_hadoop_spark.operators.multimodal import (
+        synthesize_codec_media,
+        wav_frame_features,
+    )
+
+    out = wav_frame_features(synthesize_codec_media(_docs(spark, sf_dir)))
+    return out.select(
+        "media_id", "frame_idx", "energy", F.round("rms", 6).alias("rms")
+    )
+
+
+_WAV_FRAMES_SQL = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+s AS (SELECT d.doc_id, i.range AS i,
+             (d.doc_id * 7 + i.range) % 201 - 100 AS v
+      FROM d CROSS JOIN range(64) i),
+f AS (SELECT doc_id, CAST(i // 16 AS INT) AS frame_idx,
+             SUM(v * v)::BIGINT AS energy
+      FROM s GROUP BY doc_id, i // 16)
+SELECT doc_id AS media_id, frame_idx, energy,
+       round(sqrt(CAST(energy AS DOUBLE) / 16.0), 6) AS rms
+FROM f
+"""
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Arrow-batched mapInPandas media decode (deterministic fake kernel —
     operators/multimodal.py); the oracle checks the oracle-expressible
@@ -2854,6 +2883,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "multimodal_decode_real": _decode_real_sql(),
     # same oracle on purpose: the tar round trip must decode identically
     "webdataset_tar_scan": _decode_real_sql(),
+    "wav_frame_energy": _WAV_FRAMES_SQL,
     "power_iteration_pc1": _pi_sql_lazy(),
     "udtf_ngram_cols": UDTF_NGRAM_COLS_SQL,
     "codec_roundtrip": _codec_roundtrip_sql(),
@@ -3019,6 +3049,7 @@ PIPELINE_QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_decode_real": q_multimodal_decode_real,
     "webdataset_tar_scan": q_webdataset_tar_scan,
+    "wav_frame_energy": q_wav_frame_energy,
     "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
     "schema_evolution_merge": q_schema_evolution_merge,
     "lineitem_csv_roundtrip": q_lineitem_csv_roundtrip,
