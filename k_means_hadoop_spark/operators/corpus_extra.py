@@ -1131,6 +1131,135 @@ def _ipf_sql() -> str:
     )
 
 
+# ------------------------------------------------- median polish
+#
+# Tukey's median polish of the lang x source count table — the ROBUST
+# two-way decomposition next to ipf_raking's multiplicative scaling:
+# counts = overall + row effect + column effect + residual, effects
+# estimated by alternating row/column MEDIAN sweeps (outlier cells
+# perturb means but not medians — the reason a corpus health dashboard
+# prefers this for "which (lang, source) cell is anomalous").
+#
+# Determinism: after every subtraction the residuals are re-stabilized
+# to 6dp DECIMAL (the IPF discipline), and each median is defined
+# EXPLICITLY as the average of the two middle order statistics under
+# (value, tiebreak) ordering — the same closed form in both engines,
+# no engine-native median() (whose interpolation rules differ).
+# Scale shape: one corpus-sized groupBy, then every sweep touches the
+# |langs|·|sources| cell table only.
+
+_MP_SWEEPS = 2
+
+
+def _mp_median(df: DataFrame, part_col: str, val_col: str, out_col: str) -> DataFrame:
+    """Exact per-group median of a DECIMAL column: avg of the two
+    middle order statistics (equal when the group size is odd)."""
+    w = Window.partitionBy(part_col).orderBy(F.col(val_col).asc(), F.col("lang").asc(), F.col("source").asc())
+    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_cnt", F.count(F.lit(1)).over(Window.partitionBy(part_col))
+    )
+    # middle order statistics: rn*2 ∈ {cnt, cnt+1, cnt+2} selects
+    # exactly the two middles for even cnt and the single middle for odd
+    return (
+        ranked.where(
+            (F.col("_rn") * 2 == F.col("_cnt"))
+            | (F.col("_rn") * 2 == F.col("_cnt") + 1)
+            | (F.col("_rn") * 2 == F.col("_cnt") + 2)
+        )
+        .groupBy(part_col)
+        .agg(
+            F.expr(_IPF_R6.format(x=f"CAST(SUM({val_col}) AS DOUBLE) / COUNT(*)")).alias(out_col)
+        )
+    )
+
+
+def median_polish_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, source, n, residual, row_eff, col_eff) after
+    ``_MP_SWEEPS`` alternating median sweeps."""
+    cells = (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("r", F.expr(_IPF_R6.format(x="n")))
+        .withColumn("row_eff", F.expr(_IPF_R6.format(x="0")))
+        .withColumn("col_eff", F.expr(_IPF_R6.format(x="0")))
+    )
+    for _ in range(_MP_SWEEPS):
+        rm = _mp_median(cells, "lang", "r", "rm")
+        cells = (
+            cells.join(F.broadcast(rm), "lang")
+            .withColumn("r", F.expr(_IPF_R6.format(x="CAST(r AS DOUBLE) - CAST(rm AS DOUBLE)")))
+            .withColumn("row_eff", F.expr(_IPF_R6.format(x="CAST(row_eff AS DOUBLE) + CAST(rm AS DOUBLE)")))
+            .drop("rm")
+        )
+        cm = _mp_median(cells, "source", "r", "cm")
+        cells = (
+            cells.join(F.broadcast(cm), "source")
+            .withColumn("r", F.expr(_IPF_R6.format(x="CAST(r AS DOUBLE) - CAST(cm AS DOUBLE)")))
+            .withColumn("col_eff", F.expr(_IPF_R6.format(x="CAST(col_eff AS DOUBLE) + CAST(cm AS DOUBLE)")))
+            .drop("cm")
+            .localCheckpoint(eager=True)
+        )
+    return cells.select(
+        "lang",
+        "source",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("r").cast("double").alias("residual"),
+        F.col("row_eff").cast("double").alias("row_eff"),
+        F.col("col_eff").cast("double").alias("col_eff"),
+    )
+
+
+def _median_polish_sql() -> str:
+    def median_cte(src_cte: str, part: str, out: str, tag: str) -> str:
+        return (
+            f"{tag}_rk AS (SELECT *, row_number() OVER (PARTITION BY {part} "
+            f"ORDER BY r ASC, lang ASC, source ASC) AS rn, "
+            f"count(*) OVER (PARTITION BY {part}) AS cnt FROM {src_cte}), "
+            f"{tag} AS (SELECT {part}, "
+            + _IPF_R6.format(x="CAST(SUM(r) AS DOUBLE) / COUNT(*)")
+            + f" AS {out} FROM {tag}_rk "
+            "WHERE rn * 2 = cnt OR rn * 2 = cnt + 1 OR rn * 2 = cnt + 2 "
+            f"GROUP BY {part})"
+        )
+
+    parts = [
+        "c0 AS (SELECT lang, source, count(*)::BIGINT AS n, "
+        + _IPF_R6.format(x="count(*)")
+        + " AS r, "
+        + _IPF_R6.format(x="0")
+        + " AS row_eff, "
+        + _IPF_R6.format(x="0")
+        + " AS col_eff FROM documents GROUP BY lang, source)"
+    ]
+    prev = "c0"
+    for s in range(1, _MP_SWEEPS + 1):
+        parts.append(median_cte(prev, "lang", "rm", f"rm{s}"))
+        parts.append(
+            f"a{s} AS (SELECT c.lang, c.source, c.n, "
+            + _IPF_R6.format(x="CAST(c.r AS DOUBLE) - CAST(m.rm AS DOUBLE)")
+            + " AS r, "
+            + _IPF_R6.format(x="CAST(c.row_eff AS DOUBLE) + CAST(m.rm AS DOUBLE)")
+            + " AS row_eff, c.col_eff "
+            f"FROM {prev} c JOIN rm{s} m ON m.lang = c.lang)"
+        )
+        parts.append(median_cte(f"a{s}", "source", "cm", f"cm{s}"))
+        parts.append(
+            f"b{s} AS (SELECT c.lang, c.source, c.n, "
+            + _IPF_R6.format(x="CAST(c.r AS DOUBLE) - CAST(m.cm AS DOUBLE)")
+            + " AS r, c.row_eff, "
+            + _IPF_R6.format(x="CAST(c.col_eff AS DOUBLE) + CAST(m.cm AS DOUBLE)")
+            + " AS col_eff "
+            f"FROM a{s} c JOIN cm{s} m ON m.source = c.source)"
+        )
+        prev = f"b{s}"
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT lang, source, n, CAST(r AS DOUBLE) AS residual, "
+        f"CAST(row_eff AS DOUBLE) AS row_eff, CAST(col_eff AS DOUBLE) AS col_eff FROM {prev}"
+    )
+
+
 CORPUS_EXTRA_QUERIES = {
     "curriculum_schedule": (curriculum_schedule, _curriculum_sql()),
     "perplexity_buckets": (perplexity_buckets, _perplexity_sql()),
@@ -1147,4 +1276,5 @@ CORPUS_EXTRA_QUERIES = {
     "welch_ttest_langs": (welch_ttest_langs, _welch_sql()),
     "span_scrub_docs": (span_scrub_docs, _span_scrub_sql()),
     "ipf_raking": (ipf_raking, _ipf_sql()),
+    "median_polish_cells": (median_polish_cells, _median_polish_sql()),
 }

@@ -902,6 +902,7 @@ _SCHEDULE: dict[str, dict] = {
     "multimodal_decode_real": _row(defer=True),
     "webdataset_tar_scan": _row(defer=True),
     "wav_frame_energy": _row(defer=True),
+    "median_polish_cells": _row(defer=True),
 }
 
 
