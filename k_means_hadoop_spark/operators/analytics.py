@@ -1254,10 +1254,12 @@ FROM s
 # max(custkey).
 
 
-def merge_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(c_custkey, c_acctbal, src) — the post-MERGE snapshot with row
-    provenance: src ∈ base/updated/inserted; deleted keys absent."""
-    base = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+def merge_changelog_of(base: DataFrame) -> DataFrame:
+    """The deterministic (k, op, val) three-verb changelog both MERGE
+    faces share: custkey%10==0 → D, %10∈{1,2} → U (+100),
+    %10==3 → I beyond max(custkey).  Every key appears at most once,
+    so applying it in ANY batch partition order yields the same final
+    snapshot — the property the streaming face relies on."""
     mx = base.agg(F.max("c_custkey").alias("mx"))
     deletes = base.where(F.col("c_custkey") % 10 == 0).select(
         F.col("c_custkey").alias("k"), F.lit("D").alias("op"), F.lit(None).cast("double").alias("val")
@@ -1278,7 +1280,14 @@ def merge_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal").alias("val"),
         )
     )
-    chg = deletes.unionByName(updates).unionByName(inserts)
+    return deletes.unionByName(updates).unionByName(inserts)
+
+
+def merge_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_custkey, c_acctbal, src) — the post-MERGE snapshot with row
+    provenance: src ∈ base/updated/inserted; deleted keys absent."""
+    base = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    chg = merge_changelog_of(base)
     merged = base.join(chg, base.c_custkey == chg.k, "full_outer").select(
         F.coalesce(F.col("c_custkey"), F.col("k")).alias("c_custkey"),
         F.when(F.col("op") == "U", F.col("val"))

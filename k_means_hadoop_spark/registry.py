@@ -903,6 +903,7 @@ _SCHEDULE: dict[str, dict] = {
     "webdataset_tar_scan": _row(defer=True),
     "wav_frame_energy": _row(defer=True),
     "median_polish_cells": _row(defer=True),
+    "streaming_merge_changelog": _row(defer=True),
 }
 
 

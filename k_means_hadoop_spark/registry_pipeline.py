@@ -1665,6 +1665,21 @@ LEFT JOIN zc ON zc.doc_id = d.doc_id
 _WDS_SHARD_CACHE: dict[str, str] = {}
 
 
+def _MERGE_SQL_REF() -> str:
+    from k_means_hadoop_spark.operators.analytics import _MERGE_SQL
+
+    return _MERGE_SQL
+
+
+def q_streaming_merge_changelog(spark, sf_dir):
+    """Multi-batch changelog apply over versioned snapshots — same
+    oracle as the batch MERGE (key-disjoint changelog => partition-
+    invariant final state)."""
+    from k_means_hadoop_spark.streaming.relational import streaming_merge_changelog
+
+    return streaming_merge_changelog(spark, sf_dir)
+
+
 def q_webdataset_tar_scan(spark, sf_dir):
     """WebDataset round trip: the closed-form media payloads are staged
     as .tar shards (one input partition per shard — the layout and
@@ -2898,6 +2913,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     # same oracle on purpose: the tar round trip must decode identically
     "webdataset_tar_scan": _decode_real_sql(),
     "wav_frame_energy": _WAV_FRAMES_SQL,
+    "streaming_merge_changelog": _MERGE_SQL_REF(),
     "power_iteration_pc1": _pi_sql_lazy(),
     "udtf_ngram_cols": UDTF_NGRAM_COLS_SQL,
     "codec_roundtrip": _codec_roundtrip_sql(),
@@ -3064,6 +3080,7 @@ PIPELINE_QUERIES = {
     "multimodal_decode_real": q_multimodal_decode_real,
     "webdataset_tar_scan": q_webdataset_tar_scan,
     "wav_frame_energy": q_wav_frame_energy,
+    "streaming_merge_changelog": q_streaming_merge_changelog,
     "docs_jsonl_roundtrip": q_docs_jsonl_roundtrip,
     "schema_evolution_merge": q_schema_evolution_merge,
     "lineitem_csv_roundtrip": q_lineitem_csv_roundtrip,

@@ -219,3 +219,70 @@ def streaming_ingest_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_merge_changelog(spark, sf_dir: str, snap_root: str | None = None) -> "DataFrame":
+    """The streaming face of the batch three-verb MERGE
+    (``analytics.merge_apply_changelog``): the changelog arrives as a
+    multi-batch stream and each micro-batch applies its slice to a
+    VERSIONED snapshot (read v{batch_id}, write v{batch_id+1} — a
+    replayed batch re-reads the same input version, so the apply is
+    idempotent, the foreachBatch requirement).  Because every key
+    appears at most once in the changelog, per-batch application in
+    any order converges to the batch operator's snapshot — the same
+    partition-invariance argument as the sketch merges, proven here by
+    registering against the IDENTICAL oracle."""
+    from k_means_hadoop_spark.operators.analytics import merge_changelog_of
+    from k_means_hadoop_spark.session import scratch_dir
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_acctbal")
+    )
+    snap_root = snap_root or scratch_dir("merge_snap")
+    base.withColumn("src", F.lit("base")).write.mode("overwrite").parquet(
+        f"{snap_root}/v0"
+    )
+    chg_src = scratch_dir("merge_chg")
+    merge_changelog_of(base).repartition(4).write.mode("overwrite").parquet(chg_src)
+
+    def apply_batch(batch: "DataFrame", batch_id: int) -> None:
+        cur = spark.read.parquet(f"{snap_root}/v{batch_id}")
+        nxt = cur.join(batch, cur.c_custkey == batch.k, "full_outer").select(
+            F.coalesce(F.col("c_custkey"), F.col("k")).alias("c_custkey"),
+            F.when(F.col("op").isin("U", "I"), F.col("val"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            F.when(F.col("op") == "U", F.lit("updated"))
+            .when(F.col("op") == "I", F.lit("inserted"))
+            .otherwise(F.col("src"))
+            .alias("src"),
+            F.col("op"),
+        )
+        (
+            nxt.where(F.col("op").isNull() | (F.col("op") != "D"))
+            .drop("op")
+            .write.mode("overwrite")
+            .parquet(f"{snap_root}/v{batch_id + 1}")
+        )
+
+    chg_schema = spark.read.parquet(chg_src).schema
+    stream = (
+        spark.readStream.schema(chg_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chg_src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", scratch_dir("merge_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import glob as _glob
+    import os as _os
+
+    latest = max(
+        int(_os.path.basename(p)[1:]) for p in _glob.glob(f"{snap_root}/v*")
+    )
+    return spark.read.parquet(f"{snap_root}/v{latest}")

@@ -298,3 +298,27 @@ def test_decode_media_real_marks_video_unsupported(spark, sf_dir):
             assert not r["ok"] and "ffmpeg" in r["reason"]
         else:
             assert r["ok"], r
+
+
+def test_streaming_merge_multibatch_and_equals_batch(spark, sf_dir):
+    """The versioned-snapshot apply must advance through >1 micro-batch
+    and land on exactly the batch MERGE's snapshot."""
+    import glob
+    import os
+
+    from k_means_hadoop_spark.operators.analytics import merge_apply_changelog
+    from k_means_hadoop_spark.session import scratch_dir
+    from k_means_hadoop_spark.streaming.relational import streaming_merge_changelog
+
+    root = scratch_dir("merge_pin")
+    got = {
+        (r["c_custkey"], r["c_acctbal"], r["src"])
+        for r in streaming_merge_changelog(spark, sf_dir, snap_root=root).collect()
+    }
+    versions = len(glob.glob(os.path.join(root, "v*")))
+    assert versions > 2, versions  # v0 + >=2 applied batches
+    want = {
+        (r["c_custkey"], r["c_acctbal"], r["src"])
+        for r in merge_apply_changelog(spark, sf_dir).collect()
+    }
+    assert got == want
