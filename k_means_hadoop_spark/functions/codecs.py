@@ -52,10 +52,13 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
 def decode_bmp(data: bytes) -> np.ndarray:
     """Parse an uncompressed 24-bit BMP back to an (H, W, 3) uint8 RGB
     array.  Validates magic, header size, bit depth, and compression."""
-    magic, _sz, _r1, _r2, off = struct.unpack_from("<2sIHHI", data, 0)
-    if magic != b"BM":
-        raise ValueError("not a BMP payload")
-    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    try:
+        magic, _sz, _r1, _r2, off = struct.unpack_from("<2sIHHI", data, 0)
+        if magic != b"BM":
+            raise ValueError("not a BMP payload")
+        hdr_size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    except struct.error as e:
+        raise ValueError(f"truncated BMP header: {e}") from e
     if hdr_size < 40 or bpp != 24 or comp != 0:
         raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={comp})")
     bottom_up = h > 0
@@ -94,10 +97,15 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """Parse a PCM WAV back to (int16 samples, sample_rate)."""
-    with wave.open(io.BytesIO(data), "rb") as w:
-        if w.getsampwidth() != 2 or w.getnchannels() != 1:
-            raise ValueError("unsupported WAV variant (need 16-bit mono)")
-        rate = w.getframerate()
-        raw = w.readframes(w.getnframes())
+    """Parse a PCM WAV back to (int16 samples, sample_rate).  All
+    malformed-input failures (wave.Error, truncated structs, EOF) are
+    normalized to ValueError so callers have ONE rejection contract."""
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                raise ValueError("unsupported WAV variant (need 16-bit mono)")
+            rate = w.getframerate()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, struct.error, EOFError) as e:
+        raise ValueError(f"not a PCM WAV payload: {e}") from e
     return np.frombuffer(raw, dtype="<i2"), rate

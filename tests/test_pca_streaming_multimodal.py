@@ -208,10 +208,19 @@ def test_media_decode_plumbing(spark, sf_dir):
     assert kinds <= {"image", "audio", "video"}
 
 
-def test_media_real_decode_is_stubbed(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1)
-    with pytest.raises(NotImplementedError):
-        decode_media_real(media_from_documents(docs))
+def test_media_real_decode_rejects_noncodec_payloads(spark, sf_dir):
+    """Round 5 made decode_media_real REAL (BMP/WAV parsers); the old
+    NotImplementedError stub is gone.  What must hold instead: payloads
+    that are NOT valid BMP/WAV bytes (media_from_documents ships utf-8
+    text under image/audio labels) come back as honest ok=false rows
+    with a parse-failure reason — never as fake features."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(9)
+    rows = decode_media_real(media_from_documents(docs)).collect()
+    assert rows
+    for r in rows:
+        assert not r["ok"]
+        assert r["reason"], r
+        assert r["width"] is None and r["rms"] is None
 
 
 def test_watermark_drops_late_events(spark, tmp_path):

@@ -718,6 +718,12 @@ def test_round5_ops_no_quadratic_joins(plans):
         "holt_linear_daily",
         "silhouette_sampled",
         "hll_portable_registers",
+        "median_polish_cells",
+        "neighbor_jaccard_edges",
+        "pipe_syntax_priority_revenue",
+        "lateral_top2_lineitems",
+        "power_iteration_pc1",
+        "wav_frame_energy",
     ):
         p = plans(name)
         assert "CartesianProduct" not in p, name
