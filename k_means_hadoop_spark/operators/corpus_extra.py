@@ -1260,6 +1260,221 @@ def _median_polish_sql() -> str:
     )
 
 
+# --------------------------------------------- Kneser-Ney bigrams
+#
+# Interpolated Kneser-Ney bigram probabilities — the real smoothing
+# step a corpus LM ships with (the registry's unigram/bigram logprob
+# entries are maximum-likelihood; KN is what makes unseen continuations
+# non-zero).  Every ingredient is an exact integer aggregate over the
+# adjacent-pair table: c(w1w2), c(w1)=Σ_w2, the continuation counts
+# N1+(w1,·) and N1+(·,w2), and the bigram-type total; the probability
+#   P_KN(w2|w1) = max(c12−D,0)/c1 + D·N1+(w1,·)/c1 · N1+(·,w2)/T
+# (D = 0.75) is one shared double-expression evaluated on those exact
+# inputs, stabilized with the floor(x·1e6+0.5) form (components are
+# small-denominator rationals that CAN sit on 6dp halves).  Reported
+# for the 40 most frequent bigrams (distributed TakeOrdered, the PMI
+# pattern).
+
+_KN_D = 0.75
+_KN_TOP = 40
+_KN_P = (
+    "(CAST(greatest(CAST(c12 AS DOUBLE) - CAST({d} AS DOUBLE),"
+    " CAST(0 AS DOUBLE)) AS DOUBLE) / CAST(c1 AS DOUBLE)"
+    " + CAST({d} AS DOUBLE) * CAST(n1_fwd AS DOUBLE) / CAST(c1 AS DOUBLE)"
+    " * CAST(n1_bwd AS DOUBLE) / CAST(t_types AS DOUBLE))"
+).format(d=_KN_D)
+_KN_R6 = (
+    "floor(({p}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+    " / CAST(1000000 AS DOUBLE)"
+).format(p=_KN_P)
+
+
+def kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w1, w2, c12, pkn) — interpolated KN probability for the top-40
+    adjacent token pairs."""
+    toks = F.filter(text._tokens(F.col("text")), lambda x: x != "")
+    base = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    pair_len = F.greatest(n - F.lit(1), F.lit(0))
+    pairs = base.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, pair_len),
+                F.slice("toks", 2, pair_len),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).cache()
+    c1 = bg.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1_fwd")
+    )
+    bwd = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("n1_bwd"))
+    tt = bg.agg(F.count(F.lit(1)).alias("t_types"))
+    top = bg.orderBy(
+        F.col("c12").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(_KN_TOP)
+    return (
+        top.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(bwd), "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.expr(_KN_R6).alias("pkn"),
+        )
+    )
+
+
+def _kn_sql() -> str:
+    from k_means_hadoop_spark.registry_pipeline import _TOKS
+
+    return f"""
+WITH t AS (SELECT doc_id, list_filter({_TOKS}, x -> x != '') AS toks FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                i -> {{'w1': toks[i], 'w2': toks[i + 1]}}), recursive := true)
+  FROM t),
+bg AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pairs GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(c12)::BIGINT AS c1, count(*)::BIGINT AS n1_fwd FROM bg GROUP BY w1),
+bwd AS (SELECT w2, count(*)::BIGINT AS n1_bwd FROM bg GROUP BY w2),
+tt AS (SELECT count(*)::BIGINT AS t_types FROM bg),
+top AS (SELECT * FROM bg ORDER BY c12 DESC, w1 ASC, w2 ASC LIMIT {_KN_TOP})
+SELECT top.w1, top.w2, top.c12, {_KN_R6} AS pkn
+FROM top JOIN c1 ON c1.w1 = top.w1 JOIN bwd ON bwd.w2 = top.w2 CROSS JOIN tt
+"""
+
+
+# ------------------------------------------- quantile normalization
+#
+# Rank-matching one score distribution onto another (the microarray /
+# feature-normalization standard): document i's quality is replaced by
+# the equal-rank value of the unigram-LM logprob distribution, so the
+# two signals become directly comparable.  Both rankings are ORDINAL
+# with doc_id tiebreak (fully deterministic, no interpolation), built
+# with the distributed prefix count — no global per-row window; the
+# final step is an equi-join on rank.
+
+
+def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, quality, qn_logprob) — quality mapped onto the logprob
+    distribution by rank."""
+    from k_means_hadoop_spark.partitioning import prefix_sum
+
+    docs = _docs(spark, sf_dir)
+    q = text.quality_scores(docs).select("doc_id", "quality")
+    lp = text.unigram_logprob(docs).select("doc_id", "avg_logprob")
+    rq = prefix_sum(
+        q.withColumn("_one", F.lit(1)),
+        "_one",
+        [F.col("quality").asc(), F.col("doc_id").asc()],
+        out_col="rk",
+    ).select("doc_id", "quality", "rk")
+    rl = prefix_sum(
+        lp.withColumn("_one", F.lit(1)),
+        "_one",
+        [F.col("avg_logprob").asc(), F.col("doc_id").asc()],
+        out_col="rk",
+    ).select(F.col("rk"), F.col("avg_logprob").alias("qn_logprob"))
+    return rq.join(rl, "rk").select("doc_id", "quality", "qn_logprob")
+
+
+def _qn_sql() -> str:
+    from k_means_hadoop_spark.registry_pipeline import (
+        _quality_sql,
+        _unigram_logprob_sql,
+    )
+
+    return f"""
+WITH q AS (SELECT doc_id, quality FROM ({_quality_sql()})),
+lp AS (SELECT doc_id, avg_logprob FROM ({_unigram_logprob_sql()})),
+rq AS (SELECT doc_id, quality,
+              row_number() OVER (ORDER BY quality ASC, doc_id ASC) AS rk FROM q),
+rl AS (SELECT avg_logprob AS qn_logprob,
+              row_number() OVER (ORDER BY avg_logprob ASC, doc_id ASC) AS rk FROM lp)
+SELECT rq.doc_id, rq.quality, rl.qn_logprob FROM rq JOIN rl USING (rk)
+"""
+
+
+# ------------------------------------------------- conformal floor
+#
+# Split-conformal quality floor: from a calibration half (even
+# doc_ids), the k-th smallest quality with k = floor(alpha*(n_cal+1))
+# is a distribution-free threshold such that a fresh document scores
+# BELOW it with probability <= alpha — the statistically honest way a
+# pipeline sets "reject the bottom 10%" without assuming the score
+# distribution.  Order statistic via the histogram + prefix sum (no
+# global per-row sort), coverage audited on the held-out half.
+
+_CONF_ALPHA = 0.1
+
+
+def conformal_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_cal, n_test, k, threshold, coverage) — the conformal
+    alpha-floor and its held-out coverage (expected ≈ 1 − alpha)."""
+    from k_means_hadoop_spark.partitioning import prefix_sum
+
+    q = text.quality_scores(_docs(spark, sf_dir)).select("doc_id", "quality")
+    cal = q.where(F.col("doc_id") % 2 == 0)
+    test = q.where(F.col("doc_id") % 2 == 1)
+    n_cal_df = cal.agg(F.count(F.lit(1)).alias("n_cal"))
+    hist = cal.groupBy("quality").agg(F.count(F.lit(1)).alias("m"))
+    cum = prefix_sum(hist, "m", [F.col("quality").asc()], out_col="cumm")
+    k_expr = f"CAST(floor({_CONF_ALPHA} * (n_cal + 1)) AS BIGINT)"
+    thr = (
+        cum.crossJoin(F.broadcast(n_cal_df))
+        .where(F.col("cumm") >= F.expr(k_expr))
+        .agg(F.min("quality").alias("threshold"))
+    )
+    cov = (
+        test.crossJoin(F.broadcast(thr))
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("quality") >= F.col("threshold"), 1).otherwise(0)
+            ).alias("n_above"),
+        )
+    )
+    return (
+        cov.crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(n_cal_df))
+        .select(
+            F.col("n_cal").cast("bigint").alias("n_cal"),
+            F.col("n_test").cast("bigint").alias("n_test"),
+            F.expr(k_expr).alias("k"),
+            F.col("threshold"),
+            F.round(
+                F.col("n_above").cast("double") / F.col("n_test"), 6
+            ).alias("coverage"),
+        )
+    )
+
+
+def _conformal_sql() -> str:
+    from k_means_hadoop_spark.registry_pipeline import _quality_sql
+
+    return f"""
+WITH q AS (SELECT doc_id, quality FROM ({_quality_sql()})),
+cal AS (SELECT quality FROM q WHERE doc_id % 2 = 0),
+test AS (SELECT quality FROM q WHERE doc_id % 2 = 1),
+nc AS (SELECT count(*)::BIGINT AS n_cal FROM cal),
+cum AS (SELECT quality,
+               SUM(count(*)) OVER (ORDER BY quality ASC)::BIGINT AS cumm
+        FROM cal GROUP BY quality),
+thr AS (SELECT MIN(quality) AS threshold
+        FROM cum CROSS JOIN nc
+        WHERE cumm >= CAST(floor({_CONF_ALPHA} * (n_cal + 1)) AS BIGINT))
+SELECT nc.n_cal,
+       (SELECT count(*)::BIGINT FROM test) AS n_test,
+       CAST(floor({_CONF_ALPHA} * (nc.n_cal + 1)) AS BIGINT) AS k,
+       thr.threshold,
+       round((SELECT CAST(SUM(CASE WHEN t.quality >= thr.threshold THEN 1 ELSE 0 END) AS DOUBLE)
+              FROM test t) / (SELECT count(*) FROM test), 6) AS coverage
+FROM nc CROSS JOIN thr
+"""
+
+
 CORPUS_EXTRA_QUERIES = {
     "curriculum_schedule": (curriculum_schedule, _curriculum_sql()),
     "perplexity_buckets": (perplexity_buckets, _perplexity_sql()),
@@ -1277,4 +1492,7 @@ CORPUS_EXTRA_QUERIES = {
     "span_scrub_docs": (span_scrub_docs, _span_scrub_sql()),
     "ipf_raking": (ipf_raking, _ipf_sql()),
     "median_polish_cells": (median_polish_cells, _median_polish_sql()),
+    "conformal_quality_floor": (conformal_quality_floor, _conformal_sql()),
+    "quantile_normalize_scores": (quantile_normalize_scores, _qn_sql()),
+    "kneser_ney_bigrams": (kneser_ney_bigrams, _kn_sql()),
 }

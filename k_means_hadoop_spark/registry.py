@@ -904,6 +904,9 @@ _SCHEDULE: dict[str, dict] = {
     "wav_frame_energy": _row(defer=True),
     "median_polish_cells": _row(defer=True),
     "streaming_merge_changelog": _row(defer=True),
+    "conformal_quality_floor": _row(defer=True),
+    "quantile_normalize_scores": _row(defer=True),
+    "kneser_ney_bigrams": _row(defer=True),
 }
 
 
