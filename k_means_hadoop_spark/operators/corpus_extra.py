@@ -1260,6 +1260,166 @@ def _median_polish_sql() -> str:
     )
 
 
+# --------------------------------------- vocabulary richness / GT
+#
+# How much vocabulary has the corpus NOT seen yet?  Two classical
+# estimators, both exact-integer closed forms over the term-frequency
+# histogram: bias-corrected Chao1 richness V + F1(F1−1)/(2(F2+1))  (F_r = #types seen r
+# times) with the Good-Turing unseen-mass estimate F1/N, and the
+# Good-Turing adjusted counts  r* = (r+1)·N_{r+1}/N_r  for the head of
+# the frequency-of-frequencies table — the smoothing table every
+# count-based LM consults.  One token-explode groupBy builds the term
+# histogram; everything after runs on histogram-of-histogram rows.
+
+_GT_MAX_R = 10
+
+# The fixture corpus has NO rare-word tail (smallest term frequency is
+# ~29, so every F_r for small r is zero and both estimators
+# degenerate); both queries extend it with a PLANTED tail on both
+# engine sides — the repo-standard pattern: 24 extra one-line docs
+# contributing exactly 24 hapaxes, 12 doubletons, 8 tripletons and 6
+# quadrupletons, populating F1/F2 and the r ∈ {1..4} Good-Turing rows
+# with closed-form r* values (1.0, 2.0, 3.0 exactly).
+_VOCAB_PLANT_N = 24
+
+
+def _planted_tail_docs(docs: DataFrame) -> DataFrame:
+    """docs ∪ 24 synthetic one-line docs carrying the rare-token tail."""
+    extra = docs.where(F.col("doc_id") <= _VOCAB_PLANT_N).select(
+        (F.col("doc_id") + F.lit(400000)).alias("doc_id"),
+        F.concat(
+            F.lit("uniq"), F.col("doc_id").cast("string"),
+            F.lit(" duo"), (F.col("doc_id") % 12).cast("string"),
+            F.lit(" tri"), (F.col("doc_id") % 8).cast("string"),
+            F.lit(" quad"), (F.col("doc_id") % 6).cast("string"),
+        ).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(extra)
+
+
+_PLANT_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 400000,
+       'uniq' || doc_id || ' duo' || (doc_id % 12)
+       || ' tri' || (doc_id % 8) || ' quad' || (doc_id % 6)
+FROM documents WHERE doc_id <= 24
+"""
+
+
+def vocab_richness_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_tokens, v_types, f1, f2, chao1, unseen_mass)."""
+    toks = F.filter(text._tokens(F.col("text")), lambda x: x != "")
+    tf = (
+        _planted_tail_docs(_docs(spark, sf_dir))
+        .select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    agg = tf.agg(
+        F.sum("r").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("v_types"),
+        F.sum(F.when(F.col("r") == 1, 1).otherwise(0)).cast("bigint").alias("f1"),
+        F.sum(F.when(F.col("r") == 2, 1).otherwise(0)).cast("bigint").alias("f2"),
+    )
+    # bias-corrected Chao1: F1(F1-1)/(2(F2+1)) — defined when F2 = 0
+    # (the plain F1²/2F2 form divides by zero on doubleton-free corpora)
+    chao1 = (
+        "CAST(v_types AS DOUBLE) + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)"
+        " / (CAST(2 AS DOUBLE) * CAST(f2 + 1 AS DOUBLE))"
+    )
+    return agg.select(
+        "n_tokens",
+        "v_types",
+        "f1",
+        "f2",
+        F.expr(
+            f"floor(({chao1}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+            " / CAST(1000000 AS DOUBLE)"
+        ).alias("chao1"),
+        F.expr(
+            "floor(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)"
+            " * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+            " / CAST(1000000 AS DOUBLE)"
+        ).alias("unseen_mass"),
+    )
+
+
+def good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(r, n_r, r_star) for r ≤ 10 — the Good-Turing adjusted-count
+    table (r_star NULL where N_{r+1} is absent)."""
+    toks = F.filter(text._tokens(F.col("text")), lambda x: x != "")
+    tf = (
+        _planted_tail_docs(_docs(spark, sf_dir))
+        .select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    fof = tf.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    nxt = fof.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    return (
+        fof.where(F.col("r") <= _GT_MAX_R)
+        .join(nxt, "r", "left")
+        .select(
+            F.col("r").cast("bigint").alias("r"),
+            F.col("n_r").cast("bigint").alias("n_r"),
+            F.expr(
+                "floor((CAST(r + 1 AS DOUBLE) * CAST(n_r1 AS DOUBLE)"
+                " / CAST(n_r AS DOUBLE))"
+                " * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+                " / CAST(1000000 AS DOUBLE)"
+            ).alias("r_star"),
+        )
+    )
+
+
+def _vocab_richness_sql() -> str:
+    from k_means_hadoop_spark.registry_pipeline import _TOKS
+
+    chao1 = (
+        "CAST(v_types AS DOUBLE) + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)"
+        " / (CAST(2 AS DOUBLE) * CAST(f2 + 1 AS DOUBLE))"
+    )
+    return f"""
+WITH d AS ({_PLANT_SQL}),
+tf AS (
+  SELECT tok, count(*)::BIGINT AS r FROM (
+    SELECT unnest(list_filter({_TOKS}, x -> x != '')) AS tok FROM d)
+  GROUP BY tok),
+a AS (SELECT SUM(r)::BIGINT AS n_tokens, count(*)::BIGINT AS v_types,
+             SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+             SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+      FROM tf)
+SELECT n_tokens, v_types, f1, f2,
+       floor(({chao1}) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         / CAST(1000000 AS DOUBLE) AS chao1,
+       floor(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         / CAST(1000000 AS DOUBLE) AS unseen_mass
+FROM a
+"""
+
+
+def _gt_sql() -> str:
+    from k_means_hadoop_spark.registry_pipeline import _TOKS
+
+    return f"""
+WITH d AS ({_PLANT_SQL}),
+tf AS (
+  SELECT tok, count(*)::BIGINT AS r FROM (
+    SELECT unnest(list_filter({_TOKS}, x -> x != '')) AS tok FROM d)
+  GROUP BY tok),
+fof AS (SELECT r, count(*)::BIGINT AS n_r FROM tf GROUP BY r)
+SELECT f.r, f.n_r,
+       floor((CAST(f.r + 1 AS DOUBLE) * CAST(n1.n_r AS DOUBLE)
+              / CAST(f.n_r AS DOUBLE))
+             * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         / CAST(1000000 AS DOUBLE) AS r_star
+FROM fof f LEFT JOIN fof n1 ON n1.r = f.r + 1
+WHERE f.r <= {_GT_MAX_R}
+"""
+
+
 # --------------------------------------------- Kneser-Ney bigrams
 #
 # Interpolated Kneser-Ney bigram probabilities — the real smoothing
@@ -1495,4 +1655,6 @@ CORPUS_EXTRA_QUERIES = {
     "conformal_quality_floor": (conformal_quality_floor, _conformal_sql()),
     "quantile_normalize_scores": (quantile_normalize_scores, _qn_sql()),
     "kneser_ney_bigrams": (kneser_ney_bigrams, _kn_sql()),
+    "vocab_richness_stats": (vocab_richness_stats, _vocab_richness_sql()),
+    "good_turing_counts": (good_turing_counts, _gt_sql()),
 }

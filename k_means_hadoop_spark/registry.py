@@ -907,6 +907,8 @@ _SCHEDULE: dict[str, dict] = {
     "conformal_quality_floor": _row(defer=True),
     "quantile_normalize_scores": _row(defer=True),
     "kneser_ney_bigrams": _row(defer=True),
+    "vocab_richness_stats": _row(defer=True),
+    "good_turing_counts": _row(defer=True),
 }
 
 
