@@ -1420,6 +1420,177 @@ WHERE f.r <= {_GT_MAX_R}
 """
 
 
+# ------------------------------------------------- Zipf slope
+#
+# OLS fit of log(frequency) against log(rank) over the top-K terms —
+# the Zipf exponent, the corpus-health number that flags templated or
+# deduplication-starved corpora (natural text ≈ −1).  Ranks are exact
+# (distributed TakeOrdered with term tiebreak); each (log rank,
+# log freq) point is rounded to 6dp DECIMAL before the moment sums, so
+# every cross-engine reduction is exact and the slope is one shared
+# double formula over exact moments (the quality_length_slopes
+# discipline).
+
+_ZIPF_TOP = 200
+_ZIPF_SLOPE = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+
+
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_terms, slope, intercept) — the Zipf log-log fit over
+    the top-200 terms."""
+    from pyspark.sql import Window
+
+    toks = F.filter(text._tokens(F.col("text")), lambda x: x != "")
+    tf = (
+        _docs(spark, sf_dir)
+        .select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(_ZIPF_TOP)
+    )
+    # rank within the top-K only: K rows, a window here is bounded
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    pts = tf.withColumn("rk", F.row_number().over(w)).select(
+        F.expr(
+            "CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000 + 0.5) / 1000000"
+            " AS DECIMAL(18,6))"
+        ).alias("x"),
+        F.expr(
+            "CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) / 1000000"
+            " AS DECIMAL(18,6))"
+        ).alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.expr(
+            f"floor(({_ZIPF_SLOPE}) * 1000000 + 0.5) / 1000000"
+        ).alias("slope"),
+        F.expr(
+            f"floor((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"
+            f" - ({_ZIPF_SLOPE}) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+            " * 1000000 + 0.5) / 1000000"
+        ).alias("intercept"),
+    )
+
+
+def _zipf_sql() -> str:
+    from k_means_hadoop_spark.registry_pipeline import _TOKS
+
+    return f"""
+WITH tf AS (
+  SELECT tok, count(*)::BIGINT AS c FROM (
+    SELECT unnest(list_filter({_TOKS}, x -> x != '')) AS tok FROM documents)
+  GROUP BY tok ORDER BY c DESC, tok ASC LIMIT {_ZIPF_TOP}),
+pts AS (
+  SELECT CAST(floor(ln(CAST(row_number() OVER (ORDER BY c DESC, tok ASC) AS DOUBLE))
+              * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6)) AS x,
+         CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) / 1000000
+              AS DECIMAL(18,6)) AS y
+  FROM tf),
+s AS (SELECT count(*)::BIGINT AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx FROM pts)
+SELECT n AS n_terms,
+       floor(({_ZIPF_SLOPE}) * 1000000 + 0.5) / 1000000 AS slope,
+       floor((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+              - ({_ZIPF_SLOPE}) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS intercept
+FROM s
+"""
+
+
+# ------------------------------------------- Jensen-Shannon divergence
+#
+# JSD between the unigram distributions of two corpus slices (en vs
+# de) — the symmetric, bounded drift measure a pipeline tracks between
+# snapshots or sources.  Per-term contributions p·log2(p/m) are
+# rounded to 6dp DECIMAL individually (same both engines), so the
+# cross-term reduction is an EXACT decimal sum — order-free without
+# any fold machinery; p, q, m are rationals of exact integer counts.
+
+_JSD_A, _JSD_B = "en", "de"
+
+
+def js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_terms, jsd_bits) for the en-vs-de unigram JSD."""
+    toks = F.filter(text._tokens(F.col("text")), lambda x: x != "")
+    d = _docs(spark, sf_dir).where(F.col("lang").isin(_JSD_A, _JSD_B))
+    cnt = (
+        d.select("lang", F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("lang") == _JSD_A, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("lang") == _JSD_B, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    tot = cnt.agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    # p = ca/ta, q = cb/tb, m = (p+q)/2; contribution
+    # 0.5·p·log2(p/m) + 0.5·q·log2(q/m), each side 0 when its count is 0
+    term = (
+        "CAST(floor(("
+        " CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / ta)"
+        "   * log2((CAST(ca AS DOUBLE) / ta)"
+        "          / ((CAST(ca AS DOUBLE) / ta + CAST(cb AS DOUBLE) / tb) / 2))"
+        " ELSE 0.0 END"
+        " + CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / tb)"
+        "   * log2((CAST(cb AS DOUBLE) / tb)"
+        "          / ((CAST(ca AS DOUBLE) / ta + CAST(cb AS DOUBLE) / tb) / 2))"
+        " ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))"
+    )
+    contrib = cnt.crossJoin(F.broadcast(tot)).select(
+        F.expr(term).alias("t"), "n_terms"
+    )
+    return contrib.groupBy("n_terms").agg(
+        F.sum("t").cast("double").alias("jsd_bits")
+    ).select(F.col("n_terms").cast("bigint").alias("n_terms"), "jsd_bits")
+
+
+def _jsd_sql() -> str:
+    from k_means_hadoop_spark.registry_pipeline import _TOKS
+
+    term = (
+        "CAST(floor(("
+        " CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / ta)"
+        "   * log2((CAST(ca AS DOUBLE) / ta)"
+        "          / ((CAST(ca AS DOUBLE) / ta + CAST(cb AS DOUBLE) / tb) / 2))"
+        " ELSE 0.0 END"
+        " + CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / tb)"
+        "   * log2((CAST(cb AS DOUBLE) / tb)"
+        "          / ((CAST(ca AS DOUBLE) / ta + CAST(cb AS DOUBLE) / tb) / 2))"
+        " ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))"
+    )
+    return f"""
+WITH d AS (SELECT lang, text FROM documents WHERE lang IN ('{_JSD_A}', '{_JSD_B}')),
+cnt AS (
+  SELECT tok,
+         SUM(CASE WHEN lang = '{_JSD_A}' THEN 1 ELSE 0 END)::BIGINT AS ca,
+         SUM(CASE WHEN lang = '{_JSD_B}' THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM (SELECT lang, unnest(list_filter({_TOKS}, x -> x != '')) AS tok FROM d)
+  GROUP BY tok),
+tot AS (SELECT SUM(ca)::BIGINT AS ta, SUM(cb)::BIGINT AS tb,
+               count(*)::BIGINT AS n_terms FROM cnt)
+SELECT tot.n_terms,
+       CAST(SUM({term}) AS DOUBLE) AS jsd_bits
+FROM cnt CROSS JOIN tot
+GROUP BY tot.n_terms
+"""
+
+
 # --------------------------------------------- Kneser-Ney bigrams
 #
 # Interpolated Kneser-Ney bigram probabilities — the real smoothing
@@ -1657,4 +1828,6 @@ CORPUS_EXTRA_QUERIES = {
     "kneser_ney_bigrams": (kneser_ney_bigrams, _kn_sql()),
     "vocab_richness_stats": (vocab_richness_stats, _vocab_richness_sql()),
     "good_turing_counts": (good_turing_counts, _gt_sql()),
+    "zipf_slope_fit": (zipf_slope_fit, _zipf_sql()),
+    "js_divergence_langs": (js_divergence_langs, _jsd_sql()),
 }

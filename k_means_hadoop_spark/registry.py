@@ -909,6 +909,8 @@ _SCHEDULE: dict[str, dict] = {
     "kneser_ney_bigrams": _row(defer=True),
     "vocab_richness_stats": _row(defer=True),
     "good_turing_counts": _row(defer=True),
+    "zipf_slope_fit": _row(defer=True),
+    "js_divergence_langs": _row(defer=True),
 }
 
 
