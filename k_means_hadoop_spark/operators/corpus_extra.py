@@ -867,7 +867,10 @@ def span_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram")
     )
     per_doc = (
-        g.join(F.broadcast(hot.withColumn("_hot", F.lit(1))), "gram", "left")
+        # NO broadcast hint: the hot-gram set is corpus-dependent (every
+        # boilerplate shingle lands here at scale) — let AQE pick the
+        # strategy instead of forcing an unbounded broadcast
+        g.join(hot.withColumn("_hot", F.lit(1)), "gram", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -935,9 +938,14 @@ FROM f
 # in both engines.  Scale shape: one partial-agg groupBy producing one
 # row per group, then an all-pairs join of the TINY group-stat table.
 
+# n = 1 guard: a single-doc slice has no sample variance; without the
+# CASE the ANSI divide-by-zero aborts the whole query (latent on the
+# fixtures, where every language has >= 2 docs at every sf)
 _W_VAR = (
-    "(CAST(qq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+    "CASE WHEN n > 1 THEN"
+    " (CAST(qq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
     " / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)"
+    " ELSE 0.0 END"
 )
 _W_SE2 = "(var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE))"
 _W_T = (
@@ -945,7 +953,7 @@ _W_T = (
     f" ELSE (mean_a - mean_b) / sqrt({_W_SE2}) END"
 )
 _W_DF = (
-    f"CASE WHEN {_W_SE2} <= 0.0 THEN 0.0 ELSE"
+    f"CASE WHEN n_a <= 1 OR n_b <= 1 OR {_W_SE2} <= 0.0 THEN 0.0 ELSE"
     f" {_W_SE2} * {_W_SE2} /"
     " ((var_a / CAST(n_a AS DOUBLE)) * (var_a / CAST(n_a AS DOUBLE))"
     "  / CAST(n_a - 1 AS DOUBLE)"

@@ -322,3 +322,28 @@ def test_streaming_merge_multibatch_and_equals_batch(spark, sf_dir):
         for r in merge_apply_changelog(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_welch_survives_single_doc_language(spark, tmp_path):
+    """A language slice with a single document has no sample variance;
+    the guarded formulas must return t=0/df=0 rows instead of an ANSI
+    divide-by-zero abort (latent on the fixtures — every fixture lang
+    has >= 2 docs)."""
+    from k_means_hadoop_spark.operators.corpus_extra import welch_ttest_langs
+    from tests.test_advice_fixes import DOC_SCHEMA
+
+    import os
+
+    rows = [
+        (1, "one lonely document here today", "zz", "web", 30),
+    ] + [
+        (i, f"some regular text number {i} with words", "en", "web", 40)
+        for i in range(2, 8)
+    ]
+    out = os.path.join(str(tmp_path), "sfdir")
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "documents.parquet"))
+    got = {(r["lang_a"], r["lang_b"]): r for r in welch_ttest_langs(spark, out).collect()}
+    r = got[("en", "zz")]
+    assert r["n_b"] == 1 and r["t_stat"] == 0.0 and r["df"] == 0.0
