@@ -1440,11 +1440,14 @@ WHERE f.r <= {_GT_MAX_R}
 # discipline).
 
 _ZIPF_TOP = 200
+# degenerate-denominator guard: a 1-term corpus has zero x-variance
 _ZIPF_SLOPE = (
-    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    "CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0 THEN 0.0 ELSE"
+    " (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
     " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
     " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
-    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END"
 )
 
 
@@ -1551,11 +1554,13 @@ def js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 0.5·p·log2(p/m) + 0.5·q·log2(q/m), each side 0 when its count is 0
     term = (
         "CAST(floor(("
-        " CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / ta)"
+        " CASE WHEN ta = 0 OR tb = 0 THEN 0.0"
+        " WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / ta)"
         "   * log2((CAST(ca AS DOUBLE) / ta)"
         "          / ((CAST(ca AS DOUBLE) / ta + CAST(cb AS DOUBLE) / tb) / 2))"
         " ELSE 0.0 END"
-        " + CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / tb)"
+        " + CASE WHEN ta = 0 OR tb = 0 THEN 0.0"
+        " WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / tb)"
         "   * log2((CAST(cb AS DOUBLE) / tb)"
         "          / ((CAST(ca AS DOUBLE) / ta + CAST(cb AS DOUBLE) / tb) / 2))"
         " ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))"
@@ -1573,11 +1578,13 @@ def _jsd_sql() -> str:
 
     term = (
         "CAST(floor(("
-        " CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / ta)"
+        " CASE WHEN ta = 0 OR tb = 0 THEN 0.0"
+        " WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / ta)"
         "   * log2((CAST(ca AS DOUBLE) / ta)"
         "          / ((CAST(ca AS DOUBLE) / ta + CAST(cb AS DOUBLE) / tb) / 2))"
         " ELSE 0.0 END"
-        " + CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / tb)"
+        " + CASE WHEN ta = 0 OR tb = 0 THEN 0.0"
+        " WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / tb)"
         "   * log2((CAST(cb AS DOUBLE) / tb)"
         "          / ((CAST(ca AS DOUBLE) / ta + CAST(cb AS DOUBLE) / tb) / 2))"
         " ELSE 0.0 END) * 1000000 + 0.5) / 1000000 AS DECIMAL(18,6))"
@@ -1783,8 +1790,14 @@ def conformal_quality_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_test").cast("bigint").alias("n_test"),
             F.expr(k_expr).alias("k"),
             F.col("threshold"),
+            # n_test = 0 guard (an odd-id-free corpus): 0 coverage row
+            # instead of an ANSI divide-by-zero abort
             F.round(
-                F.col("n_above").cast("double") / F.col("n_test"), 6
+                F.when(
+                    F.col("n_test") > 0,
+                    F.col("n_above").cast("double") / F.col("n_test"),
+                ).otherwise(F.lit(0.0)),
+                6,
             ).alias("coverage"),
         )
     )
@@ -1808,8 +1821,10 @@ SELECT nc.n_cal,
        (SELECT count(*)::BIGINT FROM test) AS n_test,
        CAST(floor({_CONF_ALPHA} * (nc.n_cal + 1)) AS BIGINT) AS k,
        thr.threshold,
-       round((SELECT CAST(SUM(CASE WHEN t.quality >= thr.threshold THEN 1 ELSE 0 END) AS DOUBLE)
-              FROM test t) / (SELECT count(*) FROM test), 6) AS coverage
+       round(CASE WHEN (SELECT count(*) FROM test) > 0
+                  THEN (SELECT CAST(SUM(CASE WHEN t.quality >= thr.threshold THEN 1 ELSE 0 END) AS DOUBLE)
+                        FROM test t) / (SELECT count(*) FROM test)
+                  ELSE 0.0 END, 6) AS coverage
 FROM nc CROSS JOIN thr
 """
 
