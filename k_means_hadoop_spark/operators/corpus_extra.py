@@ -1428,6 +1428,187 @@ WHERE f.r <= {_GT_MAX_R}
 """
 
 
+# --------------------------------------------- UMass coherence
+#
+# UMass topic coherence for pseudo-topics = each source's top-5 terms:
+# C(t) = Σ_{i<j} log((D(w_i, w_j) + 1) / D(w_j)), with D = exact
+# document co-occurrence counts and terms ranked most-frequent-first —
+# the standard intrinsic check that a term cluster actually co-occurs
+# (a topic-model / cluster-labeling quality gate).  Counts are exact
+# integers; each pair's log term is decimal-stabilized individually so
+# the per-topic reduction is an exact order-free sum.  Scale shape:
+# one distinct doc-term pass; everything pairwise happens on the
+# 20·C(5,2) = 200-row topic-pair table.
+
+_COH_TOP = 5
+
+
+def umass_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_pairs, coherence) per source pseudo-topic."""
+    from pyspark.sql import Window
+
+    toks = F.filter(text._tokens(F.col("text")), lambda x: x != "")
+    d = _docs(spark, sf_dir)
+    dt = d.select("doc_id", "source", F.explode(toks).alias("tok")).distinct()
+    per_src = dt.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("tok").asc()
+    )
+    tt = (
+        per_src.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _COH_TOP)
+        .select("source", "tok", "rk")
+    )
+    df_w = dt.groupBy("tok").agg(F.countDistinct("doc_id").alias("d_w"))
+    a, b = tt.alias("a"), tt.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source")) & (F.col("a.rk") < F.col("b.rk")),
+    ).select(
+        F.col("a.source").alias("source"),
+        F.col("a.tok").alias("wi"),
+        F.col("b.tok").alias("wj"),
+    )
+    da = dt.select(F.col("tok").alias("wi"), F.col("doc_id").alias("di")).distinct()
+    db = dt.select(F.col("tok").alias("wj2"), F.col("doc_id").alias("dj")).distinct()
+    co = (
+        pairs.join(da, "wi")
+        .join(db, (F.col("wj") == F.col("wj2")) & (F.col("di") == F.col("dj")))
+        .groupBy("source", "wi", "wj")
+        .agg(F.countDistinct("di").alias("d_ij"))
+    )
+    term = (
+        "CAST(floor(ln((CAST(d_ij AS DOUBLE) + CAST(1 AS DOUBLE))"
+        " / CAST(d_wj AS DOUBLE)) * 1000000 + 0.5) / 1000000"
+        " AS DECIMAL(18,6))"
+    )
+    scored = (
+        pairs.join(co, ["source", "wi", "wj"], "left")
+        .join(df_w.select(F.col("tok").alias("wj"), F.col("d_w").alias("d_wj")), "wj")
+        .select(
+            "source",
+            F.expr(
+                term.replace("d_ij", "COALESCE(d_ij, 0)")
+            ).alias("t"),
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("t").cast("double").alias("coherence"),
+    )
+
+
+def _umass_sql() -> str:
+    from k_means_hadoop_spark.registry_pipeline import _TOKS
+
+    term = (
+        "CAST(floor(ln((CAST(COALESCE(c.d_ij, 0) AS DOUBLE) + CAST(1 AS DOUBLE))"
+        " / CAST(dw.d_w AS DOUBLE)) * 1000000 + 0.5) / 1000000"
+        " AS DECIMAL(18,6))"
+    )
+    return f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, source, tok FROM (
+    SELECT doc_id, source, unnest(list_filter({_TOKS}, x -> x != '')) AS tok
+    FROM documents)),
+per_src AS (SELECT source, tok, count(*)::BIGINT AS cnt FROM dt GROUP BY source, tok),
+tt AS (SELECT source, tok, rk FROM (
+  SELECT source, tok,
+         row_number() OVER (PARTITION BY source ORDER BY cnt DESC, tok ASC) AS rk
+  FROM per_src) WHERE rk <= {_COH_TOP}),
+df_w AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS d_w FROM dt GROUP BY tok),
+pairs AS (
+  SELECT a.source, a.tok AS wi, b.tok AS wj
+  FROM tt a JOIN tt b ON a.source = b.source AND a.rk < b.rk),
+co AS (
+  SELECT p.source, p.wi, p.wj, count(DISTINCT da.doc_id)::BIGINT AS d_ij
+  FROM pairs p
+  JOIN dt da ON da.tok = p.wi
+  JOIN dt db ON db.tok = p.wj AND db.doc_id = da.doc_id
+  GROUP BY p.source, p.wi, p.wj)
+SELECT p.source, count(*)::BIGINT AS n_pairs,
+       CAST(SUM({term}) AS DOUBLE) AS coherence
+FROM pairs p
+LEFT JOIN co c ON c.source = p.source AND c.wi = p.wi AND c.wj = p.wj
+JOIN df_w dw ON dw.tok = p.wj
+GROUP BY p.source
+"""
+
+
+# --------------------------------------------- vocabulary growth
+#
+# The Heaps-law curve: distinct vocabulary size after ingesting the
+# first 10%, 20%, ..., 100% of documents (doc_id order) — the
+# projection a corpus team uses to decide whether more crawl will
+# still buy new vocabulary.  NO per-prefix distinct-count pass: each
+# type contributes at its FIRST-occurrence document (one groupBy
+# min), and the curve is the cumulative histogram of first
+# occurrences — two corpus passes total, both partial-agg shuffles.
+
+_GROWTH_STEPS = 10
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(step, n_docs, vocab) for step = 1..10 (deciles of doc_id order)."""
+    toks = F.filter(text._tokens(F.col("text")), lambda x: x != "")
+    d = _docs(spark, sf_dir)
+    n_docs_df = d.agg(F.count(F.lit(1)).alias("n_total"))
+    first = (
+        d.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    # rank of first_doc within doc_id order = how many docs precede it;
+    # fixture doc_ids are contiguous 1..n, so the rank IS first_doc —
+    # asserted against n_total rather than assumed
+    steps = spark.range(1, _GROWTH_STEPS + 1).select(
+        F.col("id").cast("int").alias("step")
+    )
+    cut = (F.col("step") * F.col("n_total")) / F.lit(_GROWTH_STEPS)
+    return (
+        steps.crossJoin(F.broadcast(n_docs_df))
+        .join(
+            first.crossJoin(F.broadcast(n_docs_df)).select(
+                "first_doc", F.col("n_total").alias("_nt")
+            ),
+            how="left",
+            on=F.col("first_doc") <= (F.col("step") * F.col("n_total"))
+            / F.lit(_GROWTH_STEPS),
+        )
+        .groupBy("step", "n_total")
+        .agg(F.count("first_doc").alias("vocab"))
+        .select(
+            F.col("step").cast("bigint").alias("step"),
+            # integer DIV, not CAST(double): Spark truncates and DuckDB
+            # rounds that cast (the round-4 divergence class) — latent
+            # here only because fixture doc counts divide by 10
+            F.expr(f"CAST(step * n_total DIV {_GROWTH_STEPS} AS BIGINT)").alias(
+                "n_docs"
+            ),
+            F.col("vocab").cast("bigint").alias("vocab"),
+        )
+    )
+
+
+def _growth_sql() -> str:
+    from k_means_hadoop_spark.registry_pipeline import _TOKS
+
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+nt AS (SELECT count(*)::BIGINT AS n_total FROM d),
+first AS (
+  SELECT tok, MIN(doc_id)::BIGINT AS first_doc FROM (
+    SELECT doc_id, unnest(list_filter({_TOKS}, x -> x != '')) AS tok FROM d)
+  GROUP BY tok),
+steps AS (SELECT CAST(range + 1 AS BIGINT) AS step FROM range({_GROWTH_STEPS}))
+SELECT s.step,
+       CAST(s.step * nt.n_total // {_GROWTH_STEPS} AS BIGINT) AS n_docs,
+       (SELECT count(*)::BIGINT FROM first f
+        WHERE f.first_doc <= s.step * nt.n_total / {_GROWTH_STEPS}) AS vocab
+FROM steps s CROSS JOIN nt
+"""
+
+
 # ------------------------------------------------- Zipf slope
 #
 # OLS fit of log(frequency) against log(rank) over the top-K terms —
@@ -1853,4 +2034,6 @@ CORPUS_EXTRA_QUERIES = {
     "good_turing_counts": (good_turing_counts, _gt_sql()),
     "zipf_slope_fit": (zipf_slope_fit, _zipf_sql()),
     "js_divergence_langs": (js_divergence_langs, _jsd_sql()),
+    "vocab_growth_curve": (vocab_growth_curve, _growth_sql()),
+    "umass_topic_coherence": (umass_topic_coherence, _umass_sql()),
 }

@@ -911,6 +911,8 @@ _SCHEDULE: dict[str, dict] = {
     "good_turing_counts": _row(defer=True),
     "zipf_slope_fit": _row(defer=True),
     "js_divergence_langs": _row(defer=True),
+    "vocab_growth_curve": _row(defer=True),
+    "umass_topic_coherence": _row(defer=True),
 }
 
 
