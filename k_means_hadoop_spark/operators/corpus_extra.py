@@ -1428,6 +1428,109 @@ WHERE f.r <= {_GT_MAX_R}
 """
 
 
+# ------------------------------------------- bootstrap CI (Poisson)
+#
+# A deterministic, oracle-portable bootstrap: classic resampling draws
+# multinomial counts (engine RNGs can never hash-match), but the
+# POISSONIZED bootstrap replaces them with independent Poisson(1)
+# weights per (doc, replicate) — and a Poisson(1) variate is a pure
+# CASE ladder over the inverse CDF evaluated on the md5-uniform
+# u = h/2^60 (thresholds e^{-1}, 2e^{-1}, ... as shared literals,
+# capped at 5 where the tail mass is 4e-4).  50 replicate means of the
+# quality score are exact-decimal ratios; the 90% CI is the 3rd/48th
+# order statistic of the 50 means — exact selection, no interpolation.
+# Scale shape: one n×B weighted partial agg (B = 50 columns' worth of
+# rows via a small explode), then everything runs on 50 rows.
+
+_BOOT_B = 50
+# P(X<=k) for Poisson(1), k = 0..4, as 17-digit literals shared by both
+# engines (enough that u (53-bit mantissa) compares identically)
+_POIS_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+)
+_POIS_W = (
+    "CASE WHEN u < {c0} THEN 0 WHEN u < {c1} THEN 1 WHEN u < {c2} THEN 2"
+    " WHEN u < {c3} THEN 3 WHEN u < {c4} THEN 4 ELSE 5 END"
+).format(c0=_POIS_CDF[0], c1=_POIS_CDF[1], c2=_POIS_CDF[2], c3=_POIS_CDF[3], c4=_POIS_CDF[4])
+
+
+def bootstrap_ci_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_docs, mean_quality, ci_lo, ci_hi) — Poissonized
+    bootstrap 90% CI of the mean quality score, 50 replicates."""
+    from k_means_hadoop_spark.functions.hashing import stable_hash64
+    from pyspark.sql import Window
+
+    q = text.quality_scores(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("quality").cast("decimal(12,6)").alias("q")
+    )
+    reps = q.select(
+        "doc_id",
+        "q",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+    ).withColumn(
+        "u",
+        stable_hash64(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":boot:"), F.col("b").cast("string"))
+        ).cast("double")
+        / F.lit(float(1 << 60)),
+    ).withColumn("w", F.expr(_POIS_W))
+    means = reps.groupBy("b").agg(
+        (
+            F.sum(F.col("w") * F.col("q")).cast("double")
+            / F.sum("w").cast("double")
+        ).alias("m")
+    )
+    # order statistics over B=50 rows — bounded table, window is fine
+    wm = Window.orderBy(F.col("m").asc(), F.col("b").asc())
+    ranked = means.withColumn("rk", F.row_number().over(wm))
+    lo = ranked.where(F.col("rk") == 3).select(F.col("m").alias("ci_lo"))
+    hi = ranked.where(F.col("rk") == 48).select(F.col("m").alias("ci_hi"))
+    base = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("q").cast("double") / F.count(F.lit(1))).alias("mean_quality"),
+    )
+    out = base.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+    r6 = "floor({x} * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE)"
+    return out.select(
+        "n_docs",
+        F.expr(r6.format(x="mean_quality")).alias("mean_quality"),
+        F.expr(r6.format(x="ci_lo")).alias("ci_lo"),
+        F.expr(r6.format(x="ci_hi")).alias("ci_hi"),
+    )
+
+
+def _bootstrap_sql() -> str:
+    from k_means_hadoop_spark.functions.hashing import stable_hash64_sql
+    from k_means_hadoop_spark.registry_pipeline import _quality_sql
+
+    h = stable_hash64_sql("(doc_id::VARCHAR || ':boot:' || b::VARCHAR)")
+    r6 = "floor({x} * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE)"
+    return f"""
+WITH q AS (SELECT doc_id, CAST(quality AS DECIMAL(12,6)) AS q FROM ({_quality_sql()})),
+reps AS (
+  SELECT doc_id, q, CAST(bb.range + 1 AS BIGINT) AS b
+  FROM q CROSS JOIN range({_BOOT_B}) bb),
+w AS (
+  SELECT b, q, {_POIS_W} AS w FROM (
+    SELECT b, q, CAST({h} AS DOUBLE) / {float(1 << 60)} AS u FROM reps)),
+means AS (
+  SELECT b, CAST(SUM(w * q) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+  FROM w GROUP BY b),
+ranked AS (SELECT m, row_number() OVER (ORDER BY m ASC, b ASC) AS rk FROM means),
+base AS (SELECT count(*)::BIGINT AS n_docs,
+                CAST(SUM(q) AS DOUBLE) / count(*) AS mean_quality FROM q)
+SELECT base.n_docs,
+       {r6.format(x="base.mean_quality")} AS mean_quality,
+       {r6.format(x="(SELECT m FROM ranked WHERE rk = 3)")} AS ci_lo,
+       {r6.format(x="(SELECT m FROM ranked WHERE rk = 48)")} AS ci_hi
+FROM base
+"""
+
+
 # --------------------------------------------- UMass coherence
 #
 # UMass topic coherence for pseudo-topics = each source's top-5 terms:
@@ -2036,4 +2139,5 @@ CORPUS_EXTRA_QUERIES = {
     "js_divergence_langs": (js_divergence_langs, _jsd_sql()),
     "vocab_growth_curve": (vocab_growth_curve, _growth_sql()),
     "umass_topic_coherence": (umass_topic_coherence, _umass_sql()),
+    "bootstrap_ci_quality": (bootstrap_ci_quality, _bootstrap_sql()),
 }

@@ -913,6 +913,7 @@ _SCHEDULE: dict[str, dict] = {
     "js_divergence_langs": _row(defer=True),
     "vocab_growth_curve": _row(defer=True),
     "umass_topic_coherence": _row(defer=True),
+    "bootstrap_ci_quality": _row(defer=True),
 }
 
 

@@ -347,3 +347,13 @@ def test_welch_survives_single_doc_language(spark, tmp_path):
     got = {(r["lang_a"], r["lang_b"]): r for r in welch_ttest_langs(spark, out).collect()}
     r = got[("en", "zz")]
     assert r["n_b"] == 1 and r["t_stat"] == 0.0 and r["df"] == 0.0
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_dir):
+    """The 90% Poissonized-bootstrap CI must bracket the point estimate
+    and be non-degenerate (lo < hi) on the fixture."""
+    from k_means_hadoop_spark.operators.corpus_extra import bootstrap_ci_quality
+
+    r = bootstrap_ci_quality(spark, sf_dir).collect()[0]
+    assert r["ci_lo"] < r["mean_quality"] < r["ci_hi"], r
+    assert r["ci_hi"] - r["ci_lo"] < 0.2, r
