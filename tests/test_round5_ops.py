@@ -357,3 +357,52 @@ def test_bootstrap_ci_brackets_mean(spark, sf_dir):
     r = bootstrap_ci_quality(spark, sf_dir).collect()[0]
     assert r["ci_lo"] < r["mean_quality"] < r["ci_hi"], r
     assert r["ci_hi"] - r["ci_lo"] < 0.2, r
+
+
+def test_lloyd_checkpoint_resume_equivalence(spark, sf_dir):
+    """Fault-tolerance exhibit: running 6 Lloyd iterations straight
+    must be BIT-IDENTICAL to running 3, persisting the centroid state
+    through the reference wire format (S5), reloading it (S3), and
+    running 3 more — the loop is resumable from its on-disk state with
+    no drift, because assignment and recompute are deterministic
+    functions of the centroid table and Double round-trips exactly
+    through the writer."""
+    from pyspark.sql import functions as F
+
+    from k_means_hadoop_spark.operators.kmeans import init_ids, lloyd_kmeans
+    from k_means_hadoop_spark.registry import SEEDS, _points
+    from k_means_hadoop_spark.session import scratch_dir
+    from k_means_hadoop_spark.sources.centroid_io import (
+        read_centroid_file,
+        write_centroid_file,
+    )
+
+    pts = _points(spark, sf_dir).cache()
+    straight = lloyd_kmeans(pts, init_ids(pts, SEEDS), max_iter=6)
+
+    half = lloyd_kmeans(pts, init_ids(pts, SEEDS), max_iter=3)
+    path = scratch_dir("lloyd_ckpt")
+    cent_df = spark.createDataFrame(
+        [(c, list(v)) for c, v in half.centroids],
+        "cluster int, centroid array<double>",
+    ).withColumn("member_ids", F.array().cast("array<int>")).withColumn(
+        "size", F.lit(0).cast("bigint")
+    )
+    write_centroid_file(cent_df, path)
+    reloaded = [
+        (int(r["cluster"]), [float(v) for v in r["centroid"]])
+        for r in read_centroid_file(spark, path).collect()
+    ]
+    assert sorted(reloaded) == sorted(
+        [(c, [float(x) for x in v]) for c, v in half.centroids]
+    ), "wire format did not round-trip the checkpoint bit-exactly"
+    resumed = lloyd_kmeans(pts, reloaded, max_iter=3)
+
+    a = sorted(
+        (r["id"], r["cluster"], r["dist"]) for r in straight.assignments.collect()
+    )
+    b = sorted(
+        (r["id"], r["cluster"], r["dist"]) for r in resumed.assignments.collect()
+    )
+    assert a == b
+    assert sorted(straight.centroids) == sorted(resumed.centroids)
