@@ -1378,9 +1378,19 @@ def cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "n_events",
-        F.round(F.col("scaled").cast("double") / F.col("k_days"), 6).alias(
-            "cusum"
-        ),
+        # floor(x·1e6 + 0.5)/1e6, not round(x, 6): scaled/k_days is an
+        # exact rational, and when k_days carries a 2^7 factor the 6dp
+        # half is exactly representable — Spark and DuckDB round() break
+        # that tie differently (same divergence class as _HLL_EST/IPF).
+        (
+            F.floor(
+                F.col("scaled").cast("double")
+                / F.col("k_days")
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("cusum"),
         (F.abs("scaled") == F.col("peak")).alias("is_changepoint"),
     )
 
@@ -1397,7 +1407,8 @@ scaled AS (
            - row_number() OVER (ORDER BY day) * t_total AS scaled
   FROM daily CROSS JOIN tot)
 SELECT strftime(day, '%Y-%m-%d') AS day, n_events,
-       round(CAST(scaled AS DOUBLE) / k_days, 6) AS cusum,
+       floor(CAST(scaled AS DOUBLE) / k_days * CAST(1000000 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) / CAST(1000000 AS DOUBLE) AS cusum,
        abs(scaled) = max(abs(scaled)) OVER () AS is_changepoint
 FROM scaled
 """

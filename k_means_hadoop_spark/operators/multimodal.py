@@ -404,7 +404,14 @@ def wav_frame_features(media: DataFrame, frame: int = 16) -> DataFrame:
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                samples, _rate = codecs.decode_wav(bytes(payload))
+                try:
+                    samples, _rate = codecs.decode_wav(bytes(payload))
+                except ValueError:
+                    # kind='audio' is assigned by file extension alone
+                    # (tar_shards), so a malformed payload is reachable;
+                    # skip it instead of failing the whole task —
+                    # mirroring decode_media_real's rejection contract.
+                    continue
                 s = samples.astype(np.int64)
                 for fi in range(len(s) // frame):
                     chunk = s[fi * frame : (fi + 1) * frame]

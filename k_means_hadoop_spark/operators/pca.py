@@ -58,18 +58,20 @@ def explained_variance(model) -> list[float]:
 #      deterministic);
 #   2. cov cells are finished as doubles and stabilized to 6dp with
 #      the engine-identical floor(x·1e6+0.5) form;
-#   3. ``_PI_ITERS`` matvec steps run on the d-row vector against the
-#      d² cell table (node-sized joins), each step L2-normalized and
-#      re-stabilized to 6dp decimal — deterministic cross-engine, so
-#      the unrolled DuckDB CTE is a full value oracle.
+#   3. ``_PI_SQUARINGS`` repeated matrix squarings (M ← M²,
+#      renormalized) run against the d² cell table (node-sized
+#      joins); the final matvec of the uniform start against M^(2^s)
+#      is equivalent to 2^s = 64 power steps, each re-stabilized to
+#      6dp decimal — deterministic cross-engine, so the unrolled
+#      DuckDB CTE is a full value oracle.
 #
 # Scale shape: the ONLY corpus-sized pass is step 1 (map-side explode
-# into a 2080-cell partial agg); every iteration touches d and d²
-# sized tables only.  The iteration count is high (60) because the
-# fixture embeddings are near-isotropic (λ2/λ1 ≈ 0.93 — convergence
-# is (λ2/λ1)^k, so 60 steps ≈ 1.3% residual); each step costs one
-# d²-cell join, independent of corpus size.  Cost note: the pair
-# explode is O(n·d²) rows —
+# into a 2080-cell partial agg); every squaring touches the d²-cell
+# table only.  The effective step count is high (2^6 = 64) because
+# the fixture embeddings are near-isotropic (λ2/λ1 ≈ 0.93 —
+# convergence is (λ2/λ1)^k, so ~64 steps ≈ 1% residual); squaring
+# reaches it in 6 d²×d² joins, independent of corpus size.  Cost
+# note: the pair explode is O(n·d²) rows —
 # for d beyond a few hundred the one-pass Gram trick (outer products
 # into a single aggregate buffer via Summarizer) replaces it; at the
 # fixture's d=64 the explicit cells keep the oracle checkable.
@@ -83,8 +85,9 @@ _R6 = (
 
 def power_iteration_pc1(spark, sf_dir: str) -> DataFrame:
     """(pos, loading, eigenvalue) — the dominant eigenvector of the
-    embedding covariance matrix after ``_PI_ITERS`` normalized power
-    steps from the uniform start, with its Rayleigh-quotient
+    embedding covariance matrix after ``_PI_SQUARINGS`` repeated
+    renormalized matrix squarings (equivalent to 2^s = 64 power steps)
+    applied to the uniform start, with its Rayleigh-quotient
     eigenvalue (repeated per row)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("embedding")
     d = len(emb.first()["embedding"])

@@ -531,7 +531,12 @@ _HLL_EST = (
 
 
 def _hll_rho(h: F.Column) -> F.Column:
-    w = (h / F.lit(HLL_M)).cast("bigint")  # h div 64 (h is non-negative)
+    # h div 64 as an EXACT integer op: h is a non-negative 60-bit hash,
+    # i.e. above 2^53, so `h / 64` (IEEE double division in Spark) could
+    # differ by ±1 from DuckDB's exact integer `h // 64` near a
+    # power-of-two boundary and flip the bin() length.  shiftright is
+    # pure integer (h >> 6 == h // 64 for h >= 0) on both engines.
+    w = F.shiftright(h, 6)
     return F.when(w == 0, F.lit(_HLL_W_BITS + 1)).otherwise(
         F.lit(_HLL_W_BITS + 1) - F.length(F.bin(w))
     )

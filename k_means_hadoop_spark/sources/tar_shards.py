@@ -50,7 +50,15 @@ class _TarShardReader(DataSourceReader):
                 if not member.isfile():
                     continue
                 stem, ext = os.path.splitext(os.path.basename(member.name))
-                payload = tf.extractfile(member).read()
+                # Tolerate foreign WebDataset shards: a non-numeric stem
+                # or a member extractfile() can't materialize (sparse /
+                # special entries return None) is skipped, not a crash.
+                if not stem.lstrip("-").isdigit():
+                    continue
+                fobj = tf.extractfile(member)
+                if fobj is None:
+                    continue
+                payload = fobj.read()
                 yield (int(stem), _EXT_KIND.get(ext, "video"), payload)
 
 
