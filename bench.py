@@ -142,6 +142,19 @@ HEADLINE = [
     "minhash_estimate_audit",
     "welch_ttest_langs",
     "cusum_changepoints",
+    # round 6: the zone-map layout audit (the file-skipping economics),
+    # the Apriori triple join, gaps-and-islands streaks, the exact-
+    # integer ACF, the BH multiple-testing pass, HITS (iterative
+    # decimal-stabilized joins), resource-allocation link prediction,
+    # and the explode-heavy readability scan.
+    "zonemap_prune_audit",
+    "market_basket_triples",
+    "streaks_active_users",
+    "acf_daily_events",
+    "bh_fdr_nation_acctbal",
+    "hits_copurchase",
+    "resource_allocation_links",
+    "readability_scores",
 ]
 
 

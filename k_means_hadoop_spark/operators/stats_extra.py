@@ -1,0 +1,1137 @@
+"""Round-6 statistics, sketch, graph, and text additions
+(beyond-reference — SURVEY.md §2.9): Mann-Whitney U, Kendall tau-b,
+Benjamini-Hochberg FDR over Chebyshev p-values, Cohen's kappa,
+precision-recall curve, KMV distinct-count sketch, log2 value
+histogram with quantile markers, HITS hubs/authorities, resource-
+allocation link prediction, Flesch readability, character entropy,
+and a Johnson-Lindenstrauss random projection.
+
+Cross-engine determinism (operators/trends.py conventions): exact
+integer/decimal arithmetic everywhere, ONE double division (or a
+shared literal expression tree) per reported float, floor(x*1e6+0.5)
+stabilization.  Rank sums in Mann-Whitney stay exact in double space
+because average ranks are half-integers (< 2^52 — every partial sum
+is a multiple of 0.5, so addition order cannot change the result).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from k_means_hadoop_spark.functions.hashing import stable_hash64, stable_hash64_sql
+from k_means_hadoop_spark.operators.relational import _t
+from k_means_hadoop_spark.operators.trends import _FL6_SQL, _fl6
+
+# --------------------------------------------- Mann-Whitney U
+#
+# Rank-sum test (Mann & Whitney 1947) between the 'click' and 'view'
+# event-value samples, with the tie-corrected normal approximation:
+#   U1 = R1 - n1(n1+1)/2,   mu = n1 n2 / 2
+#   sigma^2 = n1 n2 [(N+1)N(N-1) - SUM(t^3 - t)] / (12 N (N-1))
+# Average ranks are rank_min + (ties-1)/2 — half-integers, so R1 is
+# EXACT in double arithmetic regardless of summation order.
+
+_MW_A, _MW_B = "click", "view"
+
+
+def mannwhitney_value_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n1, n2, r1, u1, u2, tie_sum, z) — Mann-Whitney U of
+    event value, '{a}' vs '{b}'.  One corpus filter, one global-order
+    window over the pooled sample, constant-size reduce."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_MW_A, _MW_B)
+    )
+    pooled = ev.select("event_type", "value")
+    w = Window.orderBy("value")
+    ranked = pooled.select(
+        "event_type",
+        (
+            F.rank().over(w).cast("double")
+            + (F.count(F.lit(1)).over(Window.partitionBy("value")) - 1)
+            .cast("double")
+            / F.lit(2.0)
+        ).alias("avg_rank"),
+    )
+    ties = (
+        pooled.groupBy("value")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).alias("tie_sum")
+        )
+    )
+    g = ranked.agg(
+        F.sum(F.when(F.col("event_type") == _MW_A, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("event_type") == _MW_B, 1).otherwise(0)).alias("n2"),
+        F.sum(
+            F.when(F.col("event_type") == _MW_A, F.col("avg_rank")).otherwise(
+                0.0
+            )
+        ).alias("r1"),
+    ).crossJoin(F.broadcast(ties))
+    expr = (
+        "CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+        " * CAST((n1 + n2 + 1) * CAST(n1 + n2 AS DECIMAL(38,0)) * (n1 + n2 - 1)"
+        "        - tie_sum AS DOUBLE)"
+        " / CAST(12 * CAST(n1 + n2 AS DECIMAL(38,0)) * (n1 + n2 - 1) AS DOUBLE)"
+    )
+    u1 = "r1 - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE) / CAST(2 AS DOUBLE)"
+    z = (
+        f"(({u1}) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(2 AS DOUBLE))"
+        f" / sqrt({expr})"
+    )
+    return g.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("r1"),
+        F.expr(u1).alias("u1"),
+        F.expr(
+            f"CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - ({u1})"
+        ).alias("u2"),
+        F.col("tie_sum").cast("bigint").alias("tie_sum"),
+        _fl6(F.expr(z)).alias("z"),
+    )
+
+
+mannwhitney_value_groups.__doc__ = mannwhitney_value_groups.__doc__.format(
+    a=_MW_A, b=_MW_B
+)
+
+_MW_SIGMA2 = (
+    "CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    " * CAST((n1 + n2 + 1) * CAST(n1 + n2 AS DECIMAL(38,0)) * (n1 + n2 - 1)"
+    "        - tie_sum AS DOUBLE)"
+    " / CAST(12 * CAST(n1 + n2 AS DECIMAL(38,0)) * (n1 + n2 - 1) AS DOUBLE)"
+)
+_MW_U1 = "r1 - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE) / CAST(2 AS DOUBLE)"
+
+MANNWHITNEY_SQL = """
+WITH pooled AS (SELECT event_type, value FROM events
+                WHERE event_type IN ('{a}', '{b}')),
+ranked AS (
+  SELECT event_type,
+         CAST(rank() OVER (ORDER BY value) AS DOUBLE)
+           + CAST(count(*) OVER (PARTITION BY value) - 1 AS DOUBLE)
+             / CAST(2 AS DOUBLE) AS avg_rank
+  FROM pooled),
+ties AS (SELECT sum(t * t * t - t)::BIGINT AS tie_sum
+         FROM (SELECT count(*)::BIGINT AS t FROM pooled GROUP BY value)),
+g AS (SELECT sum(CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END)::BIGINT AS n1,
+             sum(CASE WHEN event_type = '{b}' THEN 1 ELSE 0 END)::BIGINT AS n2,
+             sum(CASE WHEN event_type = '{a}' THEN avg_rank ELSE 0.0 END) AS r1
+      FROM ranked)
+SELECT n1, n2, r1,
+       {u1} AS u1,
+       CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - ({u1}) AS u2,
+       tie_sum,
+       {z} AS z
+FROM g CROSS JOIN ties
+""".format(
+    a=_MW_A,
+    b=_MW_B,
+    u1=_MW_U1,
+    z=_FL6_SQL.format(
+        x=f"(({_MW_U1}) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+        f" / CAST(2 AS DOUBLE)) / sqrt({_MW_SIGMA2})"
+    ),
+)
+
+
+# --------------------------------------------- Kendall tau-b
+#
+# Rank correlation between daily event count and daily distinct users,
+# from exact pair counts (concordant / discordant / x-only / y-only /
+# both ties) over the day-grain series:
+#   tau_b = (C - D) / sqrt((C + D + Tx)(C + D + Ty)).
+
+
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_days, n_pairs, concordant, discordant, ties_x,
+    ties_y, ties_xy, tau_b).  The quadratic pair join runs on the
+    day-grain series (k(k-1)/2 pairs for k days) — never the corpus."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.count_distinct(F.col("user_id")).alias("y"),
+    )
+    d = daily.withColumn("i", F.row_number().over(Window.orderBy("day")))
+    a = d.select(F.col("i").alias("ia"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = d.select(F.col("i").alias("ib"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pr = a.join(b, F.col("ib") > F.col("ia"))
+    cmp_x = F.signum((F.col("xb") - F.col("xa")).cast("double")).cast("int")
+    cmp_y = F.signum((F.col("yb") - F.col("ya")).cast("double")).cast("int")
+    flags = pr.select(cmp_x.alias("sx"), cmp_y.alias("sy"))
+    g = flags.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(((F.col("sx") * F.col("sy")) == 1).cast("int")).alias("c"),
+        F.sum(((F.col("sx") * F.col("sy")) == -1).cast("int")).alias("d"),
+        F.sum(((F.col("sx") == 0) & (F.col("sy") != 0)).cast("int")).alias("tx"),
+        F.sum(((F.col("sx") != 0) & (F.col("sy") == 0)).cast("int")).alias("ty"),
+        F.sum(((F.col("sx") == 0) & (F.col("sy") == 0)).cast("int")).alias("txy"),
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_days"))
+    tau = (
+        "CAST(c - d AS DOUBLE)"
+        " / sqrt(CAST(c + d + tx AS DOUBLE) * CAST(c + d + ty AS DOUBLE))"
+    )
+    return g.crossJoin(F.broadcast(n)).select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("c").cast("bigint").alias("concordant"),
+        F.col("d").cast("bigint").alias("discordant"),
+        F.col("tx").cast("bigint").alias("ties_x"),
+        F.col("ty").cast("bigint").alias("ties_y"),
+        F.col("txy").cast("bigint").alias("ties_xy"),
+        _fl6(F.expr(tau)).alias("tau_b"),
+    )
+
+
+KENDALL_SQL = """
+WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x,
+                      count(DISTINCT user_id)::BIGINT AS y
+               FROM events GROUP BY 1),
+d AS (SELECT x, y, row_number() OVER (ORDER BY day) AS i FROM daily),
+pr AS (SELECT sign(b.x - a.x)::INT AS sx, sign(b.y - a.y)::INT AS sy
+       FROM d a JOIN d b ON b.i > a.i),
+g AS (SELECT count(*)::BIGINT AS n_pairs,
+             sum(CASE WHEN sx * sy = 1 THEN 1 ELSE 0 END)::BIGINT AS c,
+             sum(CASE WHEN sx * sy = -1 THEN 1 ELSE 0 END)::BIGINT AS d,
+             sum(CASE WHEN sx = 0 AND sy != 0 THEN 1 ELSE 0 END)::BIGINT AS tx,
+             sum(CASE WHEN sx != 0 AND sy = 0 THEN 1 ELSE 0 END)::BIGINT AS ty,
+             sum(CASE WHEN sx = 0 AND sy = 0 THEN 1 ELSE 0 END)::BIGINT AS txy
+      FROM pr),
+n AS (SELECT count(*)::BIGINT AS n_days FROM d)
+SELECT n_days, n_pairs, c AS concordant, d AS discordant,
+       tx AS ties_x, ty AS ties_y, txy AS ties_xy,
+       {tau} AS tau_b
+FROM g CROSS JOIN n
+""".format(
+    tau=_FL6_SQL.format(
+        x="CAST(c - d AS DOUBLE)"
+        " / sqrt(CAST(c + d + tx AS DOUBLE) * CAST(c + d + ty AS DOUBLE))"
+    )
+)
+
+
+# --------------------------------------------- BH FDR (Chebyshev p)
+#
+# Multiple-testing demo with EXACT arithmetic end-to-end: per nation,
+# a two-sided location test of mean acctbal vs the global mean using
+# the distribution-free Chebyshev bound P(|Z| >= z) <= 1/z² as a
+# (conservative, valid) p-value — an exact rational den/num, so the
+# Benjamini-Hochberg step-up condition p_(k) <= k·q/m becomes the
+# integer comparison 10·m·p_num <= k·p_den (q = 0.10).  acctbal is
+# 2dp — cents are exact BIGINTs.
+#
+#   z² = (N·S_i - n_i·S)² / (n_i · (N·SS - S²))      (population σ²)
+
+_BH_Q_NUM, _BH_Q_DEN = 1, 10  # q = 0.10
+
+
+def bh_fdr_nation_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_nationkey, n, z2, p_chebyshev, p_rank, significant) — BH
+    step-up at q=0.10 over per-nation Chebyshev p-values.  Two
+    nation-grain aggregates and a 25-row window — corpus is touched
+    once."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    per = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s_i")
+    )
+    g = c.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    j = per.crossJoin(F.broadcast(g))
+
+    def d38(c_):
+        return c_.cast("decimal(38,0)")
+
+    diff = d38(F.col("nn")) * d38(F.col("s_i")) - d38(F.col("n")) * d38(F.col("s"))
+    num = diff * diff  # z² numerator
+    den = d38(F.col("n")) * (
+        d38(F.col("nn")) * d38(F.col("ss")) - d38(F.col("s")) * d38(F.col("s"))
+    )
+    j = j.select(
+        "c_nationkey",
+        F.col("n").cast("bigint").alias("n"),
+        num.alias("znum"),
+        den.alias("zden"),
+    )
+    # p = min(1, 1/z²) as the exact rational p_num/p_den
+    j = j.withColumn(
+        "p_num", F.least(F.col("znum"), F.col("zden"))
+    ).withColumn("p_den", F.greatest(F.col("znum"), F.lit(1).cast("decimal(38,0)")))
+    # rank by the (identical cross-engine) double p, tie-broken by key
+    p_dbl = F.when(F.col("znum") <= F.col("zden"), F.lit(1.0)).otherwise(
+        F.col("zden").cast("double") / F.col("znum").cast("double")
+    )
+    j = j.withColumn("p", p_dbl).withColumn(
+        "p_rank",
+        F.row_number().over(Window.orderBy("p", "c_nationkey")).cast("bigint"),
+    )
+    m = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    j = j.withColumn("m", F.count(F.lit(1)).over(m))
+    # exact BH condition: p <= k q / m  <=>  q_den * m * p_num <= k * q_num * p_den
+    cond = (
+        F.lit(_BH_Q_DEN) * F.col("m") * F.col("p_num")
+        <= F.col("p_rank") * F.lit(_BH_Q_NUM) * F.col("p_den")
+    )
+    j = j.withColumn(
+        "k_star", F.max(F.when(cond, F.col("p_rank"))).over(m)
+    )
+    return j.select(
+        "c_nationkey",
+        "n",
+        _fl6(F.col("znum").cast("double") / F.col("zden").cast("double")).alias(
+            "z2"
+        ),
+        _fl6(F.col("p")).alias("p_chebyshev"),
+        "p_rank",
+        (F.col("p_rank") <= F.coalesce(F.col("k_star"), F.lit(0))).alias(
+            "significant"
+        ),
+    )
+
+
+BH_FDR_SQL = """
+WITH c AS (SELECT c_nationkey,
+                  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+           FROM customer),
+per AS (SELECT c_nationkey, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s_i
+        FROM c GROUP BY 1),
+g AS (SELECT count(*)::BIGINT AS nn, sum(cents)::BIGINT AS s,
+             sum(cents * cents)::BIGINT AS ss
+      FROM c),
+z AS (SELECT c_nationkey, n,
+        (CAST(nn AS DECIMAL(38,0)) * CAST(s_i AS DECIMAL(38,0))
+         - CAST(n AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0)))
+        * (CAST(nn AS DECIMAL(38,0)) * CAST(s_i AS DECIMAL(38,0))
+           - CAST(n AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))) AS znum,
+        CAST(n AS DECIMAL(38,0))
+        * (CAST(nn AS DECIMAL(38,0)) * CAST(ss AS DECIMAL(38,0))
+           - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))) AS zden
+      FROM per CROSS JOIN g),
+p AS (SELECT *,
+        least(znum, zden) AS p_num,
+        greatest(znum, CAST(1 AS DECIMAL(38,0))) AS p_den,
+        CASE WHEN znum <= zden THEN 1.0
+             ELSE CAST(zden AS DOUBLE) / CAST(znum AS DOUBLE) END AS pv
+      FROM z),
+r AS (SELECT *,
+        row_number() OVER (ORDER BY pv, c_nationkey)::BIGINT AS p_rank,
+        count(*) OVER ()::BIGINT AS m
+      FROM p),
+k AS (SELECT *,
+        max(CASE WHEN {qd} * m * p_num <= p_rank * {qn} * p_den
+                 THEN p_rank END) OVER () AS k_star
+      FROM r)
+SELECT c_nationkey, n,
+       {z2} AS z2,
+       {pch} AS p_chebyshev,
+       p_rank,
+       p_rank <= coalesce(k_star, 0) AS significant
+FROM k
+""".format(
+    qd=_BH_Q_DEN,
+    qn=_BH_Q_NUM,
+    z2=_FL6_SQL.format(x="CAST(znum AS DOUBLE) / CAST(zden AS DOUBLE)"),
+    pch=_FL6_SQL.format(x="pv"),
+)
+
+
+# --------------------------------------------- Cohen's kappa
+
+_KAPPA_CHARS = 300
+_KAPPA_WORDS = 40
+
+
+def cohens_kappa_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n11, n10, n01, n00, po, pe, kappa) — inter-rater
+    agreement between two document quality gates (chars >= {ch} vs
+    words >= {wd}).  kappa = (N(n11+n00) - a1 b1 - a0 b0) /
+    (N² - a1 b1 - a0 b0): exact integers, one division."""
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("n_chars") >= _KAPPA_CHARS).cast("int").alias("ga"),
+        (
+            F.expr("size(regexp_extract_all(text, '[^ ]+', 0))")
+            >= _KAPPA_WORDS
+        )
+        .cast("int")
+        .alias("gb"),
+    )
+    g = d.agg(
+        F.sum((F.col("ga") * F.col("gb"))).alias("n11"),
+        F.sum((F.col("ga") * (1 - F.col("gb")))).alias("n10"),
+        F.sum(((1 - F.col("ga")) * F.col("gb"))).alias("n01"),
+        F.sum(((1 - F.col("ga")) * (1 - F.col("gb")))).alias("n00"),
+    )
+    nn = "(n11 + n10 + n01 + n00)"
+    a1b1 = "(n11 + n10) * (n11 + n01)"
+    a0b0 = "(n00 + n01) * (n00 + n10)"
+    return g.select(
+        F.col("n11").cast("bigint").alias("n11"),
+        F.col("n10").cast("bigint").alias("n10"),
+        F.col("n01").cast("bigint").alias("n01"),
+        F.col("n00").cast("bigint").alias("n00"),
+        _fl6(
+            F.expr(f"CAST(n11 + n00 AS DOUBLE) / CAST({nn} AS DOUBLE)")
+        ).alias("po"),
+        _fl6(
+            F.expr(
+                f"CAST({a1b1} + {a0b0} AS DOUBLE)"
+                f" / CAST({nn} * CAST({nn} AS DECIMAL(38,0)) AS DOUBLE)"
+            )
+        ).alias("pe"),
+        _fl6(
+            F.expr(
+                f"CAST({nn} * CAST(n11 + n00 AS DECIMAL(38,0)) - {a1b1} - {a0b0} AS DOUBLE)"
+                f" / CAST({nn} * CAST({nn} AS DECIMAL(38,0)) - {a1b1} - {a0b0} AS DOUBLE)"
+            )
+        ).alias("kappa"),
+    )
+
+
+cohens_kappa_gates.__doc__ = cohens_kappa_gates.__doc__.format(
+    ch=_KAPPA_CHARS, wd=_KAPPA_WORDS
+)
+
+_K_NN = "(n11 + n10 + n01 + n00)"
+_K_A1B1 = "(n11 + n10) * (n11 + n01)"
+_K_A0B0 = "(n00 + n01) * (n00 + n10)"
+
+KAPPA_SQL = """
+WITH d AS (SELECT (n_chars >= {ch})::INT AS ga,
+                  (len(regexp_extract_all(text, '[^ ]+')) >= {wd})::INT AS gb
+           FROM documents),
+g AS (SELECT sum(ga * gb)::BIGINT AS n11,
+             sum(ga * (1 - gb))::BIGINT AS n10,
+             sum((1 - ga) * gb)::BIGINT AS n01,
+             sum((1 - ga) * (1 - gb))::BIGINT AS n00
+      FROM d)
+SELECT n11, n10, n01, n00,
+       {po} AS po,
+       {pe} AS pe,
+       {kappa} AS kappa
+FROM g
+""".format(
+    ch=_KAPPA_CHARS,
+    wd=_KAPPA_WORDS,
+    po=_FL6_SQL.format(x=f"CAST(n11 + n00 AS DOUBLE) / CAST({_K_NN} AS DOUBLE)"),
+    pe=_FL6_SQL.format(
+        x=f"CAST({_K_A1B1} + {_K_A0B0} AS DOUBLE)"
+        f" / CAST({_K_NN} * CAST({_K_NN} AS DECIMAL(38,0)) AS DOUBLE)"
+    ),
+    kappa=_FL6_SQL.format(
+        x=f"CAST({_K_NN} * CAST(n11 + n00 AS DECIMAL(38,0)) - {_K_A1B1} - {_K_A0B0} AS DOUBLE)"
+        f" / CAST({_K_NN} * CAST({_K_NN} AS DECIMAL(38,0)) - {_K_A1B1} - {_K_A0B0} AS DOUBLE)"
+    ),
+)
+
+
+# --------------------------------------------- precision-recall curve
+
+_PR_TOP = 100
+
+
+def pr_curve_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rank, doc_id, is_pos, precision, recall) for the top-{k} ranks
+    of the n_chars score against the lang='en' label — the per-rank PR
+    curve (each point is ONE exact division; no noisy scalar AP sum).
+    The global order is total (score desc, doc_id)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        (F.col("lang") == "en").cast("int").alias("is_pos"),
+    )
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    p = d.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "doc_id",
+        "is_pos",
+        F.sum("is_pos")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_pos"),
+    )
+    tot = d.agg(F.sum("is_pos").alias("p_total"))
+    return (
+        p.filter(F.col("rank") <= _PR_TOP)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "doc_id",
+            F.col("is_pos").cast("int").alias("is_pos"),
+            _fl6(
+                F.col("cum_pos").cast("double") / F.col("rank").cast("double")
+            ).alias("precision"),
+            _fl6(
+                F.col("cum_pos").cast("double") / F.col("p_total").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+pr_curve_quality.__doc__ = pr_curve_quality.__doc__.format(k=_PR_TOP)
+
+PR_CURVE_SQL = """
+WITH d AS (SELECT doc_id, n_chars, (lang = 'en')::INT AS is_pos FROM documents),
+p AS (SELECT row_number() OVER w::BIGINT AS rank, doc_id, is_pos,
+             sum(is_pos) OVER (ORDER BY n_chars DESC, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_pos
+      FROM d WINDOW w AS (ORDER BY n_chars DESC, doc_id)),
+tot AS (SELECT sum(is_pos)::BIGINT AS p_total FROM d)
+SELECT rank, doc_id, is_pos::INT AS is_pos,
+       {prec} AS precision,
+       {rec} AS recall
+FROM p CROSS JOIN tot
+WHERE rank <= {k}
+""".format(
+    k=_PR_TOP,
+    prec=_FL6_SQL.format(x="CAST(cum_pos AS DOUBLE) / CAST(rank AS DOUBLE)"),
+    rec=_FL6_SQL.format(x="CAST(cum_pos AS DOUBLE) / CAST(p_total AS DOUBLE)"),
+)
+
+
+# --------------------------------------------- KMV distinct sketch
+#
+# K-minimum-values estimator (Bar-Yossef et al. 2002): keep the K
+# smallest 60-bit hashes of the key; estimate = (K-1) * 2^60 / h_K.
+# The sketch is a K-row top-k — mergeable (union of mins) and tiny;
+# an exact count verifies it side-by-side.
+
+_KMV_K = 64
+_TWO60 = 1 << 60
+
+
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (k_used, kth_hash, kmv_estimate, exact_distinct,
+    rel_err).  k adapts to min({k}, distinct) so the query is defined
+    at every sf.  One hash pass + a K-row ordered head — the exact
+    count shares the same shuffled distinct."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.select(
+        stable_hash64(
+            F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+        ).alias("h")
+    ).distinct()
+    n = h.agg(F.count(F.lit(1)).alias("n_exact"))
+    ranked = h.withColumn("rn", F.row_number().over(Window.orderBy("h")))
+    kth = (
+        ranked.crossJoin(F.broadcast(n))
+        .filter(F.col("rn") == F.least(F.lit(_KMV_K), F.col("n_exact")))
+        .select("rn", "h", "n_exact")
+    )
+    est = (
+        "CAST(rn - 1 AS DOUBLE) * CAST({two60} AS DOUBLE) / CAST(h AS DOUBLE)"
+    ).format(two60=_TWO60)
+    return kth.select(
+        F.col("rn").cast("bigint").alias("k_used"),
+        F.col("h").alias("kth_hash"),
+        _fl6(F.expr(est)).alias("kmv_estimate"),
+        F.col("n_exact").cast("bigint").alias("exact_distinct"),
+        _fl6(
+            F.expr(
+                f"(({est}) - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)"
+            )
+        ).alias("rel_err"),
+    )
+
+
+kmv_distinct_users.__doc__ = kmv_distinct_users.__doc__.format(k=_KMV_K)
+
+_KMV_EST = (
+    f"CAST(rn - 1 AS DOUBLE) * CAST({_TWO60} AS DOUBLE) / CAST(h AS DOUBLE)"
+)
+
+KMV_SQL = """
+WITH h AS (SELECT DISTINCT {h} AS h FROM events),
+n AS (SELECT count(*)::BIGINT AS n_exact FROM h),
+ranked AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM h)
+SELECT rn::BIGINT AS k_used, h AS kth_hash,
+       {est} AS kmv_estimate,
+       n_exact AS exact_distinct,
+       {rel} AS rel_err
+FROM ranked CROSS JOIN n
+WHERE rn = least({k}, n_exact)
+""".format(
+    h=stable_hash64_sql("'kmv:' || user_id::VARCHAR"),
+    k=_KMV_K,
+    est=_FL6_SQL.format(x=_KMV_EST),
+    rel=_FL6_SQL.format(
+        x=f"(({_KMV_EST}) - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)"
+    ),
+)
+
+
+# --------------------------------------------- log2 value histogram
+#
+# DDSketch-style relative-error quantiles with gamma = 2, kept in pure
+# integer space: bucket = bitlength(cents) (cents = value*100 rounded
+# once, identically, on both engines), so no transcendental log sits
+# on a cross-engine boundary.  Quantile markers follow from the exact
+# cumulative counts.
+
+
+def _log2_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side (bucket) rows for positive event values — the sketch's
+    ingest kernel, shared by the batch and streaming faces."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    return ev.select(F.length(F.bin(cents)).cast("int").alias("bucket"))
+
+
+def _log2_finish(hist: DataFrame) -> DataFrame:
+    """Finish a (bucket, n) histogram into the quantile-marked output —
+    identical for the batch sketch and the streaming count-merge."""
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    h = hist.withColumn("cum_n", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(wall)
+    )
+
+    def marker(pct_num: int, pct_den: int) -> F.Column:
+        thr = F.expr(f"(total * {pct_num} + {pct_den} - 1) DIV {pct_den}")
+        return (F.col("cum_n") >= thr) & (F.col("cum_n") - F.col("n") < thr)
+
+    return h.select(
+        "bucket",
+        # PySpark's shiftleft() helper needs a literal bit count; the
+        # SQL form accepts a column expression on both engines.
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket - 1)").alias("lo_cents"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), bucket) - 1").alias("hi_cents"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("cum_n").cast("bigint").alias("cum_n"),
+        marker(1, 2).alias("is_q50"),
+        marker(95, 100).alias("is_q95"),
+        marker(99, 100).alias("is_q99"),
+    )
+
+
+def log2_histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bucket, lo_cents, hi_cents, n, cum_n, is_q50, is_q95, is_q99)
+    — power-of-two histogram of positive event values with exact
+    quantile-containing-bucket flags (DDSketch with gamma=2, kept in
+    pure integer space — bucket = bitlength(cents) — so no
+    transcendental log sits on a cross-engine boundary).  One map-side
+    bucket pass, a ~30-row ordered window."""
+    hist = _log2_buckets(spark, sf_dir).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return _log2_finish(hist)
+
+
+def streaming_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-merge face of the log2 sketch: per-micro-batch bucket
+    counts written idempotently (batch_id-partitioned dynamic
+    overwrite), merged by groupBy(bucket).sum — histogram counts are
+    fully mergeable, so the result is IDENTICAL to the batch sketch
+    and shares its oracle.  Shuffle per batch ∝ distinct buckets
+    (~30 rows), not events."""
+    from k_means_hadoop_spark.session import scratch_dir
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0).select("value")
+    src = scratch_dir("log2_src")
+    store = scratch_dir("log2_store")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        (
+            batch_df.select(F.length(F.bin(cents)).cast("int").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(store)
+        )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", scratch_dir("log2_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    return _log2_finish(merged)
+
+
+LOG2_HIST_SQL = """
+WITH b AS (SELECT length(bin(CAST(floor(value * 100 + 0.5) AS BIGINT)))::INT AS bucket
+           FROM events WHERE value > 0),
+hist AS (SELECT bucket, count(*)::BIGINT AS n FROM b GROUP BY 1),
+h AS (SELECT *,
+        sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_n,
+        sum(n) OVER () AS total
+      FROM hist)
+SELECT bucket,
+       (1::BIGINT << (bucket - 1)) AS lo_cents,
+       (1::BIGINT << bucket) - 1 AS hi_cents,
+       n, cum_n::BIGINT AS cum_n,
+       (cum_n >= (total * 1 + 1) // 2 AND cum_n - n < (total * 1 + 1) // 2) AS is_q50,
+       (cum_n >= (total * 95 + 99) // 100 AND cum_n - n < (total * 95 + 99) // 100) AS is_q95,
+       (cum_n >= (total * 99 + 99) // 100 AND cum_n - n < (total * 99 + 99) // 100) AS is_q99
+FROM h
+"""
+
+
+# --------------------------------------------- Wilcoxon signed-rank
+#
+# Paired test (Wilcoxon 1945) of daily clicks vs daily views: ranks of
+# |d| are half-integers (exact in double), zero differences drop, and
+# the tie-corrected normal approximation is
+#   z = (W+ - n(n+1)/4) / sqrt((2n(n+1)(2n+1) - SUM(t³-t)) / 48).
+
+
+def wilcoxon_clicks_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_used, w_plus, w_minus, tie_sum, z) — paired daily
+    clicks-vs-views signed-rank test.  Day-grain after one corpus
+    partial agg; the rank window runs over <= days rows."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("int")).alias("c"),
+            F.sum((F.col("event_type") == "view").cast("int")).alias("v"),
+        )
+        .select((F.col("c") - F.col("v")).alias("d"))
+        .filter(F.col("d") != 0)
+        .withColumn("ad", F.abs(F.col("d")))
+    )
+    w = Window.orderBy("ad")
+    ranked = daily.select(
+        "d",
+        "ad",
+        (
+            F.rank().over(w).cast("double")
+            + (F.count(F.lit(1)).over(Window.partitionBy("ad")) - 1)
+            .cast("double")
+            / F.lit(2.0)
+        ).alias("avg_rank"),
+    )
+    ties = (
+        daily.groupBy("ad")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+                "tie_sum"
+            )
+        )
+    )
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("d") > 0, F.col("avg_rank")).otherwise(0.0)).alias(
+            "w_plus"
+        ),
+        F.sum(F.when(F.col("d") < 0, F.col("avg_rank")).otherwise(0.0)).alias(
+            "w_minus"
+        ),
+    ).crossJoin(F.broadcast(ties))
+    z = (
+        "(w_plus - CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE) / CAST(4 AS DOUBLE))"
+        " / sqrt(CAST(2 * CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1)"
+        "             - tie_sum AS DOUBLE) / CAST(48 AS DOUBLE))"
+    )
+    return g.select(
+        F.col("n").cast("bigint").alias("n_used"),
+        F.col("w_plus"),
+        F.col("w_minus"),
+        F.col("tie_sum").cast("bigint").alias("tie_sum"),
+        _fl6(F.expr(z)).alias("z"),
+    )
+
+
+_WX_Z = (
+    "(w_plus - CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE) / CAST(4 AS DOUBLE))"
+    " / sqrt(CAST(2 * CAST(n AS DECIMAL(38,0)) * (n + 1) * (2 * n + 1)"
+    "             - tie_sum AS DOUBLE) / CAST(48 AS DOUBLE))"
+)
+
+WILCOXON_SQL = """
+WITH daily AS (
+  SELECT ts::DATE AS day,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+           - sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS d
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+nz AS (SELECT d, abs(d) AS ad FROM daily WHERE d != 0),
+ranked AS (
+  SELECT d,
+         CAST(rank() OVER (ORDER BY ad) AS DOUBLE)
+           + CAST(count(*) OVER (PARTITION BY ad) - 1 AS DOUBLE)
+             / CAST(2 AS DOUBLE) AS avg_rank
+  FROM nz),
+ties AS (SELECT sum(t * t * t - t)::BIGINT AS tie_sum
+         FROM (SELECT count(*)::BIGINT AS t FROM nz GROUP BY ad)),
+g AS (SELECT count(*)::BIGINT AS n,
+             sum(CASE WHEN d > 0 THEN avg_rank ELSE 0.0 END) AS w_plus,
+             sum(CASE WHEN d < 0 THEN avg_rank ELSE 0.0 END) AS w_minus
+      FROM ranked)
+SELECT n AS n_used, w_plus, w_minus, tie_sum,
+       {z} AS z
+FROM g CROSS JOIN ties
+""".format(z=_FL6_SQL.format(x=_WX_Z))
+
+
+# --------------------------------------------- Wald-Wolfowitz runs
+#
+# Randomness test on the daily event-count series: sign of
+# 2x - (m1 + m2) vs the pooled median (m1, m2 = the two middle order
+# statistics — the x2 trick keeps the median comparison in integers),
+# runs counted with one lag window,
+#   E[R] = 2 n1 n2 / (n1 + n2) + 1
+#   Var  = 2 n1 n2 (2 n1 n2 - n1 - n2) / ((n1+n2)² (n1+n2-1)).
+
+
+def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_days, n_above, n_below, n_runs, expected_runs, z) —
+    runs test of daily event counts around the median.  Day-grain
+    everywhere after one corpus partial agg."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    n = daily.agg(F.count(F.lit(1)).alias("n"))
+    byx = daily.withColumn(
+        "rx", F.row_number().over(Window.orderBy("x", "day"))
+    )
+    med2 = (
+        byx.crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("rx") == F.expr("(n + 1) DIV 2"))
+            | (F.col("rx") == F.expr("(n + 2) DIV 2"))
+        )
+        .agg(F.sum("x").alias("m2"))  # m1 + m2 (same row twice when odd n? no: DIV picks distinct ranks for even n, same rank once for odd n)
+    )
+    # odd n: (n+1)/2 == (n+2)/2 -> ONE row -> m2 = the median once; scale
+    # the comparison accordingly: sign(2x - 2*med) odd, sign(2x - (m1+m2)) even.
+    n_mid = (
+        byx.crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("rx") == F.expr("(n + 1) DIV 2"))
+            | (F.col("rx") == F.expr("(n + 2) DIV 2"))
+        )
+        .agg(F.count(F.lit(1)).alias("k_mid"))
+    )
+    s = (
+        daily.crossJoin(F.broadcast(med2))
+        .crossJoin(F.broadcast(n_mid))
+        .select(
+            "day",
+            F.signum(
+                (F.col("k_mid") * F.col("x") - F.col("m2")).cast("double")
+            )
+            .cast("int")
+            .alias("s"),
+        )
+        .filter(F.col("s") != 0)
+    )
+    wd = Window.orderBy("day")
+    runs = s.select(
+        "s", F.lag("s").over(wd).alias("prev")
+    ).agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(((F.col("prev").isNull()) | (F.col("s") != F.col("prev"))).cast("int")).alias(
+            "n_runs"
+        ),
+        F.sum((F.col("s") > 0).cast("int")).alias("n1"),
+        F.sum((F.col("s") < 0).cast("int")).alias("n2"),
+    )
+    er = (
+        "CAST(2 * n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)"
+        " + CAST(1 AS DOUBLE)"
+    )
+    var = (
+        "CAST(2 * CAST(n1 AS DECIMAL(38,0)) * n2"
+        " * (2 * CAST(n1 AS DECIMAL(38,0)) * n2 - n1 - n2) AS DOUBLE)"
+        " / CAST(CAST(n1 + n2 AS DECIMAL(38,0)) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE)"
+    )
+    z = f"(CAST(n_runs AS DOUBLE) - ({er})) / sqrt({var})"
+    out = runs.crossJoin(
+        F.broadcast(daily.agg(F.count(F.lit(1)).alias("n_days")))
+    )
+    return out.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("n1").cast("bigint").alias("n_above"),
+        F.col("n2").cast("bigint").alias("n_below"),
+        F.col("n_runs").cast("bigint").alias("n_runs"),
+        _fl6(F.expr(er)).alias("expected_runs"),
+        _fl6(F.expr(z)).alias("z"),
+    )
+
+
+_RUNS_ER = (
+    "CAST(2 * n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)"
+    " + CAST(1 AS DOUBLE)"
+)
+_RUNS_VAR = (
+    "CAST(2 * CAST(n1 AS DECIMAL(38,0)) * n2"
+    " * (2 * CAST(n1 AS DECIMAL(38,0)) * n2 - n1 - n2) AS DOUBLE)"
+    " / CAST(CAST(n1 + n2 AS DECIMAL(38,0)) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE)"
+)
+
+RUNS_TEST_SQL = """
+WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x
+               FROM events GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n FROM daily),
+byx AS (SELECT x, row_number() OVER (ORDER BY x, day) AS rx FROM daily),
+mid AS (SELECT sum(x)::BIGINT AS m2, count(*)::BIGINT AS k_mid
+        FROM byx CROSS JOIN n
+        WHERE rx = (n + 1) // 2 OR rx = (n + 2) // 2),
+s AS (SELECT day, sign(k_mid * x - m2)::INT AS s
+      FROM daily CROSS JOIN mid),
+nz AS (SELECT day, s FROM s WHERE s != 0),
+lagged AS (SELECT s, lag(s) OVER (ORDER BY day) AS prev FROM nz),
+runs AS (SELECT count(*)::BIGINT AS m,
+                sum(CASE WHEN prev IS NULL OR s != prev THEN 1 ELSE 0 END)::BIGINT AS n_runs,
+                sum(CASE WHEN s > 0 THEN 1 ELSE 0 END)::BIGINT AS n1,
+                sum(CASE WHEN s < 0 THEN 1 ELSE 0 END)::BIGINT AS n2
+         FROM lagged),
+nd AS (SELECT count(*)::BIGINT AS n_days FROM daily)
+SELECT n_days, n1 AS n_above, n2 AS n_below, n_runs,
+       {er} AS expected_runs,
+       {z} AS z
+FROM runs CROSS JOIN nd
+""".format(
+    er=_FL6_SQL.format(x=_RUNS_ER),
+    z=_FL6_SQL.format(
+        x=f"(CAST(n_runs AS DOUBLE) - ({_RUNS_ER})) / sqrt({_RUNS_VAR})"
+    ),
+)
+
+
+# --------------------------------------------- spend concentration
+#
+# Gini / HHI / top-share of customer lifetime spend — the standard
+# concentration report.  Spend is exact cents; Gini uses the sorted
+# closed form Σ(2i - n - 1)·x_(i) / (n·Σx) (one division), HHI sums
+# exact DECIMAL(38,0) squares.
+
+
+def concentration_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_customers, total_cents, gini, hhi, top1_share,
+    top10_share).  One orders partial agg to customer grain, one
+    customer-grain sort window, constant-size reduce."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    spend = o.groupBy("o_custkey").agg(F.sum("cents").alias("x"))
+    ranked = spend.withColumn(
+        "i", F.row_number().over(Window.orderBy("x", "o_custkey"))
+    )
+    g = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("t"),
+        F.sum(
+            (2 * F.col("i") - 1).cast("decimal(38,0)")
+            * F.col("x").cast("decimal(38,0)")
+        ).alias("gnum0"),  # Σ(2i-1)x; gini num = gnum0 - n·t
+        F.sum(
+            F.col("x").cast("decimal(38,0)") * F.col("x").cast("decimal(38,0)")
+        ).alias("sq"),
+    )
+    shares = ranked.crossJoin(F.broadcast(g.select("n", "t"))).agg(
+        F.sum(
+            F.when(
+                F.col("i") > F.col("n") - F.expr("(n + 99) DIV 100"),
+                F.col("x"),
+            ).otherwise(0)
+        ).alias("top1"),
+        F.sum(
+            F.when(
+                F.col("i") > F.col("n") - F.expr("(n + 9) DIV 10"),
+                F.col("x"),
+            ).otherwise(0)
+        ).alias("top10"),
+    )
+    gini = (
+        "CAST(gnum0 - CAST(n AS DECIMAL(38,0)) * t AS DOUBLE)"
+        " / CAST(CAST(n AS DECIMAL(38,0)) * t AS DOUBLE)"
+    )
+    hhi = (
+        "CAST(sq AS DOUBLE)"
+        " / CAST(CAST(t AS DECIMAL(38,0)) * t AS DOUBLE)"
+    )
+    return g.crossJoin(F.broadcast(shares)).select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("t").cast("bigint").alias("total_cents"),
+        _fl6(F.expr(gini)).alias("gini"),
+        _fl6(F.expr(hhi)).alias("hhi"),
+        _fl6(F.expr("CAST(top1 AS DOUBLE) / CAST(t AS DOUBLE)")).alias(
+            "top1_share"
+        ),
+        _fl6(F.expr("CAST(top10 AS DOUBLE) / CAST(t AS DOUBLE)")).alias(
+            "top10_share"
+        ),
+    )
+
+
+CONCENTRATION_SQL = """
+WITH o AS (SELECT o_custkey,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+spend AS (SELECT o_custkey, sum(cents)::BIGINT AS x FROM o GROUP BY 1),
+ranked AS (SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM spend),
+g AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS t,
+             sum((2 * i - 1)::DECIMAL(38,0) * x::DECIMAL(38,0)) AS gnum0,
+             sum(x::DECIMAL(38,0) * x::DECIMAL(38,0)) AS sq
+      FROM ranked),
+shares AS (SELECT sum(CASE WHEN i > n - (n + 99) // 100 THEN x ELSE 0 END)::BIGINT AS top1,
+                  sum(CASE WHEN i > n - (n + 9) // 10 THEN x ELSE 0 END)::BIGINT AS top10
+           FROM ranked CROSS JOIN g)
+SELECT n AS n_customers, t AS total_cents,
+       {gini} AS gini,
+       {hhi} AS hhi,
+       {t1} AS top1_share,
+       {t10} AS top10_share
+FROM g CROSS JOIN shares
+""".format(
+    gini=_FL6_SQL.format(
+        x="CAST(gnum0 - CAST(n AS DECIMAL(38,0)) * t AS DOUBLE)"
+        " / CAST(CAST(n AS DECIMAL(38,0)) * t AS DOUBLE)"
+    ),
+    hhi=_FL6_SQL.format(
+        x="CAST(sq AS DOUBLE) / CAST(CAST(t AS DECIMAL(38,0)) * t AS DOUBLE)"
+    ),
+    t1=_FL6_SQL.format(x="CAST(top1 AS DOUBLE) / CAST(t AS DOUBLE)"),
+    t10=_FL6_SQL.format(x="CAST(top10 AS DOUBLE) / CAST(t AS DOUBLE)"),
+)
+
+
+# --------------------------------------------- Mood's median test
+#
+# Distribution-free location test: cut both samples at the pooled
+# median (the x2 order-statistic trick keeps the cut exact), then the
+# 2x2 chi-square  chi2 = N(ad - bc)² / ((a+b)(c+d)(a+c)(b+d)) — exact
+# integers, one division.
+
+_MOOD_A, _MOOD_B = "click", "view"
+
+
+def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_a_above, n_b_above, n_a_below, n_b_below, chi2) —
+    Mood's median test of event value, '{a}' vs '{b}'.  One pooled
+    order window to find the middle order statistics, one 2x2 reduce;
+    values ON the median are excluded (the standard convention that
+    keeps the 2x2 margins honest)."""
+    pooled = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_MOOD_A, _MOOD_B)
+    ).select("event_type", "value", "event_id")
+    n = pooled.agg(F.count(F.lit(1)).alias("n"))
+    byv = pooled.withColumn(
+        "rv", F.row_number().over(Window.orderBy("value", "event_id"))
+    )
+    mid = (
+        byv.crossJoin(F.broadcast(n))
+        .filter(
+            (F.col("rv") == F.expr("(n + 1) DIV 2"))
+            | (F.col("rv") == F.expr("(n + 2) DIV 2"))
+        )
+        .agg(F.sum("value").alias("m2"), F.count(F.lit(1)).alias("k_mid"))
+    )
+    cls = pooled.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        F.signum(F.col("k_mid") * F.col("value") - F.col("m2"))
+        .cast("int")
+        .alias("s"),
+    ).filter(F.col("s") != 0)
+    g = cls.agg(
+        F.sum(((F.col("event_type") == _MOOD_A) & (F.col("s") > 0)).cast("int")).alias("a"),
+        F.sum(((F.col("event_type") == _MOOD_B) & (F.col("s") > 0)).cast("int")).alias("b"),
+        F.sum(((F.col("event_type") == _MOOD_A) & (F.col("s") < 0)).cast("int")).alias("c"),
+        F.sum(((F.col("event_type") == _MOOD_B) & (F.col("s") < 0)).cast("int")).alias("d"),
+    )
+    chi2 = (
+        "CAST(CAST(a + b + c + d AS DECIMAL(38,0))"
+        " * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)"
+        " * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c) AS DOUBLE)"
+        " / CAST(CAST(a + b AS DECIMAL(38,0)) * (c + d)"
+        " * CAST(a + c AS DECIMAL(38,0)) * (b + d) AS DOUBLE)"
+    )
+    return g.select(
+        F.col("a").cast("bigint").alias("n_a_above"),
+        F.col("b").cast("bigint").alias("n_b_above"),
+        F.col("c").cast("bigint").alias("n_a_below"),
+        F.col("d").cast("bigint").alias("n_b_below"),
+        _fl6(F.expr(chi2)).alias("chi2"),
+    )
+
+
+mood_median_test.__doc__ = mood_median_test.__doc__.format(
+    a=_MOOD_A, b=_MOOD_B
+)
+
+_MOOD_CHI2 = (
+    "CAST(CAST(a + b + c + d AS DECIMAL(38,0))"
+    " * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)"
+    " * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c) AS DOUBLE)"
+    " / CAST(CAST(a + b AS DECIMAL(38,0)) * (c + d)"
+    " * CAST(a + c AS DECIMAL(38,0)) * (b + d) AS DOUBLE)"
+)
+
+MOOD_SQL = """
+WITH pooled AS (SELECT event_type, value, event_id FROM events
+                WHERE event_type IN ('{a}', '{b}')),
+n AS (SELECT count(*)::BIGINT AS n FROM pooled),
+byv AS (SELECT value, row_number() OVER (ORDER BY value, event_id) AS rv
+        FROM pooled),
+mid AS (SELECT sum(value) AS m2, count(*)::BIGINT AS k_mid
+        FROM byv CROSS JOIN n
+        WHERE rv = (n + 1) // 2 OR rv = (n + 2) // 2),
+cls AS (SELECT event_type, sign(k_mid * value - m2)::INT AS s
+        FROM pooled CROSS JOIN mid),
+nz AS (SELECT * FROM cls WHERE s != 0),
+g AS (SELECT
+        sum(CASE WHEN event_type = '{a}' AND s > 0 THEN 1 ELSE 0 END)::BIGINT AS a,
+        sum(CASE WHEN event_type = '{b}' AND s > 0 THEN 1 ELSE 0 END)::BIGINT AS b,
+        sum(CASE WHEN event_type = '{a}' AND s < 0 THEN 1 ELSE 0 END)::BIGINT AS c,
+        sum(CASE WHEN event_type = '{b}' AND s < 0 THEN 1 ELSE 0 END)::BIGINT AS d
+      FROM nz)
+SELECT a AS n_a_above, b AS n_b_above, c AS n_a_below, d AS n_b_below,
+       {chi2} AS chi2
+FROM g
+""".format(a=_MOOD_A, b=_MOOD_B, chi2=_FL6_SQL.format(x=_MOOD_CHI2))
+
+
+STATS_EXTRA_QUERIES = {
+    "mannwhitney_value_groups": (mannwhitney_value_groups, MANNWHITNEY_SQL),
+    "kendall_tau_daily": (kendall_tau_daily, KENDALL_SQL),
+    "bh_fdr_nation_acctbal": (bh_fdr_nation_acctbal, BH_FDR_SQL),
+    "cohens_kappa_gates": (cohens_kappa_gates, KAPPA_SQL),
+    "pr_curve_quality": (pr_curve_quality, PR_CURVE_SQL),
+    "kmv_distinct_users": (kmv_distinct_users, KMV_SQL),
+    "log2_histogram_values": (log2_histogram_values, LOG2_HIST_SQL),
+    # the streaming count-merge MUST reproduce the batch sketch exactly,
+    # so it shares the batch oracle on purpose — any merge loss flips
+    # the hash (the streaming_hll_merge convention).
+    "streaming_log2_histogram": (streaming_log2_histogram, LOG2_HIST_SQL),
+    "wilcoxon_clicks_views": (wilcoxon_clicks_views, WILCOXON_SQL),
+    "runs_test_daily": (runs_test_daily, RUNS_TEST_SQL),
+    "concentration_spend": (concentration_spend, CONCENTRATION_SQL),
+    "mood_median_test": (mood_median_test, MOOD_SQL),
+}

@@ -645,6 +645,9 @@ from k_means_hadoop_spark.operators.sketches import SKETCH_QUERIES
 from k_means_hadoop_spark.operators.curation import CURATION_QUERIES, CURATION_ROWS_ONLY
 from k_means_hadoop_spark.operators.relational import RELATIONAL_QUERIES, RELATIONAL_ROWS_ONLY
 from k_means_hadoop_spark.operators.tpch_extra import TPCH_EXTRA_QUERIES
+from k_means_hadoop_spark.operators.trends import TRENDS_QUERIES
+from k_means_hadoop_spark.operators.stats_extra import STATS_EXTRA_QUERIES
+from k_means_hadoop_spark.operators.mining import MINING_QUERIES
 from k_means_hadoop_spark.registry_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES
 
 for _name, (_fn, _sql) in {
@@ -654,6 +657,9 @@ for _name, (_fn, _sql) in {
     **ANALYTICS_QUERIES,
     **CORPUS_EXTRA_QUERIES,
     **SKETCH_QUERIES,
+    **TRENDS_QUERIES,
+    **STATS_EXTRA_QUERIES,
+    **MINING_QUERIES,
 }.items():
     ORACLES[_name] = _sql
 
@@ -692,6 +698,9 @@ QUERIES.update({name: fn for name, (fn, _sql) in CURATION_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in ANALYTICS_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in CORPUS_EXTRA_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in SKETCH_QUERIES.items()})
+QUERIES.update({name: fn for name, (fn, _sql) in TRENDS_QUERIES.items()})
+QUERIES.update({name: fn for name, (fn, _sql) in STATS_EXTRA_QUERIES.items()})
+QUERIES.update({name: fn for name, (fn, _sql) in MINING_QUERIES.items()})
 QUERIES.update(RELATIONAL_ROWS_ONLY)
 QUERIES.update(CURATION_ROWS_ONLY)
 QUERIES.update(PIPELINE_QUERIES)
