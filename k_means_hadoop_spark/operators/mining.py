@@ -490,10 +490,262 @@ FROM proj
 )
 
 
+# --------------------------------------------- degree assortativity
+#
+# Newman (2002) degree assortativity of the co-purchase graph over the
+# multiset of DIRECTED edge endpoints (each undirected edge counted in
+# both directions, so the endpoint marginals are symmetric and the
+# Pearson collapses to ONE division):
+#   r = (M·Σjk - (Σj)²) / (M·Σj² - (Σj)²).
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (m_directed, sum_j, sum_jk, sum_j2, assortativity) —
+    do high-degree parts co-purchase with high-degree parts?  One
+    degree join per edge side + a constant-size reduce."""
+    e = _copurchase_edges(spark, sf_dir)
+    both = e.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+        e.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("u").alias("du_key"), F.col("deg").alias("j"))
+    dv = deg.select(F.col("u").alias("dv_key"), F.col("deg").alias("k"))
+    pairs = both.join(F.broadcast(du), both.u == du.du_key).join(
+        F.broadcast(dv), both.v == dv.dv_key
+    )
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    g = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("j").alias("sj"),
+        F.sum(d38(F.col("j")) * d38(F.col("k"))).alias("sjk"),
+        F.sum(d38(F.col("j")) * d38(F.col("j"))).alias("sj2"),
+    )
+    r = (
+        "CAST(CAST(m AS DECIMAL(38,0)) * sjk"
+        " - CAST(sj AS DECIMAL(38,0)) * sj AS DOUBLE)"
+        " / CAST(CAST(m AS DECIMAL(38,0)) * sj2"
+        " - CAST(sj AS DECIMAL(38,0)) * sj AS DOUBLE)"
+    )
+    return g.select(
+        F.col("m").cast("bigint").alias("m_directed"),
+        F.col("sj").cast("bigint").alias("sum_j"),
+        F.col("sjk").cast("bigint").alias("sum_jk"),
+        F.col("sj2").cast("bigint").alias("sum_j2"),
+        _fl6(F.expr(r)).alias("assortativity"),
+    )
+
+
+_ASSORT_R = (
+    "CAST(CAST(m AS DECIMAL(38,0)) * sjk"
+    " - CAST(sj AS DECIMAL(38,0)) * sj AS DOUBLE)"
+    " / CAST(CAST(m AS DECIMAL(38,0)) * sj2"
+    " - CAST(sj AS DECIMAL(38,0)) * sj AS DOUBLE)"
+)
+
+ASSORTATIVITY_SQL = (
+    "WITH "
+    + _EDGES_CTE.strip()
+    + """,
+bi AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+deg AS (SELECT u, count(*)::BIGINT AS deg FROM bi GROUP BY 1),
+pairs AS (SELECT d1.deg AS j, d2.deg AS k
+          FROM bi JOIN deg d1 ON d1.u = bi.u
+          JOIN deg d2 ON d2.u = bi.v),
+g AS (SELECT count(*)::BIGINT AS m, sum(j)::BIGINT AS sj,
+             sum(j::DECIMAL(38,0) * k::DECIMAL(38,0)) AS sjk,
+             sum(j::DECIMAL(38,0) * j::DECIMAL(38,0)) AS sj2
+      FROM pairs)
+SELECT m AS m_directed, sj AS sum_j, sjk::BIGINT AS sum_jk,
+       sj2::BIGINT AS sum_j2,
+       {r} AS assortativity
+FROM g
+""".format(r=_FL6_SQL.format(x=_ASSORT_R))
+)
+
+
+# --------------------------------------------- MATTR
+#
+# Moving-average type-token ratio (Covington & McFall 2010) with
+# window W — WITHOUT materializing windows: token at position p is
+# "new" in window s iff its previous occurrence < s, so it contributes
+# to windows s in [max(prev+1, p-W+1, 0), min(p, n-W)] — a CLOSED-FORM
+# interval length per token.  Σ distinct-counts over all windows is
+# one exact-integer sum; MATTR = total / (W · (n-W+1)) is one
+# division.  O(n) rows, no window explode, no quadratic join.
+
+_MATTR_W = 50
+
+
+def mattr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, n_types, ttr, n_windows, mattr) for docs with
+    >= {w} tokens.  One posexplode + one (doc, token)-partitioned lag
+    window + a doc-grain reduce."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("pos", "token"),
+    )
+    wt = Window.partitionBy("doc_id", "token").orderBy("pos")
+    wd = Window.partitionBy("doc_id")
+    t = toks.withColumn("prev", F.lag("pos").over(wt)).withColumn(
+        "n", F.count(F.lit(1)).over(wd)
+    )
+    t = t.filter(F.col("n") >= _MATTR_W)
+    lo = F.greatest(
+        F.coalesce(F.col("prev"), F.lit(-1)) + 1,
+        F.col("pos") - F.lit(_MATTR_W - 1),
+        F.lit(0),
+    )
+    hi = F.least(F.col("pos"), F.col("n") - F.lit(_MATTR_W))
+    contrib = F.greatest(F.lit(0), hi - lo + 1)
+    g = t.groupBy("doc_id").agg(
+        F.max("n").alias("n"),
+        F.sum(contrib).alias("total"),
+        F.sum(F.col("prev").isNull().cast("int")).alias("n_types"),
+    )
+    return g.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        _fl6(
+            F.expr("CAST(n_types AS DOUBLE) / CAST(n AS DOUBLE)")
+        ).alias("ttr"),
+        (F.col("n") - F.lit(_MATTR_W - 1)).cast("bigint").alias("n_windows"),
+        _fl6(
+            F.expr(
+                f"CAST(total AS DOUBLE)"
+                f" / CAST({_MATTR_W} * (n - {_MATTR_W - 1}) AS DOUBLE)"
+            )
+        ).alias("mattr"),
+    )
+
+
+mattr_docs.__doc__ = mattr_docs.__doc__.format(w=_MATTR_W)
+
+MATTR_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         (generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) - 1)::INT AS pos,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents),
+t AS (SELECT doc_id, pos, token,
+             lag(pos) OVER (PARTITION BY doc_id, token ORDER BY pos) AS prev,
+             count(*) OVER (PARTITION BY doc_id) AS n
+      FROM toks),
+f AS (SELECT *,
+        greatest(coalesce(prev, -1) + 1, pos - {wm1}, 0) AS lo,
+        least(pos, n - {w}) AS hi
+      FROM t WHERE n >= {w}),
+g AS (SELECT doc_id, max(n)::BIGINT AS n,
+             sum(greatest(0, hi - lo + 1))::BIGINT AS total,
+             sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_types
+      FROM f GROUP BY 1)
+SELECT doc_id, n AS n_tokens, n_types,
+       {ttr} AS ttr,
+       (n - {wm1})::BIGINT AS n_windows,
+       {mattr} AS mattr
+FROM g
+""".format(
+    w=_MATTR_W,
+    wm1=_MATTR_W - 1,
+    ttr=_FL6_SQL.format(x="CAST(n_types AS DOUBLE) / CAST(n AS DOUBLE)"),
+    mattr=_FL6_SQL.format(
+        x=f"CAST(total AS DOUBLE) / CAST({_MATTR_W} * (n - {_MATTR_W - 1}) AS DOUBLE)"
+    ),
+)
+
+
+# --------------------------------------------- negative sampling
+#
+# Deterministic hash-ring negative sampling for contrastive training
+# pairs: anchor doc_id < {cap} gets {k} negatives at ranks
+# h('neg:id:j') mod n over the doc_id-ordered rank ring, stepping one
+# slot on a self-hit.  Everything is exact integers; the same-source
+# audit flag quantifies how often uniform sampling draws a "hard"
+# negative.
+
+_NEG_CAP = 50
+_NEG_K = 5
+
+
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, j, neg_doc_id, same_source) — {k} deterministic
+    negatives per anchor.  Rank ring built once (one window), then two
+    broadcast joins — corpus touched once."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    ranks = docs.withColumn(
+        "r", F.row_number().over(Window.orderBy("doc_id")) - 1
+    )
+    n = ranks.agg(F.count(F.lit(1)).alias("n"))
+    anchors = (
+        ranks.filter(F.col("doc_id") < _NEG_CAP)
+        .withColumnRenamed("source", "a_source")
+        .withColumnRenamed("r", "ra")
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))))
+        .crossJoin(F.broadcast(n))
+    )
+    h = stable_hash64(
+        F.concat_ws(":", F.lit("neg"), F.col("doc_id"), F.col("j"))
+    )
+    c0 = h % F.col("n")
+    c = F.when(c0 == F.col("ra"), (c0 + 1) % F.col("n")).otherwise(c0)
+    cand = anchors.withColumn("c", c)
+    neg = ranks.select(
+        F.col("r").alias("nr"),
+        F.col("doc_id").alias("neg_doc_id"),
+        F.col("source").alias("n_source"),
+    )
+    return cand.join(F.broadcast(neg), cand.c == neg.nr).select(
+        "doc_id",
+        F.col("j").cast("int").alias("j"),
+        "neg_doc_id",
+        (F.col("a_source") == F.col("n_source")).alias("same_source"),
+    )
+
+
+negative_sampling_pairs.__doc__ = negative_sampling_pairs.__doc__.format(
+    k=_NEG_K
+)
+
+NEG_SAMPLING_SQL = """
+WITH ranks AS (SELECT doc_id, source,
+                      row_number() OVER (ORDER BY doc_id) - 1 AS r
+               FROM documents),
+n AS (SELECT count(*)::BIGINT AS n FROM ranks),
+anchors AS (SELECT doc_id, source AS a_source, r AS ra, j, n
+            FROM ranks CROSS JOIN n,
+                 (SELECT unnest(range(0, {k}))::INT AS j)
+            WHERE doc_id < {cap}),
+cand AS (SELECT *,
+           CASE WHEN ({h}) % n = ra THEN (({h}) % n + 1) % n
+                ELSE ({h}) % n END AS c
+         FROM anchors)
+SELECT cand.doc_id, j, neg.doc_id AS neg_doc_id,
+       (a_source = neg.source) AS same_source
+FROM cand JOIN ranks neg ON neg.r = cand.c
+""".format(
+    k=_NEG_K,
+    cap=_NEG_CAP,
+    h=stable_hash64_sql(
+        "'neg' || ':' || cand_doc_id_placeholder"
+    ).replace(
+        "cand_doc_id_placeholder",
+        "doc_id::VARCHAR || ':' || j::VARCHAR",
+    ),
+)
+
+
 MINING_QUERIES = {
     "hits_copurchase": (hits_copurchase, _hits_sql()),
     "resource_allocation_links": (resource_allocation_links, RA_SQL),
     "readability_scores": (readability_scores, READABILITY_SQL),
     "char_entropy_docs": (char_entropy_docs, CHAR_ENTROPY_SQL),
     "random_projection_jl": (random_projection_jl, JL_SQL),
+    "graph_assortativity": (graph_assortativity, ASSORTATIVITY_SQL),
+    "mattr_docs": (mattr_docs, MATTR_SQL),
+    "negative_sampling_pairs": (negative_sampling_pairs, NEG_SAMPLING_SQL),
 }

@@ -697,6 +697,236 @@ FROM h
 """
 
 
+# --------------------------------------------- Benford first digits
+#
+# First-significant-digit audit of order totals vs Benford's law —
+# the classic fabricated-data screen.  The digit comes from the
+# integer cents' STRING form (integer-to-string is identical across
+# engines; double-to-string is not), and the expected probabilities
+# log10(1 + 1/d) are shared 16-digit literals so no transcendental is
+# evaluated on either engine.  Each digit row carries its own exact
+# chi-square term — no cross-row float sum is emitted.
+
+_BENFORD_P = {
+    1: "0.3010299956639812",
+    2: "0.1760912590556813",
+    3: "0.1249387366082999",
+    4: "0.0969100130080564",
+    5: "0.0791812460476248",
+    6: "0.0669467896306132",
+    7: "0.0579919469776868",
+    8: "0.0511525224473813",
+    9: "0.0457574905606751",
+}
+
+
+def benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(digit, n_obs, expected_p, obs_p, chi2_term) — per-digit Benford
+    deviation of o_totalprice.  One map pass + a 9-row reduce."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    d = o.select(
+        F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    g = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    p_expr = "CASE digit " + " ".join(
+        f"WHEN {k} THEN CAST({v} AS DOUBLE)" for k, v in _BENFORD_P.items()
+    ) + " END"
+    chi = (
+        "(CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * ({p}))"
+        " * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * ({p}))"
+        " / (CAST(n AS DOUBLE) * ({p}))"
+    ).format(p=p_expr)
+    return g.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        F.expr(p_expr).alias("expected_p"),
+        _fl6(F.expr("CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)")).alias(
+            "obs_p"
+        ),
+        _fl6(F.expr(chi)).alias("chi2_term"),
+    )
+
+
+def _benford_sql() -> str:
+    p_expr = "CASE digit " + " ".join(
+        f"WHEN {k} THEN CAST({v} AS DOUBLE)" for k, v in _BENFORD_P.items()
+    ) + " END"
+    chi = (
+        "(CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * ({p}))"
+        " * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * ({p}))"
+        " / (CAST(n AS DOUBLE) * ({p}))"
+    ).format(p=p_expr)
+    return """
+WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+           FROM orders WHERE o_totalprice > 0),
+g AS (SELECT digit, count(*)::BIGINT AS n_obs FROM d GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS n FROM d)
+SELECT digit, n_obs,
+       {p} AS expected_p,
+       {obs} AS obs_p,
+       {chi} AS chi2_term
+FROM g CROSS JOIN tot
+""".format(
+        p=p_expr,
+        obs=_FL6_SQL.format(x="CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)"),
+        chi=_FL6_SQL.format(x=chi),
+    )
+
+
+# --------------------------------------------- burstiness
+#
+# Goh & Barabási (2008) burstiness B = (σ - μ)/(σ + μ) of per-type
+# inter-arrival gaps: with D = n·Σg² - (Σg)² (exact DECIMAL(38,0) over
+# microsecond gaps), σ/μ = sqrt(D)/Σg, so
+#   B = (sqrt(D) - Σg) / (sqrt(D) + Σg)
+# — one sqrt of an exact integer, one division.
+
+
+def burstiness_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_gaps, mean_gap_us, burstiness) — how bursty each
+    event stream is (B→-1 periodic, 0 Poisson, →1 bursty).  One
+    type-partitioned lag window + a type-grain reduce."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    gaps = (
+        ev.withColumn("g", F.col("us") - F.lag("us").over(w))
+        .filter(F.col("g").isNotNull())
+    )
+    g = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("g").alias("s"),
+        F.sum(
+            F.col("g").cast("decimal(38,0)") * F.col("g").cast("decimal(38,0)")
+        ).alias("q"),
+    )
+    dd = (
+        "CAST(CAST(n AS DECIMAL(38,0)) * q"
+        " - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)"
+    )
+    b = (
+        f"(sqrt({dd}) - CAST(s AS DOUBLE))"
+        f" / (sqrt({dd}) + CAST(s AS DOUBLE))"
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_gaps"),
+        _fl6(F.expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)")).alias(
+            "mean_gap_us"
+        ),
+        _fl6(F.expr(b)).alias("burstiness"),
+    )
+
+
+_BURST_D = (
+    "CAST(CAST(n AS DECIMAL(38,0)) * q"
+    " - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)"
+)
+
+BURSTINESS_SQL = """
+WITH ev AS (SELECT event_type, epoch_us(ts) AS us, event_id FROM events),
+gaps AS (SELECT event_type,
+                us - lag(us) OVER (PARTITION BY event_type ORDER BY us, event_id) AS g
+         FROM ev),
+g AS (SELECT event_type, count(*)::BIGINT AS n, sum(g)::BIGINT AS s,
+             sum(g::DECIMAL(38,0) * g::DECIMAL(38,0)) AS q
+      FROM gaps WHERE g IS NOT NULL GROUP BY 1)
+SELECT event_type, n AS n_gaps,
+       {mean} AS mean_gap_us,
+       {b} AS burstiness
+FROM g
+""".format(
+    mean=_FL6_SQL.format(x="CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"),
+    b=_FL6_SQL.format(
+        x=f"(sqrt({_BURST_D}) - CAST(s AS DOUBLE))"
+        f" / (sqrt({_BURST_D}) + CAST(s AS DOUBLE))"
+    ),
+)
+
+
+# --------------------------------------------- KMV streaming merge
+
+
+def streaming_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The min-merge face of the KMV sketch: each micro-batch keeps its
+    K smallest distinct hashes; the union of per-batch heads provably
+    contains the global K smallest (any globally-small value is small
+    within its own batch), so re-selecting the K smallest over the
+    merged store reproduces the batch sketch EXACTLY — same oracle.
+    Per-batch shuffle ∝ K rows."""
+    from k_means_hadoop_spark.session import scratch_dir
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    src = scratch_dir("kmv_src")
+    store = scratch_dir("kmv_store")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        h = batch_df.select(
+            stable_hash64(
+                F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+            ).alias("h")
+        ).distinct()
+        (
+            h.withColumn("rn", F.row_number().over(Window.orderBy("h")))
+            .filter(F.col("rn") <= _KMV_K)
+            .select("h")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(store)
+        )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", scratch_dir("kmv_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = spark.read.parquet(store).select("h").distinct()
+    # exact count comes from the source (the sketch's verification side,
+    # as in the batch face — the store alone cannot know it)
+    n = (
+        ev.select(
+            stable_hash64(
+                F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
+            ).alias("h")
+        )
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    ranked = merged.withColumn("rn", F.row_number().over(Window.orderBy("h")))
+    kth = (
+        ranked.crossJoin(F.broadcast(n))
+        .filter(F.col("rn") == F.least(F.lit(_KMV_K), F.col("n_exact")))
+        .select("rn", "h", "n_exact")
+    )
+    est = (
+        "CAST(rn - 1 AS DOUBLE) * CAST({two60} AS DOUBLE) / CAST(h AS DOUBLE)"
+    ).format(two60=_TWO60)
+    return kth.select(
+        F.col("rn").cast("bigint").alias("k_used"),
+        F.col("h").alias("kth_hash"),
+        _fl6(F.expr(est)).alias("kmv_estimate"),
+        F.col("n_exact").cast("bigint").alias("exact_distinct"),
+        _fl6(
+            F.expr(
+                f"(({est}) - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)"
+            )
+        ).alias("rel_err"),
+    )
+
+
 # --------------------------------------------- Wilcoxon signed-rank
 #
 # Paired test (Wilcoxon 1945) of daily clicks vs daily views: ranks of
@@ -1134,4 +1364,10 @@ STATS_EXTRA_QUERIES = {
     "runs_test_daily": (runs_test_daily, RUNS_TEST_SQL),
     "concentration_spend": (concentration_spend, CONCENTRATION_SQL),
     "mood_median_test": (mood_median_test, MOOD_SQL),
+    "benford_totalprice": (benford_totalprice, _benford_sql()),
+    "burstiness_events": (burstiness_events, BURSTINESS_SQL),
+    # the min-merge MUST reproduce the batch KMV sketch exactly (the
+    # union of per-batch K-smallest heads contains the global K
+    # smallest) — same oracle on purpose.
+    "streaming_kmv_merge": (streaming_kmv_merge, KMV_SQL),
 }

@@ -747,8 +747,15 @@ QUERIES.update(PIPELINE_QUERIES)
 # iteration order behind the curated front.
 
 
-def _row(front: bool = False, stale_after: int | None = None, defer: bool = False) -> dict:
-    return {"front": front, "stale_after": stale_after, "defer": defer}
+def _row(
+    front: bool = False, stale_after: int | None = None, defer: bool | int = False
+) -> dict:
+    """``defer`` is a GENERATION rank, not just a flag: False/0 = not
+    deferred, 1 (or True) = deferred one round ago, 2 = deferred this
+    round, ...  Older generations sort FIRST among the deferred tail so
+    a new round's late additions can never push a previous round's
+    still-unverified deferrals back out of the window."""
+    return {"front": front, "stale_after": stale_after, "defer": int(defer)}
 
 
 _SCHEDULE: dict[str, dict] = {
@@ -923,6 +930,16 @@ _SCHEDULE: dict[str, dict] = {
     "vocab_growth_curve": _row(defer=True),
     "umass_topic_coherence": _row(defer=True),
     "bootstrap_ci_quality": _row(defer=True),
+    # -- round-6 additions beyond the 50 window slots (the window is
+    # exactly full: 21 early-r6 + 5 late-r6 + 24 deferred r5 rows),
+    # deferred to the round-7 window; all locally oracle-verified at
+    # sf0.001/0.01/0.1.
+    "benford_totalprice": _row(defer=2),
+    "burstiness_events": _row(defer=2),
+    "streaming_kmv_merge": _row(defer=2),
+    "graph_assortativity": _row(defer=2),
+    "mattr_docs": _row(defer=2),
+    "negative_sampling_pairs": _row(defer=2),
 }
 
 
@@ -1016,11 +1033,13 @@ _rest = [n for n in QUERIES if n not in _front and n not in _verified]
 # oracle-backed, NEVER-verified entries before stale-green re-verifies
 # whose old rows at least proved execution.  The sort is stable, so the
 # curated order above survives within each bucket.
-_deferred = {n for n, row in _SCHEDULE.items() if row.get("defer")}
+_defer_rank = {n: int(row.get("defer") or 0) for n, row in _SCHEDULE.items()}
 _front.sort(key=lambda n: n not in ORACLES)
 # rest tier: deferred entries last (they cede their round-4 slot to
 # stale redefinitions), then oracle-backed before rows-only, then
 # never-verified before stale re-verifies
-_rest.sort(key=lambda n: (n in _deferred, n not in ORACLES, n in _stale))
+_rest.sort(
+    key=lambda n: (_defer_rank.get(n, 0), n not in ORACLES, n in _stale)
+)
 _back = [n for n in QUERIES if n in _verified]
 QUERIES = {n: QUERIES[n] for n in (*_front, *_rest, *_back)}

@@ -360,3 +360,78 @@ def test_mood_median_margins(spark, sf_dir):
     # median cut: above/below counts differ by at most the ties dropped
     assert above > 0 and below > 0
     assert r["chi2"] >= 0.0
+
+
+# ------------------------------------------------- round-7 prep batch
+
+
+def test_benford_probabilities_complete(spark, sf_dir):
+    rows = {r["digit"]: r for r in _q("benford_totalprice", spark, sf_dir).collect()}
+    assert set(rows) <= set(range(1, 10))
+    assert abs(sum(r["expected_p"] for r in rows.values()) - 1.0) < 1e-9 or len(rows) < 9
+    n = sum(r["n_obs"] for r in rows.values())
+    assert abs(sum(r["obs_p"] for r in rows.values()) - 1.0) < 1e-5
+    for r in rows.values():
+        assert r["chi2_term"] >= 0.0
+        assert abs(r["obs_p"] - r["n_obs"] / n) < 1e-6
+
+
+def test_burstiness_bounds(spark, sf_dir):
+    rows = _q("burstiness_events", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["burstiness"] <= 1.0
+        assert r["mean_gap_us"] > 0
+
+
+def test_streaming_kmv_matches_batch(spark, sf_dir):
+    """The min-merge must reproduce the batch KMV sketch EXACTLY."""
+    batch = _q("kmv_distinct_users", spark, sf_dir).first()
+    stream = _q("streaming_kmv_merge", spark, sf_dir).first()
+    assert tuple(batch) == tuple(stream)
+
+
+def test_assortativity_bounds(spark, sf_dir):
+    r = _q("graph_assortativity", spark, sf_dir).first()
+    assert -1.0 - 1e-9 <= r["assortativity"] <= 1.0 + 1e-9
+    # directed multiset: Σj over both directions = Σ deg² / ... at least
+    # every endpoint appears deg times, so sum_j >= m
+    assert r["sum_j"] >= r["m_directed"]
+
+
+def test_mattr_identities_and_hand_check(spark, sf_dir):
+    """MATTR is bounded by the min/max single-window TTR; recompute one
+    doc with a brute-force window scan."""
+    rows = {r["doc_id"]: r for r in _q("mattr_docs", spark, sf_dir).collect()}
+    assert rows
+    did = sorted(rows)[0]
+    text = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") == did)
+        .first()["text"]
+    )
+    toks = re.findall(r"[a-z0-9]+", text.lower())
+    W = 50
+    vals = [
+        len(set(toks[s : s + W])) / W for s in range(len(toks) - W + 1)
+    ]
+    expect = sum(vals) / len(vals)
+    r = rows[did]
+    assert r["n_tokens"] == len(toks)
+    assert r["n_types"] == len(set(toks))
+    assert abs(r["mattr"] - expect) < 1e-6
+    for r in rows.values():
+        assert 0.0 < r["mattr"] <= 1.0
+        assert r["ttr"] <= 1.0
+
+
+def test_negative_sampling_no_self_hits(spark, sf_dir):
+    rows = _q("negative_sampling_pairs", spark, sf_dir).collect()
+    anchors = {r["doc_id"] for r in rows}
+    assert len(rows) == 5 * len(anchors)
+    for r in rows:
+        assert r["neg_doc_id"] != r["doc_id"]
+    # determinism
+    again = {(r["doc_id"], r["j"]): r["neg_doc_id"] for r in rows}
+    for r in _q("negative_sampling_pairs", spark, sf_dir).collect():
+        assert again[(r["doc_id"], r["j"])] == r["neg_doc_id"]
