@@ -697,6 +697,177 @@ FROM h
 """
 
 
+# --------------------------------------------- Kaplan-Meier survival
+#
+# Right-censored survival curve of user "lifetimes" (days between
+# first and last activity; users still active in the final week of the
+# observation window are CENSORED, not churned).  The KM estimator
+# S(t) = Π_{t_i <= t} (1 - d_i/n_i) is a cumulative PRODUCT — computed
+# as an ordered fold over the sorted per-time factor list (the
+# anova/ewma pattern: Spark aggregate(array_sort(collect_list(...)))
+# ≡ DuckDB list_reduce(list_sort(list(...)))), so both engines run the
+# IDENTICAL IEEE multiplication chain.  Factors are single divisions
+# of exact integers ((n_i - d_i)/n_i); n_at_risk is an exact suffix
+# sum.
+
+_KM_CENSOR_CUTOFF = "2024-01-24"  # last-active >= this => censored
+
+
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(duration, n_risk, d_churn, n_censored, km_survival) — the user
+    retention survival curve with right censoring.  One user-grain
+    agg, then everything is duration-grain (<= observation days)."""
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.max(F.to_date("ts")).alias("d1"),
+    )
+    life = users.select(
+        F.datediff(F.col("d1"), F.col("d0")).alias("duration"),
+        (F.col("d1") < F.lit(_KM_CENSOR_CUTOFF).cast("date"))
+        .cast("int")
+        .alias("churned"),
+    )
+    per_t = life.groupBy("duration").agg(
+        F.count(F.lit(1)).alias("n_t"),
+        F.sum("churned").alias("d_churn"),
+    )
+    w_desc = Window.orderBy(F.col("duration").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = per_t.withColumn("n_risk", F.sum("n_t").over(w_desc))
+    # per-time factor: ONE division of exact integers
+    fac = at_risk.withColumn(
+        "factor",
+        (F.col("n_risk") - F.col("d_churn")).cast("double")
+        / F.col("n_risk").cast("double"),
+    )
+    # the full sorted (duration, factor) list as a one-row broadcast;
+    # per-row S(t) folds the prefix <= t in sorted order
+    flist = fac.agg(
+        F.array_sort(F.collect_list(F.struct("duration", "factor"))).alias(
+            "fl"
+        )
+    )
+    km = (
+        fac.crossJoin(F.broadcast(flist))
+        .withColumn(
+            "km_raw",
+            F.aggregate(
+                F.filter(
+                    F.col("fl"), lambda s: s["duration"] <= F.col("duration")
+                ),
+                F.lit(1.0),
+                lambda acc, s: acc * s["factor"],
+            ),
+        )
+    )
+    return km.select(
+        F.col("duration").cast("int").alias("duration"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d_churn").cast("bigint").alias("d_churn"),
+        (F.col("n_t") - F.col("d_churn")).cast("bigint").alias("n_censored"),
+        _fl6(F.col("km_raw")).alias("km_survival"),
+    )
+
+
+KM_SQL = """
+WITH users AS (SELECT user_id, min(ts::DATE) AS d0, max(ts::DATE) AS d1
+               FROM events GROUP BY 1),
+life AS (SELECT (d1 - d0) AS duration,
+                (d1 < DATE '{cutoff}')::INT AS churned
+         FROM users),
+per_t AS (SELECT duration, count(*)::BIGINT AS n_t,
+                 sum(churned)::BIGINT AS d_churn
+          FROM life GROUP BY 1),
+at_risk AS (SELECT *, sum(n_t) OVER (ORDER BY duration DESC
+                                     ROWS UNBOUNDED PRECEDING) AS n_risk
+            FROM per_t),
+fac AS (SELECT *,
+          CAST(n_risk - d_churn AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+        FROM at_risk),
+flist AS (SELECT list_sort(list({{'duration': duration, 'factor': factor}})) AS fl
+          FROM fac),
+km AS (SELECT fac.*,
+         list_reduce(
+           list_prepend(1.0,
+             list_transform(
+               list_filter(fl, s -> s.duration <= fac.duration),
+               s -> s.factor)),
+           (a, b) -> a * b) AS km_raw
+       FROM fac CROSS JOIN flist)
+SELECT duration::INT AS duration, n_risk::BIGINT AS n_risk, d_churn,
+       (n_t - d_churn)::BIGINT AS n_censored,
+       {km} AS km_survival
+FROM km
+""".format(cutoff=_KM_CENSOR_CUTOFF, km=_FL6_SQL.format(x="km_raw"))
+
+
+# --------------------------------------------- Laplace mechanism demo
+#
+# Differential-privacy-SHAPED noisy counts (the Laplace mechanism with
+# sensitivity 1 at epsilon = 0.5) over per-language document counts.
+# The "noise" is derived from the deterministic portable hash via the
+# inverse CDF — reproducible on purpose (this demonstrates the
+# mechanism's plumbing and calibration, NOT a private release; a real
+# release needs a fresh entropy source, as the docstring states).
+
+_DP_EPS_NUM, _DP_EPS_DEN = 1, 2  # epsilon = 0.5
+
+
+def dp_noisy_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_true, noise, n_noisy) — Laplace(1/eps) noisy counts per
+    language.  NOT a private release (the noise is a deterministic
+    hash so the oracle can replay it); the mechanism, scale
+    calibration, and inverse-CDF transform are the real thing."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_true"))
+    # u in (0,1): hash/2^60; Laplace inverse CDF at scale b = 1/eps:
+    # noise = -b * sign(u - 0.5) * ln(1 - 2*|u - 0.5|).  The ln is the
+    # one transcendental in this module — safe here because u depends
+    # ONLY on the 5 fixed language strings (not on sf or data volume),
+    # so the noise values are constants: having hash-matched once they
+    # match forever, and the 6dp floor absorbs any last-ulp libm
+    # difference away from a boundary.
+    u_spark = stable_hash64(F.concat(F.lit("dp:"), F.col("lang"))).cast(
+        "double"
+    ) / F.lit(float(_TWO60))
+    b = float(_DP_EPS_DEN) / float(_DP_EPS_NUM)
+    noise = (
+        -F.lit(b)
+        * F.signum(u_spark - F.lit(0.5))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u_spark - F.lit(0.5)))
+    )
+    return g.select(
+        "lang",
+        F.col("n_true").cast("bigint").alias("n_true"),
+        _fl6(noise).alias("noise"),
+        _fl6(F.col("n_true").cast("double") + noise).alias("n_noisy"),
+    )
+
+
+DP_NOISY_SQL = """
+WITH g AS (SELECT lang, count(*)::BIGINT AS n_true FROM documents GROUP BY 1),
+u AS (SELECT *,
+        CAST({h} AS DOUBLE) / CAST({two60} AS DOUBLE) AS uu
+      FROM g),
+nz AS (SELECT *,
+         -CAST({b} AS DOUBLE) * sign(uu - 0.5)
+           * ln(1.0 - 2.0 * abs(uu - 0.5)) AS noise
+       FROM u)
+SELECT lang, n_true,
+       {noise} AS noise,
+       {noisy} AS n_noisy
+FROM nz
+""".format(
+    h=stable_hash64_sql("'dp:' || lang"),
+    two60=_TWO60,
+    b=float(_DP_EPS_DEN) / float(_DP_EPS_NUM),
+    noise=_FL6_SQL.format(x="noise"),
+    noisy=_FL6_SQL.format(x="CAST(n_true AS DOUBLE) + noise"),
+)
+
+
 # --------------------------------------------- Benford first digits
 #
 # First-significant-digit audit of order totals vs Benford's law —
@@ -1370,4 +1541,6 @@ STATS_EXTRA_QUERIES = {
     # union of per-batch K-smallest heads contains the global K
     # smallest) — same oracle on purpose.
     "streaming_kmv_merge": (streaming_kmv_merge, KMV_SQL),
+    "kaplan_meier_retention": (kaplan_meier_retention, KM_SQL),
+    "dp_noisy_lang_counts": (dp_noisy_lang_counts, DP_NOISY_SQL),
 }

@@ -664,6 +664,167 @@ LIMIT {k}
 """.format(k=_TRIPLES_TOP_K)
 
 
+# --------------------------------------------- Hilbert curve locality
+#
+# The Hilbert space-filling curve as the layout alternative to Z-order
+# (zorder_events_curve): same multi-dimensional file-skipping idea, but
+# consecutive keys are always grid-adjacent, so range scans touch
+# fewer, tighter rectangles.  xy2d is the standard mask-descent
+# algorithm (rx/ry quadrant bits, d += s²·((3rx)⊕ry), reflect+swap
+# rotation) — pure integer arithmetic, unrolled over 8 bit levels as a
+# column chain, bit-identical in DuckDB by construction.  The query
+# PROVES the locality claim on data: total Manhattan jump between
+# key-consecutive points, Hilbert vs Z-order (Hilbert's every step on
+# a dense grid is distance 1; Z-order takes 2^k-sized jumps at
+# quadrant seams).
+
+_HILBERT_BITS = 8
+_HILBERT_N = 1 << _HILBERT_BITS
+
+
+def _hilbert_steps() -> list[tuple[int, dict[str, str]]]:
+    """Per-level expression templates over state columns (hx, hy, hd)
+    — the SAME text drives Spark (withColumn chain) and DuckDB
+    (chained CTEs); all-integer math, so parity is exact."""
+    steps = []
+    s = _HILBERT_N // 2
+    while s > 0:
+        steps.append(
+            (
+                s,
+                {
+                    "rx": f"CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END",
+                    "ry": f"CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END",
+                    # (3·rx) XOR ry == 3rx + ry - 2·rx·ry for bits
+                    "nd": f"hd + {s * s} * (3 * rx + ry - 2 * rx * ry)",
+                    "nx": (
+                        "CASE WHEN ry = 0 THEN (CASE WHEN rx = 1"
+                        f" THEN {_HILBERT_N - 1} - hy ELSE hy END)"
+                        " ELSE hx END"
+                    ),
+                    "ny": (
+                        "CASE WHEN ry = 0 THEN (CASE WHEN rx = 1"
+                        f" THEN {_HILBERT_N - 1} - hx ELSE hx END)"
+                        " ELSE hy END"
+                    ),
+                },
+            )
+        )
+        s //= 2
+    return steps
+
+
+def _hilbert_key(df: DataFrame) -> DataFrame:
+    """Append hkey computed from int columns x, y in [0, 256)."""
+    d = df.withColumn("hx", F.col("x")).withColumn("hy", F.col("y")).withColumn(
+        "hd", F.lit(0).cast("bigint")
+    )
+    for _s, ex in _hilbert_steps():
+        d = (
+            d.withColumn("rx", F.expr(ex["rx"]))
+            .withColumn("ry", F.expr(ex["ry"]))
+            .withColumn("hd", F.expr(ex["nd"]))
+            .withColumn("nx", F.expr(ex["nx"]))
+            .withColumn("ny", F.expr(ex["ny"]))
+            .drop("hx", "hy")
+            .withColumnRenamed("nx", "hx")
+            .withColumnRenamed("ny", "hy")
+            .drop("rx", "ry")
+        )
+    return d.withColumnRenamed("hd", "hkey").drop("hx", "hy")
+
+
+def hilbert_vs_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(curve, n_points, total_jump, max_jump, avg_jump) — Manhattan
+    distance between key-consecutive points for the Hilbert vs Z-order
+    layouts of the distinct (part mod 256, order mod 256) point set.
+    The curve keys are a pure per-row map; the comparison is one lag
+    window per curve over the (bounded, <= 65536-row) distinct point
+    set."""
+    from k_means_hadoop_spark.functions.zorder import interleave_bits
+
+    li = _t(spark, sf_dir, "lineitem")
+    pts = (
+        li.select(
+            (F.col("l_partkey") % _HILBERT_N).cast("int").alias("x"),
+            (F.col("l_orderkey") % _HILBERT_N).cast("int").alias("y"),
+        )
+        .distinct()
+    )
+    h = _hilbert_key(pts).select("x", "y", F.col("hkey").alias("key"))
+    z = pts.select(
+        "x",
+        "y",
+        interleave_bits(F.col("x"), F.col("y"), _HILBERT_BITS).alias("key"),
+    )
+
+    def jumps(df: DataFrame, name: str) -> DataFrame:
+        w = Window.orderBy("key")
+        j = df.select(
+            (
+                F.abs(F.col("x") - F.lag("x").over(w))
+                + F.abs(F.col("y") - F.lag("y").over(w))
+            ).alias("jump")
+        ).filter(F.col("jump").isNotNull())
+        return j.agg(
+            F.lit(name).alias("curve"),
+            (F.count(F.lit(1)) + 1).cast("bigint").alias("n_points"),
+            F.sum("jump").cast("bigint").alias("total_jump"),
+            F.max("jump").cast("bigint").alias("max_jump"),
+            _fl6(
+                F.sum("jump").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_jump"),
+        )
+
+    return jumps(h, "hilbert").unionByName(jumps(z, "zorder"))
+
+
+def _hilbert_sql() -> str:
+    from k_means_hadoop_spark.functions.zorder import interleave_bits_sql
+
+    ctes = [
+        """pts AS (SELECT DISTINCT (l_partkey % {n})::INT AS x,
+                       (l_orderkey % {n})::INT AS y
+        FROM lineitem),
+l0 AS (SELECT x, y, x AS hx, y AS hy, 0::BIGINT AS hd FROM pts)""".format(
+            n=_HILBERT_N
+        )
+    ]
+    prev = "l0"
+    for i, (_s, ex) in enumerate(_hilbert_steps(), start=1):
+        ctes.append(
+            f"""r{i} AS (SELECT *, {ex['rx']} AS rx, {ex['ry']} AS ry FROM {prev}),
+l{i} AS (SELECT x, y, {ex['nx']} AS hx, {ex['ny']} AS hy, {ex['nd']} AS hd FROM r{i})"""
+        )
+        prev = f"l{i}"
+    z = interleave_bits_sql("x", "y", _HILBERT_BITS)
+    jumps = """
+j_{tag} AS (SELECT abs(x - lag(x) OVER (ORDER BY key))
+                   + abs(y - lag(y) OVER (ORDER BY key)) AS jump
+            FROM k_{tag}),
+a_{tag} AS (SELECT '{tag}' AS curve,
+              (count(*) + 1)::BIGINT AS n_points,
+              sum(jump)::BIGINT AS total_jump,
+              max(jump)::BIGINT AS max_jump,
+              {avg} AS avg_jump
+            FROM j_{tag} WHERE jump IS NOT NULL)"""
+    avg = _FL6_SQL.format(
+        x="CAST(sum(jump) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f""",
+k_hilbert AS (SELECT x, y, hd AS key FROM {prev}),
+k_zorder AS (SELECT x, y, {z} AS key FROM pts),"""
+        + jumps.format(tag="hilbert", avg=avg)
+        + ","
+        + jumps.format(tag="zorder", avg=avg)
+        + """
+SELECT * FROM a_hilbert UNION ALL SELECT * FROM a_zorder"""
+    )
+
+
 TRENDS_QUERIES = {
     "q11_important_parts": (q11_important_parts, Q11_SQL),
     "streaks_active_users": (streaks_active_users, STREAKS_SQL),
@@ -677,4 +838,8 @@ TRENDS_QUERIES = {
     "attribution_first_last": (attribution_first_last, ATTRIBUTION_SQL),
     "zonemap_prune_audit": (zonemap_prune_audit, ZONEMAP_SQL),
     "market_basket_triples": (market_basket_triples, TRIPLES_SQL),
+    "hilbert_vs_zorder_locality": (
+        hilbert_vs_zorder_locality,
+        _hilbert_sql(),
+    ),
 }

@@ -940,6 +940,9 @@ _SCHEDULE: dict[str, dict] = {
     "graph_assortativity": _row(defer=2),
     "mattr_docs": _row(defer=2),
     "negative_sampling_pairs": _row(defer=2),
+    "hilbert_vs_zorder_locality": _row(defer=2),
+    "kaplan_meier_retention": _row(defer=2),
+    "dp_noisy_lang_counts": _row(defer=2),
 }
 
 

@@ -425,6 +425,78 @@ def test_mattr_identities_and_hand_check(spark, sf_dir):
         assert r["ttr"] <= 1.0
 
 
+def test_hilbert_key_matches_python_reference(spark, sf_dir):
+    """Pin the unrolled column chain against the canonical xy2d."""
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = (n - 1) - x, (n - 1) - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    from k_means_hadoop_spark.operators.trends import _hilbert_key
+
+    pts = spark.createDataFrame(
+        [(x, y) for x in range(0, 256, 17) for y in range(0, 256, 13)],
+        "x int, y int",
+    )
+    rows = _hilbert_key(pts).collect()
+    for r in rows:
+        assert r["hkey"] == xy2d(256, r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_hilbert_beats_zorder_locality(spark, sf_dir):
+    """The point of the curve: lower total Manhattan jump than Z-order
+    on the same point set."""
+    rows = {
+        r["curve"]: r
+        for r in _q("hilbert_vs_zorder_locality", spark, sf_dir).collect()
+    }
+    assert set(rows) == {"hilbert", "zorder"}
+    assert rows["hilbert"]["n_points"] == rows["zorder"]["n_points"]
+    assert rows["hilbert"]["total_jump"] < rows["zorder"]["total_jump"]
+
+
+def test_kaplan_meier_monotone_and_hand_check(spark, sf_dir):
+    """S(t) must be non-increasing in t and equal the hand-computed
+    product of factors."""
+    rows = sorted(
+        _q("kaplan_meier_retention", spark, sf_dir).collect(),
+        key=lambda r: r["duration"],
+    )
+    assert rows
+    km_prev = 1.0 + 1e-12
+    prod = 1.0
+    for r in rows:
+        assert r["km_survival"] <= km_prev + 1e-9
+        km_prev = r["km_survival"]
+        prod *= (r["n_risk"] - r["d_churn"]) / r["n_risk"]
+        assert abs(r["km_survival"] - prod) < 1e-6
+        assert r["d_churn"] + r["n_censored"] >= 1
+    # at-risk counts telescope: n_risk at t = everyone with duration >= t
+    assert rows[0]["n_risk"] == sum(
+        r["d_churn"] + r["n_censored"] for r in rows
+    )
+
+
+def test_dp_noise_calibration(spark, sf_dir):
+    """noise = n_noisy - n_true; all finite; deterministic across runs."""
+    rows = {r["lang"]: r for r in _q("dp_noisy_lang_counts", spark, sf_dir).collect()}
+    assert rows
+    for r in rows.values():
+        assert abs((r["n_true"] + r["noise"]) - r["n_noisy"]) < 2e-6
+        assert math.isfinite(r["noise"])
+    again = {r["lang"]: r["noise"] for r in _q("dp_noisy_lang_counts", spark, sf_dir).collect()}
+    assert again == {k: v["noise"] for k, v in rows.items()}
+
+
 def test_negative_sampling_no_self_hits(spark, sf_dir):
     rows = _q("negative_sampling_pairs", spark, sf_dir).collect()
     anchors = {r["doc_id"] for r in rows}
