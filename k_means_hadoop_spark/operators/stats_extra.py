@@ -697,6 +697,334 @@ FROM h
 """
 
 
+# --------------------------------------------- ridge regression
+#
+# Closed-form ridge (Tikhonov) fit of l_extendedprice on l_quantity +
+# l_discount beside the unpenalized OLS solution — the regularization
+# story for the closed-form linear-model family: the SAME one-pass
+# exact-decimal Gram sums (ols_price_model's), with lambda added to
+# the two diagonal slope entries (the intercept is not penalized)
+# before the shared-literal-text Cramer solve.  k small => only the
+# Gram matrix crosses the network.
+
+_RIDGE_LAMBDA = 1000.0
+
+
+def _ridge_formulas() -> dict[str, str]:
+    """The OLS Cramer fragments with the penalized diagonal — derived
+    by token substitution so the algebra provably matches
+    ols_price_model's pinned formulas."""
+    from k_means_hadoop_spark.operators.analytics import (
+        _OLS_B0,
+        _OLS_B1,
+        _OLS_B2,
+        _OLS_DET,
+    )
+
+    def pen(f: str) -> str:
+        return f.replace("s11", "(s11 + lam)").replace("s22", "(s22 + lam)")
+
+    return {
+        "det_r": pen(_OLS_DET),
+        "r0": pen(_OLS_B0).replace("/ det", "/ det_r"),
+        "r1": pen(_OLS_B1).replace("/ det", "/ det_r"),
+        "r2_": pen(_OLS_B2).replace("/ det", "/ det_r"),
+        "det": _OLS_DET,
+        "b0": _OLS_B0,
+        "b1": _OLS_B1,
+        "b2": _OLS_B2,
+    }
+
+
+def ridge_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_rows, lam, ridge_intercept, ridge_beta_quantity,
+    ridge_beta_discount, ols_beta_quantity, ols_beta_discount) — the
+    ridge fit at lambda={lam} next to OLS, from ONE Gram aggregate."""
+    from k_means_hadoop_spark.operators.analytics import (
+        _OLS_COLS,
+        _OLS_PRODS,
+        _dec14,
+    )
+    from k_means_hadoop_spark.operators.relational import _dec
+
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("nb")]
+    for alias, c in _OLS_COLS.items():
+        aggs.append(F.sum(_dec(c)).alias(f"{alias}_d"))
+    for alias, (a, b) in _OLS_PRODS.items():
+        aggs.append(F.sum(_dec14(a) * _dec14(b)).alias(f"{alias}_d"))
+    s = li.agg(*aggs).select(
+        F.col("nb"),
+        F.col("nb").cast("double").alias("n"),
+        F.lit(_RIDGE_LAMBDA).alias("lam"),
+        *[
+            F.col(f"{alias}_d").cast("double").alias(alias)
+            for alias in (*_OLS_COLS, *_OLS_PRODS)
+        ],
+    )
+    fx = _ridge_formulas()
+    m = s.withColumn("det_r", F.expr(fx["det_r"])).withColumn(
+        "det", F.expr(fx["det"])
+    )
+    return (
+        m.withColumn("rb0", F.expr(fx["r0"]))
+        .withColumn("rb1", F.expr(fx["r1"]))
+        .withColumn("rb2", F.expr(fx["r2_"]))
+        .withColumn("ob1", F.expr(fx["b1"]))
+        .withColumn("ob2", F.expr(fx["b2"]))
+        .select(
+            F.col("nb").alias("n_rows"),
+            F.col("lam"),
+            F.round("rb0", 6).alias("ridge_intercept"),
+            F.round("rb1", 6).alias("ridge_beta_quantity"),
+            F.round("rb2", 6).alias("ridge_beta_discount"),
+            F.round("ob1", 6).alias("ols_beta_quantity"),
+            F.round("ob2", 6).alias("ols_beta_discount"),
+        )
+    )
+
+
+ridge_price_model.__doc__ = ridge_price_model.__doc__.format(
+    lam=_RIDGE_LAMBDA
+)
+
+
+def _ridge_sql() -> str:
+    from k_means_hadoop_spark.operators.analytics import (
+        _OLS_COLS,
+        _OLS_PRODS,
+    )
+
+    fx = _ridge_formulas()
+    sum_exprs = ["count(*) AS nb", "CAST(count(*) AS DOUBLE) AS n"]
+    for alias, c in _OLS_COLS.items():
+        sum_exprs.append(
+            f"CAST(SUM(CAST({c} AS DECIMAL(18,4))) AS DOUBLE) AS {alias}"
+        )
+    for alias, (a, b) in _OLS_PRODS.items():
+        sum_exprs.append(
+            f"CAST(SUM(CAST({a} AS DECIMAL(24,4))"
+            f" * CAST({b} AS DECIMAL(14,4))) AS DOUBLE) AS {alias}"
+        )
+    return f"""
+WITH sums AS (SELECT {', '.join(sum_exprs)},
+                     CAST({_RIDGE_LAMBDA} AS DOUBLE) AS lam
+              FROM lineitem),
+d AS (SELECT *, {fx['det_r']} AS det_r, {fx['det']} AS det FROM sums),
+c AS (SELECT *, {fx['r0']} AS rb0, {fx['r1']} AS rb1, {fx['r2_']} AS rb2,
+             {fx['b1']} AS ob1, {fx['b2']} AS ob2
+      FROM d)
+SELECT nb AS n_rows, lam,
+       round(rb0, 6) AS ridge_intercept,
+       round(rb1, 6) AS ridge_beta_quantity,
+       round(rb2, 6) AS ridge_beta_discount,
+       round(ob1, 6) AS ols_beta_quantity,
+       round(ob2, 6) AS ols_beta_discount
+FROM c
+"""
+
+
+# --------------------------------------------- logistic Newton step
+#
+# One Newton-Raphson step from beta = 0 for P(lang = 'en' | 1, chars,
+# words): at beta = 0 the weights are the constant 1/4, so the step has
+# the CLOSED FORM beta1 = 2 (X'X)^-1 X'(2y - 1) — the same 3x3 Gram
+# matrix as OLS (shared Cramer text) and an exact-integer gradient
+# (2y - 1 in {-1, +1}).  This is the distributed shape of IRLS: one
+# Gram + gradient aggregate per step, constant-size solve.
+
+
+def logistic_newton_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_docs, n_pos, b0, b_chars, b_words) — the first IRLS
+    step of the lang='en' logistic model.  One exact-integer aggregate
+    over the corpus; everything after is shared literal arithmetic."""
+    from k_means_hadoop_spark.operators.analytics import (
+        _OLS_B0,
+        _OLS_B1,
+        _OLS_B2,
+        _OLS_DET,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("x1"),
+        F.expr("size(regexp_extract_all(text, '[^ ]+', 0))").alias("x2"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    g = d.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("y").alias("n_pos"),
+        F.sum("x1").alias("sx1_i"),
+        F.sum("x2").alias("sx2_i"),
+        F.sum(F.col("x1").cast("decimal(38,0)") * F.col("x1")).alias("s11_i"),
+        F.sum(F.col("x1").cast("decimal(38,0)") * F.col("x2")).alias("s12_i"),
+        F.sum(F.col("x2").cast("decimal(38,0)") * F.col("x2")).alias("s22_i"),
+        F.sum(2 * F.col("y") - 1).alias("g0_i"),
+        F.sum(F.col("x1") * (2 * F.col("y") - 1)).alias("g1_i"),
+        F.sum(F.col("x2") * (2 * F.col("y") - 1)).alias("g2_i"),
+    )
+    s = g.select(
+        "nb",
+        "n_pos",
+        F.col("nb").cast("double").alias("n"),
+        F.col("sx1_i").cast("double").alias("sx1"),
+        F.col("sx2_i").cast("double").alias("sx2"),
+        F.col("s11_i").cast("double").alias("s11"),
+        F.col("s12_i").cast("double").alias("s12"),
+        F.col("s22_i").cast("double").alias("s22"),
+        F.col("g0_i").cast("double").alias("sy"),
+        F.col("g1_i").cast("double").alias("s1y"),
+        F.col("g2_i").cast("double").alias("s2y"),
+    )
+    # beta = 2 * (X'X)^-1 X'(2y-1): reuse the OLS Cramer text (its
+    # "y-vector" sums are exactly our gradient sums), then double
+    m = s.withColumn("det", F.expr(_OLS_DET))
+    c = (
+        m.withColumn("b0", F.expr(f"2 * ({_OLS_B0})"))
+        .withColumn("b1", F.expr(f"2 * ({_OLS_B1})"))
+        .withColumn("b2", F.expr(f"2 * ({_OLS_B2})"))
+    )
+    return c.select(
+        F.col("nb").cast("bigint").alias("n_docs"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        _fl6(F.col("b0")).alias("b0"),
+        _fl6(F.col("b1")).alias("b_chars"),
+        _fl6(F.col("b2")).alias("b_words"),
+    )
+
+
+def _logistic_sql() -> str:
+    from k_means_hadoop_spark.operators.analytics import (
+        _OLS_B0,
+        _OLS_B1,
+        _OLS_B2,
+        _OLS_DET,
+    )
+
+    return """
+WITH d AS (SELECT n_chars AS x1,
+                  len(regexp_extract_all(text, '[^ ]+')) AS x2,
+                  (lang = 'en')::INT AS y
+           FROM documents),
+g AS (SELECT count(*)::BIGINT AS nb, sum(y)::BIGINT AS n_pos,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x1) AS DOUBLE) AS sx1,
+             CAST(sum(x2) AS DOUBLE) AS sx2,
+             CAST(sum(x1::DECIMAL(38,0) * x1) AS DOUBLE) AS s11,
+             CAST(sum(x1::DECIMAL(38,0) * x2) AS DOUBLE) AS s12,
+             CAST(sum(x2::DECIMAL(38,0) * x2) AS DOUBLE) AS s22,
+             CAST(sum(2 * y - 1) AS DOUBLE) AS sy,
+             CAST(sum(x1 * (2 * y - 1)) AS DOUBLE) AS s1y,
+             CAST(sum(x2 * (2 * y - 1)) AS DOUBLE) AS s2y
+      FROM d),
+m AS (SELECT *, {det} AS det FROM g),
+c AS (SELECT *, 2 * ({b0}) AS b0, 2 * ({b1}) AS b1, 2 * ({b2}) AS b2 FROM m)
+SELECT nb AS n_docs, n_pos,
+       {fb0} AS b0,
+       {fb1} AS b_chars,
+       {fb2} AS b_words
+FROM c
+""".format(
+        det=_OLS_DET,
+        b0=_OLS_B0,
+        b1=_OLS_B1,
+        b2=_OLS_B2,
+        fb0=_FL6_SQL.format(x="b0"),
+        fb1=_FL6_SQL.format(x="b1"),
+        fb2=_FL6_SQL.format(x="b2"),
+    )
+
+
+# --------------------------------------------- Cronbach's alpha
+#
+# Internal-consistency reliability of a k=3 "quality item" battery
+# (chars, words, distinct words) per document:
+#   alpha = k/(k-1) * (1 - SUM_i var_i / var_total)
+# with population variances; the variance RATIO is one division of
+# exact integers: SUM_i (n*Qi - Si^2)  /  (n*Qt - St^2).
+
+
+def cronbach_alpha_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_docs, k_items, var_ratio, alpha) — reliability of the
+    3-item document quality battery.  One exact-integer aggregate."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("i1"),
+        F.expr("size(regexp_extract_all(text, '[^ ]+', 0))").alias("i2"),
+        F.expr(
+            "size(array_distinct(regexp_extract_all(lower(text), '[a-z0-9]+', 0)))"
+        ).alias("i3"),
+    )
+    d = d.withColumn("t", F.col("i1") + F.col("i2") + F.col("i3"))
+
+    def d38(c):
+        return c.cast("decimal(38,0)")
+
+    g = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(c).alias(f"s_{c}") for c in ("i1", "i2", "i3", "t")],
+        *[
+            F.sum(d38(F.col(c)) * d38(F.col(c))).alias(f"q_{c}")
+            for c in ("i1", "i2", "i3", "t")
+        ],
+    )
+    num = (
+        "(CAST(n AS DECIMAL(38,0)) * q_i1 - CAST(s_i1 AS DECIMAL(38,0)) * s_i1)"
+        " + (CAST(n AS DECIMAL(38,0)) * q_i2 - CAST(s_i2 AS DECIMAL(38,0)) * s_i2)"
+        " + (CAST(n AS DECIMAL(38,0)) * q_i3 - CAST(s_i3 AS DECIMAL(38,0)) * s_i3)"
+    )
+    den = "(CAST(n AS DECIMAL(38,0)) * q_t - CAST(s_t AS DECIMAL(38,0)) * s_t)"
+    ratio = f"CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)"
+    return g.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.lit(3).cast("int").alias("k_items"),
+        _fl6(F.expr(ratio)).alias("var_ratio"),
+        _fl6(
+            F.expr(
+                f"CAST(3 AS DOUBLE) / CAST(2 AS DOUBLE)"
+                f" * (CAST(1 AS DOUBLE) - ({ratio}))"
+            )
+        ).alias("alpha"),
+    )
+
+
+_CRONBACH_NUM = (
+    "(CAST(n AS DECIMAL(38,0)) * q_i1 - CAST(s_i1 AS DECIMAL(38,0)) * s_i1)"
+    " + (CAST(n AS DECIMAL(38,0)) * q_i2 - CAST(s_i2 AS DECIMAL(38,0)) * s_i2)"
+    " + (CAST(n AS DECIMAL(38,0)) * q_i3 - CAST(s_i3 AS DECIMAL(38,0)) * s_i3)"
+)
+_CRONBACH_DEN = (
+    "(CAST(n AS DECIMAL(38,0)) * q_t - CAST(s_t AS DECIMAL(38,0)) * s_t)"
+)
+_CRONBACH_RATIO = (
+    f"CAST({_CRONBACH_NUM} AS DOUBLE) / CAST({_CRONBACH_DEN} AS DOUBLE)"
+)
+
+CRONBACH_SQL = """
+WITH d AS (SELECT n_chars AS i1,
+                  len(regexp_extract_all(text, '[^ ]+')) AS i2,
+                  len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS i3
+           FROM documents),
+dt AS (SELECT *, i1 + i2 + i3 AS t FROM d),
+g AS (SELECT count(*)::BIGINT AS n,
+             sum(i1)::BIGINT AS s_i1, sum(i2)::BIGINT AS s_i2,
+             sum(i3)::BIGINT AS s_i3, sum(t)::BIGINT AS s_t,
+             sum(i1::DECIMAL(38,0) * i1) AS q_i1,
+             sum(i2::DECIMAL(38,0) * i2) AS q_i2,
+             sum(i3::DECIMAL(38,0) * i3) AS q_i3,
+             sum(t::DECIMAL(38,0) * t) AS q_t
+      FROM dt)
+SELECT n AS n_docs, 3::INT AS k_items,
+       {ratio} AS var_ratio,
+       {alpha} AS alpha
+FROM g
+""".format(
+    ratio=_FL6_SQL.format(x=_CRONBACH_RATIO),
+    alpha=_FL6_SQL.format(
+        x="CAST(3 AS DOUBLE) / CAST(2 AS DOUBLE)"
+        f" * (CAST(1 AS DOUBLE) - ({_CRONBACH_RATIO}))"
+    ),
+)
+
+
 # --------------------------------------------- Kaplan-Meier survival
 #
 # Right-censored survival curve of user "lifetimes" (days between
@@ -1543,4 +1871,7 @@ STATS_EXTRA_QUERIES = {
     "streaming_kmv_merge": (streaming_kmv_merge, KMV_SQL),
     "kaplan_meier_retention": (kaplan_meier_retention, KM_SQL),
     "dp_noisy_lang_counts": (dp_noisy_lang_counts, DP_NOISY_SQL),
+    "ridge_price_model": (ridge_price_model, _ridge_sql()),
+    "logistic_newton_step": (logistic_newton_step, _logistic_sql()),
+    "cronbach_alpha_items": (cronbach_alpha_items, CRONBACH_SQL),
 }

@@ -943,6 +943,9 @@ _SCHEDULE: dict[str, dict] = {
     "hilbert_vs_zorder_locality": _row(defer=2),
     "kaplan_meier_retention": _row(defer=2),
     "dp_noisy_lang_counts": _row(defer=2),
+    "ridge_price_model": _row(defer=2),
+    "logistic_newton_step": _row(defer=2),
+    "cronbach_alpha_items": _row(defer=2),
 }
 
 

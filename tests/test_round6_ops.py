@@ -497,6 +497,83 @@ def test_dp_noise_calibration(spark, sf_dir):
     assert again == {k: v["noise"] for k, v in rows.items()}
 
 
+def test_ridge_matches_numpy(spark, sf_dir):
+    """Pin the penalized Cramer solve against numpy.linalg.solve; at
+    lambda -> the fixed 1000, ridge slopes must shrink toward zero
+    relative to OLS (the regularization sanity)."""
+    import numpy as np
+
+    r = _q("ridge_price_model", spark, sf_dir).first()
+    rows = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_quantity", "l_discount", "l_extendedprice")
+        .collect()
+    )
+    X = np.array([[1.0, a["l_quantity"], a["l_discount"]] for a in rows])
+    y = np.array([a["l_extendedprice"] for a in rows])
+    G = X.T @ X
+    lam = r["lam"]
+    Gp = G + np.diag([0.0, lam, lam])
+    beta = np.linalg.solve(Gp, X.T @ y)
+    assert abs(r["ridge_intercept"] - beta[0]) < max(1e-3, abs(beta[0]) * 1e-5)
+    assert abs(r["ridge_beta_quantity"] - beta[1]) < 1e-4
+    assert abs(r["ridge_beta_discount"] - beta[2]) < max(1e-3, abs(beta[2]) * 1e-4)
+    # shrinkage: |ridge slope| <= |ols slope| on the penalized coords
+    assert abs(r["ridge_beta_discount"]) <= abs(r["ols_beta_discount"]) + 1e-9
+
+
+def test_logistic_newton_matches_numpy(spark, sf_dir):
+    import re as _re
+
+    import numpy as np
+
+    r = _q("logistic_newton_step", spark, sf_dir).first()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("n_chars", "text", "lang")
+        .collect()
+    )
+    X = np.array(
+        [[1.0, d["n_chars"], len(_re.findall(r"[^ ]+", d["text"]))] for d in docs]
+    )
+    y = np.array([1.0 if d["lang"] == "en" else 0.0 for d in docs])
+    beta = 2.0 * np.linalg.solve(X.T @ X, X.T @ (2 * y - 1))
+    assert abs(r["b0"] - beta[0]) < 1e-4
+    assert abs(r["b_chars"] - beta[1]) < 1e-6
+    assert abs(r["b_words"] - beta[2]) < 1e-5
+    assert r["n_pos"] == int(y.sum())
+
+
+def test_cronbach_alpha_hand_recompute(spark, sf_dir):
+    import re as _re
+
+    import numpy as np
+
+    r = _q("cronbach_alpha_items", spark, sf_dir).first()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("n_chars", "text")
+        .collect()
+    )
+    items = np.array(
+        [
+            [
+                d["n_chars"],
+                len(_re.findall(r"[^ ]+", d["text"])),
+                len(set(_re.findall(r"[a-z0-9]+", d["text"].lower()))),
+            ]
+            for d in docs
+        ],
+        dtype=float,
+    )
+    var_i = items.var(axis=0).sum()
+    var_t = items.sum(axis=1).var()
+    alpha = 1.5 * (1 - var_i / var_t)
+    assert abs(r["alpha"] - alpha) < 1e-5
+    assert r["n_docs"] == len(docs)
+    assert r["alpha"] <= 1.0 + 1e-9
+
+
 def test_negative_sampling_no_self_hits(spark, sf_dir):
     rows = _q("negative_sampling_pairs", spark, sf_dir).collect()
     anchors = {r["doc_id"] for r in rows}
