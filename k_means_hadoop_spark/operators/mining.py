@@ -739,6 +739,101 @@ FROM cand JOIN ranks neg ON neg.r = cand.c
 )
 
 
+# --------------------------------------------- personalized PageRank
+#
+# PageRank with the teleport mass restricted to a SEED set (parts <=
+# {seed}) — the "related to these products" recommendation ranking, vs
+# the global importance of pagerank_copurchase.  Same iteration shape
+# (ranks join edges on src, one grouped sum per round), same fixed-
+# iteration unrolled-CTE value oracle; the only change is the teleport
+# vector: (1-d)·1/|S| on seeds, 0 elsewhere.
+
+_PPR_DAMPING = 0.85
+_PPR_ITERS = 5
+_PPR_SEED_MAX = 50
+
+
+def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part, rank) — personalized PageRank from the seed set on the
+    bounded co-purchase graph.  Node-/edge-sized joins per iteration;
+    only node-grain tables leave the loop."""
+    e = _copurchase_edges(spark, sf_dir)
+    edges = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
+        e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("part"), "deg").localCheckpoint(
+        eager=True
+    )
+    seeds = nodes.filter(F.col("part") <= _PPR_SEED_MAX)
+    n_seeds = seeds.count()
+    d = _PPR_DAMPING
+    tele = nodes.select(
+        "part",
+        F.when(F.col("part") <= _PPR_SEED_MAX, F.lit(1.0 / n_seeds))
+        .otherwise(F.lit(0.0))
+        .alias("tele"),
+    ).localCheckpoint(eager=True)
+    ranks = tele.select("part", F.col("tele").alias("rank"))
+    for _ in range(_PPR_ITERS):
+        contrib = (
+            ranks.join(nodes, "part")
+            .select(
+                F.col("part").alias("src"),
+                (F.col("rank") / F.col("deg").cast("double")).alias("c"),
+            )
+            .join(edges, "src")
+            .groupBy(F.col("dst").alias("part"))
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            tele.join(contrib, "part", "left")
+            .select(
+                "part",
+                (
+                    F.lit(1.0 - d) * F.col("tele")
+                    + F.lit(d) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("part", F.round("rank", 6).alias("rank"))
+
+
+def _ppr_sql() -> str:
+    d = _PPR_DAMPING
+    parts = [
+        _EDGES_CTE.strip()
+        + """,
+edges AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e
+                       UNION ALL SELECT pb, pa FROM e),
+deg AS MATERIALIZED (SELECT src AS part, count(*)::BIGINT AS deg
+                     FROM edges GROUP BY src),
+ns AS (SELECT count(*)::BIGINT AS n_seeds FROM deg WHERE part <= {seed}),
+tele AS MATERIALIZED (
+  SELECT part, deg,
+         CASE WHEN part <= {seed} THEN 1.0::DOUBLE / ns.n_seeds::DOUBLE
+              ELSE 0.0::DOUBLE END AS tele
+  FROM deg CROSS JOIN ns),
+r0 AS (SELECT part, tele AS rank FROM tele)""".format(seed=_PPR_SEED_MAX)
+    ]
+    for i in range(1, _PPR_ITERS + 1):
+        parts.append(
+            f"""c{i} AS (SELECT e.dst AS part, sum(r.rank / t.deg::DOUBLE) AS in_sum
+  FROM r{i - 1} r JOIN tele t ON t.part = r.part JOIN edges e ON e.src = r.part
+  GROUP BY e.dst),
+r{i} AS (SELECT t.part,
+         (1.0::DOUBLE - {d}::DOUBLE) * t.tele
+           + {d}::DOUBLE * coalesce(c.in_sum, 0.0::DOUBLE) AS rank
+  FROM tele t LEFT JOIN c{i} c ON c.part = t.part)"""
+        )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f" SELECT part, round(rank, 6) AS rank FROM r{_PPR_ITERS}"
+    )
+
+
 MINING_QUERIES = {
     "hits_copurchase": (hits_copurchase, _hits_sql()),
     "resource_allocation_links": (resource_allocation_links, RA_SQL),
@@ -748,4 +843,5 @@ MINING_QUERIES = {
     "graph_assortativity": (graph_assortativity, ASSORTATIVITY_SQL),
     "mattr_docs": (mattr_docs, MATTR_SQL),
     "negative_sampling_pairs": (negative_sampling_pairs, NEG_SAMPLING_SQL),
+    "pagerank_personalized": (pagerank_personalized, _ppr_sql()),
 }

@@ -697,6 +697,248 @@ FROM h
 """
 
 
+# --------------------------------------------- exact percentiles
+#
+# EXACT interpolated percentiles (the percentile_cont semantics) per
+# event type, as a VALUE oracle — the exact complement of the
+# approx_percentile contract entries.  With cents c_(1..n) sorted and
+# index i = (n-1)p/100 = k + r/100 (k, r exact integers), the result
+# is (c_(k+1)·(100-r) + c_(k+2)·r) / 100 — exact integer arithmetic
+# and ONE division per output cell.
+
+_PCTS = (25, 50, 75, 90)
+
+
+def exact_percentiles_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, p, pct_value) — exact interpolated percentiles of
+    event value.  One type-partitioned sort window; the percentile
+    picks are two positional joins against k+1/k+2 — type-grain rows
+    only after the first window."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    ranked = ev.select(
+        "event_type", "c", F.row_number().over(w).cast("bigint").alias("rn")
+    )
+    n = ranked.groupBy("event_type").agg(F.max("rn").alias("n"))
+    picks = (
+        n.withColumn("p", F.explode(F.array(*[F.lit(p) for p in _PCTS])))
+        .withColumn("k", F.expr("(n - 1) * p DIV 100"))
+        .withColumn("r", F.expr("(n - 1) * p % 100"))
+    )
+    lo = ranked.select(
+        F.col("event_type").alias("et_lo"),
+        F.col("rn").alias("rn_lo"),
+        F.col("c").alias("c_lo"),
+    )
+    hi = ranked.select(
+        F.col("event_type").alias("et_hi"),
+        F.col("rn").alias("rn_hi"),
+        F.col("c").alias("c_hi"),
+    )
+    j = (
+        picks.join(
+            lo,
+            (F.col("event_type") == F.col("et_lo"))
+            & (F.col("rn_lo") == F.col("k") + 1),
+        )
+        .join(
+            hi,
+            (F.col("event_type") == F.col("et_hi"))
+            & (F.col("rn_hi") == F.least(F.col("k") + 2, F.col("n"))),
+        )
+    )
+    # cents -> currency: (lo*(100-r) + hi*r) / 100 is interpolated
+    # cents; a further /100 converts to value units — ONE combined
+    # division by 10000 of an exact integer
+    val = (
+        "CAST(c_lo * (100 - r) + c_hi * r AS DOUBLE)"
+        " / CAST(10000 AS DOUBLE)"
+    )
+    return j.select(
+        "event_type",
+        F.col("p").cast("int").alias("p"),
+        _fl6(F.expr(val)).alias("pct_value"),
+    )
+
+
+EXACT_PCT_SQL = """
+WITH ev AS (SELECT event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+                   event_id
+            FROM events),
+ranked AS (SELECT event_type, c,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY c, event_id) AS rn
+           FROM ev),
+n AS (SELECT event_type, max(rn)::BIGINT AS n FROM ranked GROUP BY 1),
+picks AS (SELECT event_type, n, p,
+                 (n - 1) * p // 100 AS k,
+                 (n - 1) * p % 100 AS r
+          FROM n, (SELECT unnest([{plist}]) AS p)),
+j AS (SELECT picks.event_type, p, r, n, k,
+             lo.c AS c_lo, hi.c AS c_hi
+      FROM picks
+      JOIN ranked lo ON lo.event_type = picks.event_type AND lo.rn = k + 1
+      JOIN ranked hi ON hi.event_type = picks.event_type
+                    AND hi.rn = least(k + 2, n))
+SELECT event_type, p::INT AS p,
+       {val} AS pct_value
+FROM j
+""".format(
+    plist=", ".join(str(p) for p in _PCTS),
+    val=_FL6_SQL.format(
+        x="CAST(c_lo * (100 - r) + c_hi * r AS DOUBLE) / CAST(10000 AS DOUBLE)"
+    ),
+)
+
+
+# --------------------------------------------- two-way ANOVA
+#
+# Two-factor decomposition (event_type × day-of-week) of event value
+# with interaction, using the classical unweighted sums formulas (the
+# proportional-frequencies assumption is stated, not hidden):
+#   SS_A = Σ_a S_a²/n_a - C,  SS_cells = Σ_ab S_ab²/n_ab - C,
+#   SS_AB = SS_cells - SS_A - SS_B,  SS_err = SS_tot - SS_cells.
+# Each Σ over groups of S²/n terms (doubles with engine-varying group
+# order) runs as the ORDERED fold over the key-sorted term list — the
+# anova_event_values pattern — so both engines execute the identical
+# IEEE addition chain.
+
+
+def anova_two_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_tot, a_levels, b_levels, ss_a, ss_b, ss_ab, ss_err,
+    f_a, f_b, f_ab) — two-way ANOVA of value across event_type x dow.
+    One cell-grain aggregate over the corpus; three <= 35-element
+    ordered folds."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("a"),
+        (
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) % 7
+        ).alias("b"),
+        F.col("value").cast("decimal(10,6)").alias("x"),
+    )
+    cells = ev.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_ab"), F.sum("x").alias("s_ab")
+    )
+    term = "CAST(s_ab AS DOUBLE) * CAST(s_ab AS DOUBLE) / CAST(n_ab AS DOUBLE)"
+    cells = cells.withColumn("term", F.expr(term))
+
+    def fold(df: DataFrame, keys: list[str], out: str) -> DataFrame:
+        return df.agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(*keys, "term"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["term"],
+            ).alias(out),
+            F.count(F.lit(1)).alias(f"k_{out}"),
+        )
+
+    # marginals share the same exact-decimal sums regrouped
+    a_m = ev.groupBy("a").agg(
+        F.count(F.lit(1)).alias("n_ab"), F.sum("x").alias("s_ab")
+    ).withColumn("term", F.expr(term))
+    b_m = ev.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_ab"), F.sum("x").alias("s_ab")
+    ).withColumn("term", F.expr(term))
+    g = ev.agg(
+        F.count(F.lit(1)).alias("n_tot"),
+        F.sum("x").alias("s_tot"),
+        F.sum(F.col("x") * F.col("x")).alias("q_tot"),
+    )
+    f_cells = fold(cells, ["a", "b"], "sum_cells")
+    f_a = fold(a_m, ["a"], "sum_a")
+    f_b = fold(b_m, ["b"], "sum_b")
+    j = (
+        g.crossJoin(F.broadcast(f_cells))
+        .crossJoin(F.broadcast(f_a))
+        .crossJoin(F.broadcast(f_b))
+    )
+    finals = {
+        "c_corr": "CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)",
+        "ss_a": "sum_a - c_corr",
+        "ss_b": "sum_b - c_corr",
+        "ss_cells": "sum_cells - c_corr",
+        "ss_ab": "ss_cells - ss_a - ss_b",
+        "ss_tot": "CAST(q_tot AS DOUBLE) - c_corr",
+        "ss_err": "ss_tot - ss_cells",
+        "df_a": "k_sum_a - 1",
+        "df_b": "k_sum_b - 1",
+        "df_ab": "(k_sum_a - 1) * (k_sum_b - 1)",
+        "df_err": "n_tot - k_sum_cells",
+        "f_a": "(ss_a / df_a) / (ss_err / df_err)",
+        "f_b": "(ss_b / df_b) / (ss_err / df_err)",
+        "f_ab": "(ss_ab / df_ab) / (ss_err / df_err)",
+    }
+    for alias, expr in finals.items():
+        j = j.withColumn(alias, F.expr(expr))
+    return j.select(
+        F.col("n_tot").cast("bigint").alias("n_tot"),
+        F.col("k_sum_a").cast("int").alias("a_levels"),
+        F.col("k_sum_b").cast("int").alias("b_levels"),
+        F.round("ss_a", 6).alias("ss_a"),
+        F.round("ss_b", 6).alias("ss_b"),
+        F.round("ss_ab", 6).alias("ss_ab"),
+        F.round("ss_err", 6).alias("ss_err"),
+        F.round("f_a", 6).alias("f_a"),
+        F.round("f_b", 6).alias("f_b"),
+        F.round("f_ab", 6).alias("f_ab"),
+    )
+
+
+def _anova2_sql() -> str:
+    term = "CAST(s_ab AS DOUBLE) * CAST(s_ab AS DOUBLE) / CAST(n_ab AS DOUBLE)"
+    finals = (
+        "CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE) AS c_corr"
+    )
+    return f"""
+WITH ev AS (SELECT event_type AS a,
+                   (ts::DATE - DATE '2024-01-01') % 7 AS b,
+                   CAST(value AS DECIMAL(10,6)) AS x
+            FROM events),
+cells AS (SELECT a, b, count(*)::BIGINT AS n_ab, SUM(x) AS s_ab FROM ev GROUP BY 1, 2),
+am AS (SELECT a, count(*)::BIGINT AS n_ab, SUM(x) AS s_ab FROM ev GROUP BY 1),
+bm AS (SELECT b, count(*)::BIGINT AS n_ab, SUM(x) AS s_ab FROM ev GROUP BY 1),
+fc AS (SELECT count(*)::BIGINT AS k_sum_cells,
+              list_reduce(list_prepend(0.0, list_transform(
+                list_sort(list({{'a': a, 'b': b, 'term': {term}}})),
+                s -> s.term)), (p, q) -> p + q) AS sum_cells
+       FROM cells),
+fa AS (SELECT count(*)::BIGINT AS k_sum_a,
+              list_reduce(list_prepend(0.0, list_transform(
+                list_sort(list({{'a': a, 'term': {term}}})),
+                s -> s.term)), (p, q) -> p + q) AS sum_a
+       FROM am),
+fb AS (SELECT count(*)::BIGINT AS k_sum_b,
+              list_reduce(list_prepend(0.0, list_transform(
+                list_sort(list({{'b': b, 'term': {term}}})),
+                s -> s.term)), (p, q) -> p + q) AS sum_b
+       FROM bm),
+g AS (SELECT count(*)::BIGINT AS n_tot, SUM(x) AS s_tot, SUM(x * x) AS q_tot FROM ev),
+j AS (SELECT *, {finals}
+      FROM g CROSS JOIN fc CROSS JOIN fa CROSS JOIN fb),
+s1 AS (SELECT *, sum_a - c_corr AS ss_a, sum_b - c_corr AS ss_b,
+              sum_cells - c_corr AS ss_cells,
+              CAST(q_tot AS DOUBLE) - c_corr AS ss_tot
+       FROM j),
+s2 AS (SELECT *, ss_cells - ss_a - ss_b AS ss_ab, ss_tot - ss_cells AS ss_err,
+              k_sum_a - 1 AS df_a, k_sum_b - 1 AS df_b,
+              (k_sum_a - 1) * (k_sum_b - 1) AS df_ab,
+              n_tot - k_sum_cells AS df_err
+       FROM s1)
+SELECT n_tot, k_sum_a::INT AS a_levels, k_sum_b::INT AS b_levels,
+       round(ss_a, 6) AS ss_a, round(ss_b, 6) AS ss_b,
+       round(ss_ab, 6) AS ss_ab, round(ss_err, 6) AS ss_err,
+       round((ss_a / df_a) / (ss_err / df_err), 6) AS f_a,
+       round((ss_b / df_b) / (ss_err / df_err), 6) AS f_b,
+       round((ss_ab / df_ab) / (ss_err / df_err), 6) AS f_ab
+FROM s2
+"""
+
+
 # --------------------------------------------- ridge regression
 #
 # Closed-form ridge (Tikhonov) fit of l_extendedprice on l_quantity +
@@ -1874,4 +2116,6 @@ STATS_EXTRA_QUERIES = {
     "ridge_price_model": (ridge_price_model, _ridge_sql()),
     "logistic_newton_step": (logistic_newton_step, _logistic_sql()),
     "cronbach_alpha_items": (cronbach_alpha_items, CRONBACH_SQL),
+    "exact_percentiles_values": (exact_percentiles_values, EXACT_PCT_SQL),
+    "anova_two_way": (anova_two_way, _anova2_sql()),
 }

@@ -946,6 +946,10 @@ _SCHEDULE: dict[str, dict] = {
     "ridge_price_model": _row(defer=2),
     "logistic_newton_step": _row(defer=2),
     "cronbach_alpha_items": _row(defer=2),
+    "exact_percentiles_values": _row(defer=2),
+    "anova_two_way": _row(defer=2),
+    "pagerank_personalized": _row(defer=2),
+    "streaming_outer_interval_join": _row(defer=2),
 }
 
 

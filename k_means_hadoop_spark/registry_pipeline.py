@@ -2249,6 +2249,73 @@ WHERE v.event_type = 'view' AND c.event_type = 'click'
 """
 
 
+def q_streaming_outer_interval_join(spark, sf_dir):
+    """Stream-STREAM LEFT OUTER interval join — the unmatched-side
+    semantics the inner join can't show: a view with no click within
+    30 min emits a NULL-click row, but only once the global watermark
+    (min over BOTH streams of max event time - 2h) passes
+    view_ts + 30 min, because until then a matching click could still
+    arrive.  Drained with availableNow the result is therefore the
+    batch left join MINUS the null rows still held in state — a
+    DETERMINISTIC set for a finite source, and the oracle encodes
+    exactly that eviction rule (matched pairs unconditionally, null
+    rows only where view_ts + 30 min < watermark).  This pins Spark's
+    outer-join state eviction, not just the join condition."""
+    from k_means_hadoop_spark.streaming.stream_kmeans import read_event_stream
+
+    def side(et, user, eid, ts):
+        return (
+            read_event_stream(spark, f"{sf_dir}/events.parquet")
+            .filter(F.col("event_type") == et)
+            .select(
+                F.col("user_id").alias(user),
+                F.col("event_id").alias(eid),
+                F.col("ts").alias(ts),
+            )
+            .withWatermark(ts, "2 hours")
+        )
+
+    v = side("view", "v_user", "view_id", "view_ts")
+    c = side("click", "c_user", "click_id", "click_ts")
+    j = v.join(
+        c,
+        F.expr(
+            "v_user = c_user AND click_ts >= view_ts"
+            " AND click_ts <= view_ts + INTERVAL 30 minutes"
+        ),
+        "leftOuter",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    )
+    name = _drain(j, "stream_louter")
+    return spark.table(name)
+
+
+STREAMING_OUTER_JOIN_SQL = """
+WITH v AS (SELECT user_id AS v_user, event_id AS view_id, ts AS view_ts
+           FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id AS c_user, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'),
+wm AS (SELECT least((SELECT max(view_ts) FROM v),
+                    (SELECT max(click_ts) FROM c))
+              - INTERVAL 2 HOURS AS w),
+j AS (SELECT v.v_user AS user_id, v.view_id, c.click_id,
+             (epoch_us(c.click_ts) - epoch_us(v.view_ts))::BIGINT AS gap_us,
+             v.view_ts
+      FROM v LEFT JOIN c
+        ON v.v_user = c.c_user
+       AND c.click_ts >= v.view_ts
+       AND c.click_ts <= v.view_ts + INTERVAL 30 MINUTE)
+SELECT user_id, view_id, click_id, gap_us
+FROM j CROSS JOIN wm
+WHERE click_id IS NOT NULL
+   OR view_ts + INTERVAL 30 MINUTE < wm.w
+"""
+
+
 def q_streaming_upsert_snapshot(spark, sf_dir):
     """foreachBatch CDC upsert driven to completion: maintain a
     latest-record-per-key parquet snapshot from the event stream
@@ -3010,6 +3077,7 @@ SELECT qid, nid, round(sim, 6) AS cos_sim, rank FROM ranked WHERE rank <= 5""",
     "streaming_dedup_keys": STREAMING_DEDUP_SQL,
     "streaming_enrich_join": STREAMING_ENRICH_SQL,
     "streaming_interval_join": STREAMING_INTERVAL_JOIN_SQL,
+    "streaming_outer_interval_join": STREAMING_OUTER_JOIN_SQL,
     "top_terms_corpus": _top_terms_sql(50),
     "streaming_session_windows": SESSION_WINDOW_SQL,
     "unpivot_quality_metrics": _unpivot_quality_sql(),
@@ -3095,6 +3163,7 @@ PIPELINE_QUERIES = {
     "streaming_dedup_keys": q_streaming_dedup_keys,
     "streaming_enrich_join": q_streaming_enrich_join,
     "streaming_interval_join": q_streaming_interval_join,
+    "streaming_outer_interval_join": q_streaming_outer_interval_join,
     "top_terms_corpus": q_top_terms,
     "streaming_session_windows": q_streaming_session_windows,
     "unpivot_quality_metrics": q_unpivot_quality,

@@ -574,6 +574,68 @@ def test_cronbach_alpha_hand_recompute(spark, sf_dir):
     assert r["alpha"] <= 1.0 + 1e-9
 
 
+def test_exact_percentiles_match_numpy(spark, sf_dir):
+    """Pin the positional interpolation against numpy.percentile
+    (linear interpolation = the percentile_cont semantics) on cents."""
+    import numpy as np
+
+    rows = _q("exact_percentiles_values", spark, sf_dir).collect()
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(
+            math.floor(r["value"] * 100 + 0.5)
+        )
+    for r in rows:
+        expect = np.percentile(
+            np.array(by_type[r["event_type"]], dtype=float),
+            r["p"],
+            method="linear",
+        ) / 100.0
+        assert abs(r["pct_value"] - expect) < 1e-6, (r["event_type"], r["p"])
+
+
+def test_anova_two_way_decomposition(spark, sf_dir):
+    """SS components must be non-negative-ish and sum to SS_total; the
+    one-way ANOVA on factor A must agree with anova_event_values' SSB."""
+    r = _q("anova_two_way", spark, sf_dir).first()
+    one_way = _q("anova_event_values", spark, sf_dir).first()
+    assert abs(r["ss_a"] - one_way["ssb"]) < 1e-3
+    assert r["ss_err"] > 0
+    assert r["a_levels"] == 5 and r["b_levels"] == 7
+    for f in ("f_a", "f_b", "f_ab"):
+        assert math.isfinite(r[f])
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark, sf_dir):
+    """Mass must concentrate on/near the seed set: the mean rank of
+    seed nodes exceeds the mean rank of non-seeds, and ranks are a
+    probability-like vector (all >= 0)."""
+    rows = _q("pagerank_personalized", spark, sf_dir).collect()
+    seeds = [r["rank"] for r in rows if r["part"] <= 50]
+    rest = [r["rank"] for r in rows if r["part"] > 50]
+    assert seeds and rest
+    assert min(r["rank"] for r in rows) >= 0.0
+    assert sum(seeds) / len(seeds) > sum(rest) / len(rest)
+
+
+def test_streaming_outer_join_supersets_inner(spark, sf_dir):
+    """The left-outer drain must contain every inner-join pair plus
+    only NULL-click rows; no view may appear both matched and null."""
+    outer = _q("streaming_outer_interval_join", spark, sf_dir).collect()
+    inner = _q("streaming_interval_join", spark, sf_dir).collect()
+    outer_pairs = {(r["view_id"], r["click_id"]) for r in outer if r["click_id"] is not None}
+    inner_pairs = {(r["view_id"], r["click_id"]) for r in inner}
+    assert inner_pairs == outer_pairs
+    matched_views = {v for v, _ in outer_pairs}
+    null_views = {r["view_id"] for r in outer if r["click_id"] is None}
+    assert not (matched_views & null_views)
+
+
 def test_negative_sampling_no_self_hits(spark, sf_dir):
     rows = _q("negative_sampling_pairs", spark, sf_dir).collect()
     anchors = {r["doc_id"] for r in rows}
