@@ -767,6 +767,15 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = nodes.filter(F.col("part") <= _PPR_SEED_MAX)
     n_seeds = seeds.count()
+    if n_seeds == 0:
+        # fail loudly with the cause — the implicit alternative is a
+        # driver-side ZeroDivisionError here while the SQL oracle
+        # silently yields NULL ranks: neither is a usable answer
+        raise ValueError(
+            "pagerank_personalized: no co-purchase node has part <= "
+            f"{_PPR_SEED_MAX}; personalized PageRank needs a non-empty "
+            "seed set"
+        )
     d = _PPR_DAMPING
     tele = nodes.select(
         "part",

@@ -265,10 +265,16 @@ def bh_fdr_nation_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.alias("znum"),
         den.alias("zden"),
     )
-    # p = min(1, 1/z²) as the exact rational p_num/p_den
+    # p = min(1, 1/z²) as the exact rational p_num/p_den.  The znum <=
+    # zden branch (INCLUDING znum = 0, where 1/z² = inf) must yield the
+    # rational 1/1 — least(0, zden)/greatest(0, 1) = 0/1 would claim
+    # p = 0, the STRONGEST evidence, and drag every rank into the BH
+    # rejection set via k_star = m.
+    one38 = F.lit(1).cast("decimal(38,0)")
+    clipped = F.col("znum") <= F.col("zden")
     j = j.withColumn(
-        "p_num", F.least(F.col("znum"), F.col("zden"))
-    ).withColumn("p_den", F.greatest(F.col("znum"), F.lit(1).cast("decimal(38,0)")))
+        "p_num", F.when(clipped, one38).otherwise(F.col("zden"))
+    ).withColumn("p_den", F.when(clipped, one38).otherwise(F.col("znum")))
     # rank by the (identical cross-engine) double p, tie-broken by key
     p_dbl = F.when(F.col("znum") <= F.col("zden"), F.lit(1.0)).otherwise(
         F.col("zden").cast("double") / F.col("znum").cast("double")
@@ -320,8 +326,10 @@ z AS (SELECT c_nationkey, n,
            - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))) AS zden
       FROM per CROSS JOIN g),
 p AS (SELECT *,
-        least(znum, zden) AS p_num,
-        greatest(znum, CAST(1 AS DECIMAL(38,0))) AS p_den,
+        CASE WHEN znum <= zden THEN CAST(1 AS DECIMAL(38,0))
+             ELSE zden END AS p_num,
+        CASE WHEN znum <= zden THEN CAST(1 AS DECIMAL(38,0))
+             ELSE znum END AS p_den,
         CASE WHEN znum <= zden THEN 1.0
              ELSE CAST(zden AS DOUBLE) / CAST(znum AS DOUBLE) END AS pv
       FROM z),
@@ -510,19 +518,23 @@ _KMV_K = 64
 _TWO60 = 1 << 60
 
 
-def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row (k_used, kth_hash, kmv_estimate, exact_distinct,
-    rel_err).  k adapts to min({k}, distinct) so the query is defined
-    at every sf.  One hash pass + a K-row ordered head — the exact
-    count shares the same shuffled distinct."""
-    ev = _t(spark, sf_dir, "events")
-    h = ev.select(
+def _kmv_hashes(df: DataFrame) -> DataFrame:
+    """Distinct portable hashes of user_id — the sketch's key space."""
+    return df.select(
         stable_hash64(
             F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
         ).alias("h")
     ).distinct()
-    n = h.agg(F.count(F.lit(1)).alias("n_exact"))
-    ranked = h.withColumn("rn", F.row_number().over(Window.orderBy("h")))
+
+
+def _kmv_finish(hashes: DataFrame, n: DataFrame) -> DataFrame:
+    """kth-order-statistic pick + estimate — shared by the batch face
+    and the streaming min-merge so both stay byte-identical to the
+    single KMV_SQL oracle they register against (the _log2_finish
+    pattern)."""
+    ranked = hashes.withColumn(
+        "rn", F.row_number().over(Window.orderBy("h"))
+    )
     kth = (
         ranked.crossJoin(F.broadcast(n))
         .filter(F.col("rn") == F.least(F.lit(_KMV_K), F.col("n_exact")))
@@ -542,6 +554,16 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rel_err"),
     )
+
+
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (k_used, kth_hash, kmv_estimate, exact_distinct,
+    rel_err).  k adapts to min({k}, distinct) so the query is defined
+    at every sf.  One hash pass + a K-row ordered head — the exact
+    count shares the same shuffled distinct."""
+    h = _kmv_hashes(_t(spark, sf_dir, "events"))
+    n = h.agg(F.count(F.lit(1)).alias("n_exact"))
+    return _kmv_finish(h, n)
 
 
 kmv_distinct_users.__doc__ = kmv_distinct_users.__doc__.format(k=_KMV_K)
@@ -582,9 +604,16 @@ WHERE rn = least({k}, n_exact)
 def _log2_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-side (bucket) rows for positive event values — the sketch's
     ingest kernel, shared by the batch and streaming faces."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0)
+    ev = _t(spark, sf_dir, "events")
     cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
-    return ev.select(F.length(F.bin(cents)).cast("int").alias("bucket"))
+    # filter on CENTS, not the raw value: 0 < value < 0.005 rounds to
+    # cents = 0, and bucket 1's reported bounds [1, 1] would not
+    # contain it — sub-half-cent rows are out of the sketch's domain
+    return (
+        ev.select(cents.alias("cents"))
+        .filter(F.col("cents") > 0)
+        .select(F.length(F.bin(F.col("cents"))).cast("int").alias("bucket"))
+    )
 
 
 def _log2_finish(hist: DataFrame) -> DataFrame:
@@ -640,7 +669,7 @@ def streaming_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~30 rows), not events."""
     from k_means_hadoop_spark.session import scratch_dir
 
-    ev = _t(spark, sf_dir, "events").filter(F.col("value") > 0).select("value")
+    ev = _t(spark, sf_dir, "events").select("value")
     src = scratch_dir("log2_src")
     store = scratch_dir("log2_store")
     ev.repartition(4).write.mode("overwrite").parquet(src)
@@ -648,7 +677,9 @@ def streaming_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
         (
-            batch_df.select(F.length(F.bin(cents)).cast("int").alias("bucket"))
+            batch_df.select(cents.alias("cents"))
+            .filter(F.col("cents") > 0)
+            .select(F.length(F.bin(F.col("cents"))).cast("int").alias("bucket"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n"))
             .withColumn("batch_id", F.lit(batch_id))
@@ -679,8 +710,8 @@ def streaming_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LOG2_HIST_SQL = """
-WITH b AS (SELECT length(bin(CAST(floor(value * 100 + 0.5) AS BIGINT)))::INT AS bucket
-           FROM events WHERE value > 0),
+WITH c0 AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+b AS (SELECT length(bin(cents))::INT AS bucket FROM c0 WHERE cents > 0),
 hist AS (SELECT bucket, count(*)::BIGINT AS n FROM b GROUP BY 1),
 h AS (SELECT *,
         sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_n,
@@ -1606,11 +1637,7 @@ def streaming_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.repartition(4).write.mode("overwrite").parquet(src)
 
     def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        h = batch_df.select(
-            stable_hash64(
-                F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
-            ).alias("h")
-        ).distinct()
+        h = _kmv_hashes(batch_df)
         (
             h.withColumn("rn", F.row_number().over(Window.orderBy("h")))
             .filter(F.col("rn") <= _KMV_K)
@@ -1637,35 +1664,8 @@ def streaming_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = spark.read.parquet(store).select("h").distinct()
     # exact count comes from the source (the sketch's verification side,
     # as in the batch face — the store alone cannot know it)
-    n = (
-        ev.select(
-            stable_hash64(
-                F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))
-            ).alias("h")
-        )
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-    )
-    ranked = merged.withColumn("rn", F.row_number().over(Window.orderBy("h")))
-    kth = (
-        ranked.crossJoin(F.broadcast(n))
-        .filter(F.col("rn") == F.least(F.lit(_KMV_K), F.col("n_exact")))
-        .select("rn", "h", "n_exact")
-    )
-    est = (
-        "CAST(rn - 1 AS DOUBLE) * CAST({two60} AS DOUBLE) / CAST(h AS DOUBLE)"
-    ).format(two60=_TWO60)
-    return kth.select(
-        F.col("rn").cast("bigint").alias("k_used"),
-        F.col("h").alias("kth_hash"),
-        _fl6(F.expr(est)).alias("kmv_estimate"),
-        F.col("n_exact").cast("bigint").alias("exact_distinct"),
-        _fl6(
-            F.expr(
-                f"(({est}) - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)"
-            )
-        ).alias("rel_err"),
-    )
+    n = _kmv_hashes(ev).agg(F.count(F.lit(1)).alias("n_exact"))
+    return _kmv_finish(merged, n)
 
 
 # --------------------------------------------- Wilcoxon signed-rank
@@ -1788,27 +1788,20 @@ def runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     byx = daily.withColumn(
         "rx", F.row_number().over(Window.orderBy("x", "day"))
     )
-    med2 = (
+    # ONE pass picks the middle order statistic(s): odd n selects one
+    # row ((n+1) DIV 2 == (n+2) DIV 2), even n two — k_mid carries
+    # which, so the sign comparison k_mid*x - m2 stays in integers
+    # (the mood_median_test form).
+    mid = (
         byx.crossJoin(F.broadcast(n))
         .filter(
             (F.col("rx") == F.expr("(n + 1) DIV 2"))
             | (F.col("rx") == F.expr("(n + 2) DIV 2"))
         )
-        .agg(F.sum("x").alias("m2"))  # m1 + m2 (same row twice when odd n? no: DIV picks distinct ranks for even n, same rank once for odd n)
-    )
-    # odd n: (n+1)/2 == (n+2)/2 -> ONE row -> m2 = the median once; scale
-    # the comparison accordingly: sign(2x - 2*med) odd, sign(2x - (m1+m2)) even.
-    n_mid = (
-        byx.crossJoin(F.broadcast(n))
-        .filter(
-            (F.col("rx") == F.expr("(n + 1) DIV 2"))
-            | (F.col("rx") == F.expr("(n + 2) DIV 2"))
-        )
-        .agg(F.count(F.lit(1)).alias("k_mid"))
+        .agg(F.sum("x").alias("m2"), F.count(F.lit(1)).alias("k_mid"))
     )
     s = (
-        daily.crossJoin(F.broadcast(med2))
-        .crossJoin(F.broadcast(n_mid))
+        daily.crossJoin(F.broadcast(mid))
         .select(
             "day",
             F.signum(

@@ -930,6 +930,10 @@ _SCHEDULE: dict[str, dict] = {
     "vocab_growth_curve": _row(defer=True),
     "umass_topic_coherence": _row(defer=True),
     "bootstrap_ci_quality": _row(defer=True),
+    # round 6 changed cusum's rounding from round(x,6) to the
+    # tie-stable floor form (ADVICE item) — its r05 green row verified
+    # the OLD definition, so it must re-earn a driver row.
+    "cusum_changepoints": _row(stale_after=5),
     # -- round-6 additions beyond the 50 window slots (the window is
     # exactly full: 21 early-r6 + 5 late-r6 + 24 deferred r5 rows),
     # deferred to the round-7 window; all locally oracle-verified at

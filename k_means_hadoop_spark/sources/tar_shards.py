@@ -50,16 +50,20 @@ class _TarShardReader(DataSourceReader):
                 if not member.isfile():
                     continue
                 stem, ext = os.path.splitext(os.path.basename(member.name))
-                # Tolerate foreign WebDataset shards: a non-numeric stem
-                # or a member extractfile() can't materialize (sparse /
+                # Tolerate foreign WebDataset shards: a stem int() can't
+                # parse (isdigit() is NOT the right guard — '--3' and
+                # unicode digits like '²' pass it but fail int()) or a
+                # member extractfile() can't materialize (sparse /
                 # special entries return None) is skipped, not a crash.
-                if not stem.lstrip("-").isdigit():
+                try:
+                    media_id = int(stem)
+                except ValueError:
                     continue
                 fobj = tf.extractfile(member)
                 if fobj is None:
                     continue
                 payload = fobj.read()
-                yield (int(stem), _EXT_KIND.get(ext, "video"), payload)
+                yield (media_id, _EXT_KIND.get(ext, "video"), payload)
 
 
 class TarShardDataSource(DataSource):

@@ -128,6 +128,63 @@ def test_power_iteration_docs_reference_real_knob():
     assert "_PI_SQUARINGS" in pca.power_iteration_pc1.__doc__
 
 
+def test_bh_zero_z2_is_weakest_not_strongest_evidence(spark, tmp_path):
+    """A nation whose mean acctbal EXACTLY equals the global mean has
+    z² = 0 and p = 1 (weakest evidence).  The exact-rational encoding
+    must be 1/1, not 0/1 — the 0/1 form made the BH step-up condition
+    true at the last rank and dragged EVERY nation into the rejection
+    set."""
+    import os
+
+    from k_means_hadoop_spark.operators.stats_extra import (
+        bh_fdr_nation_acctbal,
+    )
+
+    rows = [
+        (1, "a", 0, 1.00, "m"),
+        (2, "b", 0, 3.00, "m"),  # nation 0 mean = 2.00
+        (3, "c", 1, 2.00, "m"),
+        (4, "d", 1, 2.00, "m"),  # nation 1 mean = 2.00 = global mean
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf, "customer.parquet")
+    )
+    out = {r["c_nationkey"]: r for r in bh_fdr_nation_acctbal(spark, sf).collect()}
+    # both nations sit exactly at the global mean => z2 = 0, p = 1
+    for r in out.values():
+        assert r["z2"] == 0.0
+        assert r["p_chebyshev"] == 1.0
+        assert not r["significant"], "p=1 rows must never be rejected"
+
+
+def test_tar_scan_skips_int_unparseable_stems(spark, tmp_path):
+    """isdigit() admits stems int() rejects ('--3', unicode digits) —
+    the guard must be int-parse-based."""
+    import os
+
+    from k_means_hadoop_spark.sources.tar_shards import read_tar_shards
+
+    shard_dir = str(tmp_path / "shards2")
+    os.makedirs(shard_dir)
+    with tarfile.open(os.path.join(shard_dir, "shard-00000.tar"), "w") as tf:
+        for name, payload in (
+            ("--3.bin", b"x"),  # lstrip('-').isdigit() passes, int() raises
+            ("².bin", b"y"),  # superscript two: isdigit True, int raises
+            ("11.bin", b"ok"),
+        ):
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            tf.addfile(info, io.BytesIO(payload))
+    rows = read_tar_shards(spark, shard_dir).collect()
+    assert [(r["media_id"], bytes(r["payload"])) for r in rows] == [(11, b"ok")]
+
+
 def test_tar_scan_tolerates_foreign_members(spark, tmp_path):
     from k_means_hadoop_spark.sources.tar_shards import read_tar_shards
 
