@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -231,9 +232,16 @@ def main() -> None:
                 "this_run": round(sum(timings[n] for n in shared), 3),
                 "prior_run": round(sum(prior_q[n] for n in shared), 3),
             }
-    print(
-        json.dumps(
-            {
+    # Round number for the local artifact: one past the newest driver
+    # CORRECTNESS file (the driver writes r{N} after this bench runs).
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+        for m in [re.search(r"CORRECTNESS_r(\d+)", p)]
+        if m
+    ]
+    this_round = (max(rounds) + 1) if rounds else 0
+    full_record = {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
@@ -258,9 +266,25 @@ def main() -> None:
                         "the stateful path"
                     ),
                 },
-            }
-        )
-    )
+    }
+    # The driver captures stdout through a pipe that has clipped long
+    # lines twice (BENCH_r04/r06: "parsed": null).  Defense in depth:
+    # (a) persist the FULL record to a repo file the judge can always
+    # read, (b) keep the stdout line to the contract fields only.
+    local_path = os.path.join(here, f"BENCH_LOCAL_r{this_round:02d}.json")
+    if names is HEADLINE:  # --only subset runs must not clobber the artifact
+        with open(local_path, "w") as f:
+            json.dump(full_record, f, indent=1, sort_keys=True)
+            f.write("\n")
+    line = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": full_record["sf"],
+        "full_record": os.path.basename(local_path),
+    }
+    print(json.dumps(line, separators=(",", ":")))
 
 
 if __name__ == "__main__":
