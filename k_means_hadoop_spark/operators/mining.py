@@ -422,6 +422,13 @@ def random_projection_jl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = emb.first()
     dim = len(d["embedding"]) if d else 0
+    # JL_SQL pins the sign-matrix i-range at range(0, 64); a fixture
+    # with dim > 64 would silently drop components i >= 64 from the
+    # oracle while Spark keeps them (r6 ADVICE) — fail loudly instead.
+    assert dim in (0, 64), (
+        f"random_projection_jl: embedding dim {dim} != 64; JL_SQL's "
+        "sign-matrix range must be regenerated to match"
+    )
     x9 = F.transform(
         F.col("embedding"),
         lambda x: F.round(x.cast("double"), 9).cast("decimal(18,9)"),

@@ -910,13 +910,13 @@ def anova_two_way(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tot").cast("bigint").alias("n_tot"),
         F.col("k_sum_a").cast("int").alias("a_levels"),
         F.col("k_sum_b").cast("int").alias("b_levels"),
-        F.round("ss_a", 6).alias("ss_a"),
-        F.round("ss_b", 6).alias("ss_b"),
-        F.round("ss_ab", 6).alias("ss_ab"),
-        F.round("ss_err", 6).alias("ss_err"),
-        F.round("f_a", 6).alias("f_a"),
-        F.round("f_b", 6).alias("f_b"),
-        F.round("f_ab", 6).alias("f_ab"),
+        _fl6(F.col("ss_a")).alias("ss_a"),
+        _fl6(F.col("ss_b")).alias("ss_b"),
+        _fl6(F.col("ss_ab")).alias("ss_ab"),
+        _fl6(F.col("ss_err")).alias("ss_err"),
+        _fl6(F.col("f_a")).alias("f_a"),
+        _fl6(F.col("f_b")).alias("f_b"),
+        _fl6(F.col("f_ab")).alias("f_ab"),
     )
 
 
@@ -961,11 +961,13 @@ s2 AS (SELECT *, ss_cells - ss_a - ss_b AS ss_ab, ss_tot - ss_cells AS ss_err,
               n_tot - k_sum_cells AS df_err
        FROM s1)
 SELECT n_tot, k_sum_a::INT AS a_levels, k_sum_b::INT AS b_levels,
-       round(ss_a, 6) AS ss_a, round(ss_b, 6) AS ss_b,
-       round(ss_ab, 6) AS ss_ab, round(ss_err, 6) AS ss_err,
-       round((ss_a / df_a) / (ss_err / df_err), 6) AS f_a,
-       round((ss_b / df_b) / (ss_err / df_err), 6) AS f_b,
-       round((ss_ab / df_ab) / (ss_err / df_err), 6) AS f_ab
+       {_FL6_SQL.format(x="ss_a")} AS ss_a,
+       {_FL6_SQL.format(x="ss_b")} AS ss_b,
+       {_FL6_SQL.format(x="ss_ab")} AS ss_ab,
+       {_FL6_SQL.format(x="ss_err")} AS ss_err,
+       {_FL6_SQL.format(x="(ss_a / df_a) / (ss_err / df_err)")} AS f_a,
+       {_FL6_SQL.format(x="(ss_b / df_b) / (ss_err / df_err)")} AS f_b,
+       {_FL6_SQL.format(x="(ss_ab / df_ab) / (ss_err / df_err)")} AS f_ab
 FROM s2
 """
 

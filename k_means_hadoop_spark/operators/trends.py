@@ -183,7 +183,15 @@ def acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(lag, n_pairs, acf) for lags 1..7 over the daily event-count
     series.  The series is day-grain (tiny — one partial agg over the
     corpus); the lag join and the final agg are day-sized, so corpus
-    scale only affects the first aggregation."""
+    scale only affects the first aggregation.
+
+    GAPLESS-SERIES ASSUMPTION (r6 ADVICE): lags are taken over the row
+    index of the observed day series, so a calendar day with zero
+    events would make non-adjacent dates count as lag-1 neighbors.
+    The events fixture is gapless at every shipped SF (pinned by
+    tests/test_advice_fixes_r7.py::test_events_daily_series_gapless);
+    for sparse sources, switch the pair join to
+    ``datediff(a.day, b.day) == lag``."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("x")
