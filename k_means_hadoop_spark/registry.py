@@ -1056,4 +1056,14 @@ _rest.sort(
     key=lambda n: (_defer_rank.get(n, 0), n not in ORACLES, n in _stale)
 )
 _back = [n for n in QUERIES if n in _verified]
+# Staleness cadence (round-5 verdict item 8 / round-6 directive 4): the
+# verified tier is ordered OLDEST green round first, so whatever window
+# slots remain after the never-verified head recycle the longest-
+# unre-verified rows each round.  With W = 50 slots and U unverified
+# entries heading the window, every round re-proves the (W - U) stalest
+# greens; the stable sort keeps registry order within a round cohort, so
+# the recycle walks each cohort deterministically front-to-back and the
+# max staleness of any green row is bounded by ceil(|registry| / (W - U))
+# rounds rather than unbounded.
+_back.sort(key=lambda n: _latest_green.get(n, 0))
 QUERIES = {n: QUERIES[n] for n in (*_front, *_rest, *_back)}

@@ -804,3 +804,49 @@ def test_window_schedule_regression():
     assert n_window <= 50, n_window
     for n in registry._stale:
         assert names.index(n) < 50, f"stale {n} fell outside the driver window"
+
+
+def test_window_staleness_sweep():
+    """Round-7 staleness cadence (r5 verdict item 8, r6 directive 4):
+    the verified tier is ordered oldest-green-round first, so the
+    window's leftover slots re-verify the stalest rows every round.
+
+    Invariants:
+      1. verified tier sorted non-decreasing by latest green round;
+      2. every leftover window slot holds the globally stalest greens
+         (no fresher green precedes a staler one into the window);
+      3. bounded max staleness: with U = unverified head size < 50,
+         each round recycles 50 - U greens, so a full pass over G
+         greens takes ceil(G / (50 - U)) rounds — finite, and with the
+         current registry shape (U from the schedule, G the green set)
+         the bound stays under 25 rounds.
+    """
+    import math
+
+    from k_means_hadoop_spark import registry
+
+    names = list(registry.QUERIES)
+    verified = [n for n in names if n in registry._verified]
+    rounds = [registry._latest_green.get(n, 0) for n in verified]
+    assert rounds == sorted(rounds), "verified tier not oldest-first"
+    unverified_head = len(names) - len(verified)
+    window_greens = [n for n in names[:50] if n in registry._verified]
+    if window_greens:
+        newest_in_window = max(
+            registry._latest_green.get(n, 0) for n in window_greens
+        )
+        outside = [
+            registry._latest_green.get(n, 0) for n in names[50:] if n in registry._verified
+        ]
+        assert all(r >= newest_in_window for r in outside), (
+            "a staler green sits outside the window while a fresher one "
+            "occupies a recycle slot"
+        )
+    if unverified_head < 50:
+        per_round = 50 - unverified_head
+        bound = math.ceil(len(verified) / per_round)
+        assert bound <= 25, (
+            f"max-staleness bound {bound} rounds — registry grew past "
+            "what the recycle cadence can re-verify; widen the window "
+            "share or prune"
+        )
