@@ -271,19 +271,19 @@ def main() -> None:
     # lines twice (BENCH_r04/r06: "parsed": null).  Defense in depth:
     # (a) persist the FULL record to a repo file the judge can always
     # read, (b) keep the stdout line to the contract fields only.
-    local_path = os.path.join(here, f"BENCH_LOCAL_r{this_round:02d}.json")
-    if names is HEADLINE:  # --only subset runs must not clobber the artifact
-        with open(local_path, "w") as f:
-            json.dump(full_record, f, indent=1, sort_keys=True)
-            f.write("\n")
     line = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": full_record["sf"],
-        "full_record": os.path.basename(local_path),
     }
+    local_path = os.path.join(here, f"BENCH_LOCAL_r{this_round:02d}.json")
+    if names is HEADLINE:  # --only subset runs must not clobber the artifact
+        with open(local_path, "w") as f:
+            json.dump(full_record, f, indent=1, sort_keys=True)
+            f.write("\n")
+        line["full_record"] = os.path.basename(local_path)
     print(json.dumps(line, separators=(",", ":")))
 
 

@@ -1552,7 +1552,15 @@ def umass_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = F.filter(text._tokens(F.col("text")), lambda x: x != "")
     d = _docs(spark, sf_dir)
-    dt = d.select("doc_id", "source", F.explode(toks).alias("tok")).distinct()
+    # dt feeds FOUR consumers (per-source counts, document frequency,
+    # and both sides of the co-occurrence join); materialize the
+    # explode+distinct once instead of re-tokenizing the corpus four
+    # times (r5 verdict item 6).
+    dt = (
+        d.select("doc_id", "source", F.explode(toks).alias("tok"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     per_src = dt.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("source").orderBy(
         F.col("cnt").desc(), F.col("tok").asc()
@@ -1562,7 +1570,9 @@ def umass_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _COH_TOP)
         .select("source", "tok", "rk")
     )
-    df_w = dt.groupBy("tok").agg(F.countDistinct("doc_id").alias("d_w"))
+    # (doc_id, tok) is unique in dt (one source per document), so the
+    # document frequency is a plain count — no distinct-expand pass.
+    df_w = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("d_w"))
     a, b = tt.alias("a"), tt.alias("b")
     pairs = a.join(
         b,
@@ -1572,14 +1582,46 @@ def umass_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.tok").alias("wi"),
         F.col("b.tok").alias("wj"),
     )
-    da = dt.select(F.col("tok").alias("wi"), F.col("doc_id").alias("di")).distinct()
-    db = dt.select(F.col("tok").alias("wj2"), F.col("doc_id").alias("dj")).distinct()
-    co = (
-        pairs.join(da, "wi")
-        .join(db, (F.col("wj") == F.col("wj2")) & (F.col("di") == F.col("dj")))
-        .groupBy("source", "wi", "wj")
-        .agg(F.countDistinct("di").alias("d_ij"))
+    # Co-document counts (r5 verdict item 6): restrict the doc-term
+    # table to the top-term vocabulary FIRST (broadcast semi-filter —
+    # semantics-free, co only ever consumes tt terms; measured 3 of
+    # the fixture's dt recomputes + both distinct passes away), map
+    # tokens to dense ints, and self-join the slimmed (doc, tid) table
+    # on the document key with tid1 < tid2 — the per-doc pair fan-out
+    # lands directly in a map-side-combinable count, and tokens rejoin
+    # only at the ≤|V|²-row decode step.  Counts are per unordered
+    # token pair (co-occurrence is symmetric and source-independent),
+    # joined back to the ranked pairs via least/greatest; d_ij is
+    # exact because (doc_id, tid) is unique.  |top vocab| is bounded
+    # by sources × _COH_TOP, so the decode tables broadcast.
+    top_vocab = tt.select("tok").distinct()
+    vocab_ids = top_vocab.select(
+        "tok",
+        (F.row_number().over(Window.orderBy("tok")) - 1).alias("tid"),
     )
+    dtt = dt.join(F.broadcast(vocab_ids), "tok").select("doc_id", "tid")
+    da, db = dtt.alias("da"), dtt.alias("db")
+    pc = (
+        da.join(
+            db,
+            (F.col("da.doc_id") == F.col("db.doc_id"))
+            & (F.col("da.tid") < F.col("db.tid")),
+        )
+        .groupBy(F.col("da.tid").alias("tid1"), F.col("db.tid").alias("tid2"))
+        .agg(F.count(F.lit(1)).alias("d_ij"))
+    )
+    ids1 = vocab_ids.select(F.col("tok").alias("t1"), F.col("tid").alias("tid1"))
+    ids2 = vocab_ids.select(F.col("tok").alias("t2"), F.col("tid").alias("tid2"))
+    cij = (
+        pc.join(F.broadcast(ids1), "tid1")
+        .join(F.broadcast(ids2), "tid2")
+        .select("t1", "t2", "d_ij")
+    )
+    co = pairs.join(
+        F.broadcast(cij),
+        (F.least("wi", "wj") == F.col("t1"))
+        & (F.greatest("wi", "wj") == F.col("t2")),
+    ).select("source", "wi", "wj", "d_ij")
     term = (
         "CAST(floor(ln((CAST(d_ij AS DOUBLE) + CAST(1 AS DOUBLE))"
         " / CAST(d_wj AS DOUBLE)) * 1000000 + 0.5) / 1000000"
@@ -1989,24 +2031,60 @@ FROM top JOIN c1 ON c1.w1 = top.w1 JOIN bwd ON bwd.w2 = top.w2 CROSS JOIN tt
 
 def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, quality, qn_logprob) — quality mapped onto the logprob
-    distribution by rank."""
+    distribution by rank.
+
+    ONE shared rank pass (r5 verdict item 5): both score columns are
+    stacked into a side-tagged union and ranked by a single
+    ``prefix_sum`` ordered (side, value, doc_id) — one range shuffle +
+    one checkpoint instead of two.  Within-side ordinal rank falls out
+    as the global prefix count minus the side offset; both sides have
+    exactly one row per document, so the quality side's count IS the
+    logprob side's offset — no extra pass.  Cross-engine safety: the
+    rank compares (value, doc_id) only within a side, and the
+    decimal→double widening of ``quality`` is order-preserving (6dp
+    grid vs 2e-16 ulp — no collisions), so the ordinal ranking is
+    unchanged from the two-pass form."""
     from k_means_hadoop_spark.partitioning import prefix_sum
 
     docs = _docs(spark, sf_dir)
     q = text.quality_scores(docs).select("doc_id", "quality")
     lp = text.unigram_logprob(docs).select("doc_id", "avg_logprob")
-    rq = prefix_sum(
-        q.withColumn("_one", F.lit(1)),
+    stacked = q.select(
+        F.lit(0).alias("side"),
+        F.col("quality").cast("double").alias("v"),
+        "doc_id",
+        F.col("quality"),
+    ).unionByName(
+        lp.select(
+            F.lit(1).alias("side"),
+            F.col("avg_logprob").cast("double").alias("v"),
+            "doc_id",
+            F.col("avg_logprob").alias("quality"),  # carrier column
+        )
+    )
+    # Materialize the stacked scores ONCE: repartitionByRange inside
+    # prefix_sum samples its range bounds with an extra upstream
+    # evaluation, which would re-run both score pipelines a second
+    # time (measured: the rank stage cost ~1s more than the pipelines
+    # themselves).  The checkpoint is score-table-sized (2 rows/doc).
+    stacked = stacked.localCheckpoint(eager=True)
+    r = prefix_sum(
+        stacked.withColumn("_one", F.lit(1)),
         "_one",
-        [F.col("quality").asc(), F.col("doc_id").asc()],
-        out_col="rk",
-    ).select("doc_id", "quality", "rk")
-    rl = prefix_sum(
-        lp.withColumn("_one", F.lit(1)),
-        "_one",
-        [F.col("avg_logprob").asc(), F.col("doc_id").asc()],
-        out_col="rk",
-    ).select(F.col("rk"), F.col("avg_logprob").alias("qn_logprob"))
+        [F.col("side").asc(), F.col("v").asc(), F.col("doc_id").asc()],
+        out_col="cum",
+    )
+    # side-0 has exactly one row per document (quality_scores is a
+    # filterless projection), so the offset is the parquet row count —
+    # a metadata-only job, not a pass over the ranked relation.
+    n_q = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rq = r.where(F.col("side") == 0).select(
+        "doc_id", "quality", F.col("cum").alias("rk")
+    )
+    rl = r.where(F.col("side") == 1).select(
+        (F.col("cum") - F.lit(n_q)).alias("rk"),
+        F.col("quality").alias("qn_logprob"),
+    )
     return rq.join(rl, "rk").select("doc_id", "quality", "qn_logprob")
 
 

@@ -342,19 +342,32 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(_tokens(F.col(text_col))).alias("tok")
     ).filter(F.col("tok") != "")
-    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # ONE explode pass: doc-term occurrence counts feed BOTH the model
+    # (regroup by tok) and the scoring (weighted mean), instead of
+    # tokenizing the corpus twice and joining every occurrence.  The
+    # join shrinks from total tokens to distinct doc-term pairs; the
+    # per-doc mean Σc·lp / Σc is the same average re-associated —
+    # within the 6dp rounding slack the plain AVG already relies on
+    # (Spark's partial-agg order is nondeterministic either way).
+    dt = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = dt.groupBy("tok").agg(F.sum("c").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n_total"))
     scored = (
-        tok.join(F.broadcast(vocab), "tok")
+        dt.join(F.broadcast(vocab), "tok")
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
+            "c",
             F.log(F.col("cnt").cast("double") / F.col("n_total").cast("double")).alias("lp"),
         )
     )
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("c").cast("double") * F.col("lp"))
+            / F.sum(F.col("c").cast("double")),
+            6,
+        ).alias("avg_logprob"),
     )
 
 
