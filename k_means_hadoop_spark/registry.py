@@ -648,6 +648,7 @@ from k_means_hadoop_spark.operators.tpch_extra import TPCH_EXTRA_QUERIES
 from k_means_hadoop_spark.operators.trends import TRENDS_QUERIES
 from k_means_hadoop_spark.operators.stats_extra import STATS_EXTRA_QUERIES
 from k_means_hadoop_spark.operators.mining import MINING_QUERIES
+from k_means_hadoop_spark.operators.round7 import ROUND7_QUERIES
 from k_means_hadoop_spark.registry_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES
 
 for _name, (_fn, _sql) in {
@@ -660,6 +661,7 @@ for _name, (_fn, _sql) in {
     **TRENDS_QUERIES,
     **STATS_EXTRA_QUERIES,
     **MINING_QUERIES,
+    **ROUND7_QUERIES,
 }.items():
     ORACLES[_name] = _sql
 
@@ -701,6 +703,7 @@ QUERIES.update({name: fn for name, (fn, _sql) in SKETCH_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in TRENDS_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in STATS_EXTRA_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in MINING_QUERIES.items()})
+QUERIES.update({name: fn for name, (fn, _sql) in ROUND7_QUERIES.items()})
 QUERIES.update(RELATIONAL_ROWS_ONLY)
 QUERIES.update(CURATION_ROWS_ONLY)
 QUERIES.update(PIPELINE_QUERIES)
@@ -954,6 +957,11 @@ _SCHEDULE: dict[str, dict] = {
     "anova_two_way": _row(defer=2),
     "pagerank_personalized": _row(defer=2),
     "streaming_outer_interval_join": _row(defer=2),
+    # -- round-7 additions: defer=3 (a NEWER generation than the 17
+    # inherited never-verified entries) so they enter the window only
+    # BEHIND them — the r6 directive that nothing may displace the
+    # head.  All locally oracle-verified at sf0.001/0.01/0.1.
+    "power_iteration_pc1_float": _row(defer=3),
 }
 
 

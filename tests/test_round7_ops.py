@@ -1,0 +1,56 @@
+"""Round-7 operator pins beyond the oracle-parity gate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_power_iteration_float_matches_exact_direction(spark, sf_dir):
+    """The float-path eigenpair must agree with the exact-decimal
+    power_iteration_pc1 (r5 verdict item 2): direction cosine and
+    Rayleigh eigenvalue ratio.  The exact path stops after 2^6
+    effective steps with ~(λ2/λ1)^64 ≈ 1% residual direction error on
+    the near-isotropic fixture, so the achievable cosine bound is
+    1 − ε²/2 ≈ 1 − 5e-5, not the 1e-6 an exact eigensolver pair would
+    give; the λ ratio is quadratically less sensitive."""
+    from k_means_hadoop_spark.operators.pca import power_iteration_pc1
+    from k_means_hadoop_spark.operators.round7 import _gram_partials
+
+    exact = power_iteration_pc1(spark, sf_dir).orderBy("pos").collect()
+    v_exact = np.array([r["loading"] for r in exact])
+    lam_exact = float(exact[0]["eigenvalue"])
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("embedding")
+    d = len(v_exact)
+    parts = _gram_partials(emb, d)
+    n = int(sum(p["n_b"] for p in parts))
+    s = np.zeros(d)
+    G = np.zeros((d, d))
+    for p in parts:
+        s += np.array(p["s_b"])
+        G += np.array(p["g_b"]).reshape(d, d)
+    cov = (G - np.outer(s, s) / n) / n
+    vals, vecs = np.linalg.eigh((cov + cov.T) / 2.0)
+    lam, v = float(vals[-1]), vecs[:, -1]
+
+    cos = abs(float(v @ v_exact) / (np.linalg.norm(v) * np.linalg.norm(v_exact)))
+    # measured: cos = 0.99963 at sf0.001 (the exact path's truncation
+    # residual (λ2/λ1)^64 grows as the small-sample spectrum flattens);
+    # 1e-3 direction slack covers all three SFs with ~3x margin
+    assert cos >= 1 - 1e-3, f"direction cosine {cos}"
+    assert abs(lam / lam_exact - 1) < 2e-3, f"lambda ratio {lam / lam_exact}"
+
+
+def test_power_iteration_float_contract_row(spark, sf_dir):
+    """One row, all four contract booleans true, trace >= maxvar > 0
+    (exact-field parity itself is covered by the oracle gate)."""
+    from k_means_hadoop_spark.operators.round7 import power_iteration_pc1_float
+
+    rows = power_iteration_pc1_float(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["lam_pos"] and r["lam_le_trace"] and r["lam_ge_maxvar"] and r["residual_ok"]
+    assert float(r["trace6"]) >= float(r["maxvar6"]) > 0
+    assert 0 <= r["top_var_pos"] < r["d"]
