@@ -184,6 +184,819 @@ FROM pv
 """
 
 
+# ------------------------------------------------------- Gini coefficient
+#
+# Inequality of customer spend within each nation — the concentration
+# measure (0 = equal, →1 = one whale) a marketplace watches per region.
+# Exact form over the order-statistic identity
+#   G = Σ_i (2i − n − 1)·x_(i) / (n·Σx)
+# with x = per-customer total spend (exact decimal) and i the rank
+# under (spend, custkey) — the Σ(2i−n−1)x_i block sum is permutation-
+# invariant within tied spend values, so the tiebreak cannot change
+# the result.  One nation-partitioned ranking window (bounded
+# partitions) + one division per nation.
+
+
+def gini_spend_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_name, n_cust, total_spend, gini) per nation."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("spend")
+        )
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    x = (
+        spend.join(cust, spend.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select("n_name", "c_custkey", "spend")
+    )
+    w = Window.partitionBy("n_name").orderBy("spend", "c_custkey")
+    r = x.withColumn("i", F.row_number().over(w))
+    per = r.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum("spend").alias("total_spend"),
+        F.sum(
+            (2 * F.col("i") - 1).cast("decimal(38,2)") * F.col("spend")
+        ).alias("wsum"),
+    )
+    # Σ(2i−n−1)x = Σ(2i−1)x − n·Σx, kept exact until the single division
+    g = (
+        "(CAST(wsum AS DOUBLE) - CAST(n_cust AS DOUBLE) * CAST(total_spend AS DOUBLE))"
+        " / (CAST(n_cust AS DOUBLE) * CAST(total_spend AS DOUBLE))"
+    )
+    return per.select(
+        "n_name",
+        "n_cust",
+        F.col("total_spend").cast("double").alias("total_spend"),
+        _fl6(F.expr(g)).alias("gini"),
+    )
+
+
+GINI_SQL = """
+WITH spend AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+               FROM orders GROUP BY 1),
+x AS (SELECT n.n_name, c.c_custkey, s.spend
+      FROM spend s JOIN customer c ON c.c_custkey = s.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey),
+r AS (SELECT n_name, spend,
+             row_number() OVER (PARTITION BY n_name ORDER BY spend, c_custkey) AS i
+      FROM x),
+per AS (SELECT n_name, count(*)::BIGINT AS n_cust, SUM(spend) AS total_spend,
+               SUM((2 * i - 1)::DECIMAL(38,2) * spend) AS wsum
+        FROM r GROUP BY 1)
+SELECT n_name, n_cust, CAST(total_spend AS DOUBLE) AS total_spend,
+       {g} AS gini
+FROM per
+""".format(
+    g=_FL6_SQL.format(
+        x="(CAST(wsum AS DOUBLE) - CAST(n_cust AS DOUBLE) * CAST(total_spend AS DOUBLE))"
+        " / (CAST(n_cust AS DOUBLE) * CAST(total_spend AS DOUBLE))"
+    )
+)
+
+
+# ------------------------------------------------------- Cramér's V
+#
+# Effect size of the event_type × day-of-week association — the
+# normalized companion of the chi² independence test (chi2_event_dow):
+# V = sqrt(chi² / (N·min(r−1, c−1))).  Each cell's chi² term keeps its
+# numerator (o·N − r·c)² exact in DECIMAL(38,0), spends its ONE double
+# division, and is stabilized to the 6dp grid; the cell terms then sum
+# exactly, so the cross-group float-accumulation problem never arises
+# (the anova/e-fold alternative is unnecessary).  sqrt is correctly
+# rounded IEEE — identical cross-engine.
+
+
+def cramers_v_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n, r_levels, c_levels, chi2, cramers_v)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("a"),
+        (
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) % 7
+        ).alias("b"),
+    )
+    o = ev.groupBy("a", "b").agg(F.count(F.lit(1)).alias("o"))
+    ra = o.groupBy("a").agg(F.sum("o").alias("r"))
+    cb = o.groupBy("b").agg(F.sum("o").alias("c"))
+    nn = o.agg(F.sum("o").alias("n"), F.count(F.lit(1)).alias("n_cells"))
+    term = (
+        "CAST((CAST(o AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))"
+        " - CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))"
+        " * (CAST(o AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))"
+        " - CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))"
+    )
+    cells = (
+        o.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(nn.select("n")))
+        .select(
+            F.expr(
+                f"CAST({_FL6_SQL.format(x=term)} AS DECIMAL(28,6))"
+            ).alias("t6")
+        )
+    )
+    agg = cells.agg(F.sum("t6").alias("chi2_6"))
+    dims = (
+        o.agg(
+            F.countDistinct("a").alias("r_levels"),
+            F.countDistinct("b").alias("c_levels"),
+        )
+    )
+    v = (
+        "sqrt(CAST(chi2_6 AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE)))"
+    )
+    return (
+        nn.select("n")
+        .crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(agg))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.col("r_levels").cast("int").alias("r_levels"),
+            F.col("c_levels").cast("int").alias("c_levels"),
+            F.col("chi2_6").cast("double").alias("chi2"),
+            _fl6(F.expr(v)).alias("cramers_v"),
+        )
+    )
+
+
+CRAMERS_SQL = """
+WITH ev AS (SELECT event_type AS a, (ts::DATE - DATE '2024-01-01') % 7 AS b FROM events),
+o AS (SELECT a, b, count(*)::BIGINT AS o FROM ev GROUP BY 1, 2),
+ra AS (SELECT a, SUM(o)::BIGINT AS r FROM o GROUP BY 1),
+cb AS (SELECT b, SUM(o)::BIGINT AS c FROM o GROUP BY 1),
+nn AS (SELECT SUM(o)::BIGINT AS n FROM o),
+dims AS (SELECT count(DISTINCT a)::INT AS r_levels, count(DISTINCT b)::INT AS c_levels FROM o),
+cells AS (SELECT CAST({t6} AS DECIMAL(28,6)) AS t6
+          FROM o JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nn),
+agg AS (SELECT SUM(t6) AS chi2_6 FROM cells)
+SELECT nn.n, dims.r_levels, dims.c_levels,
+       CAST(chi2_6 AS DOUBLE) AS chi2,
+       {v} AS cramers_v
+FROM nn CROSS JOIN dims CROSS JOIN agg
+""".format(
+    t6=_FL6_SQL.format(
+        x="CAST((CAST(o AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))"
+        " - CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))"
+        " * (CAST(o AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))"
+        " - CAST(r AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0))) AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))"
+    ),
+    v=_FL6_SQL.format(
+        x="sqrt(CAST(chi2_6 AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(least(r_levels - 1, c_levels - 1) AS DOUBLE)))"
+    ),
+)
+
+
+# --------------------------------------------------- month-over-month
+#
+# Revenue MoM growth — the reporting-layer classic.  Monthly sums are
+# exact decimals; the pct change spends one division per month and a
+# months-sized lag window (global ordering over a YEARS-sized series —
+# the one place a single-partition window is the RIGHT plan).
+
+
+def mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(month, revenue, mom_pct) — months after the first."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .cast("decimal(18,2)")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month")
+    r = m.withColumn("prev", F.lag("revenue").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    pct = (
+        "(CAST(revenue AS DOUBLE) - CAST(prev AS DOUBLE)) / CAST(prev AS DOUBLE)"
+    )
+    return r.select(
+        "month",
+        F.col("revenue").cast("double").alias("revenue"),
+        _fl6(F.expr(pct)).alias("mom_pct"),
+    )
+
+
+MOM_SQL = """
+WITH m AS (SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue
+           FROM orders GROUP BY 1),
+r AS (SELECT month, revenue, lag(revenue) OVER (ORDER BY month) AS prev FROM m)
+SELECT month, CAST(revenue AS DOUBLE) AS revenue, {pct} AS mom_pct
+FROM r WHERE prev IS NOT NULL
+""".format(
+    pct=_FL6_SQL.format(
+        x="(CAST(revenue AS DOUBLE) - CAST(prev AS DOUBLE)) / CAST(prev AS DOUBLE)"
+    )
+)
+
+
+# --------------------------------------------------- Simpson diversity
+#
+# Language diversity of each source — 1 − Σ n_i(n_i−1)/(N(N−1)), the
+# probability two random documents from a source differ in language
+# (the ecology index corpus dashboards reuse).  Exact integers until
+# one division per source.
+
+
+def simpson_diversity_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_langs, simpson)."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("ni"))
+    per = c.groupBy("source").agg(
+        F.sum("ni").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("int").alias("n_langs"),
+        F.sum(F.col("ni") * (F.col("ni") - 1)).cast("decimal(38,0)").alias("ss"),
+    )
+    s = (
+        "CAST(1 AS DOUBLE) - CAST(ss AS DOUBLE)"
+        " / (CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE))"
+    )
+    return per.where(F.col("n_docs") > 1).select(
+        "source", "n_docs", "n_langs", _fl6(F.expr(s)).alias("simpson")
+    )
+
+
+SIMPSON_SQL = """
+WITH c AS (SELECT source, lang, count(*)::BIGINT AS ni FROM documents GROUP BY 1, 2),
+per AS (SELECT source, SUM(ni)::BIGINT AS n_docs, count(*)::INT AS n_langs,
+               CAST(SUM(ni * (ni - 1)) AS DECIMAL(38,0)) AS ss
+        FROM c GROUP BY 1)
+SELECT source, n_docs, n_langs, {s} AS simpson
+FROM per WHERE n_docs > 1
+""".format(
+    s=_FL6_SQL.format(
+        x="CAST(1 AS DOUBLE) - CAST(ss AS DOUBLE)"
+        " / (CAST(n_docs AS DOUBLE) * CAST(n_docs - 1 AS DOUBLE))"
+    )
+)
+
+
+# --------------------------------------------- conditional entropy
+#
+# H(next | cur) of the per-user event-type transition chain — how
+# predictable the next action is given the current one (0 bits =
+# deterministic sessions).  Companion to event_transition_matrix's
+# probabilities and mi_lang_source_cells' mutual information.  Each
+# cell's c_ij·ln(c_ij/c_i) term is stabilized to the 6dp grid before
+# the exact decimal sum (the per-term-fl6 discipline), then ONE final
+# division by N and the nats→result floor.
+
+
+def cond_entropy_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_transitions, n_cells, cond_entropy_nats)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "ts", "event_id", F.col("event_type").alias("cur"))
+        .withColumn("next", F.lead("cur").over(w))
+        .filter(F.col("next").isNotNull())
+    )
+    counts = pairs.groupBy("cur", "next").agg(F.count(F.lit(1)).alias("cij"))
+    rows = counts.groupBy("cur").agg(F.sum("cij").alias("ci"))
+    term = (
+        "CAST(cij AS DOUBLE)"
+        " * ln(CAST(cij AS DOUBLE) / CAST(ci AS DOUBLE))"
+    )
+    cells = counts.join(F.broadcast(rows), "cur").select(
+        F.expr(f"CAST({_FL6_SQL.format(x=term)} AS DECIMAL(28,6))").alias("t6")
+    )
+    agg = cells.agg(
+        F.sum("t6").alias("tsum"), F.count(F.lit(1)).alias("n_cells")
+    )
+    nn = counts.agg(F.sum("cij").alias("n"))
+    h = "-CAST(tsum AS DOUBLE) / CAST(n AS DOUBLE)"
+    return nn.crossJoin(F.broadcast(agg)).select(
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.col("n_cells").cast("int").alias("n_cells"),
+        _fl6(F.expr(h)).alias("cond_entropy_nats"),
+    )
+
+
+COND_ENTROPY_SQL = """
+WITH ordered AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next
+  FROM events),
+counts AS (SELECT cur, next, count(*)::BIGINT AS cij
+           FROM ordered WHERE next IS NOT NULL GROUP BY 1, 2),
+rows_ AS (SELECT cur, SUM(cij)::BIGINT AS ci FROM counts GROUP BY 1),
+cells AS (SELECT CAST({t6} AS DECIMAL(28,6)) AS t6
+          FROM counts JOIN rows_ USING (cur)),
+agg AS (SELECT SUM(t6) AS tsum, count(*)::INT AS n_cells FROM cells),
+nn AS (SELECT SUM(cij)::BIGINT AS n FROM counts)
+SELECT nn.n AS n_transitions, agg.n_cells,
+       {h} AS cond_entropy_nats
+FROM nn CROSS JOIN agg
+""".format(
+    t6=_FL6_SQL.format(
+        x="CAST(cij AS DOUBLE) * ln(CAST(cij AS DOUBLE) / CAST(ci AS DOUBLE))"
+    ),
+    h=_FL6_SQL.format(x="-CAST(tsum AS DOUBLE) / CAST(n AS DOUBLE)"),
+)
+
+
+# --------------------------------------------- stupid backoff trigrams
+#
+# Brants et al. 2007's web-scale LM smoothing: score(w3 | w1 w2) =
+# c3/c2 when the trigram was seen, else 0.4 · c2(w2 w3)/c1(w2) — the
+# no-normalization backoff that made distributed trigram LMs tractable.
+# The query scores the top-bigram × top-unigram continuation grid, so
+# BOTH branches are exercised (unseen continuations back off).  All
+# counts are exact; the branch is on integer presence; each score
+# spends one division + the constant α multiply, then the 6dp floor.
+
+_SB_BIGRAMS = 20
+_SB_UNIGRAMS = 5
+_SB_ALPHA = 0.4
+
+
+def stupid_backoff_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w1, w2, w3, c3, backed_off, score) over the top-{b} bigram ×
+    top-{u} unigram grid."""
+    from k_means_hadoop_spark.operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(text_ops._tokens(F.col("text")), lambda x: x != "")
+    t = docs.select(toks.alias("toks")).where(F.size("toks") >= 3)
+    tri_len = F.size("toks") - 2
+    tris = t.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, tri_len),
+                F.zip_with(
+                    F.slice("toks", 2, tri_len),
+                    F.slice("toks", 3, tri_len),
+                    lambda b, c: F.struct(b.alias("w2"), c.alias("w3")),
+                ),
+                lambda a, bc: F.struct(
+                    a.alias("w1"), bc["w2"].alias("w2"), bc["w3"].alias("w3")
+                ),
+            )
+        ).alias("g")
+    ).select("g.w1", "g.w2", "g.w3")
+    c3 = tris.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    # bigram/unigram counts over the SAME token stream (all positions)
+    t2 = docs.select(toks.alias("toks")).where(F.size("toks") >= 2)
+    pair_len = F.size("toks") - 1
+    bis = t2.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, pair_len),
+                F.slice("toks", 2, pair_len),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("g")
+    ).select("g.w1", "g.w2")
+    c2 = bis.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    unis = docs.select(F.explode(toks).alias("w"))
+    c1 = unis.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+
+    top_bi = c2.orderBy(
+        F.col("c2").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(_SB_BIGRAMS)
+    top_u = (
+        c1.orderBy(F.col("c1").desc(), F.col("w").asc())
+        .limit(_SB_UNIGRAMS)
+        .select(F.col("w").alias("w3"))
+    )
+    grid = top_bi.crossJoin(F.broadcast(top_u))
+    c2b = c2.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("c2").alias("c2b")
+    )
+    c1b = c1.select(F.col("w").alias("w2"), F.col("c1").alias("c1_w2"))
+    j = (
+        grid.join(c3, ["w1", "w2", "w3"], "left")
+        .join(c2b, ["w2", "w3"], "left")
+        .join(c1b, "w2")
+    )
+    score = (
+        "CASE WHEN c3 IS NOT NULL THEN CAST(c3 AS DOUBLE) / CAST(c2 AS DOUBLE)"
+        f" WHEN c2b IS NOT NULL THEN {_SB_ALPHA} * (CAST(c2b AS DOUBLE) / CAST(c1_w2 AS DOUBLE))"
+        " ELSE CAST(0 AS DOUBLE) END"
+    )
+    return j.select(
+        "w1",
+        "w2",
+        "w3",
+        F.coalesce(F.col("c3"), F.lit(0)).cast("bigint").alias("c3"),
+        F.col("c3").isNull().alias("backed_off"),
+        _fl6(F.expr(score)).alias("score"),
+    )
+
+
+stupid_backoff_trigrams.__doc__ = stupid_backoff_trigrams.__doc__.format(
+    b=_SB_BIGRAMS, u=_SB_UNIGRAMS
+)
+
+
+def _sb_sql() -> str:
+    from k_means_hadoop_spark.registry_pipeline import _TOKS
+
+    score = _FL6_SQL.format(
+        x="CASE WHEN c3 IS NOT NULL THEN CAST(c3 AS DOUBLE) / CAST(c2 AS DOUBLE)"
+        f" WHEN c2b IS NOT NULL THEN {_SB_ALPHA} * (CAST(c2b AS DOUBLE) / CAST(c1_w2 AS DOUBLE))"
+        " ELSE CAST(0 AS DOUBLE) END"
+    )
+    return f"""
+WITH t AS (SELECT list_filter({_TOKS}, x -> x != '') AS toks FROM documents),
+tris AS (
+  SELECT unnest(list_transform(range(1, len(toks) - 1),
+           i -> {{'w1': toks[i], 'w2': toks[i + 1], 'w3': toks[i + 2]}}),
+         recursive := true)
+  FROM t WHERE len(toks) >= 3),
+c3 AS (SELECT w1, w2, w3, count(*)::BIGINT AS c3 FROM tris GROUP BY 1, 2, 3),
+bis AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+           i -> {{'w1': toks[i], 'w2': toks[i + 1]}}), recursive := true)
+  FROM t WHERE len(toks) >= 2),
+c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM bis GROUP BY 1, 2),
+c1 AS (SELECT w, count(*)::BIGINT AS c1
+       FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+top_bi AS (SELECT * FROM c2 ORDER BY c2 DESC, w1, w2 LIMIT {_SB_BIGRAMS}),
+top_u AS (SELECT w AS w3 FROM c1 ORDER BY c1 DESC, w LIMIT {_SB_UNIGRAMS}),
+grid AS (SELECT * FROM top_bi CROSS JOIN top_u),
+j AS (SELECT g.w1, g.w2, g.w3, g.c2, c3.c3,
+             cb.c2 AS c2b, cu.c1 AS c1_w2
+      FROM grid g
+      LEFT JOIN c3 ON c3.w1 = g.w1 AND c3.w2 = g.w2 AND c3.w3 = g.w3
+      LEFT JOIN c2 cb ON cb.w1 = g.w2 AND cb.w2 = g.w3
+      JOIN c1 cu ON cu.w = g.w2)
+SELECT w1, w2, w3, COALESCE(c3, 0)::BIGINT AS c3,
+       (c3 IS NULL) AS backed_off,
+       {score} AS score
+FROM j
+"""
+
+
+# --------------------------------------------- importance reweighting
+#
+# Domain reweighting to a uniform language target (the DoReMi-style
+# mixture correction in its closed static form): each language gets
+# weight w_l = N/(L·n_l) so the weighted corpus is language-balanced;
+# the effective sample size (Σw)²/Σw² says how much data survives the
+# reweight.  Weights are per-lang floats (one division each, floored),
+# and the ESS numerator/denominator are exact decimal sums of those
+# floored weights — no cross-group float accumulation.
+
+
+def importance_weights_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang, n_docs, weight, ess_share) — per-language reweighting to
+    the uniform target + each language's share of the global ESS."""
+    d = _t(spark, sf_dir, "documents")
+    nl = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = nl.agg(
+        F.sum("n_docs").alias("n"), F.count(F.lit(1)).alias("n_langs")
+    )
+    wexpr = (
+        "CAST(n AS DOUBLE) / (CAST(n_langs AS DOUBLE) * CAST(n_docs AS DOUBLE))"
+    )
+    wl = nl.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n",
+        F.expr(f"CAST({_FL6_SQL.format(x=wexpr)} AS DECIMAL(18,6))").alias("w6"),
+    )
+    # ESS = (Σ n_l·w_l)² / (Σ n_l·w_l²) over the floored weights; each
+    # language's share is n_l·w_l² / Σ n_l·w_l² — exact decimals until
+    # the one division.
+    sums = wl.agg(
+        F.sum(F.col("n_docs").cast("decimal(38,6)") * F.col("w6")).alias("s1"),
+        F.sum(
+            F.col("n_docs").cast("decimal(38,6)") * F.col("w6") * F.col("w6")
+        ).alias("s2"),
+    )
+    share = (
+        "CAST(n_docs AS DOUBLE) * CAST(w6 AS DOUBLE) * CAST(w6 AS DOUBLE)"
+        " / CAST(s2 AS DOUBLE)"
+    )
+    return wl.crossJoin(F.broadcast(sums)).select(
+        "lang",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("w6").cast("double").alias("weight"),
+        _fl6(F.expr(share)).alias("ess_share"),
+    )
+
+
+IMPORTANCE_SQL = """
+WITH nl AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+tot AS (SELECT SUM(n_docs)::BIGINT AS n, count(*)::BIGINT AS n_langs FROM nl),
+wl AS (SELECT lang, n_docs,
+              CAST({w} AS DECIMAL(18,6)) AS w6
+       FROM nl CROSS JOIN tot),
+sums AS (SELECT SUM(CAST(n_docs AS DECIMAL(38,6)) * w6) AS s1,
+                SUM(CAST(n_docs AS DECIMAL(38,6)) * w6 * w6) AS s2
+         FROM wl)
+SELECT lang, n_docs, CAST(w6 AS DOUBLE) AS weight,
+       {share} AS ess_share
+FROM wl CROSS JOIN sums
+""".format(
+    w=_FL6_SQL.format(
+        x="CAST(n AS DOUBLE) / (CAST(n_langs AS DOUBLE) * CAST(n_docs AS DOUBLE))"
+    ),
+    share=_FL6_SQL.format(
+        x="CAST(n_docs AS DOUBLE) * CAST(w6 AS DOUBLE) * CAST(w6 AS DOUBLE)"
+        " / CAST(s2 AS DOUBLE)"
+    ),
+)
+
+
+# --------------------------------------------- decision stump (CART)
+#
+# The best single split of document length predicting the quality
+# gate (quality >= 0.5) by weighted Gini impurity — the closed-form
+# first node of a CART tree, and the exact-arithmetic template for
+# histogram-based split finding (what LightGBM-style trainers do per
+# feature).  Candidate thresholds are the distinct n_chars values
+# (histogram-sized); cumulative class counts come from one prefix
+# pass; each candidate's impurity spends its two in-branch divisions
+# and is floored to the 6dp grid, so the argmin (with smallest-
+# threshold tiebreak) is deterministic.
+
+
+def decision_stump_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (threshold, n_left, n_right, pos_left, pos_right,
+    impurity) — the Gini-optimal n_chars split for quality >= 0.5."""
+    from k_means_hadoop_spark.operators import text as text_ops
+    from k_means_hadoop_spark.partitioning import prefix_sum
+
+    docs = _t(spark, sf_dir, "documents")
+    q = text_ops.quality_scores(docs).select(
+        "doc_id",
+        "n_chars",
+        (F.col("quality") >= 0.5).cast("int").alias("y"),
+    )
+    hist = q.groupBy("n_chars").agg(
+        F.count(F.lit(1)).alias("m"), F.sum("y").alias("p")
+    )
+    tot = hist.agg(
+        F.sum("m").alias("n"), F.sum("p").alias("pos")
+    )
+    cum_m = prefix_sum(hist, "m", [F.col("n_chars").asc()], out_col="cm")
+    cum = prefix_sum(
+        cum_m, "p", [F.col("n_chars").asc()], out_col="cp"
+    ).select("n_chars", "cm", "cp")
+    # weighted Gini: N - A/n_l - B/n_r with A = pos_l² + neg_l², etc.
+    imp = (
+        "CAST(n AS DOUBLE)"
+        " - (CAST(cp AS DOUBLE) * CAST(cp AS DOUBLE)"
+        "    + CAST(cm - cp AS DOUBLE) * CAST(cm - cp AS DOUBLE)) / CAST(cm AS DOUBLE)"
+        " - (CAST(pos - cp AS DOUBLE) * CAST(pos - cp AS DOUBLE)"
+        "    + CAST((n - cm) - (pos - cp) AS DOUBLE)"
+        "      * CAST((n - cm) - (pos - cp) AS DOUBLE)) / CAST(n - cm AS DOUBLE)"
+    )
+    cand = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("cm") < F.col("n"))  # both sides non-empty
+        .select(
+            F.col("n_chars").alias("threshold"),
+            F.col("cm").cast("bigint").alias("n_left"),
+            (F.col("n") - F.col("cm")).cast("bigint").alias("n_right"),
+            F.col("cp").cast("bigint").alias("pos_left"),
+            (F.col("pos") - F.col("cp")).cast("bigint").alias("pos_right"),
+            F.expr(
+                f"CAST({_FL6_SQL.format(x=imp)} AS DECIMAL(28,6))"
+            ).alias("imp6"),
+        )
+    )
+    w = Window.orderBy(F.col("imp6").asc(), F.col("threshold").asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("threshold").cast("bigint").alias("threshold"),
+            "n_left",
+            "n_right",
+            "pos_left",
+            "pos_right",
+            F.col("imp6").cast("double").alias("impurity"),
+        )
+    )
+
+
+def _stump_sql() -> str:
+    from k_means_hadoop_spark.registry_pipeline import _quality_sql
+
+    imp = (
+        "CAST(n AS DOUBLE)"
+        " - (CAST(cp AS DOUBLE) * CAST(cp AS DOUBLE)"
+        "    + CAST(cm - cp AS DOUBLE) * CAST(cm - cp AS DOUBLE)) / CAST(cm AS DOUBLE)"
+        " - (CAST(pos - cp AS DOUBLE) * CAST(pos - cp AS DOUBLE)"
+        "    + CAST((n - cm) - (pos - cp) AS DOUBLE)"
+        "      * CAST((n - cm) - (pos - cp) AS DOUBLE)) / CAST(n - cm AS DOUBLE)"
+    )
+    return f"""
+WITH q AS (SELECT doc_id, n_chars, (quality >= 0.5)::INT AS y
+           FROM ({_quality_sql()})),
+hist AS (SELECT n_chars, count(*)::BIGINT AS m, SUM(y)::BIGINT AS p
+         FROM q GROUP BY 1),
+tot AS (SELECT SUM(m)::BIGINT AS n, SUM(p)::BIGINT AS pos FROM hist),
+cum AS (SELECT n_chars,
+               SUM(m) OVER (ORDER BY n_chars) AS cm,
+               SUM(p) OVER (ORDER BY n_chars) AS cp
+        FROM hist),
+cand AS (SELECT n_chars AS threshold, cm::BIGINT AS n_left,
+                (n - cm)::BIGINT AS n_right, cp::BIGINT AS pos_left,
+                (pos - cp)::BIGINT AS pos_right,
+                CAST({_FL6_SQL.format(x=imp)} AS DECIMAL(28,6)) AS imp6
+         FROM cum CROSS JOIN tot WHERE cm < n)
+SELECT threshold, n_left, n_right, pos_left, pos_right,
+       CAST(imp6 AS DOUBLE) AS impurity
+FROM cand ORDER BY imp6 ASC, threshold ASC LIMIT 1
+"""
+
+
+# --------------------------------------------- Adamic-Adar link score
+#
+# resource_allocation_links' sibling with the 1/ln(deg) weight —
+# the standard link-prediction index that discounts hub neighbors
+# logarithmically instead of linearly.  Per-neighbor weights are
+# floored to the 6dp decimal grid ONCE (one division each), so the
+# per-pair sums are exact decimal adds in any order.
+
+_AA_TOP = 30
+
+
+def adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v, n_common, aa) — top-{k} non-edges by Adamic-Adar score
+    on the co-purchase graph."""
+    from k_means_hadoop_spark.operators.analytics import _copurchase_edges
+
+    e = _copurchase_edges(spark, sf_dir)
+    nbrs = e.select(
+        F.col("pa").alias("node"), F.col("pb").alias("nbr")
+    ).unionByName(e.select(F.col("pb").alias("node"), F.col("pa").alias("nbr")))
+    deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    # deg-1 nodes can never be the shared neighbor of two distinct
+    # endpoints, so excluding them is semantics-free — and required:
+    # their ln(deg) = 0 weight would divide by zero before the join
+    # could filter them out (hit at sf0.1).
+    wz = deg.where(F.col("deg") >= 2).select(
+        F.col("node").alias("z"),
+        F.expr(
+            "CAST("
+            + _FL6_SQL.format(x="CAST(1 AS DOUBLE) / ln(CAST(deg AS DOUBLE))")
+            + " AS DECIMAL(18,6))"
+        ).alias("w6"),
+    )
+    n1 = nbrs.select(F.col("nbr").alias("u"), F.col("node").alias("z"))
+    n2 = nbrs.select(F.col("nbr").alias("v"), F.col("node").alias("z2"))
+    cand = (
+        n1.join(n2, (F.col("z") == F.col("z2")) & (F.col("u") < F.col("v")))
+        .join(F.broadcast(wz), "z")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum("w6").alias("aa6"),
+        )
+    )
+    new_links = cand.join(
+        e, (cand.u == e.pa) & (cand.v == e.pb), "left_anti"
+    )
+    w = Window.orderBy(F.col("aa6").desc(), F.col("u"), F.col("v"))
+    return (
+        new_links.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _AA_TOP)
+        .select("u", "v", "n_common", F.col("aa6").cast("double").alias("aa"))
+    )
+
+
+adamic_adar_links.__doc__ = adamic_adar_links.__doc__.format(k=_AA_TOP)
+
+
+def _aa_sql() -> str:
+    from k_means_hadoop_spark.operators.analytics import _EDGES_CTE
+
+    return (
+        "WITH "
+        + _EDGES_CTE.strip()
+        + """,
+nbrs AS (SELECT pa AS node, pb AS nbr FROM e
+         UNION ALL SELECT pb, pa FROM e),
+deg AS (SELECT node, count(*)::BIGINT AS deg FROM nbrs GROUP BY 1),
+wz AS (SELECT node AS z, CAST({w6} AS DECIMAL(18,6)) AS w6 FROM deg WHERE deg >= 2),
+cand AS (
+  SELECT n1.nbr AS u, n2.nbr AS v,
+         count(*)::BIGINT AS n_common, SUM(w6) AS aa6
+  FROM nbrs n1 JOIN nbrs n2 ON n2.node = n1.node AND n1.nbr < n2.nbr
+  JOIN wz ON wz.z = n1.node
+  GROUP BY 1, 2),
+new_links AS (
+  SELECT * FROM cand
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = cand.u AND e.pb = cand.v))
+SELECT u, v, n_common, CAST(aa6 AS DOUBLE) AS aa
+FROM new_links
+ORDER BY aa6 DESC, u, v
+LIMIT {k}
+""".format(
+            w6=_FL6_SQL.format(
+                x="CAST(1 AS DOUBLE) / ln(CAST(deg AS DOUBLE))"
+            ),
+            k=_AA_TOP,
+        )
+    )
+
+
+# --------------------------------------------- local clustering coeff
+#
+# Per-node clustering coefficient on the co-purchase graph:
+# C(v) = 2·tri(v) / (deg(v)·(deg(v)−1)).  Triangles enumerate once in
+# canonical a<b<c orientation (edge ⋈ edge ⋈ edge — the standard
+# distributed triangle plan; shuffle ∝ Σ deg², bounded subgraph), then
+# each triangle credits its three corners; exact integers until one
+# division per node.
+
+
+def clustering_coefficient_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, deg, triangles, coeff) for nodes with deg >= 2."""
+    from k_means_hadoop_spark.operators.analytics import _copurchase_edges
+
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = e.select(F.col("pa").alias("b2"), F.col("pb").alias("c"))
+    wedges = e1.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
+    e3 = e.select(F.col("pa").alias("a3"), F.col("pb").alias("c3"))
+    tris = wedges.join(
+        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
+    ).select("a", "b", "c")
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+    )
+    tcount = corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+    nbrs = e.select(
+        F.col("pa").alias("node"), F.col("pb").alias("nbr")
+    ).unionByName(e.select(F.col("pb").alias("node"), F.col("pa").alias("nbr")))
+    deg = nbrs.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    c = (
+        "CAST(2 AS DOUBLE) * CAST(triangles AS DOUBLE)"
+        " / (CAST(deg AS DOUBLE) * CAST(deg - 1 AS DOUBLE))"
+    )
+    return (
+        deg.where(F.col("deg") >= 2)
+        .join(tcount, "node", "left")
+        .fillna(0, subset=["triangles"])
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("deg").cast("bigint").alias("deg"),
+            F.col("triangles").cast("bigint").alias("triangles"),
+            _fl6(F.expr(c)).alias("coeff"),
+        )
+    )
+
+
+def _cc_sql() -> str:
+    from k_means_hadoop_spark.operators.analytics import _EDGES_CTE
+
+    return (
+        "WITH "
+        + _EDGES_CTE.strip()
+        + """,
+tris AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+         FROM e e1 JOIN e e2 ON e2.pa = e1.pb
+         JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+corners AS (SELECT a AS node FROM tris
+            UNION ALL SELECT b FROM tris
+            UNION ALL SELECT c FROM tris),
+tcount AS (SELECT node, count(*)::BIGINT AS triangles FROM corners GROUP BY 1),
+nbrs AS (SELECT pa AS node, pb AS nbr FROM e
+         UNION ALL SELECT pb, pa FROM e),
+deg AS (SELECT node, count(*)::BIGINT AS deg FROM nbrs GROUP BY 1)
+SELECT deg.node::BIGINT AS node, deg.deg::BIGINT AS deg,
+       COALESCE(tcount.triangles, 0)::BIGINT AS triangles,
+       {c} AS coeff
+FROM deg LEFT JOIN tcount ON tcount.node = deg.node
+WHERE deg.deg >= 2
+""".format(
+            c=_FL6_SQL.format(
+                x="CAST(2 AS DOUBLE) * CAST(COALESCE(tcount.triangles, 0) AS DOUBLE)"
+                " / (CAST(deg.deg AS DOUBLE) * CAST(deg.deg - 1 AS DOUBLE))"
+            )
+        )
+    )
+
+
 ROUND7_QUERIES: dict = {
     "power_iteration_pc1_float": (power_iteration_pc1_float, _pi_float_sql()),
+    "gini_spend_nations": (gini_spend_nations, GINI_SQL),
+    "cramers_v_event_dow": (cramers_v_event_dow, CRAMERS_SQL),
+    "mom_revenue_change": (mom_revenue_change, MOM_SQL),
+    "simpson_diversity_sources": (simpson_diversity_sources, SIMPSON_SQL),
+    "cond_entropy_transitions": (cond_entropy_transitions, COND_ENTROPY_SQL),
+    "stupid_backoff_trigrams": (stupid_backoff_trigrams, _sb_sql()),
+    "importance_weights_mixture": (importance_weights_mixture, IMPORTANCE_SQL),
+    "decision_stump_quality": (decision_stump_quality, _stump_sql()),
+    "adamic_adar_links": (adamic_adar_links, _aa_sql()),
+    "clustering_coefficient_nodes": (clustering_coefficient_nodes, _cc_sql()),
 }

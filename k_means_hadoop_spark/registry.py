@@ -962,6 +962,16 @@ _SCHEDULE: dict[str, dict] = {
     # BEHIND them — the r6 directive that nothing may displace the
     # head.  All locally oracle-verified at sf0.001/0.01/0.1.
     "power_iteration_pc1_float": _row(defer=3),
+    "gini_spend_nations": _row(defer=3),
+    "cramers_v_event_dow": _row(defer=3),
+    "mom_revenue_change": _row(defer=3),
+    "simpson_diversity_sources": _row(defer=3),
+    "cond_entropy_transitions": _row(defer=3),
+    "stupid_backoff_trigrams": _row(defer=3),
+    "importance_weights_mixture": _row(defer=3),
+    "decision_stump_quality": _row(defer=3),
+    "adamic_adar_links": _row(defer=3),
+    "clustering_coefficient_nodes": _row(defer=3),
 }
 
 
