@@ -987,6 +987,345 @@ WHERE deg.deg >= 2
     )
 
 
+# --------------------------------------------- Brown-Forsythe test
+#
+# Equality-of-spread test across event types, on |x − median| (the
+# outlier-robust Levene variant).  Exactness trick: work with DOUBLED
+# deviations z2 = |2x − m2| where m2 = (odd n ? 2·x_mid : x_lo + x_hi)
+# — m2 is an exact decimal for ANY parity, no half-cent ever divides —
+# and the W statistic is a ratio of z-quadratics, so the uniform ×2
+# cancels.  Group-level S²/n terms are floored to the 6dp grid before
+# their exact decimal sums (k ≈ 5 terms), then the one final division.
+
+
+def levene_value_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_tot, k_groups, df1, df2, w_stat) — Brown-Forsythe
+    W for event value spread across event types."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.col("value").cast("decimal(10,2)").alias("x"),
+    )
+    w = Window.partitionBy("g").orderBy("x")
+    r = ev.withColumn("rn", F.row_number().over(w))
+    ng = ev.groupBy("g").agg(F.count(F.lit(1)).alias("ng"))
+    # middle order statistics: odd n → the single mid row (doubled in
+    # the agg), even n → the two middles summed
+    mid = (
+        r.join(F.broadcast(ng), "g")
+        .where(
+            (
+                (F.col("ng") % 2 == 1)
+                & (F.col("rn") == (F.col("ng") + 1) / 2)
+            )
+            | (
+                (F.col("ng") % 2 == 0)
+                & (
+                    (F.col("rn") == F.col("ng") / 2)
+                    | (F.col("rn") == F.col("ng") / 2 + 1)
+                )
+            )
+        )
+        .groupBy("g")
+        .agg(
+            (
+                F.when(F.max("ng") % 2 == 1, F.sum("x") * 2).otherwise(
+                    F.sum("x")
+                )
+            ).alias("m2")
+        )
+    )
+    z = (
+        ev.join(F.broadcast(mid), "g")
+        .select(
+            "g",
+            F.abs(
+                F.col("x").cast("decimal(12,2)") * 2 - F.col("m2")
+            ).alias("z2"),
+        )
+    )
+    per = z.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z2").alias("s"),
+        F.sum(F.col("z2") * F.col("z2")).alias("q"),
+    )
+    t6 = _FL6_SQL.format(
+        x="CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    )
+    d6 = _FL6_SQL.format(
+        x="CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    )
+    terms = per.select(
+        "n",
+        "s",
+        F.expr(f"CAST({t6} AS DECIMAL(28,6))").alias("t6"),
+        F.expr(f"CAST({d6} AS DECIMAL(28,6))").alias("d6"),
+    )
+    agg = terms.agg(
+        F.sum("n").alias("n_tot"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("s").alias("s_tot"),
+        F.sum("t6").alias("bsum"),
+        F.sum("d6").alias("wsum"),
+    )
+    # between-group SS = Σ S_g²/n_g − (ΣS)²/N; W = ((N−k)/(k−1))·B/Wit
+    wstat = (
+        "(CAST(n_tot - k AS DOUBLE) / CAST(k - 1 AS DOUBLE))"
+        " * (CAST(bsum AS DOUBLE)"
+        "    - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))"
+        " / CAST(wsum AS DOUBLE)"
+    )
+    return agg.select(
+        F.col("n_tot").cast("bigint").alias("n_tot"),
+        F.col("k").cast("int").alias("k_groups"),
+        (F.col("k") - 1).cast("int").alias("df1"),
+        (F.col("n_tot") - F.col("k")).cast("bigint").alias("df2"),
+        _fl6(F.expr(wstat)).alias("w_stat"),
+    )
+
+
+LEVENE_SQL = """
+WITH ev AS (SELECT event_type AS g, CAST(value AS DECIMAL(10,2)) AS x FROM events),
+r AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS rn FROM ev),
+ng AS (SELECT g, count(*)::BIGINT AS ng FROM ev GROUP BY 1),
+mid AS (SELECT r.g,
+               CASE WHEN MAX(ng.ng) % 2 = 1 THEN SUM(r.x) * 2 ELSE SUM(r.x) END AS m2
+        FROM r JOIN ng ON ng.g = r.g
+        WHERE (ng.ng % 2 = 1 AND r.rn = (ng.ng + 1) / 2)
+           OR (ng.ng % 2 = 0 AND (r.rn = ng.ng / 2 OR r.rn = ng.ng / 2 + 1))
+        GROUP BY r.g),
+z AS (SELECT ev.g, abs(CAST(ev.x AS DECIMAL(12,2)) * 2 - mid.m2) AS z2
+      FROM ev JOIN mid ON mid.g = ev.g),
+per AS (SELECT g, count(*)::BIGINT AS n, SUM(z2) AS s, SUM(z2 * z2) AS q
+        FROM z GROUP BY 1),
+terms AS (SELECT n, s,
+                 CAST({t6} AS DECIMAL(28,6)) AS t6,
+                 CAST({d6} AS DECIMAL(28,6)) AS d6
+          FROM per),
+agg AS (SELECT SUM(n)::BIGINT AS n_tot, count(*)::BIGINT AS k,
+               SUM(s) AS s_tot, SUM(t6) AS bsum, SUM(d6) AS wsum
+        FROM terms)
+SELECT n_tot, k::INT AS k_groups, (k - 1)::INT AS df1,
+       (n_tot - k)::BIGINT AS df2,
+       {w} AS w_stat
+FROM agg
+""".format(
+    t6=_FL6_SQL.format(
+        x="CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    ),
+    d6=_FL6_SQL.format(
+        x="CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    ),
+    w=_FL6_SQL.format(
+        x="(CAST(n_tot - k AS DOUBLE) / CAST(k - 1 AS DOUBLE))"
+        " * (CAST(bsum AS DOUBLE)"
+        "    - CAST(s_tot AS DOUBLE) * CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))"
+        " / CAST(wsum AS DOUBLE)"
+    ),
+)
+
+
+# --------------------------------------------- frame zero crossings
+#
+# Row-expanding REAL audio decode #2: per-frame sign-flip counts from
+# actual PCM bytes — the pitch/voicing feature next to
+# wav_frame_energy's loudness.  Counts are exact integers (strict
+# s_i·s_{i+1} < 0 within the frame, adjacency never crosses a frame
+# boundary); closed-form oracle over the planted waveform.
+
+_ZC_FRAME = 16
+
+
+def _pickle_round7_by_value() -> None:
+    """Ship THIS module's kernels (and codecs) inside the plan — the
+    multimodal.py portability fix extended to round7's closures, so
+    the workers never need the repo on sys.path."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from k_means_hadoop_spark.operators.multimodal import _pickle_by_value
+
+    _pickle_by_value()
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+def wav_frame_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, frame_idx, n_flips) — intra-frame sign flips per
+    16-sample frame of each planted PCM-WAV payload."""
+    import numpy as np
+    import pandas as pd
+
+    from k_means_hadoop_spark.functions import codecs
+    from k_means_hadoop_spark.operators.corpus_extra import _docs
+    from k_means_hadoop_spark.operators.multimodal import synthesize_codec_media
+
+    _pickle_round7_by_value()
+    media = synthesize_codec_media(_docs(spark, sf_dir))
+    audio = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    samples, _rate = codecs.decode_wav(bytes(payload))
+                except ValueError:
+                    continue  # malformed-payload contract (wav_frame_features)
+                s = samples.astype(np.int64)
+                for fi in range(len(s) // _ZC_FRAME):
+                    c = s[fi * _ZC_FRAME : (fi + 1) * _ZC_FRAME]
+                    rows.append(
+                        (int(mid), fi, int((c[1:] * c[:-1] < 0).sum()))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "n_flips"]
+            )
+
+    return audio.mapInPandas(
+        _batches, schema="media_id bigint, frame_idx int, n_flips bigint"
+    )
+
+
+WAV_ZC_SQL = f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 1),
+s AS (SELECT d.doc_id, i.range AS i,
+             (d.doc_id * 7 + i.range) % 201 - 100 AS v
+      FROM d CROSS JOIN range(64) i),
+adj AS (SELECT a.doc_id, CAST(a.i // {_ZC_FRAME} AS INT) AS frame_idx,
+               a.v * b.v AS prod
+        FROM s a JOIN s b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        WHERE a.i // {_ZC_FRAME} = b.i // {_ZC_FRAME})
+SELECT doc_id AS media_id, frame_idx,
+       SUM(CASE WHEN prod < 0 THEN 1 ELSE 0 END)::BIGINT AS n_flips
+FROM adj GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------- BMP channel histogram
+#
+# Real image decode → 16-bucket intensity histogram per image: the
+# exposure/contrast audit a multimodal curation pass runs before
+# training.  Buckets are pixel DIV 16 — pure integers; closed-form
+# oracle over the planted pixel ramp.
+
+
+def bmp_channel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, bucket, n_px) — blue-channel intensity histogram
+    (16 buckets) from REAL BMP decode of the planted images."""
+    import numpy as np
+    import pandas as pd
+
+    from k_means_hadoop_spark.functions import codecs
+    from k_means_hadoop_spark.operators.corpus_extra import _docs
+    from k_means_hadoop_spark.operators.multimodal import synthesize_codec_media
+
+    _pickle_round7_by_value()
+    media = synthesize_codec_media(_docs(spark, sf_dir))
+    imgs = media.filter(F.col("kind") == "image").select("media_id", "payload")
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    img = codecs.decode_bmp(bytes(payload))
+                except ValueError:
+                    continue
+                counts = np.bincount(
+                    img[:, :, 0].ravel() >> 4, minlength=16
+                )
+                for b in range(16):
+                    if counts[b]:
+                        rows.append((int(mid), b, int(counts[b])))
+            yield pd.DataFrame(rows, columns=["media_id", "bucket", "n_px"])
+
+    return imgs.mapInPandas(
+        _batches, schema="media_id bigint, bucket int, n_px bigint"
+    )
+
+
+BMP_HIST_SQL = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+px AS (SELECT d.doc_id, ((d.doc_id * 31 + i.range) % 256) // 16 AS bucket
+       FROM d CROSS JOIN range(48) i)
+SELECT doc_id AS media_id, bucket::INT AS bucket, count(*)::BIGINT AS n_px
+FROM px GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------- streaming exact top-k
+#
+# Exact heavy users from a stream: per-micro-batch (user_id, count)
+# partials written idempotently (batch_id-partitioned dynamic
+# overwrite), merged by sum — counts are fully mergeable, so the
+# drained result equals batch GROUP BY + top-k exactly and shares its
+# oracle (the sum-merge law, proven the same way the sketch faces
+# prove theirs).  Shuffle per batch ∝ distinct users in the batch.
+
+_TOPK_USERS = 10
+
+
+def streaming_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, n_events) — exact top-{k} users by event count,
+    computed as a streaming count-merge drained with availableNow."""
+    from k_means_hadoop_spark.session import scratch_dir
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    src = scratch_dir("topk_src")
+    store = scratch_dir("topk_store")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(store)
+        )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", scratch_dir("topk_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = (
+        spark.read.parquet(store)
+        .groupBy("user_id")
+        .agg(F.sum("n").alias("n_events"))
+    )
+    w = Window.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOPK_USERS)
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+streaming_topk_users.__doc__ = streaming_topk_users.__doc__.format(
+    k=_TOPK_USERS
+)
+
+TOPK_USERS_SQL = f"""
+SELECT user_id, count(*)::BIGINT AS n_events
+FROM events GROUP BY 1
+ORDER BY n_events DESC, user_id ASC
+LIMIT {_TOPK_USERS}
+"""
+
+
 ROUND7_QUERIES: dict = {
     "power_iteration_pc1_float": (power_iteration_pc1_float, _pi_float_sql()),
     "gini_spend_nations": (gini_spend_nations, GINI_SQL),
@@ -999,4 +1338,8 @@ ROUND7_QUERIES: dict = {
     "decision_stump_quality": (decision_stump_quality, _stump_sql()),
     "adamic_adar_links": (adamic_adar_links, _aa_sql()),
     "clustering_coefficient_nodes": (clustering_coefficient_nodes, _cc_sql()),
+    "levene_value_groups": (levene_value_groups, LEVENE_SQL),
+    "wav_frame_zero_crossings": (wav_frame_zero_crossings, WAV_ZC_SQL),
+    "bmp_channel_histogram": (bmp_channel_histogram, BMP_HIST_SQL),
+    "streaming_topk_users": (streaming_topk_users, TOPK_USERS_SQL),
 }

@@ -972,6 +972,10 @@ _SCHEDULE: dict[str, dict] = {
     "decision_stump_quality": _row(defer=3),
     "adamic_adar_links": _row(defer=3),
     "clustering_coefficient_nodes": _row(defer=3),
+    "levene_value_groups": _row(defer=3),
+    "wav_frame_zero_crossings": _row(defer=3),
+    "bmp_channel_histogram": _row(defer=3),
+    "streaming_topk_users": _row(defer=3),
 }
 
 
