@@ -156,6 +156,22 @@ HEADLINE = [
     "hits_copurchase",
     "resource_allocation_links",
     "readability_scores",
+    # round 7: the two re-flagged perf targets (now one-rank-pass /
+    # single-materialization forms), the float-path eigensolve, and the
+    # new operator families — inequality/association stats, LM backoff,
+    # the CART stump's prefix-sum split scan, log-weighted link
+    # prediction, per-node triangle credit, the streaming exact top-k
+    # merge, and the frame-grain real-PCM decode.
+    "umass_topic_coherence",
+    "quantile_normalize_scores",
+    "power_iteration_pc1_float",
+    "gini_spend_nations",
+    "stupid_backoff_trigrams",
+    "decision_stump_quality",
+    "adamic_adar_links",
+    "clustering_coefficient_nodes",
+    "streaming_topk_users",
+    "wav_frame_zero_crossings",
 ]
 
 

@@ -736,9 +736,12 @@ def decision_stump_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         (F.col("quality") >= 0.5).cast("int").alias("y"),
     )
+    # materialize the histogram once: prefix_sum's range-bound sampling
+    # would otherwise re-run the quality pipeline per evaluation (the
+    # quantile_normalize lesson); the histogram is distinct-value-sized
     hist = q.groupBy("n_chars").agg(
         F.count(F.lit(1)).alias("m"), F.sum("y").alias("p")
-    )
+    ).localCheckpoint(eager=True)
     tot = hist.agg(
         F.sum("m").alias("n"), F.sum("p").alias("pos")
     )
