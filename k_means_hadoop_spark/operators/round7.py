@@ -1329,6 +1329,309 @@ LIMIT {_TOPK_USERS}
 """
 
 
+# --------------------------------------------- Holm step-down FWER
+#
+# The family-wise companion of bh_fdr_nation_acctbal's step-up FDR:
+# Holm rejects ranks 1..k* where k* + 1 is the FIRST rank whose
+# p_(i) > α/(m−i+1).  Same exact rational p machinery (Chebyshev
+# bounds from integer moments; condition as a cross-multiplied integer
+# comparison, never a float threshold), same corpus shape: one
+# nation-grain aggregate + a 25-row window.
+
+# alpha = 0.25: under Chebyshev bounds max achievable z² ≈ N (an
+# extreme group inflates the global σ² it is judged against), so the
+# sf0.001 fixture (N ≈ 180 with plants) mathematically cannot clear
+# 0.05/m — this alpha keeps the planted rank-1 rejection reachable at
+# every SF while the natural nations (z² ≤ ~6) stay non-significant.
+_HOLM_A_NUM, _HOLM_A_DEN = 1, 4
+
+
+def holm_bonferroni_nation_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_nationkey, n, z2, p_chebyshev, p_rank, significant) — Holm
+    step-down at alpha=0.05 over per-nation Chebyshev p-values.
+
+    The fixture's natural nations never clear the conservative
+    Chebyshev bar (max z² ≈ 6), which would leave the rejection branch
+    vacuously untested — so two synthetic outlier groups (keys
+    9001/9002, 16 rows each at 500 000 / 200 000 dollars) are PLANTED
+    inside the query on both engines, the harness's documented pattern
+    for fixture gaps.  9001 rejects at every SF (z² ≈ 144 at sf0.001
+    vs the 108 bar, ≥ 1300 above); 9002 rejects from sf0.01 up; every
+    natural nation stays non-significant — the step-down's
+    stop-at-first-failure rule runs against a mixed outcome set."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    planted = spark.range(16).select(
+        F.explode(F.array(F.lit(9001), F.lit(9002))).alias("c_nationkey"),
+        F.col("id"),
+    ).select(
+        "c_nationkey",
+        F.when(F.col("c_nationkey") == 9001, F.lit(50_000_000))
+        .otherwise(F.lit(20_000_000))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    c = c.unionByName(planted)
+    per = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s_i")
+    )
+    g = c.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    j = per.crossJoin(F.broadcast(g))
+
+    def d38(c_):
+        return c_.cast("decimal(38,0)")
+
+    diff = d38(F.col("nn")) * d38(F.col("s_i")) - d38(F.col("n")) * d38(F.col("s"))
+    num = diff * diff
+    den = d38(F.col("n")) * (
+        d38(F.col("nn")) * d38(F.col("ss")) - d38(F.col("s")) * d38(F.col("s"))
+    )
+    j = j.select(
+        "c_nationkey",
+        F.col("n").cast("bigint").alias("n"),
+        num.alias("znum"),
+        den.alias("zden"),
+    )
+    one38 = F.lit(1).cast("decimal(38,0)")
+    clipped = F.col("znum") <= F.col("zden")  # p = min(1, 1/z²), z=0 → 1/1
+    j = j.withColumn(
+        "p_num", F.when(clipped, one38).otherwise(F.col("zden"))
+    ).withColumn("p_den", F.when(clipped, one38).otherwise(F.col("znum")))
+    p_dbl = F.when(clipped, F.lit(1.0)).otherwise(
+        F.col("zden").cast("double") / F.col("znum").cast("double")
+    )
+    j = j.withColumn("p", p_dbl).withColumn(
+        "p_rank",
+        F.row_number().over(Window.orderBy("p", "c_nationkey")).cast("bigint"),
+    )
+    m = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    j = j.withColumn("m", F.count(F.lit(1)).over(m))
+    # p_(i) <= α/(m−i+1)  <=>  α_den·(m−i+1)·p_num <= α_num·p_den
+    cond = (
+        F.lit(_HOLM_A_DEN) * (F.col("m") - F.col("p_rank") + 1) * F.col("p_num")
+        <= F.lit(_HOLM_A_NUM) * F.col("p_den")
+    )
+    first_fail = F.min(F.when(~cond, F.col("p_rank"))).over(m)
+    j = j.withColumn("first_fail", first_fail)
+    return j.select(
+        "c_nationkey",
+        "n",
+        _fl6(F.col("znum").cast("double") / F.col("zden").cast("double")).alias("z2"),
+        _fl6(F.col("p")).alias("p_chebyshev"),
+        "p_rank",
+        (
+            F.col("first_fail").isNull()
+            | (F.col("p_rank") < F.col("first_fail"))
+        ).alias("significant"),
+    )
+
+
+HOLM_SQL = """
+WITH c AS (SELECT c_nationkey,
+                  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+           FROM customer
+           UNION ALL
+           SELECT k AS c_nationkey,
+                  CASE WHEN k = 9001 THEN 50000000 ELSE 20000000 END::BIGINT AS cents
+           FROM range(16), (SELECT unnest([9001, 9002]) AS k)),
+per AS (SELECT c_nationkey, count(*)::BIGINT AS n, sum(cents)::BIGINT AS s_i
+        FROM c GROUP BY 1),
+g AS (SELECT count(*)::BIGINT AS nn, sum(cents)::BIGINT AS s,
+             sum(cents * cents)::BIGINT AS ss
+      FROM c),
+z AS (SELECT c_nationkey, n,
+             (nn::DECIMAL(38,0) * s_i::DECIMAL(38,0)
+              - n::DECIMAL(38,0) * s::DECIMAL(38,0))
+             * (nn::DECIMAL(38,0) * s_i::DECIMAL(38,0)
+                - n::DECIMAL(38,0) * s::DECIMAL(38,0)) AS znum,
+             n::DECIMAL(38,0)
+             * (nn::DECIMAL(38,0) * ss::DECIMAL(38,0)
+                - s::DECIMAL(38,0) * s::DECIMAL(38,0)) AS zden
+      FROM per CROSS JOIN g),
+p AS (SELECT *,
+             CASE WHEN znum <= zden THEN 1::DECIMAL(38,0) ELSE zden END AS p_num,
+             CASE WHEN znum <= zden THEN 1::DECIMAL(38,0) ELSE znum END AS p_den,
+             CASE WHEN znum <= zden THEN 1.0
+                  ELSE CAST(zden AS DOUBLE) / CAST(znum AS DOUBLE) END AS pv
+      FROM z),
+r AS (SELECT *, row_number() OVER (ORDER BY pv, c_nationkey)::BIGINT AS p_rank,
+             count(*) OVER ()::BIGINT AS m
+      FROM p),
+f AS (SELECT *,
+             min(CASE WHEN NOT ({a_den} * (m - p_rank + 1) * p_num
+                                <= {a_num} * p_den)
+                      THEN p_rank END) OVER () AS first_fail
+      FROM r)
+SELECT c_nationkey, n,
+       {z2} AS z2,
+       {pc} AS p_chebyshev,
+       p_rank,
+       (first_fail IS NULL OR p_rank < first_fail) AS significant
+FROM f
+""".format(
+    a_num=_HOLM_A_NUM,
+    a_den=_HOLM_A_DEN,
+    z2=_FL6_SQL.format(x="CAST(znum AS DOUBLE) / CAST(zden AS DOUBLE)"),
+    pc=_FL6_SQL.format(x="pv"),
+)
+
+
+# --------------------------------------------- Haar wavelet energies
+#
+# Multi-resolution decomposition of the daily event-count series with
+# the unnormalized Haar transform — approx a+b / detail a−b stay EXACT
+# integers at every level, so the per-level detail energies are exact;
+# normalization divides by 2^level at the very end (a power of two —
+# lossless in binary).  The level-by-level pairing runs on the
+# day-grain series (corpus touches only the first daily aggregate), L
+# is fixed by the fixture's 30-day window: n = 16, L = 4.
+
+_HAAR_N = 16
+_HAAR_L = 4
+
+
+def haar_wavelet_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(level, n_coeffs, energy_raw, energy_norm) for detail levels
+    1..4 over the first 16 days of the daily event-count series, plus
+    level 0 = the final approximation coefficient."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = Window.orderBy("day")
+    cur = (
+        daily.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _HAAR_N)
+        .select((F.col("rn") - 1).alias("i"), F.col("x").cast("bigint").alias("v"))
+    )
+    n_days = cur.count()
+    assert n_days == _HAAR_N, (
+        f"haar_wavelet_daily: fixture day span changed ({n_days} < {_HAAR_N}"
+        " usable days); regenerate _HAAR_N/_HAAR_L and the oracle"
+    )
+    out = []
+    for level in range(1, _HAAR_L + 1):
+        paired = cur.groupBy((F.col("i") / 2).cast("bigint").alias("i")).agg(
+            F.sum(F.when(F.col("i") % 2 == 0, F.col("v"))).alias("a"),
+            F.sum(F.when(F.col("i") % 2 == 1, F.col("v"))).alias("b"),
+        )
+        details = paired.select(
+            (F.col("a") - F.col("b")).alias("d")
+        )
+        e = details.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_coeffs"),
+            F.sum(F.col("d") * F.col("d")).cast("decimal(38,0)").alias("energy_raw"),
+        ).select(
+            F.lit(level).cast("int").alias("level"),
+            "n_coeffs",
+            F.col("energy_raw").cast("bigint").alias("energy_raw"),
+            (
+                F.col("energy_raw").cast("double") / F.lit(float(2**level))
+            ).alias("energy_norm"),
+        )
+        out.append(e)
+        cur = paired.select("i", (F.col("a") + F.col("b")).alias("v"))
+    approx = cur.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_coeffs"),
+        F.sum(F.col("v") * F.col("v")).cast("decimal(38,0)").alias("energy_raw"),
+    ).select(
+        F.lit(0).cast("int").alias("level"),
+        "n_coeffs",
+        F.col("energy_raw").cast("bigint").alias("energy_raw"),
+        (
+            F.col("energy_raw").cast("double") / F.lit(float(2**_HAAR_L))
+        ).alias("energy_norm"),
+    )
+    res = out[0]
+    for e in out[1:]:
+        res = res.unionByName(e)
+    return res.unionByName(approx)
+
+
+def _haar_sql() -> str:
+    lvls = []
+    prev = "l0"
+    parts = [
+        f"""daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x
+          FROM events GROUP BY 1),
+l0 AS (SELECT (row_number() OVER (ORDER BY day) - 1)::BIGINT AS i, x::BIGINT AS v
+       FROM daily QUALIFY row_number() OVER (ORDER BY day) <= {_HAAR_N})"""
+    ]
+    for level in range(1, _HAAR_L + 1):
+        cur = f"l{level}"
+        parts.append(
+            f"""{cur} AS (SELECT i // 2 AS i,
+             SUM(CASE WHEN i % 2 = 0 THEN v END) AS a,
+             SUM(CASE WHEN i % 2 = 1 THEN v END) AS b
+      FROM {prev} GROUP BY 1)"""
+        )
+        lvls.append(
+            f"""SELECT {level}::INT AS level, count(*)::BIGINT AS n_coeffs,
+       SUM((a - b) * (a - b))::BIGINT AS energy_raw,
+       CAST(SUM((a - b) * (a - b)) AS DOUBLE) / {float(2 ** level)} AS energy_norm
+FROM {cur}"""
+        )
+        prev = f"l{level}s"
+        parts.append(f"{prev} AS (SELECT i, a + b AS v FROM {cur})")
+    lvls.append(
+        f"""SELECT 0::INT AS level, count(*)::BIGINT AS n_coeffs,
+       SUM(v * v)::BIGINT AS energy_raw,
+       CAST(SUM(v * v) AS DOUBLE) / {float(2 ** _HAAR_L)} AS energy_norm
+FROM {prev}"""
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(lvls)
+
+
+# --------------------------------------------- relational division
+#
+# The classic "FOR ALL" operator SQL lacks natively: customers whose
+# orders cover EVERY order priority — division of orders by the
+# priority domain.  Expressed the scalable way (distinct-count equals
+# domain size: two partial-agg shuffles), not the nested NOT EXISTS
+# double negation (whose naive plan is a per-customer correlated
+# scan).
+
+
+def relational_division_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_custkey, n_orders, n_priorities) — customers whose orders
+    span every distinct o_orderpriority value."""
+    o = _t(spark, sf_dir, "orders")
+    dom = o.agg(F.countDistinct("o_orderpriority").alias("n_dom"))
+    per = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )
+    return (
+        per.crossJoin(F.broadcast(dom))
+        .where(F.col("n_priorities") == F.col("n_dom"))
+        .select(
+            F.col("o_custkey").cast("bigint").alias("c_custkey"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            F.col("n_priorities").cast("int").alias("n_priorities"),
+        )
+    )
+
+
+DIVISION_SQL = """
+WITH dom AS (SELECT count(DISTINCT o_orderpriority)::BIGINT AS n_dom FROM orders),
+per AS (SELECT o_custkey, count(*)::BIGINT AS n_orders,
+               count(DISTINCT o_orderpriority)::BIGINT AS n_priorities
+        FROM orders GROUP BY 1)
+SELECT o_custkey::BIGINT AS c_custkey, n_orders,
+       n_priorities::INT AS n_priorities
+FROM per CROSS JOIN dom
+WHERE n_priorities = n_dom
+"""
+
+
 ROUND7_QUERIES: dict = {
     "power_iteration_pc1_float": (power_iteration_pc1_float, _pi_float_sql()),
     "gini_spend_nations": (gini_spend_nations, GINI_SQL),
@@ -1345,4 +1648,13 @@ ROUND7_QUERIES: dict = {
     "wav_frame_zero_crossings": (wav_frame_zero_crossings, WAV_ZC_SQL),
     "bmp_channel_histogram": (bmp_channel_histogram, BMP_HIST_SQL),
     "streaming_topk_users": (streaming_topk_users, TOPK_USERS_SQL),
+    "holm_bonferroni_nation_acctbal": (
+        holm_bonferroni_nation_acctbal,
+        HOLM_SQL,
+    ),
+    "haar_wavelet_daily": (haar_wavelet_daily, _haar_sql()),
+    "relational_division_priorities": (
+        relational_division_priorities,
+        DIVISION_SQL,
+    ),
 }

@@ -976,6 +976,9 @@ _SCHEDULE: dict[str, dict] = {
     "wav_frame_zero_crossings": _row(defer=3),
     "bmp_channel_histogram": _row(defer=3),
     "streaming_topk_users": _row(defer=3),
+    "holm_bonferroni_nation_acctbal": _row(defer=3),
+    "haar_wavelet_daily": _row(defer=3),
+    "relational_division_priorities": _row(defer=3),
 }
 
 
