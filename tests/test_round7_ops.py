@@ -43,6 +43,64 @@ def test_power_iteration_float_matches_exact_direction(spark, sf_dir):
     assert abs(lam / lam_exact - 1) < 2e-3, f"lambda ratio {lam / lam_exact}"
 
 
+def test_haar_parseval(spark, sf_dir):
+    """Parseval for the unnormalized-Haar pipeline: the normalized
+    detail energies plus the normalized approximation energy must
+    reconstruct the original series energy EXACTLY (all quantities are
+    integers divided by powers of two — lossless in binary)."""
+    from pyspark.sql import functions as F
+
+    from k_means_hadoop_spark.operators.round7 import (
+        _HAAR_N,
+        haar_wavelet_daily,
+    )
+
+    rows = haar_wavelet_daily(spark, sf_dir).collect()
+    total_norm = sum(r["energy_norm"] for r in rows)
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .orderBy("day")
+        .limit(_HAAR_N)
+        .collect()
+    )
+    orig = sum(r["x"] * r["x"] for r in daily)
+    assert total_norm == orig, (total_norm, orig)
+
+
+def test_decision_stump_beats_base_impurity(spark, sf_dir):
+    """The chosen split's weighted Gini must not exceed the unsplit
+    (root) impurity — the CART split-gain guarantee."""
+    from k_means_hadoop_spark.operators.round7 import decision_stump_quality
+
+    r = decision_stump_quality(spark, sf_dir).collect()[0]
+    n = r["n_left"] + r["n_right"]
+    pos = r["pos_left"] + r["pos_right"]
+    neg = n - pos
+    base = n - (pos * pos + neg * neg) / n
+    assert r["impurity"] <= base + 1e-9
+    assert 0 < r["n_left"] < n
+
+
+def test_holm_planted_rejections(spark, sf_dir):
+    """The planted outlier groups drive the step-down's rejection
+    branch; natural nations all stay non-significant, and rejections
+    form a prefix of the p-ranking (the step-down property)."""
+    from k_means_hadoop_spark.operators.round7 import (
+        holm_bonferroni_nation_acctbal,
+    )
+
+    rows = holm_bonferroni_nation_acctbal(spark, sf_dir).collect()
+    sig = sorted(r["p_rank"] for r in rows if r["significant"])
+    assert sig, "rejection branch vacuous — no planted group rejected"
+    assert sig == list(range(1, len(sig) + 1)), "rejections not a rank prefix"
+    planted = {9001, 9002}
+    for r in rows:
+        if r["significant"]:
+            assert r["c_nationkey"] in planted
+
+
 def test_power_iteration_float_contract_row(spark, sf_dir):
     """One row, all four contract booleans true, trace >= maxvar > 0
     (exact-field parity itself is covered by the oracle gate)."""
