@@ -850,3 +850,43 @@ def test_window_staleness_sweep():
             "what the recycle cadence can re-verify; widen the window "
             "share or prune"
         )
+
+
+def test_round7_graph_ops_no_cartesian(plans):
+    """Adamic-Adar and the per-node clustering coefficient must build
+    all candidates from equi-joins (shared-neighbor key / canonical
+    edge orientation) — an all-pairs operator anywhere would be the n²
+    scan both are designed to avoid at 100 TB."""
+    for name in ("adamic_adar_links", "clustering_coefficient_nodes"):
+        p = plans(name)
+        assert n_nodes(p, "CartesianProduct") == 0, name
+        assert n_nodes(p, "BroadcastNestedLoopJoin") == 0, name
+
+
+def test_stupid_backoff_broadcasts_model_grid(plans):
+    """The backoff grid (top bigrams x top unigrams, 100 rows) and its
+    count lookups must plan as broadcast joins against the corpus-sized
+    count tables — shipping the small side, never shuffling the model
+    tables by grid keys."""
+    p = plans("stupid_backoff_trigrams")
+    assert n_nodes(p, "BroadcastHashJoin") >= 2
+    assert n_nodes(p, "CartesianProduct") == 0
+
+
+def test_umass_co_counts_single_exchange_to_pairs(plans):
+    """The rebuilt umass co-occurrence stage: the (doc, tid) self-join
+    feeds a partial-aggregated count — the plan must carry a hash
+    aggregate ABOVE the join and no all-pairs operator; the decode
+    joins broadcast."""
+    p = plans("umass_topic_coherence")
+    assert n_nodes(p, "CartesianProduct") == 0
+    assert n_nodes(p, "BroadcastNestedLoopJoin") == 0
+    assert n_nodes(p, "BroadcastHashJoin") >= 2
+
+
+def test_gini_ranks_inside_nation_partitions(plans):
+    """Gini's ranking window partitions by nation — the plan must hash-
+    partition on the window key (bounded partitions), not collapse to
+    a single global sort partition."""
+    p = plans("gini_spend_nations")
+    assert "hashpartitioning(n_name" in p
