@@ -1632,6 +1632,154 @@ WHERE n_priorities = n_dom
 """
 
 
+# --------------------------------------------- Friedman rank test
+#
+# Friedman's within-block rank test of event volume across event types,
+# blocked by day-of-week: do the type intensities keep the same
+# ordering every weekday?  Average ranks are computed as DOUBLED
+# integers (r2 = 2·|less| + |equal| + 1 — exact for any ties), so
+# Σ R_j² stays an exact integer and the statistic spends ONE division:
+#   Q = 3·Σ R2_j² / (n·k·(k+1)) − 3·n·(k+1).
+# Blocks and treatments are category-sized: the only corpus pass is
+# the (dow, type) cell aggregate.
+
+
+def friedman_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_blocks, k_treatments, df, q_stat)."""
+    ev = _t(spark, sf_dir, "events").select(
+        (
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) % 7
+        ).alias("b"),
+        F.col("event_type").alias("t"),
+    )
+    cells = ev.groupBy("b", "t").agg(F.count(F.lit(1)).alias("v"))
+    l, r = cells.alias("l"), cells.alias("r")
+    r2 = (
+        l.join(r, F.col("l.b") == F.col("r.b"))
+        .groupBy(F.col("l.b").alias("b"), F.col("l.t").alias("t"))
+        .agg(
+            (
+                2 * F.sum(F.when(F.col("r.v") < F.col("l.v"), 1).otherwise(0))
+                + F.sum(F.when(F.col("r.v") == F.col("l.v"), 1).otherwise(0))
+                + 1
+            ).alias("r2")
+        )
+    )
+    per_t = r2.groupBy("t").agg(F.sum("r2").alias("r2_sum"))
+    dims = cells.agg(
+        F.countDistinct("b").alias("n"), F.countDistinct("t").alias("k")
+    )
+    s = per_t.agg(
+        F.sum(F.col("r2_sum") * F.col("r2_sum")).cast("decimal(38,0)").alias("ssr2")
+    )
+    q = (
+        "CAST(3 AS DOUBLE) * CAST(ssr2 AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE))"
+        " - CAST(3 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(k + 1 AS DOUBLE)"
+    )
+    return dims.crossJoin(F.broadcast(s)).select(
+        F.col("n").cast("int").alias("n_blocks"),
+        F.col("k").cast("int").alias("k_treatments"),
+        (F.col("k") - 1).cast("int").alias("df"),
+        _fl6(F.expr(q)).alias("q_stat"),
+    )
+
+
+FRIEDMAN_SQL = """
+WITH ev AS (SELECT (ts::DATE - DATE '2024-01-01') % 7 AS b, event_type AS t FROM events),
+cells AS (SELECT b, t, count(*)::BIGINT AS v FROM ev GROUP BY 1, 2),
+r2 AS (SELECT l.b, l.t,
+              (2 * SUM(CASE WHEN r.v < l.v THEN 1 ELSE 0 END)
+               + SUM(CASE WHEN r.v = l.v THEN 1 ELSE 0 END) + 1)::BIGINT AS r2
+       FROM cells l JOIN cells r ON r.b = l.b
+       GROUP BY 1, 2),
+per_t AS (SELECT t, SUM(r2)::BIGINT AS r2_sum FROM r2 GROUP BY 1),
+dims AS (SELECT count(DISTINCT b)::BIGINT AS n, count(DISTINCT t)::BIGINT AS k FROM cells),
+s AS (SELECT CAST(SUM(r2_sum * r2_sum) AS DECIMAL(38,0)) AS ssr2 FROM per_t)
+SELECT n::INT AS n_blocks, k::INT AS k_treatments, (k - 1)::INT AS df,
+       {q} AS q_stat
+FROM dims CROSS JOIN s
+""".format(
+    q=_FL6_SQL.format(
+        x="CAST(3 AS DOUBLE) * CAST(ssr2 AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE))"
+        " - CAST(3 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(k + 1 AS DOUBLE)"
+    )
+)
+
+
+# --------------------------------------------- McNemar paired test
+#
+# Marginal-homogeneity companion of cohens_kappa_gates: do the two
+# document gates (chars >= C vs words >= W) FAIL different documents,
+# beyond agreeing overall?  Only the discordant counts matter:
+# chi² = (b−c)²/(b+c), plus Edwards' continuity-corrected form —
+# exact integers, one division each.
+
+
+def mcnemar_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_discordant_10, n_discordant_01, chi2, chi2_corrected)."""
+    from k_means_hadoop_spark.operators.stats_extra import (
+        _KAPPA_CHARS,
+        _KAPPA_WORDS,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("n_chars") >= _KAPPA_CHARS).cast("int").alias("ga"),
+        (
+            F.expr("size(regexp_extract_all(text, '[^ ]+', 0))")
+            >= _KAPPA_WORDS
+        )
+        .cast("int")
+        .alias("gb"),
+    )
+    g = d.agg(
+        F.sum(F.col("ga") * (1 - F.col("gb"))).alias("b"),
+        F.sum((1 - F.col("ga")) * F.col("gb")).alias("c"),
+    )
+    chi2 = (
+        "CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE)"
+    )
+    chi2c = (
+        "CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)"
+        " / CAST(b + c AS DOUBLE)"
+    )
+    return g.where(F.col("b") + F.col("c") > 0).select(
+        F.col("b").cast("bigint").alias("n_discordant_10"),
+        F.col("c").cast("bigint").alias("n_discordant_01"),
+        _fl6(F.expr(chi2)).alias("chi2"),
+        _fl6(F.expr(chi2c)).alias("chi2_corrected"),
+    )
+
+
+def _mcnemar_sql() -> str:
+    from k_means_hadoop_spark.operators.stats_extra import (
+        _KAPPA_CHARS,
+        _KAPPA_WORDS,
+    )
+
+    return """
+WITH d AS (SELECT (n_chars >= {ch})::INT AS ga,
+                  (len(regexp_extract_all(text, '[^ ]+')) >= {wd})::INT AS gb
+           FROM documents),
+g AS (SELECT SUM(ga * (1 - gb))::BIGINT AS b, SUM((1 - ga) * gb)::BIGINT AS c FROM d)
+SELECT b AS n_discordant_10, c AS n_discordant_01,
+       {chi2} AS chi2,
+       {chi2c} AS chi2_corrected
+FROM g WHERE b + c > 0
+""".format(
+        ch=_KAPPA_CHARS,
+        wd=_KAPPA_WORDS,
+        chi2=_FL6_SQL.format(
+            x="CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE)"
+        ),
+        chi2c=_FL6_SQL.format(
+            x="CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)"
+            " / CAST(b + c AS DOUBLE)"
+        ),
+    )
+
+
 ROUND7_QUERIES: dict = {
     "power_iteration_pc1_float": (power_iteration_pc1_float, _pi_float_sql()),
     "gini_spend_nations": (gini_spend_nations, GINI_SQL),
@@ -1657,4 +1805,6 @@ ROUND7_QUERIES: dict = {
         relational_division_priorities,
         DIVISION_SQL,
     ),
+    "friedman_event_dow": (friedman_event_dow, FRIEDMAN_SQL),
+    "mcnemar_gates": (mcnemar_gates, _mcnemar_sql()),
 }

@@ -979,6 +979,8 @@ _SCHEDULE: dict[str, dict] = {
     "holm_bonferroni_nation_acctbal": _row(defer=3),
     "haar_wavelet_daily": _row(defer=3),
     "relational_division_priorities": _row(defer=3),
+    "friedman_event_dow": _row(defer=3),
+    "mcnemar_gates": _row(defer=3),
 }
 
 
