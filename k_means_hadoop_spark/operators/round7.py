@@ -1780,6 +1780,107 @@ FROM g WHERE b + c > 0
     )
 
 
+# --------------------------------------------- real PNG decode
+#
+# PNG joins BMP and PCM-WAV as a REAL codec (functions/codecs.py:
+# chunked container, CRC-verified, stdlib-zlib pixel stream, all five
+# scanline filters on decode) — the round-4..6 "compressed formats
+# remain the Pillow seam" gap shrinks to JPEG/MP4 (lossy DCT and
+# container-of-codecs, which cannot be re-implemented honestly here).
+# The query plants closed-form pixel ramps, encodes REAL PNG bytes,
+# decodes them back through the full parser, and emits channel means
+# the oracle computes from the ramp directly — a hash match certifies
+# compression + container + unfilter end to end.
+
+
+def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, width, height, n_px, decode_ok, mean_r, mean_g,
+    mean_b) — REAL PNG encode→decode roundtrip over planted 8×6 ramps
+    (pixel stream value j of image d is (d·31 + j) mod 256)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from k_means_hadoop_spark.functions import codecs
+
+    _pickle_round7_by_value()
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 5 == 0)
+    )
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                j = np.arange(6 * 8 * 3, dtype=np.int64)
+                px = ((did * 31 + j) % 256).astype(np.uint8).reshape(6, 8, 3)
+                payload = codecs.encode_png(px)
+                img = codecs.decode_png(payload)
+                ok = bool((img == px).all())
+                sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                n_px = img.shape[0] * img.shape[1]
+                means = [
+                    math.floor(s / n_px * 1_000_000 + 0.5) / 1_000_000
+                    for s in sums
+                ]
+                rows.append(
+                    (
+                        did,
+                        int(img.shape[1]),
+                        int(img.shape[0]),
+                        int(n_px),
+                        ok,
+                        means[0],
+                        means[1],
+                        means[2],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_px",
+                    "decode_ok",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                ],
+            )
+
+    return ids.mapInPandas(
+        _batches,
+        schema=(
+            "media_id bigint, width int, height int, n_px bigint,"
+            " decode_ok boolean, mean_r double, mean_g double,"
+            " mean_b double"
+        ),
+    )
+
+
+PNG_STATS_SQL = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+px AS (SELECT d.doc_id, k.range AS k,
+              (d.doc_id * 31 + 3 * k.range) % 256 AS r,
+              (d.doc_id * 31 + 3 * k.range + 1) % 256 AS g,
+              (d.doc_id * 31 + 3 * k.range + 2) % 256 AS b
+       FROM d CROSS JOIN range(48) k)
+SELECT doc_id AS media_id, 8::INT AS width, 6::INT AS height,
+       48::BIGINT AS n_px, true AS decode_ok,
+       {mr} AS mean_r, {mg} AS mean_g, {mb} AS mean_b
+FROM px GROUP BY doc_id
+""".format(
+    mr=_FL6_SQL.format(x="CAST(SUM(r) AS DOUBLE) / CAST(48 AS DOUBLE)"),
+    mg=_FL6_SQL.format(x="CAST(SUM(g) AS DOUBLE) / CAST(48 AS DOUBLE)"),
+    mb=_FL6_SQL.format(x="CAST(SUM(b) AS DOUBLE) / CAST(48 AS DOUBLE)"),
+)
+
+
 ROUND7_QUERIES: dict = {
     "power_iteration_pc1_float": (power_iteration_pc1_float, _pi_float_sql()),
     "gini_spend_nations": (gini_spend_nations, GINI_SQL),
@@ -1807,4 +1908,5 @@ ROUND7_QUERIES: dict = {
     ),
     "friedman_event_dow": (friedman_event_dow, FRIEDMAN_SQL),
     "mcnemar_gates": (mcnemar_gates, _mcnemar_sql()),
+    "png_decode_stats": (png_decode_stats, PNG_STATS_SQL),
 }

@@ -981,6 +981,7 @@ _SCHEDULE: dict[str, dict] = {
     "relational_division_priorities": _row(defer=3),
     "friedman_event_dow": _row(defer=3),
     "mcnemar_gates": _row(defer=3),
+    "png_decode_stats": _row(defer=3),
 }
 
 
