@@ -172,6 +172,7 @@ HEADLINE = [
     "clustering_coefficient_nodes",
     "streaming_topk_users",
     "wav_frame_zero_crossings",
+    "png_decode_stats",
 ]
 
 
