@@ -1881,168 +1881,6 @@ FROM px GROUP BY doc_id
 )
 
 
-# --------------------------------------------- Theil's U (lang|source)
-#
-# Uncertainty coefficient: how much of the language entropy a
-# document's source explains — the ASYMMETRIC, normalized companion of
-# mi_lang_source_cells' mutual information and cond_entropy's raw
-# conditional entropy.  Same per-term discipline: every c·ln(·) term
-# is floored to the 6dp grid before its exact decimal sum; the
-# entropies then spend one division each and U one more.
-
-
-def theil_u_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row (n_docs, h_lang, h_lang_given_source, theil_u)."""
-    d = _t(spark, sf_dir, "documents").select("lang", "source")
-    cells = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
-    srcs = cells.groupBy("source").agg(F.sum("c").alias("cs"))
-    langs = cells.groupBy("lang").agg(F.sum("c").alias("cl"))
-    nn = cells.agg(F.sum("c").alias("n"))
-    t_l = _FL6_SQL.format(x="CAST(cl AS DOUBLE) * ln(CAST(cl AS DOUBLE))")
-    t_c = _FL6_SQL.format(
-        x="CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE) / CAST(cs AS DOUBLE))"
-    )
-    s_l = langs.select(
-        F.expr(f"CAST({t_l} AS DECIMAL(28,6))").alias("t")
-    ).agg(F.sum("t").alias("sl"))
-    s_c = (
-        cells.join(F.broadcast(srcs), "source")
-        .select(F.expr(f"CAST({t_c} AS DECIMAL(28,6))").alias("t"))
-        .agg(F.sum("t").alias("sc"))
-    )
-    h1 = _FL6_SQL.format(
-        x="ln(CAST(n AS DOUBLE)) - CAST(sl AS DOUBLE) / CAST(n AS DOUBLE)"
-    )
-    h2 = _FL6_SQL.format(x="-CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)")
-    j = (
-        nn.crossJoin(F.broadcast(s_l))
-        .crossJoin(F.broadcast(s_c))
-        .select(
-            F.col("n").cast("bigint").alias("n_docs"),
-            F.expr(h1).alias("h_lang"),
-            F.expr(h2).alias("h_lang_given_source"),
-        )
-    )
-    u = _FL6_SQL.format(
-        x="(h_lang - h_lang_given_source) / h_lang"
-    )
-    return j.select(
-        "n_docs", "h_lang", "h_lang_given_source", F.expr(u).alias("theil_u")
-    )
-
-
-THEIL_U_SQL = """
-WITH cells AS (SELECT source, lang, count(*)::BIGINT AS c FROM documents GROUP BY 1, 2),
-srcs AS (SELECT source, SUM(c)::BIGINT AS cs FROM cells GROUP BY 1),
-langs AS (SELECT lang, SUM(c)::BIGINT AS cl FROM cells GROUP BY 1),
-nn AS (SELECT SUM(c)::BIGINT AS n FROM cells),
-sl AS (SELECT SUM(CAST({tl} AS DECIMAL(28,6))) AS sl FROM langs),
-sc AS (SELECT SUM(CAST({tc} AS DECIMAL(28,6))) AS sc
-       FROM cells JOIN srcs USING (source)),
-h AS (SELECT n, {h1} AS h_lang, {h2} AS h_lang_given_source
-      FROM nn CROSS JOIN sl CROSS JOIN sc)
-SELECT n AS n_docs, h_lang, h_lang_given_source,
-       {u} AS theil_u
-FROM h
-""".format(
-    tl=_FL6_SQL.format(x="CAST(cl AS DOUBLE) * ln(CAST(cl AS DOUBLE))"),
-    tc=_FL6_SQL.format(
-        x="CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE) / CAST(cs AS DOUBLE))"
-    ),
-    h1=_FL6_SQL.format(
-        x="ln(CAST(n AS DOUBLE)) - CAST(sl AS DOUBLE) / CAST(n AS DOUBLE)"
-    ),
-    h2=_FL6_SQL.format(x="-CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)"),
-    u=_FL6_SQL.format(x="(h_lang - h_lang_given_source) / h_lang"),
-)
-
-
-# --------------------------------------------- Page's trend test
-#
-# Page's L for ordered alternatives — Friedman's directional sibling:
-# is event volume MONOTONE across treatments (in the hypothesized
-# order) within every weekday block?  The hypothesized ordering here
-# is lexical event-type order (a deterministic demo ordering; a real
-# deployment plugs in its dose/severity order).  Same doubled-rank
-# machinery: L2 = Σ j·R2_j stays an exact integer; the standardized z
-# spends one division against an IEEE-exact sqrt.
-
-
-def page_trend_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row (n_blocks, k_treatments, l_stat, z_stat)."""
-    ev = _t(spark, sf_dir, "events").select(
-        (
-            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) % 7
-        ).alias("b"),
-        F.col("event_type").alias("t"),
-    )
-    cells = ev.groupBy("b", "t").agg(F.count(F.lit(1)).alias("v"))
-    l_, r_ = cells.alias("l"), cells.alias("r")
-    r2 = (
-        l_.join(r_, F.col("l.b") == F.col("r.b"))
-        .groupBy(F.col("l.b").alias("b"), F.col("l.t").alias("t"))
-        .agg(
-            (
-                2 * F.sum(F.when(F.col("r.v") < F.col("l.v"), 1).otherwise(0))
-                + F.sum(F.when(F.col("r.v") == F.col("l.v"), 1).otherwise(0))
-                + 1
-            ).alias("r2")
-        )
-    )
-    per_t = r2.groupBy("t").agg(F.sum("r2").alias("r2_sum"))
-    wj = Window.orderBy("t")
-    jr = per_t.withColumn("j", F.row_number().over(wj))
-    dims = cells.agg(
-        F.countDistinct("b").alias("n"), F.countDistinct("t").alias("k")
-    )
-    s = jr.agg(
-        F.sum(F.col("j") * F.col("r2_sum")).cast("decimal(38,0)").alias("l2")
-    )
-    # L = L2/2; z = (12L − 3nk(k+1)²) / (k(k+1)·sqrt(n(k−1)))
-    z = (
-        "(CAST(6 AS DOUBLE) * CAST(l2 AS DOUBLE)"
-        " - CAST(3 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(k AS DOUBLE)"
-        "   * CAST(k + 1 AS DOUBLE) * CAST(k + 1 AS DOUBLE))"
-        " / (CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE)"
-        "    * sqrt(CAST(n AS DOUBLE) * CAST(k - 1 AS DOUBLE)))"
-    )
-    lstat = _FL6_SQL.format(x="CAST(l2 AS DOUBLE) / CAST(2 AS DOUBLE)")
-    return dims.crossJoin(F.broadcast(s)).select(
-        F.col("n").cast("int").alias("n_blocks"),
-        F.col("k").cast("int").alias("k_treatments"),
-        F.expr(lstat).alias("l_stat"),
-        _fl6(F.expr(z)).alias("z_stat"),
-    )
-
-
-PAGE_SQL = """
-WITH ev AS (SELECT (ts::DATE - DATE '2024-01-01') % 7 AS b, event_type AS t FROM events),
-cells AS (SELECT b, t, count(*)::BIGINT AS v FROM ev GROUP BY 1, 2),
-r2 AS (SELECT l.b, l.t,
-              (2 * SUM(CASE WHEN r.v < l.v THEN 1 ELSE 0 END)
-               + SUM(CASE WHEN r.v = l.v THEN 1 ELSE 0 END) + 1)::BIGINT AS r2
-       FROM cells l JOIN cells r ON r.b = l.b
-       GROUP BY 1, 2),
-per_t AS (SELECT t, SUM(r2)::BIGINT AS r2_sum FROM r2 GROUP BY 1),
-jr AS (SELECT t, r2_sum, row_number() OVER (ORDER BY t) AS j FROM per_t),
-dims AS (SELECT count(DISTINCT b)::BIGINT AS n, count(DISTINCT t)::BIGINT AS k FROM cells),
-s AS (SELECT CAST(SUM(j * r2_sum) AS DECIMAL(38,0)) AS l2 FROM jr)
-SELECT n::INT AS n_blocks, k::INT AS k_treatments,
-       {l} AS l_stat,
-       {z} AS z_stat
-FROM dims CROSS JOIN s
-""".format(
-    l=_FL6_SQL.format(x="CAST(l2 AS DOUBLE) / CAST(2 AS DOUBLE)"),
-    z=_FL6_SQL.format(
-        x="(CAST(6 AS DOUBLE) * CAST(l2 AS DOUBLE)"
-        " - CAST(3 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(k AS DOUBLE)"
-        "   * CAST(k + 1 AS DOUBLE) * CAST(k + 1 AS DOUBLE))"
-        " / (CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE)"
-        "    * sqrt(CAST(n AS DOUBLE) * CAST(k - 1 AS DOUBLE)))"
-    ),
-)
-
-
 ROUND7_QUERIES: dict = {
     "power_iteration_pc1_float": (power_iteration_pc1_float, _pi_float_sql()),
     "gini_spend_nations": (gini_spend_nations, GINI_SQL),
@@ -2071,6 +1909,4 @@ ROUND7_QUERIES: dict = {
     "friedman_event_dow": (friedman_event_dow, FRIEDMAN_SQL),
     "mcnemar_gates": (mcnemar_gates, _mcnemar_sql()),
     "png_decode_stats": (png_decode_stats, PNG_STATS_SQL),
-    "theil_u_lang_source": (theil_u_lang_source, THEIL_U_SQL),
-    "page_trend_event_dow": (page_trend_event_dow, PAGE_SQL),
 }

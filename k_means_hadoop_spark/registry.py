@@ -982,8 +982,6 @@ _SCHEDULE: dict[str, dict] = {
     "friedman_event_dow": _row(defer=3),
     "mcnemar_gates": _row(defer=3),
     "png_decode_stats": _row(defer=3),
-    "theil_u_lang_source": _row(defer=3),
-    "page_trend_event_dow": _row(defer=3),
 }
 
 
