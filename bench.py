@@ -1,9 +1,12 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE JSON line with contract fields only:
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": "..."}
+   "n_queries": N, "sf": "...", "full_record": "BENCH_LOCAL_rNN.json"}
+The per-query timing map lives in the BENCH_LOCAL_r*.json full record
+— the driver's stdout pipe clipped the long line three times
+(BENCH_r04/r06/r07 "parsed": null), so it never rides stdout again.
 
 Each query is forced end-to-end with the noop sink (full execution, no
 driver-side result transfer) so the timing measures the plan, not
@@ -196,7 +199,12 @@ def main() -> None:
     # multi-query run inflates later queries via JVM/GC pressure; an
     # isolated re-run of the same query shows its true steady state).
     names = HEADLINE
+    # explicit flag, NOT object identity (`names is HEADLINE`): a future
+    # refactor that copies the list would silently stop persisting the
+    # BENCH_LOCAL_r*.json artifact (round-7 ADVICE item)
+    is_subset = False
     if len(sys.argv) > 1 and sys.argv[1] == "--only":
+        is_subset = True
         names = sys.argv[2:]
         if not names:
             sys.exit("bench.py --only requires at least one query name")
@@ -218,7 +226,15 @@ def main() -> None:
 
     common: dict[str, dict] = {}
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+    # From round 8 the stdout line no longer carries the per-query map
+    # (the thrice-clipped field), so prior rounds' maps come from the
+    # BENCH_LOCAL_r*.json full records; the BENCH_r*.json fallbacks
+    # below recover rounds 1-7 (pre-full-record or clipped).  Where both
+    # exist for a round tag, the richer map wins.
+    for path in sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json"))
+        + glob.glob(os.path.join(here, "BENCH_LOCAL_r*.json"))
+    ):
         try:
             with open(path) as f:
                 prior = json.load(f)
@@ -244,17 +260,25 @@ def main() -> None:
         shared = sorted(set(prior_q) & set(timings))
         if shared:
             tag = os.path.basename(path).removesuffix(".json").rsplit("_", 1)[-1]
+            if tag in common and common[tag]["n_queries"] >= len(shared):
+                continue  # keep the richer record for this round tag
             common[tag] = {
                 "n_queries": len(shared),
                 "this_run": round(sum(timings[n] for n in shared), 3),
                 "prior_run": round(sum(prior_q[n] for n in shared), 3),
             }
     # Round number for the local artifact: one past the newest driver
-    # CORRECTNESS file (the driver writes r{N} after this bench runs).
+    # BENCH file.  The driver's round-N sequence is: correctness gate ->
+    # bench run -> write BENCH_rN.json, so at driver-bench time files
+    # r1..r(N-1) exist and this yields N — the driver's own numbering.
+    # (Rounds <= 7 keyed off CORRECTNESS_r*.json, which the driver
+    # writes BEFORE the bench run, so those local artifacts ran one
+    # ahead: round 7's record landed in BENCH_LOCAL_r08.json.  See
+    # BENCH_NOTES.md "artifact numbering".)
     rounds = [
         int(m.group(1))
-        for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
-        for m in [re.search(r"CORRECTNESS_r(\d+)", p)]
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        for m in [re.search(r"BENCH_r(\d+)", p)]
         if m
     ]
     this_round = (max(rounds) + 1) if rounds else 0
@@ -284,19 +308,20 @@ def main() -> None:
                     ),
                 },
     }
-    # The driver captures stdout through a pipe that has clipped long
-    # lines twice (BENCH_r04/r06: "parsed": null).  Defense in depth:
-    # (a) persist the FULL record to a repo file the judge can always
-    # read, (b) keep the stdout line to the contract fields only.
+    # The driver captures stdout through a pipe that clipped long lines
+    # THREE times (BENCH_r04/r06/r07: "parsed": null — the per-query map
+    # pushed the line past the clip).  The stdout line therefore carries
+    # ONLY the contract fields (~150 bytes, unclippable); the per-query
+    # timings live exclusively in the BENCH_LOCAL_r*.json full record.
     line = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "n_queries": len(timings),
         "sf": full_record["sf"],
     }
     local_path = os.path.join(here, f"BENCH_LOCAL_r{this_round:02d}.json")
-    if names is HEADLINE:  # --only subset runs must not clobber the artifact
+    if not is_subset:  # --only subset runs must not clobber the artifact
         with open(local_path, "w") as f:
             json.dump(full_record, f, indent=1, sort_keys=True)
             f.write("\n")

@@ -84,6 +84,15 @@ def power_iteration_pc1_float(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     parts = _gram_partials(emb, d)
     n = int(sum(p["n_b"] for p in parts))
+    if n <= 0 or d <= 0:
+        # an empty table would otherwise surface as a divide-by-zero in
+        # the covariance and NaNs in the injected CAST({n} AS DOUBLE)
+        # SQL — fail loudly instead (the random_projection_jl pattern)
+        raise ValueError(
+            f"power_iteration_pc1_float: embeddings table is empty "
+            f"(n={n}, d={d}); the covariance and the var6 oracle "
+            "expression require n > 0 and d > 0"
+        )
     s = np.zeros(d)
     G = np.zeros((d, d))
     for p in parts:
@@ -1348,7 +1357,9 @@ _HOLM_A_NUM, _HOLM_A_DEN = 1, 4
 
 def holm_bonferroni_nation_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(c_nationkey, n, z2, p_chebyshev, p_rank, significant) — Holm
-    step-down at alpha=0.05 over per-nation Chebyshev p-values.
+    step-down at alpha = _HOLM_A_NUM/_HOLM_A_DEN = 0.25 over per-nation
+    Chebyshev p-values (see the constant's comment for why 0.05 is
+    mathematically unreachable under Chebyshev bounds at sf0.001).
 
     The fixture's natural nations never clear the conservative
     Chebyshev bar (max z² ≈ 6), which would leave the rejection branch
@@ -1513,10 +1524,16 @@ def haar_wavelet_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("rn") - 1).alias("i"), F.col("x").cast("bigint").alias("v"))
     )
     n_days = cur.count()
-    assert n_days == _HAAR_N, (
-        f"haar_wavelet_daily: fixture day span changed ({n_days} < {_HAAR_N}"
-        " usable days); regenerate _HAAR_N/_HAAR_L and the oracle"
-    )
+    # ValueError, not assert: under ``python -O`` an assert vanishes and
+    # a short-span fixture would silently pair an odd-length series
+    # (null a/b sums) — and the DuckDB oracle has no guard at all, so
+    # this is the only gate (fixture span pinned in
+    # tests/test_advice_fixes_r8.py).
+    if n_days != _HAAR_N:
+        raise ValueError(
+            f"haar_wavelet_daily: fixture day span changed ({n_days} != "
+            f"{_HAAR_N} usable days); regenerate _HAAR_N/_HAAR_L and the oracle"
+        )
     out = []
     for level in range(1, _HAAR_L + 1):
         paired = cur.groupBy((F.col("i") / 2).cast("bigint").alias("i")).agg(
@@ -1644,6 +1661,23 @@ WHERE n_priorities = n_dom
 # the (dow, type) cell aggregate.
 
 
+def _require_complete_blocks(cells: DataFrame, op: str) -> None:
+    """Within-block rank tests (Friedman, Page) assume COMPLETE blocks:
+    every (block, treatment) cell present.  A missing cell would rank
+    only the present treatments while k stays the global count — a
+    statistically invalid statistic that BOTH engines would compute
+    identically (parity cannot catch it).  Guard loudly instead."""
+    n_cells, nb, kt = cells.agg(
+        F.count(F.lit(1)), F.countDistinct("b"), F.countDistinct("t")
+    ).first()
+    if n_cells != nb * kt:
+        raise ValueError(
+            f"{op}: incomplete blocks — {n_cells} (block, treatment) "
+            f"cells for {nb} blocks x {kt} treatments; within-block "
+            "ranks require every cell present"
+        )
+
+
 def friedman_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row (n_blocks, k_treatments, df, q_stat)."""
     ev = _t(spark, sf_dir, "events").select(
@@ -1653,6 +1687,7 @@ def friedman_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("t"),
     )
     cells = ev.groupBy("b", "t").agg(F.count(F.lit(1)).alias("v"))
+    _require_complete_blocks(cells, "friedman_event_dow")
     l, r = cells.alias("l"), cells.alias("r")
     r2 = (
         l.join(r, F.col("l.b") == F.col("r.b"))
