@@ -199,7 +199,7 @@ def main() -> None:
     # multi-query run inflates later queries via JVM/GC pressure; an
     # isolated re-run of the same query shows its true steady state).
     names = HEADLINE
-    # explicit flag, NOT object identity (`names is HEADLINE`): a future
+    # explicit flag, NOT object identity on the query list: a future
     # refactor that copies the list would silently stop persisting the
     # BENCH_LOCAL_r*.json artifact (round-7 ADVICE item)
     is_subset = False
