@@ -202,12 +202,23 @@ FROM pv
 # with x = per-customer total spend (exact decimal) and i the rank
 # under (spend, custkey) — the Σ(2i−n−1)x_i block sum is permutation-
 # invariant within tied spend values, so the tiebreak cannot change
-# the result.  One nation-partitioned ranking window (bounded
-# partitions) + one division per nation.
+# the result.
+#
+# SCALE: nations are LOW-cardinality (25 at any SF), so a nation-
+# partitioned row_number() window sorts each nation's entire customer
+# set inside ONE task — 25 sort tasks no matter the cluster (round-7
+# verdict item 6).  The rank pass therefore runs as the range-
+# partitioned prefix-sum (partitioning.prefix_sum, the
+# auc_quality_vs_gopher pattern): a GLOBAL rank under
+# (n_name, spend, c_custkey) whose parallelism follows num_parts, and
+# the within-nation rank is that global rank minus a broadcast
+# 25-row per-nation base — identical integers, identical hashes.
 
 
 def gini_spend_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(n_name, n_cust, total_spend, gini) per nation."""
+    from k_means_hadoop_spark.partitioning import prefix_sum
+
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     spend = (
         _t(spark, sf_dir, "orders")
@@ -222,8 +233,19 @@ def gini_spend_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .select("n_name", "c_custkey", "spend")
     )
-    w = Window.partitionBy("n_name").orderBy("spend", "c_custkey")
-    r = x.withColumn("i", F.row_number().over(w))
+    # materialize the join ONCE: prefix_sum's range-bound sampling
+    # re-evaluates its input (the quantile_normalize_scores lesson)
+    x = x.localCheckpoint(eager=True)
+    ranked = prefix_sum(
+        x.withColumn("_one", F.lit(1)),
+        "_one",
+        [F.col("n_name").asc(), F.col("spend").asc(), F.col("c_custkey").asc()],
+        out_col="gidx",
+    )
+    base = ranked.groupBy("n_name").agg((F.min("gidx") - 1).alias("_base"))
+    r = ranked.join(F.broadcast(base), "n_name").withColumn(
+        "i", F.col("gidx") - F.col("_base")
+    )
     per = r.groupBy("n_name").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cust"),
         F.sum("spend").alias("total_spend"),

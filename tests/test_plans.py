@@ -884,9 +884,26 @@ def test_umass_co_counts_single_exchange_to_pairs(plans):
     assert n_nodes(p, "BroadcastHashJoin") >= 2
 
 
-def test_gini_ranks_inside_nation_partitions(plans):
-    """Gini's ranking window partitions by nation — the plan must hash-
-    partition on the window key (bounded partitions), not collapse to
-    a single global sort partition."""
-    p = plans("gini_spend_nations")
-    assert "hashpartitioning(n_name" in p
+def test_rank_passes_are_range_partitioned(plans):
+    """Round-8 (verdict item 6): the Gini / concentration rank passes
+    run as the range-partitioned prefix-sum — sort parallelism follows
+    num_parts — never a low-cardinality window that sorts a nation's
+    (or the whole table's) rows in one task."""
+    for name in ("gini_spend_nations", "concentration_spend"):
+        p = plans(name)
+        # prefix_sum's checkpoint truncates lineage, so its range
+        # shuffle predates the visible plan; the markers are the
+        # per-_pid local cumsum window and NO all-to-one sort exchange
+        assert "hashpartitioning(_pid" in p, name
+        assert "Exchange SinglePartition" not in p, name
+
+
+def test_recursive_cte_bfs_steering_marker():
+    """Round-8 (verdict item 5): the SQL-exhibit status and the
+    bfs_levels steering live in the operator docstring, not only in
+    BENCH_NOTES."""
+    from k_means_hadoop_spark.operators.relational import recursive_cte_bfs
+
+    doc = recursive_cte_bfs.__doc__
+    assert "bfs_levels" in doc
+    assert "EXHIBIT" in doc.upper()
