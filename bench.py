@@ -176,6 +176,15 @@ HEADLINE = [
     "streaming_topk_users",
     "wav_frame_zero_crossings",
     "png_decode_stats",
+    # round 8: the fourth real codec (GIF/LZW roundtrip), the
+    # contingency-grid tau (domain-bounded pair step), the term-grain
+    # log-odds sweep with a TakeOrdered top-k, the prefix-sum Lorenz
+    # deciles, and the exact-rational Ljung-Box portmanteau.
+    "gif_decode_stats",
+    "kendall_tau_grid_qty_disc",
+    "log_odds_terms_langs",
+    "lorenz_spend_deciles",
+    "ljung_box_daily",
 ]
 
 

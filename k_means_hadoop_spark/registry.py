@@ -649,6 +649,7 @@ from k_means_hadoop_spark.operators.trends import TRENDS_QUERIES
 from k_means_hadoop_spark.operators.stats_extra import STATS_EXTRA_QUERIES
 from k_means_hadoop_spark.operators.mining import MINING_QUERIES
 from k_means_hadoop_spark.operators.round7 import ROUND7_QUERIES
+from k_means_hadoop_spark.operators.round8 import ROUND8_QUERIES
 from k_means_hadoop_spark.registry_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES
 
 for _name, (_fn, _sql) in {
@@ -662,6 +663,7 @@ for _name, (_fn, _sql) in {
     **STATS_EXTRA_QUERIES,
     **MINING_QUERIES,
     **ROUND7_QUERIES,
+    **ROUND8_QUERIES,
 }.items():
     ORACLES[_name] = _sql
 
@@ -704,6 +706,7 @@ QUERIES.update({name: fn for name, (fn, _sql) in TRENDS_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in STATS_EXTRA_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in MINING_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in ROUND7_QUERIES.items()})
+QUERIES.update({name: fn for name, (fn, _sql) in ROUND8_QUERIES.items()})
 QUERIES.update(RELATIONAL_ROWS_ONLY)
 QUERIES.update(CURATION_ROWS_ONLY)
 QUERIES.update(PIPELINE_QUERIES)
@@ -982,6 +985,23 @@ _SCHEDULE: dict[str, dict] = {
     "friedman_event_dow": _row(defer=3),
     "mcnemar_gates": _row(defer=3),
     "png_decode_stats": _row(defer=3),
+    # -- round-8 additions: defer=4 (a NEWER generation than everything
+    # before, though with the never-verified queue at ZERO after
+    # CORRECTNESS_r07 these 10 head the round-8 window directly; the
+    # other 40 slots recycle the 35 r01 + 5 oldest r02 greens — the
+    # staleness drain the round-7 verdict mandated).  Page/Theil
+    # re-land from commit 8aa4c28.  All locally oracle-verified at
+    # sf0.001/0.01/0.1.
+    "theil_u_lang_source": _row(defer=4),
+    "page_trend_event_dow": _row(defer=4),
+    "mann_kendall_daily": _row(defer=4),
+    "ljung_box_daily": _row(defer=4),
+    "permutation_entropy_daily": _row(defer=4),
+    "lorenz_spend_deciles": _row(defer=4),
+    "log_odds_terms_langs": _row(defer=4),
+    "kendall_tau_grid_qty_disc": _row(defer=4),
+    "hypergeom_enrichment_sources": _row(defer=4),
+    "gif_decode_stats": _row(defer=4),
 }
 
 

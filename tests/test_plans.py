@@ -845,11 +845,23 @@ def test_window_staleness_sweep():
     if unverified_head < 50:
         per_round = 50 - unverified_head
         bound = math.ceil(len(verified) / per_round)
-        assert bound <= 25, (
+        # Round-8 tightening (r7 verdict item 1): with the
+        # never-verified queue drained to zero in CORRECTNESS_r07, the
+        # instantaneous bound must stay single-digit even mid-round
+        # (new defer=4 entries temporarily shrink the recycle share)...
+        assert bound <= 9, (
             f"max-staleness bound {bound} rounds — registry grew past "
             "what the recycle cadence can re-verify; widen the window "
             "share or prune"
         )
+    # ...and the STEADY-STATE bound — the full-registry sweep cadence
+    # once the current additions earn their green rows (U returns to 0,
+    # all 50 slots recycle) — must stay within one sweep per ~7 rounds.
+    steady = math.ceil(len(names) / 50)
+    assert steady <= 7, (
+        f"steady-state sweep bound {steady} rounds — cap registry "
+        "growth or widen the window"
+    )
 
 
 def test_round7_graph_ops_no_cartesian(plans):

@@ -1,0 +1,251 @@
+"""Round-8 operator pins beyond the oracle-parity gate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------- GIF codec
+
+
+def test_gif_lzw_width_boundaries_and_reset():
+    """The LZW roundtrip must survive every code-width boundary
+    (9→10→11→12) and the 4096-entry dictionary reset — seeded random
+    streams sized to cross each."""
+    from k_means_hadoop_spark.functions import codecs
+
+    rng = np.random.RandomState(0)
+    for n in (100, 300, 600, 2000, 10000, 60000, 200000):
+        d = rng.randint(0, 256, n).astype(np.uint8).tobytes()
+        assert codecs._lzw_decode_gif(codecs._lzw_encode_gif(d)) == d, n
+
+
+def test_gif_lzw_kwkwk_and_runs():
+    """The KwKwK self-reference case (code == table size) and deep
+    dictionary chains from low-entropy runs."""
+    from k_means_hadoop_spark.functions import codecs
+
+    d = b"\x05" * 1000  # the classic KwKwK trigger
+    assert codecs._lzw_decode_gif(codecs._lzw_encode_gif(d)) == d
+    rng = np.random.RandomState(1)
+    r = np.repeat(rng.randint(0, 3, 25001), 4)[:100000].astype(np.uint8)
+    d = r.tobytes()
+    assert codecs._lzw_decode_gif(codecs._lzw_encode_gif(d)) == d
+
+
+def test_gif_container_roundtrip_and_rejects():
+    from k_means_hadoop_spark.functions import codecs
+
+    rng = np.random.RandomState(2)
+    px = rng.randint(0, 256, (50, 100)).astype(np.uint8)
+    idx, pal = codecs.decode_gif(codecs.encode_gif(px))
+    assert (idx == px).all()
+    assert (pal[:, 0] == np.arange(256)).all()
+    assert (pal == pal[:, :1]).all()  # grayscale identity palette
+    with pytest.raises(ValueError, match="not a GIF"):
+        codecs.decode_gif(b"NOTAGIF" + b"\x00" * 32)
+
+
+def test_gif_decode_stats_roundtrip_flag(spark, sf_dir):
+    """Every planted image must survive the encode→decode roundtrip
+    (decode_ok is the in-query proof the oracle cannot see)."""
+    from k_means_hadoop_spark.operators.round8 import gif_decode_stats
+
+    rows = gif_decode_stats(spark, sf_dir).collect()
+    assert rows, "no planted GIF rows"
+    assert all(r["decode_ok"] for r in rows)
+    assert all(r["n_px"] == 48 for r in rows)
+
+
+# --------------------------------------------------------- rank statistics
+
+
+def test_page_incomplete_blocks_raise(spark, tmp_path):
+    """Page shares Friedman's complete-blocks guard (round-7 ADVICE
+    pattern): a missing (block, treatment) cell must raise."""
+    import pandas as pd
+
+    from k_means_hadoop_spark.operators.round8 import page_trend_event_dow
+
+    rows = [
+        ("2024-01-01 01:00:00", "A"),
+        ("2024-01-01 02:00:00", "B"),
+        ("2024-01-02 01:00:00", "A"),
+    ]
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [pd.Timestamp(t) for t, _ in rows],
+            "user_id": [1] * len(rows),
+            "event_type": [t for _, t in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet", index=False)
+    with pytest.raises(ValueError, match="incomplete blocks"):
+        page_trend_event_dow(spark, str(tmp_path))
+
+
+def test_mann_kendall_against_local_reference(spark, sf_dir):
+    """S, the tie term, and z recomputed from the collected daily
+    series with plain Python — the definition, not the SQL."""
+    import math
+
+    from k_means_hadoop_spark.operators.round8 import mann_kendall_daily
+
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .orderBy("day")
+        .collect()
+    )
+    xs = [r["x"] for r in daily]
+    n = len(xs)
+    s = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tt = sum(t * (t - 1) * (2 * t + 5) for t in Counter(xs).values())
+    vn = n * (n - 1) * (2 * n + 5) - tt
+    if s > 0:
+        z = (s - 1) / math.sqrt(vn / 18)
+    elif s < 0:
+        z = (s + 1) / math.sqrt(vn / 18)
+    else:
+        z = 0.0
+    row = mann_kendall_daily(spark, sf_dir).first()
+    assert row["n_days"] == n
+    assert row["s_stat"] == s
+    assert row["var18"] == vn
+    assert row["z_stat"] == pytest.approx(z, abs=1e-6)
+
+
+def test_ljung_box_nonnegative_and_reference(spark, sf_dir):
+    """Q recomputed from the collected series via the exact same
+    rational A_k/B definition in Python floats — and Q >= 0 always."""
+    import math
+
+    from k_means_hadoop_spark.operators.round8 import (
+        _LB_LAGS,
+        ljung_box_daily,
+    )
+
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .orderBy("day")
+        .collect()
+    )
+    xs = [r["x"] for r in daily]
+    n, t, q = len(xs), sum(xs), sum(v * v for v in xs)
+    b = n * n * q - n * t * t
+    acc = 0.0
+    for k in range(1, _LB_LAGS + 1):
+        p = sum(xs[i] * xs[i - k] for i in range(k, n))
+        s1 = sum(xs[k:])
+        s2 = sum(xs[:-k])
+        a = n * n * p - n * t * (s1 + s2) + (n - k) * t * t
+        term = (a * a) / (b * b * (n - k))
+        acc += math.floor(term * 1_000_000 + 0.5) / 1_000_000
+    expect = math.floor(n * (n + 2) * acc * 1_000_000 + 0.5) / 1_000_000
+    row = ljung_box_daily(spark, sf_dir).first()
+    assert row["q_stat"] >= 0
+    assert row["q_stat"] == pytest.approx(expect, abs=2e-6)
+
+
+def test_kendall_grid_bounds(spark, sf_dir):
+    """|tau_b| <= 1 and C + D can never exceed the untied pair count."""
+    from k_means_hadoop_spark.operators.round8 import (
+        kendall_tau_grid_qty_disc,
+    )
+
+    r = kendall_tau_grid_qty_disc(spark, sf_dir).first()
+    assert abs(r["tau_b"]) <= 1
+    n0 = r["n_rows"] * (r["n_rows"] - 1) // 2
+    assert r["concordant"] + r["discordant"] <= n0
+    assert r["n_cells"] <= 50 * 11  # domain-bounded grid
+
+
+# ----------------------------------------------------- distribution shapes
+
+
+def test_lorenz_monotone_and_total(spark, sf_dir):
+    """Lorenz cumulative share is nondecreasing, convex-ish by decile
+    construction, and ends at exactly 1."""
+    from k_means_hadoop_spark.operators.round8 import lorenz_spend_deciles
+
+    rows = lorenz_spend_deciles(spark, sf_dir).orderBy("decile").collect()
+    assert [r["decile"] for r in rows] == list(range(len(rows)))
+    shares = [r["cum_share"] for r in rows]
+    assert all(b >= a for a, b in zip(shares, shares[1:]))
+    assert shares[-1] == pytest.approx(1.0, abs=1e-6)
+    assert rows[-1]["cum_cents"] == sum(r["cents"] for r in rows)
+
+
+def test_permutation_entropy_bounds(spark, sf_dir):
+    """0 <= h_norm <= 1, at most 6 ordinal patterns of order 3, and
+    m = n_days - 2 windows."""
+    from k_means_hadoop_spark.operators.round8 import (
+        permutation_entropy_daily,
+    )
+
+    r = permutation_entropy_daily(spark, sf_dir).first()
+    assert 0 <= r["h_norm"] <= 1
+    assert 1 <= r["n_patterns"] <= 6
+    n_days = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(F.to_date("ts").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert r["n_windows"] == n_days - 2
+
+
+def test_theil_u_bounds(spark, sf_dir):
+    """0 <= U <= 1 and H(lang|source) <= H(lang) (conditioning never
+    increases entropy — up to the 6dp grid)."""
+    from k_means_hadoop_spark.operators.round8 import theil_u_lang_source
+
+    r = theil_u_lang_source(spark, sf_dir).first()
+    assert -1e-6 <= r["theil_u"] <= 1 + 1e-6
+    assert r["h_lang_given_source"] <= r["h_lang"] + 2e-6
+
+
+def test_hypergeom_znum_telescopes(spark, sf_dir):
+    """Σ_s (N·k_s − n_s·K) = N·K − K·N = 0 exactly — the enrichment
+    numerators must cancel across sources (exact-integer identity)."""
+    from k_means_hadoop_spark.operators.round8 import (
+        _HG_CHARS,
+        hypergeom_enrichment_sources,
+    )
+
+    rows = hypergeom_enrichment_sources(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nn = docs.count()
+    kk = docs.where(F.col("n_chars") >= _HG_CHARS).count()
+    assert 0 < kk < nn, "gate must split the corpus at this SF"
+    znum_sum = sum(nn * r["n_gated"] - r["n_docs"] * kk for r in rows)
+    assert znum_sum == 0
+
+
+def test_log_odds_topk_shape(spark, sf_dir):
+    """Exactly 20 rows, lor ordered (desc, term asc), and the top
+    term is genuinely en-associated (positive log-odds — a RATE
+    statement: c_en/n1 beats c_rest/n2, not a raw-count one)."""
+    from k_means_hadoop_spark.operators.round8 import (
+        _LO_TOPK,
+        log_odds_terms_langs,
+    )
+
+    rows = log_odds_terms_langs(spark, sf_dir).collect()
+    assert len(rows) == _LO_TOPK
+    keys = [(-r["lor"], r["term"]) for r in rows]
+    assert keys == sorted(keys)
+    assert rows[0]["lor"] > 0
