@@ -910,6 +910,41 @@ def test_rank_passes_are_range_partitioned(plans):
         assert "Exchange SinglePartition" not in p, name
 
 
+def test_round8_ops_bounded_join_shapes(plans):
+    """Round-8 stats ops: no CartesianProduct anywhere, and every
+    nested-loop join is bounded by construction — a broadcast of a
+    1-row aggregate, the calendar-bounded day-grain pair step
+    (Mann-Kendall: rows grow with DAYS, not data), or the
+    domain-bounded <=550-cell contingency grid (tau-b) — never a
+    data-grain all-pairs scan.  The caps pin today's exact counts so
+    a refactor that adds an unbounded NL join fails loudly."""
+    caps = {
+        "theil_u_lang_source": 2,
+        "page_trend_event_dow": 1,
+        "mann_kendall_daily": 3,
+        "ljung_box_daily": 2,
+        "permutation_entropy_daily": 2,
+        "lorenz_spend_deciles": 1,
+        "log_odds_terms_langs": 1,
+        "kendall_tau_grid_qty_disc": 4,
+        "hypergeom_enrichment_sources": 1,
+    }
+    for name, cap in caps.items():
+        p = plans(name)
+        assert n_nodes(p, "CartesianProduct") == 0, name
+        assert n_nodes(p, "BroadcastNestedLoopJoin") <= cap, name
+
+
+def test_lorenz_rank_is_range_partitioned(plans):
+    """lorenz_spend_deciles ranks customers via the range-partitioned
+    prefix-sum (the gini/concentration pattern) — the per-_pid local
+    cumsum must be visible and no all-to-one exchange may appear; the
+    only ordered window runs at DECILE grain (10 rows)."""
+    p = plans("lorenz_spend_deciles")
+    assert "hashpartitioning(_pid" in p
+    assert "Exchange SinglePartition" not in p
+
+
 def test_recursive_cte_bfs_steering_marker():
     """Round-8 (verdict item 5): the SQL-exhibit status and the
     bfs_levels steering live in the operator docstring, not only in
