@@ -181,6 +181,7 @@ HEADLINE = [
     # log-odds sweep with a TakeOrdered top-k, the prefix-sum Lorenz
     # deciles, and the exact-rational Ljung-Box portmanteau.
     "gif_decode_stats",
+    "jpeg_decode_stats",
     "kendall_tau_grid_qty_disc",
     "log_odds_terms_langs",
     "lorenz_spend_deciles",

@@ -901,6 +901,107 @@ FROM px GROUP BY doc_id
 )
 
 
+# --------------------------------------------- JPEG decode stats
+#
+# The FIFTH real codec closes the compressed-format seam to MP4 only:
+# baseline sequential grayscale JFIF — real 8x8 DCT, Annex-K
+# quantization, zigzag, DC DPCM + AC run/size with ZRL/EOB, canonical
+# Huffman coding with byte stuffing, full marker container; the
+# decoder parses DQT/DHT FROM the stream.  JPEG is lossy, so the
+# planted payloads are BLOCK-CONSTANT 16x16 images: a constant 8x8
+# block has a DC-only spectrum, and even pixel values make the DC
+# exactly divisible by the Annex-K quantizer (16), so the quantized
+# transform is exactly invertible and the full encode->decode
+# roundtrip is bit-exact — provable in-query and hash-matched against
+# the closed-form oracle.  The entropy layer's losslessness on
+# ARBITRARY images is pinned separately in tests/test_round8_ops.py.
+
+
+def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, width, height, n_px, decode_ok, mean_px,
+    n_distinct) — REAL baseline-JPEG encode→decode roundtrip over
+    planted 16×16 block-constant images (block b of image d is
+    ((d·29 + b·17) mod 127)·2, blocks in raster order)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from k_means_hadoop_spark.functions import codecs
+
+    _pickle_round8_by_value()
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 7 == 5)
+    )
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = np.zeros((16, 16), dtype=np.uint8)
+                for b, (y, x) in enumerate(
+                    ((0, 0), (0, 8), (8, 0), (8, 8))
+                ):
+                    px[y : y + 8, x : x + 8] = ((did * 29 + b * 17) % 127) * 2
+                payload = codecs.encode_jpeg(px)
+                dec = codecs.decode_jpeg(payload)
+                ok = bool(dec.shape == px.shape and (dec == px).all())
+                n_px = dec.shape[0] * dec.shape[1]
+                mean_px = math.floor(
+                    int(dec.astype(np.int64).sum()) / n_px * 1_000_000 + 0.5
+                ) / 1_000_000
+                rows.append(
+                    (
+                        did,
+                        int(dec.shape[1]),
+                        int(dec.shape[0]),
+                        int(n_px),
+                        ok,
+                        mean_px,
+                        int(len(np.unique(dec))),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_px",
+                    "decode_ok",
+                    "mean_px",
+                    "n_distinct",
+                ],
+            )
+
+    return ids.mapInPandas(
+        _batches,
+        schema=(
+            "media_id bigint, width int, height int, n_px bigint,"
+            " decode_ok boolean, mean_px double, n_distinct int"
+        ),
+    )
+
+
+JPEG_STATS_SQL = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 5),
+px AS (SELECT d.doc_id, ((d.doc_id * 29 + b.range * 17) % 127) * 2 AS v
+       FROM d CROSS JOIN range(4) b)
+SELECT doc_id AS media_id, 16::INT AS width, 16::INT AS height,
+       256::BIGINT AS n_px, true AS decode_ok,
+       {mean} AS mean_px,
+       count(DISTINCT v)::INT AS n_distinct
+FROM px GROUP BY doc_id
+""".format(
+    mean=_FL6_SQL.format(
+        x="CAST(SUM(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+    )
+)
+
+
 ROUND8_QUERIES: dict = {
     "theil_u_lang_source": (theil_u_lang_source, THEIL_U_SQL),
     "page_trend_event_dow": (page_trend_event_dow, PAGE_SQL),
@@ -921,4 +1022,5 @@ ROUND8_QUERIES: dict = {
         HYPERGEOM_SQL,
     ),
     "gif_decode_stats": (gif_decode_stats, GIF_STATS_SQL),
+    "jpeg_decode_stats": (jpeg_decode_stats, JPEG_STATS_SQL),
 }

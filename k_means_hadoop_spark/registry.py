@@ -1002,6 +1002,7 @@ _SCHEDULE: dict[str, dict] = {
     "kendall_tau_grid_qty_disc": _row(defer=4),
     "hypergeom_enrichment_sources": _row(defer=4),
     "gif_decode_stats": _row(defer=4),
+    "jpeg_decode_stats": _row(defer=4),
 }
 
 

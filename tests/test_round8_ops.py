@@ -249,3 +249,122 @@ def test_log_odds_topk_shape(spark, sf_dir):
     keys = [(-r["lor"], r["term"]) for r in rows]
     assert keys == sorted(keys)
     assert rows[0]["lor"] > 0
+
+
+# ------------------------------------------------------------ JPEG codec
+
+
+def _jpeg_reference_pipeline(img):
+    """DCT-only reference (no entropy coding): what a lossless entropy
+    layer must reproduce exactly for ANY input."""
+    from k_means_hadoop_spark.functions import codecs
+
+    h, w = img.shape
+    hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+    x = np.pad(img, ((0, hp - h), (0, wp - w)), mode="edge").astype(
+        np.float64
+    ) - 128.0
+    c = codecs._jpeg_dct_mat()
+    blocks = x.reshape(hp // 8, 8, wp // 8, 8).transpose(0, 2, 1, 3)
+    f = np.einsum("ij,abjk,lk->abil", c, blocks, c)
+    q = np.floor(f / codecs._JPEG_Q_LUM + 0.5)
+    pix = np.einsum("ji,abjk,kl->abil", c, q * codecs._JPEG_Q_LUM, c)
+    out = (
+        np.clip(np.floor(pix + 128.5), 0, 255)
+        .astype(np.uint8)
+        .transpose(0, 2, 1, 3)
+        .reshape(hp, wp)
+    )
+    return out[:h, :w]
+
+
+def test_jpeg_entropy_layer_lossless():
+    """decode(encode(x)) must equal the DCT-only reference on
+    arbitrary images — proving DPCM + RLE + Huffman + byte stuffing
+    perfectly lossless (the honest part of a lossy codec)."""
+    from k_means_hadoop_spark.functions import codecs
+
+    rng = np.random.RandomState(3)
+    for shape in ((8, 8), (16, 24), (40, 56), (10, 13), (64, 64)):
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        dec = codecs.decode_jpeg(codecs.encode_jpeg(img))
+        assert (dec == _jpeg_reference_pipeline(img)).all(), shape
+
+
+def test_jpeg_scan_zrl_eob_and_sign_edges():
+    """The entropy layer alone, on crafted coefficient blocks: ZRL
+    runs (>15 zeros between nonzeros), EOB-only blocks, negative DC
+    swings, and max-magnitude ACs."""
+    from k_means_hadoop_spark.functions import codecs
+
+    blocks = []
+    b = np.zeros(64, dtype=np.int64)
+    b[0] = 5
+    b[40] = -3  # 39 zeros -> two ZRLs + a run-7 code
+    blocks.append(b)
+    b = np.zeros(64, dtype=np.int64)
+    b[0] = -200  # negative DC diff from prev block's +5
+    blocks.append(b)  # EOB-only ACs
+    b = np.zeros(64, dtype=np.int64)
+    b[0] = 0
+    b[1] = 1023  # max baseline AC magnitude (size 10)
+    b[63] = -1023  # 61 zeros -> three ZRLs + run-13
+    blocks.append(b)
+    scan = codecs._jpeg_encode_scan(blocks)
+    dc = codecs._jpeg_canonical(codecs._JPEG_DC_BITS, codecs._JPEG_DC_VALS)
+    ac = codecs._jpeg_canonical(codecs._JPEG_AC_BITS, codecs._JPEG_AC_VALS)
+    dc_t = {(ln, code): s for s, (code, ln) in dc.items()}
+    ac_t = {(ln, code): s for s, (code, ln) in ac.items()}
+    back = codecs._jpeg_decode_scan(scan, len(blocks), dc_t, ac_t)
+    for want, got in zip(blocks, back):
+        assert (want == got).all()
+
+
+def test_jpeg_huffman_tables_are_prefix_free():
+    """The canonical (BITS, HUFFVAL) construction must yield
+    prefix-free codes for both Annex-K tables."""
+    from k_means_hadoop_spark.functions import codecs
+
+    for bits, vals in (
+        (codecs._JPEG_DC_BITS, codecs._JPEG_DC_VALS),
+        (codecs._JPEG_AC_BITS, codecs._JPEG_AC_VALS),
+    ):
+        table = codecs._jpeg_canonical(bits, vals)
+        assert len(table) == len(vals)
+        codes = {
+            format(code, f"0{ln}b") for code, ln in table.values()
+        }
+        assert len(codes) == len(table)
+        for a in codes:
+            for b in codes:
+                if a is not b and b.startswith(a):
+                    assert a == b, (a, b)
+
+
+def test_jpeg_container_roundtrip_and_rejects():
+    from k_means_hadoop_spark.functions import codecs
+
+    px = np.zeros((16, 16), dtype=np.uint8)
+    for b, (y, x) in enumerate(((0, 0), (0, 8), (8, 0), (8, 8))):
+        px[y : y + 8, x : x + 8] = ((5 * 29 + b * 17) % 127) * 2
+    data = codecs.encode_jpeg(px)
+    assert (codecs.decode_jpeg(data) == px).all()
+    with pytest.raises(ValueError, match="not a JPEG"):
+        codecs.decode_jpeg(b"\x00\x01" + data[2:])
+    # flip SOF0 -> SOF2 (progressive) and expect the loud reject
+    sof = data.index(b"\xff\xc0")
+    prog = data[:sof] + b"\xff\xc2" + data[sof + 2 :]
+    with pytest.raises(ValueError, match="baseline"):
+        codecs.decode_jpeg(prog)
+
+
+def test_jpeg_decode_stats_roundtrip_flag(spark, sf_dir):
+    """Every planted block-constant image must survive the lossy codec
+    bit-exactly (the DC-only / even-value construction) — decode_ok is
+    the in-query proof the oracle cannot see."""
+    from k_means_hadoop_spark.operators.round8 import jpeg_decode_stats
+
+    rows = jpeg_decode_stats(spark, sf_dir).collect()
+    assert rows, "no planted JPEG rows"
+    assert all(r["decode_ok"] for r in rows)
+    assert all(r["n_px"] == 256 for r in rows)
