@@ -449,7 +449,8 @@ def decode_gif(data: bytes) -> tuple[np.ndarray, np.ndarray]:
 # (BITS, HUFFVAL) pairs, MSB-first bit packing with 0xFF byte
 # stuffing, and the full marker container (SOI/APP0/DQT/SOF0/DHT/SOS/
 # EOI).  The decoder reads DQT and DHT FROM the stream (a real
-# parser), so it decodes any conformant baseline-grayscale writer.
+# parser), so it decodes any conformant baseline-grayscale writer
+# that does not use restart intervals (DRI is rejected loudly).
 #
 # JPEG is lossy by design, so the honesty contract splits in two:
 # (1) the ENTROPY layer (DPCM + RLE + Huffman + stuffing) is proven
@@ -734,8 +735,8 @@ def encode_jpeg(gray: np.ndarray) -> bytes:
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Parse a baseline sequential grayscale JPEG back to an (H, W)
     uint8 array.  DQT and DHT are read FROM the stream; progressive
-    (SOF2), multi-component, and 16-bit-quant streams are rejected
-    with descriptive errors."""
+    (SOF2), multi-component, 16-bit-quant, and restart-interval (DRI)
+    streams are rejected with descriptive errors."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -789,6 +790,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comp_q = seg[8]  # after comp-id and sampling bytes
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDD:  # DRI: restart markers would appear in-scan
+            raise ValueError("restart intervals (DRI/RSTn) not supported")
         elif marker == 0xDA:  # SOS — scan data follows the header
             td_ta = seg[2]
             scan_tables = (huff[(0, td_ta >> 4)], huff[(1, td_ta & 0x0F)])
@@ -815,3 +818,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         .reshape(hp, wp)
     )
     return out[:h, :w].copy()
+
+
+# ------------------------------------------------------- format sniffing
+
+
+def sniff_format(data: bytes) -> str:
+    """Identify a payload by magic bytes across the five in-repo
+    codecs: 'bmp' | 'wav' | 'png' | 'gif' | 'jpeg' | 'unknown'.  The
+    multimodal pipeline dispatches on THIS, not on the declared kind
+    column — container metadata lies; magic bytes don't."""
+    if data[:8] == _PNG_SIG:
+        return "png"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"

@@ -278,7 +278,28 @@ def decode_media_real(media: DataFrame, thumb: tuple[int, int] = (4, 3)) -> Data
                 }
                 try:
                     if kind == "image":
-                        img = codecs.decode_bmp(bytes(payload))
+                        # dispatch on MAGIC BYTES, not the kind column:
+                        # all four in-repo image codecs land in the same
+                        # (H, W, 3) RGB stats shape, so a BMP payload
+                        # (the planted-oracle case) is byte-identical to
+                        # the pre-sniffing behavior while PNG/GIF/JPEG
+                        # payloads now decode instead of erroring
+                        raw = bytes(payload)
+                        fmt = codecs.sniff_format(raw)
+                        if fmt == "bmp":
+                            img = codecs.decode_bmp(raw)
+                        elif fmt == "png":
+                            img = codecs.decode_png(raw)
+                        elif fmt == "gif":
+                            idx, pal = codecs.decode_gif(raw)
+                            img = pal[idx]
+                        elif fmt == "jpeg":
+                            gray = codecs.decode_jpeg(raw)
+                            img = np.stack([gray] * 3, axis=-1)
+                        else:
+                            raise ValueError(
+                                f"no codec for image format {fmt!r}"
+                            )
                         h, w, _ = img.shape
                         # integer channel sums, ONE division each — the
                         # same op order the oracle's closed form uses

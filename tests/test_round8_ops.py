@@ -368,3 +368,63 @@ def test_jpeg_decode_stats_roundtrip_flag(spark, sf_dir):
     assert rows, "no planted JPEG rows"
     assert all(r["decode_ok"] for r in rows)
     assert all(r["n_px"] == 256 for r in rows)
+
+
+# ----------------------------------------------- format-agnostic dispatch
+
+
+def test_sniff_format_all_five_codecs():
+    from k_means_hadoop_spark.functions import codecs
+
+    px3 = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    assert codecs.sniff_format(codecs.encode_bmp(px3)) == "bmp"
+    assert codecs.sniff_format(codecs.encode_png(px3)) == "png"
+    assert codecs.sniff_format(codecs.encode_gif(g)) == "gif"
+    assert codecs.sniff_format(codecs.encode_jpeg(g)) == "jpeg"
+    assert (
+        codecs.sniff_format(codecs.encode_wav(np.zeros(4, np.int16)))
+        == "wav"
+    )
+    assert codecs.sniff_format(b"\x00nope") == "unknown"
+
+
+def test_decode_media_real_sniffs_all_image_formats(spark):
+    """The multimodal seam dispatches on magic bytes: one payload per
+    in-repo image codec, all declared kind='image', must all decode —
+    BMP through the original path (oracle-pinned elsewhere), PNG/GIF/
+    JPEG through the round-7/8 codecs; garbage stays ok=false."""
+    from k_means_hadoop_spark.functions import codecs
+    from k_means_hadoop_spark.operators.multimodal import decode_media_real
+
+    px3 = np.full((8, 6, 3), 100, dtype=np.uint8)
+    g = np.full((16, 16), 100, dtype=np.uint8)  # block-constant, even
+    rows = [
+        (1, "image", bytearray(codecs.encode_bmp(px3))),
+        (2, "image", bytearray(codecs.encode_png(px3))),
+        (3, "image", bytearray(codecs.encode_gif(g))),
+        (4, "image", bytearray(codecs.encode_jpeg(g))),
+        (5, "image", bytearray(b"\x00garbage")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = {r["media_id"]: r for r in decode_media_real(media).collect()}
+    assert out[1]["ok"] and (out[1]["width"], out[1]["height"]) == (6, 8)
+    assert out[2]["ok"] and (out[2]["width"], out[2]["height"]) == (6, 8)
+    assert out[3]["ok"] and (out[3]["width"], out[3]["height"]) == (16, 16)
+    assert out[4]["ok"] and (out[4]["width"], out[4]["height"]) == (16, 16)
+    for mid in (1, 2):  # same pixels -> same channel means
+        assert out[mid]["mean_r"] == 100.0
+    assert out[3]["mean_r"] == 100.0  # identity grayscale palette
+    assert out[4]["mean_r"] == 100.0  # exact-invertible JPEG payload
+    assert not out[5]["ok"] and "no codec" in out[5]["reason"]
+
+
+def test_jpeg_dri_rejected():
+    from k_means_hadoop_spark.functions import codecs
+
+    g = np.zeros((8, 8), dtype=np.uint8)
+    data = codecs.encode_jpeg(g)
+    sos = data.index(b"\xff\xda")
+    dri = b"\xff\xdd\x00\x04\x00\x08"  # DRI segment, interval 8
+    with pytest.raises(ValueError, match="restart intervals"):
+        codecs.decode_jpeg(data[:sos] + dri + data[sos:])
