@@ -393,7 +393,16 @@ def encode_gif(indices: np.ndarray) -> bytes:
 def decode_gif(data: bytes) -> tuple[np.ndarray, np.ndarray]:
     """Parse a GIF back to (indices (H, W) uint8, palette (256, 3)
     uint8).  Single-image, non-interlaced, global color table — the
-    baseline this encoder writes; validates magic and structure."""
+    baseline this encoder writes; validates magic and structure.
+    Truncated payloads are normalized to ValueError (the decode_wav
+    rejection contract, required by the sniff-dispatch seam)."""
+    try:
+        return _decode_gif_inner(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt GIF payload: {e}") from e
+
+
+def _decode_gif_inner(data: bytes) -> tuple[np.ndarray, np.ndarray]:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
@@ -736,7 +745,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """Parse a baseline sequential grayscale JPEG back to an (H, W)
     uint8 array.  DQT and DHT are read FROM the stream; progressive
     (SOF2), multi-component, 16-bit-quant, and restart-interval (DRI)
-    streams are rejected with descriptive errors."""
+    streams are rejected with descriptive errors, and truncated
+    payloads are normalized to ValueError (the decode_wav rejection
+    contract, required by the sniff-dispatch seam)."""
+    try:
+        return _decode_jpeg_inner(data)
+    except (IndexError, struct.error, KeyError) as e:
+        raise ValueError(f"truncated or corrupt JPEG payload: {e}") from e
+
+
+def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2

@@ -1698,6 +1698,11 @@ def _require_complete_blocks(cells: DataFrame, op: str) -> None:
             f"cells for {nb} blocks x {kt} treatments; within-block "
             "ranks require every cell present"
         )
+    if kt < 2:
+        raise ValueError(
+            f"{op}: {kt} treatment(s) — within-block rank statistics "
+            "need k >= 2 (the normalizer is k(k+1)- or (k-1)-scaled)"
+        )
 
 
 def friedman_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:

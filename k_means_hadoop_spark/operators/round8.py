@@ -56,6 +56,14 @@ def theil_u_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
     srcs = cells.groupBy("source").agg(F.sum("c").alias("cs"))
     langs = cells.groupBy("lang").agg(F.sum("c").alias("cl"))
+    # degenerate-input guard (the power_iteration empty-table pattern):
+    # one distinct language means H(lang) = 0 and U = 0/0 — a silent
+    # NaN both engines would agree on; raise loudly instead
+    if langs.limit(2).count() < 2:
+        raise ValueError(
+            "theil_u_lang_source: single-language corpus — H(lang) = 0 "
+            "makes the uncertainty coefficient U = 0/0 undefined"
+        )
     nn = cells.agg(F.sum("c").alias("n"))
     t_l = _FL6_SQL.format(x="CAST(cl AS DOUBLE) * ln(CAST(cl AS DOUBLE))")
     t_c = _FL6_SQL.format(
@@ -228,6 +236,11 @@ def mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("x")
     )
+    if daily.limit(2).count() < 2:
+        raise ValueError(
+            "mann_kendall_daily: fewer than 2 distinct days — S has no "
+            "pairs and Var(S) = 0, so z is undefined"
+        )
     d = daily.withColumn("i", F.row_number().over(Window.orderBy("day")))
     a = d.select(F.col("i").alias("ia"), F.col("x").alias("xa"))
     b = d.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
@@ -314,6 +327,21 @@ def ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").alias("t"),
         F.sum(F.col("x") * F.col("x")).alias("q"),
     )
+    # degenerate-input guards: a span shorter than the lag depth leaves
+    # empty autocorrelation lags (a silently mis-normalized Q both
+    # engines would agree on), and a CONSTANT series has B = 0 — every
+    # rho_k would divide by zero
+    _gn, _gt, _gq = g.first()
+    if _gn is None or _gn <= _LB_LAGS:
+        raise ValueError(
+            f"ljung_box_daily: {_gn or 0} distinct days <= {_LB_LAGS} "
+            "lags — every lag needs at least one pair"
+        )
+    if _gn * _gq == _gt * _gt:
+        raise ValueError(
+            "ljung_box_daily: constant daily series — the "
+            "autocorrelation denominator B is zero"
+        )
     a = d.select("rn", F.col("x").alias("xt")).withColumn(
         "lag", F.explode(F.sequence(F.lit(1), F.lit(_LB_LAGS)))
     )
@@ -413,6 +441,11 @@ def permutation_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("x")
     )
+    if daily.limit(3).count() < 3:
+        raise ValueError(
+            "permutation_entropy_daily: fewer than 3 distinct days — "
+            "no order-3 windows exist, H is undefined"
+        )
     d = daily.withColumn("rn", F.row_number().over(Window.orderBy("day")))
     a = d.select(F.col("rn"), F.col("x").alias("x1"))
     b = d.select((F.col("rn") - 1).alias("rn"), F.col("x").alias("x2"))
@@ -659,6 +692,15 @@ def kendall_tau_grid_qty_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dc"),
     )
     cells = li.groupBy("q", "dc").agg(F.count(F.lit(1)).alias("n"))
+    _nq, _nd = cells.agg(
+        F.countDistinct("q"), F.countDistinct("dc")
+    ).first()
+    if (_nq or 0) < 2 or (_nd or 0) < 2:
+        raise ValueError(
+            f"kendall_tau_grid_qty_disc: degenerate marginal "
+            f"({_nq} quantity / {_nd} discount levels) — tau-b's "
+            "denominator is zero when either ordinal is constant"
+        )
     a = cells.select(
         F.col("q").alias("qa"), F.col("dc").alias("da"), F.col("n").alias("na")
     )
@@ -761,6 +803,13 @@ def hypergeom_enrichment_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("ns"), F.sum("g").alias("ks")
     )
     tot = d.agg(F.count(F.lit(1)).alias("nn"), F.sum("g").alias("kk"))
+    _nn, _kk = tot.first()
+    if not _nn or _nn < 2 or not (0 < _kk < _nn):
+        raise ValueError(
+            f"hypergeom_enrichment_sources: gate does not split the "
+            f"corpus (N={_nn}, K={_kk}) — the hypergeometric variance "
+            "is zero and every z divides by zero"
+        )
     j = per.crossJoin(F.broadcast(tot))
     expected = _FL6_SQL.format(
         x="CAST(ns * kk AS DOUBLE) / CAST(nn AS DOUBLE)"

@@ -428,3 +428,140 @@ def test_jpeg_dri_rejected():
     dri = b"\xff\xdd\x00\x04\x00\x08"  # DRI segment, interval 8
     with pytest.raises(ValueError, match="restart intervals"):
         codecs.decode_jpeg(data[:sos] + dri + data[sos:])
+
+
+# -------------------------------------------- degenerate-input guards
+#
+# The power_iteration / Friedman ADVICE pattern, applied proactively:
+# every round-8 statistic whose degenerate fixture would produce a
+# silent NaN (or a silently mis-normalized value BOTH engines agree
+# on) raises a descriptive ValueError instead.
+
+
+def _write_events(tmp_path, rows):
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [pd.Timestamp(t) for t, _ in rows],
+            "user_id": [1] * len(rows),
+            "event_type": [t for _, t in rows],
+            "value": [1.0] * len(rows),
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(tmp_path / "events.parquet", index=False)
+
+
+def test_mann_kendall_single_day_raises(spark, tmp_path):
+    from k_means_hadoop_spark.operators.round8 import mann_kendall_daily
+
+    _write_events(tmp_path, [("2024-01-01 01:00:00", "A")] * 3)
+    with pytest.raises(ValueError, match="fewer than 2 distinct days"):
+        mann_kendall_daily(spark, str(tmp_path))
+
+
+def test_ljung_box_short_and_constant_raise(spark, tmp_path):
+    from k_means_hadoop_spark.operators.round8 import ljung_box_daily
+
+    _write_events(
+        tmp_path, [(f"2024-01-0{d} 01:00:00", "A") for d in range(1, 6)]
+    )
+    with pytest.raises(ValueError, match="distinct days <="):
+        ljung_box_daily(spark, str(tmp_path))
+    # 10 days, one event each: a CONSTANT series -> B = 0
+    _write_events(
+        tmp_path,
+        [(f"2024-01-{d:02d} 01:00:00", "A") for d in range(1, 11)],
+    )
+    with pytest.raises(ValueError, match="constant daily series"):
+        ljung_box_daily(spark, str(tmp_path))
+
+
+def test_permutation_entropy_two_days_raises(spark, tmp_path):
+    from k_means_hadoop_spark.operators.round8 import (
+        permutation_entropy_daily,
+    )
+
+    _write_events(
+        tmp_path,
+        [("2024-01-01 01:00:00", "A"), ("2024-01-02 01:00:00", "A")],
+    )
+    with pytest.raises(ValueError, match="fewer than 3 distinct days"):
+        permutation_entropy_daily(spark, str(tmp_path))
+
+
+def test_page_single_treatment_raises(spark, tmp_path):
+    """k = 1 is complete-blocks-valid but rank-degenerate — the shared
+    guard (now also protecting Friedman) must reject it."""
+    from k_means_hadoop_spark.operators.round8 import page_trend_event_dow
+
+    _write_events(
+        tmp_path,
+        [(f"2024-01-{d:02d} 01:00:00", "A") for d in range(1, 8)],
+    )
+    with pytest.raises(ValueError, match="k >= 2"):
+        page_trend_event_dow(spark, str(tmp_path))
+
+
+def test_theil_u_single_language_raises(spark, tmp_path):
+    import pandas as pd
+
+    from k_means_hadoop_spark.operators.round8 import theil_u_lang_source
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "lang": ["en"] * 3,
+            "source": ["web", "web", "news"],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    with pytest.raises(ValueError, match="single-language corpus"):
+        theil_u_lang_source(spark, str(tmp_path))
+
+
+def test_kendall_grid_constant_marginal_raises(spark, tmp_path):
+    import pandas as pd
+
+    from k_means_hadoop_spark.operators.round8 import (
+        kendall_tau_grid_qty_disc,
+    )
+
+    pd.DataFrame(
+        {"l_quantity": [5.0] * 4, "l_discount": [0.01, 0.02, 0.03, 0.04]}
+    ).to_parquet(tmp_path / "lineitem.parquet", index=False)
+    with pytest.raises(ValueError, match="degenerate marginal"):
+        kendall_tau_grid_qty_disc(spark, str(tmp_path))
+
+
+def test_hypergeom_nonsplitting_gate_raises(spark, tmp_path):
+    import pandas as pd
+
+    from k_means_hadoop_spark.operators.round8 import (
+        hypergeom_enrichment_sources,
+    )
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "source": ["web", "news", "web"],
+            "n_chars": [10, 20, 30],  # all below the 300-char gate
+            "text": ["x"] * 3,
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    with pytest.raises(ValueError, match="does not split"):
+        hypergeom_enrichment_sources(spark, str(tmp_path))
+
+
+def test_gif_jpeg_truncation_normalized_to_valueerror():
+    """The sniff-dispatch seam catches ValueError ONLY — a truncated
+    payload raising IndexError/struct.error would kill the whole Arrow
+    batch.  Every truncation point must surface as ValueError."""
+    from k_means_hadoop_spark.functions import codecs
+
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    gif, jpg = codecs.encode_gif(g), codecs.encode_jpeg(g)
+    for data, dec in ((gif, codecs.decode_gif), (jpg, codecs.decode_jpeg)):
+        for cut in (8, 14, 20, len(data) // 2, len(data) - 3):
+            with pytest.raises(ValueError):
+                dec(data[:cut])
