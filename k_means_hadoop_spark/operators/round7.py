@@ -1866,8 +1866,14 @@ def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from k_means_hadoop_spark.functions import codecs
 
+    from k_means_hadoop_spark.partitioning import fan_out
+
     _pickle_round7_by_value()
-    ids = (
+    # fan_out: a small documents.parquet scans as ONE input split, which
+    # would serialize the codec kernel on a single core; round-robin to
+    # defaultParallelism so the Arrow batches cover the cluster (the
+    # _docs pattern the wav/bmp frame ops inherit)
+    ids = fan_out(
         _t(spark, sf_dir, "documents")
         .select("doc_id")
         .where(F.col("doc_id") % 5 == 0)

@@ -876,8 +876,12 @@ def gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from k_means_hadoop_spark.functions import codecs
 
+    from k_means_hadoop_spark.partitioning import fan_out
+
     _pickle_round8_by_value()
-    ids = (
+    # fan_out: see png_decode_stats — one small input split would
+    # serialize the codec kernel on a single core
+    ids = fan_out(
         _t(spark, sf_dir, "documents")
         .select("doc_id")
         .where(F.col("doc_id") % 7 == 3)
@@ -978,8 +982,12 @@ def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from k_means_hadoop_spark.functions import codecs
 
+    from k_means_hadoop_spark.partitioning import fan_out
+
     _pickle_round8_by_value()
-    ids = (
+    # fan_out: see png_decode_stats — one small input split would
+    # serialize the codec kernel on a single core
+    ids = fan_out(
         _t(spark, sf_dir, "documents")
         .select("doc_id")
         .where(F.col("doc_id") % 7 == 5)
