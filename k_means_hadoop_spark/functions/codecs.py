@@ -445,7 +445,11 @@ def _decode_gif_inner(data: bytes) -> tuple[np.ndarray, np.ndarray]:
     )
     if len(indices) != iw * ih:
         raise ValueError("GIF pixel count mismatch")
-    return indices.reshape(ih, iw), palette.copy()
+    # .copy() both returns: np.frombuffer is a read-only view, and a
+    # caller mutating the decoded indices would hit a WRITEABLE error
+    # the other decoders (BMP/PNG) never raise — keep the contract
+    # uniform: every decoder hands back writable arrays.
+    return indices.reshape(ih, iw).copy(), palette.copy()
 
 
 # ------------------------------------------------------ JPEG (baseline)

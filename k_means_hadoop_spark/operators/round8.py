@@ -133,6 +133,14 @@ FROM h
 # spends one division against an IEEE-exact sqrt.  Shares Friedman's
 # complete-blocks guard: a missing (block, treatment) cell would rank
 # only the present treatments — invalid, and invisible to parity.
+#
+# Tie calibration caveat: within-block ties get MIDRANKS (the doubled-
+# rank trick keeps them exact), but z standardizes with the no-tie
+# variance k(k+1)·sqrt(n(k−1))/12 — the textbook Page statistic has no
+# standard tie-corrected variance, so when count cells tie within a
+# block the z is conservatively mis-scaled.  This affects CALIBRATION
+# only (how z maps to a p-value), never cross-engine parity: both
+# engines rank and standardize identically.
 
 
 def page_trend_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -803,12 +811,24 @@ def hypergeom_enrichment_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("ns"), F.sum("g").alias("ks")
     )
     tot = d.agg(F.count(F.lit(1)).alias("nn"), F.sum("g").alias("kk"))
-    _nn, _kk = tot.first()
+    # one guard job for BOTH degeneracies: the corpus-level gate
+    # (0 < K < N) and the single-source corpus (ns == nn makes the
+    # variance factor (nn - ns) zero, so every z is 0/0 NaN and would
+    # slip past parity instead of failing loudly)
+    _nn, _kk, _nsrc = d.agg(
+        F.count(F.lit(1)), F.sum("g"), F.countDistinct("source")
+    ).first()
     if not _nn or _nn < 2 or not (0 < _kk < _nn):
         raise ValueError(
             f"hypergeom_enrichment_sources: gate does not split the "
             f"corpus (N={_nn}, K={_kk}) — the hypergeometric variance "
             "is zero and every z divides by zero"
+        )
+    if _nsrc < 2:
+        raise ValueError(
+            f"hypergeom_enrichment_sources: corpus has {_nsrc} distinct "
+            "source(s); with one source ns == N makes the variance "
+            "factor (N - ns) zero and z = 0/0 NaN"
         )
     j = per.crossJoin(F.broadcast(tot))
     expected = _FL6_SQL.format(

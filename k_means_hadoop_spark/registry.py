@@ -987,8 +987,8 @@ _SCHEDULE: dict[str, dict] = {
     "png_decode_stats": _row(defer=3),
     # -- round-8 additions: defer=4 (a NEWER generation than everything
     # before, though with the never-verified queue at ZERO after
-    # CORRECTNESS_r07 these 10 head the round-8 window directly; the
-    # other 40 slots recycle the 35 r01 + 5 oldest r02 greens — the
+    # CORRECTNESS_r07 these 11 headed the round-8 window directly; the
+    # other 39 slots recycled the 35 r01 + 4 oldest r02 greens — the
     # staleness drain the round-7 verdict mandated).  Page/Theil
     # re-land from commit 8aa4c28.  All locally oracle-verified at
     # sf0.001/0.01/0.1.
