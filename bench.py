@@ -186,6 +186,13 @@ HEADLINE = [
     "log_odds_terms_langs",
     "lorenz_spend_deciles",
     "ljung_box_daily",
+    # round 9: the ISO-BMFF container roundtrip (the sixth in-repo
+    # format) and the two heaviest global-window rewrites (prefix-sum
+    # ntile over customers, resp. over raw lineitem) so their
+    # fixed-cost-for-parallel-sort trade stays visible round to round.
+    "mp4_container_stats",
+    "rfm_segments",
+    "zonemap_prune_audit",
 ]
 
 
@@ -222,6 +229,11 @@ def main() -> None:
         if unknown:
             sys.exit(f"bench.py --only: unknown queries {unknown}")
     spark = get_spark("bench")
+    # co-tenant load poisoned BENCH_LOCAL_r08's cross-round deltas
+    # (~25% uniform inflation under loadavg 5-8, see BENCH_NOTES.md);
+    # record the box's load before and after so every future artifact
+    # carries its own quiet/loaded evidence (round-8 verdict item 5)
+    load_before = [round(x, 2) for x in os.getloadavg()]
     # one warm-up scan so JVM/codegen startup doesn't pollute query 1
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     timings: dict[str, float] = {}
@@ -299,6 +311,8 @@ def main() -> None:
                 "queries": timings,
                 "common_subset_totals": common,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "loadavg_before": load_before,
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
                 "notes": {
                     "protocol": (
                         "per query: 2 untimed warm-ups (codegen+JIT), then "

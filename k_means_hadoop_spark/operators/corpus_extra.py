@@ -1555,6 +1555,8 @@ def umass_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(source, n_pairs, coherence) per source pseudo-topic."""
     from pyspark.sql import Window
 
+    from k_means_hadoop_spark.partitioning import prefix_sum
+
     toks = F.filter(text._tokens(F.col("text")), lambda x: x != "")
     d = _docs(spark, sf_dir)
     # dt feeds FOUR consumers (per-source counts, document frequency,
@@ -1600,9 +1602,18 @@ def umass_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact because (doc_id, tid) is unique.  |top vocab| is bounded
     # by sources × _COH_TOP, so the decode tables broadcast.
     top_vocab = tt.select("tok").distinct()
-    vocab_ids = top_vocab.select(
-        "tok",
-        (F.row_number().over(Window.orderBy("tok")) - 1).alias("tid"),
+    # dense ids via the distributed prefix count, not a global
+    # row_number window: |top vocab| is bounded by sources x top-K
+    # TODAY, but sources is a growing domain — rank it the same way
+    # the fact-grain queries do (round-8 verdict item 6)
+    vocab_ids = (
+        prefix_sum(
+            top_vocab.withColumn("_one", F.lit(1)),
+            "_one",
+            [F.col("tok").asc()],
+            out_col="_rn",
+        )
+        .select("tok", (F.col("_rn") - 1).cast("int").alias("tid"))
     )
     dtt = dt.join(F.broadcast(vocab_ids), "tok").select("doc_id", "tid")
     da, db = dtt.alias("da"), dtt.alias("db")
@@ -1785,7 +1796,7 @@ _ZIPF_SLOPE = (
 def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row (n_terms, slope, intercept) — the Zipf log-log fit over
     the top-200 terms."""
-    from pyspark.sql import Window
+    from k_means_hadoop_spark.partitioning import prefix_sum
 
     toks = F.filter(text._tokens(F.col("text")), lambda x: x != "")
     tf = (
@@ -1796,9 +1807,15 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c").desc(), F.col("tok").asc())
         .limit(_ZIPF_TOP)
     )
-    # rank within the top-K only: K rows, a window here is bounded
-    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
-    pts = tf.withColumn("rk", F.row_number().over(w)).select(
+    # the top-K cut is a distributed TakeOrderedAndProject; rank the
+    # K survivors with the prefix count too so the whole query plans
+    # without any unpartitioned WindowExec (round-8 verdict item 6)
+    pts = prefix_sum(
+        tf.withColumn("_one", F.lit(1)),
+        "_one",
+        [F.col("c").desc(), F.col("tok").asc()],
+        out_col="rk",
+    ).select(
         F.expr(
             "CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000 + 0.5) / 1000000"
             " AS DECIMAL(18,6))"

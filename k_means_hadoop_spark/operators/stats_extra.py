@@ -37,40 +37,51 @@ _MW_A, _MW_B = "click", "view"
 
 def mannwhitney_value_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row (n1, n2, r1, u1, u2, tie_sum, z) — Mann-Whitney U of
-    event value, '{a}' vs '{b}'.  One corpus filter, one global-order
-    window over the pooled sample, constant-size reduce."""
+    event value, '{a}' vs '{b}'.
+
+    Rank sums come from the value HISTOGRAM, not a row-level global
+    window (the round-8 verdict's fact-grain single-partition-sort
+    fix, the ``auc_quality_vs_gopher`` pattern): every pooled row at
+    value v carries average rank B_v + (m_v + 1)/2 where B_v is the
+    count of strictly smaller values, so
+
+        2·R1 = Σ_v p_v · (2·B_v + m_v + 1)
+
+    with m_v the pooled count and p_v the group-'{a}' count at v.
+    B_v = cumm_v − m_v is a distributed ``partitioning.prefix_sum``
+    over the (small, value-grain) histogram — one range shuffle
+    instead of an all-to-one sort of the fact sample.  2·R1 is an
+    EXACT bigint, so r1 = (2·R1)/2 reproduces the window form's
+    half-integer rank sum bit-for-bit."""
+    from k_means_hadoop_spark.partitioning import prefix_sum
+
     ev = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin(_MW_A, _MW_B)
     )
     pooled = ev.select("event_type", "value")
-    w = Window.orderBy("value")
-    ranked = pooled.select(
-        "event_type",
+    hist = pooled.groupBy("value").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum((F.col("event_type") == _MW_A).cast("bigint")).alias("p"),
+    )
+    cum = prefix_sum(hist, "m", [F.col("value").asc()], out_col="cumm")
+    g = cum.agg(
+        F.sum("p").alias("n1"),
+        F.sum(F.col("m") - F.col("p")).alias("n2"),
         (
-            F.rank().over(w).cast("double")
-            + (F.count(F.lit(1)).over(Window.partitionBy("value")) - 1)
-            .cast("double")
-            / F.lit(2.0)
-        ).alias("avg_rank"),
-    )
-    ties = (
-        pooled.groupBy("value")
-        .agg(F.count(F.lit(1)).alias("t"))
-        .agg(
             F.sum(
-                F.col("t") * F.col("t") * F.col("t") - F.col("t")
-            ).alias("tie_sum")
-        )
-    )
-    g = ranked.agg(
-        F.sum(F.when(F.col("event_type") == _MW_A, 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("event_type") == _MW_B, 1).otherwise(0)).alias("n2"),
-        F.sum(
-            F.when(F.col("event_type") == _MW_A, F.col("avg_rank")).otherwise(
-                0.0
-            )
+                F.col("p")
+                * (
+                    F.lit(2) * (F.col("cumm") - F.col("m"))
+                    + F.col("m")
+                    + F.lit(1)
+                )
+            ).cast("double")
+            / F.lit(2.0)
         ).alias("r1"),
-    ).crossJoin(F.broadcast(ties))
+        F.sum(
+            F.col("m") * F.col("m") * F.col("m") - F.col("m")
+        ).alias("tie_sum"),
+    )
     expr = (
         "CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
         " * CAST((n1 + n2 + 1) * CAST(n1 + n2 AS DECIMAL(38,0)) * (n1 + n2 - 1)"
@@ -459,8 +470,15 @@ def pr_curve_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         (F.col("lang") == "en").cast("int").alias("is_pos"),
     )
+    # rank-after-filter (the round-8 verdict's fix): the global
+    # orderBy+limit plans as a distributed TakeOrderedAndProject
+    # (per-partition top-k, merge of k-row heads — never a full sort),
+    # and the window then ranks only the {k}-row survivor set.  Ranks
+    # 1..{k} of the full corpus ARE the top-{k} rows under the total
+    # order, so cum_pos over the survivors equals the global form.
+    top = d.orderBy(F.col("n_chars").desc(), F.col("doc_id")).limit(_PR_TOP)
     w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-    p = d.select(
+    p = top.select(
         F.row_number().over(w).cast("bigint").alias("rank"),
         "doc_id",
         "is_pos",
@@ -470,8 +488,7 @@ def pr_curve_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = d.agg(F.sum("is_pos").alias("p_total"))
     return (
-        p.filter(F.col("rank") <= _PR_TOP)
-        .crossJoin(F.broadcast(tot))
+        p.crossJoin(F.broadcast(tot))
         .select(
             "rank",
             "doc_id",
@@ -2012,36 +2029,64 @@ _MOOD_A, _MOOD_B = "click", "view"
 
 def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row (n_a_above, n_b_above, n_a_below, n_b_below, chi2) —
-    Mood's median test of event value, '{a}' vs '{b}'.  One pooled
-    order window to find the middle order statistics, one 2x2 reduce;
-    values ON the median are excluded (the standard convention that
-    keeps the 2x2 margins honest)."""
+    Mood's median test of event value, '{a}' vs '{b}'; values ON the
+    median are excluded (the standard convention that keeps the 2x2
+    margins honest).
+
+    The middle order statistics come from the value HISTOGRAM + a
+    distributed ``partitioning.prefix_sum`` of its counts (the
+    round-8 verdict's fact-grain single-partition-sort fix): the k-th
+    order statistic is the histogram row whose cumulative count first
+    reaches k — no row-level ``row_number`` over the pooled sample.
+    The k1/k2 tiebreak of the old window form (value, event_id) is
+    irrelevant to the order STATISTIC (it depends only on the sorted
+    value multiset), and classifying with sign(2·v − (v_k1 + v_k2))
+    equals the old sign(k_mid·v − m2) in every branch: doubling is
+    exact in double arithmetic, and when k1 = k2 (odd n) both pick
+    the same row.  The 2x2 margins then reduce over the SAME
+    histogram — the pooled fact sample is scanned exactly once."""
+    from k_means_hadoop_spark.partitioning import prefix_sum
+
     pooled = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin(_MOOD_A, _MOOD_B)
-    ).select("event_type", "value", "event_id")
-    n = pooled.agg(F.count(F.lit(1)).alias("n"))
-    byv = pooled.withColumn(
-        "rv", F.row_number().over(Window.orderBy("value", "event_id"))
+    ).select("event_type", "value")
+    hist = pooled.groupBy("value").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum((F.col("event_type") == _MOOD_A).cast("bigint")).alias("pa"),
     )
+    cum = prefix_sum(hist, "m", [F.col("value").asc()], out_col="cumm")
+    n = cum.agg(F.sum("m").alias("n"))
+    # the histogram row containing order statistic k satisfies
+    # cumm - m < k <= cumm; sum value x (hits of k1) + (hits of k2)
     mid = (
-        byv.crossJoin(F.broadcast(n))
-        .filter(
-            (F.col("rv") == F.expr("(n + 1) DIV 2"))
-            | (F.col("rv") == F.expr("(n + 2) DIV 2"))
+        cum.crossJoin(F.broadcast(n))
+        .select(
+            "value",
+            (
+                (
+                    (F.expr("cumm - m") < F.expr("(n + 1) DIV 2"))
+                    & (F.expr("(n + 1) DIV 2") <= F.col("cumm"))
+                ).cast("int")
+                + (
+                    (F.expr("cumm - m") < F.expr("(n + 2) DIV 2"))
+                    & (F.expr("(n + 2) DIV 2") <= F.col("cumm"))
+                ).cast("int")
+            ).alias("hits"),
         )
-        .agg(F.sum("value").alias("m2"), F.count(F.lit(1)).alias("k_mid"))
+        .agg(F.sum(F.col("value") * F.col("hits")).alias("m2"))
     )
-    cls = pooled.crossJoin(F.broadcast(mid)).select(
-        "event_type",
-        F.signum(F.col("k_mid") * F.col("value") - F.col("m2"))
+    cls = cum.crossJoin(F.broadcast(mid)).select(
+        "m",
+        "pa",
+        F.signum(F.lit(2) * F.col("value") - F.col("m2"))
         .cast("int")
         .alias("s"),
     ).filter(F.col("s") != 0)
     g = cls.agg(
-        F.sum(((F.col("event_type") == _MOOD_A) & (F.col("s") > 0)).cast("int")).alias("a"),
-        F.sum(((F.col("event_type") == _MOOD_B) & (F.col("s") > 0)).cast("int")).alias("b"),
-        F.sum(((F.col("event_type") == _MOOD_A) & (F.col("s") < 0)).cast("int")).alias("c"),
-        F.sum(((F.col("event_type") == _MOOD_B) & (F.col("s") < 0)).cast("int")).alias("d"),
+        F.sum(F.when(F.col("s") > 0, F.col("pa")).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("s") > 0, F.col("m") - F.col("pa")).otherwise(0)).alias("b"),
+        F.sum(F.when(F.col("s") < 0, F.col("pa")).otherwise(0)).alias("c"),
+        F.sum(F.when(F.col("s") < 0, F.col("m") - F.col("pa")).otherwise(0)).alias("d"),
     )
     chi2 = (
         "CAST(CAST(a + b + c + d AS DECIMAL(38,0))"

@@ -554,14 +554,29 @@ def zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") % _ZM_FILES).alias("file_id"),
         "l_shipdate",
     )
-    sorted_ = li.select(
+    # the sorted-layout file assignment is a GLOBAL ntile over the raw
+    # fact table — the one place this query must totally order lineitem.
+    # A window ntile would collapse every row into ONE task; the
+    # range-partitioned prefix count + closed-form ntile (the
+    # rfm_segments treatment, round-9) keeps the sort parallel.
+    from k_means_hadoop_spark.partitioning import ntile_expr, prefix_sum
+
+    ranked = prefix_sum(
+        li.withColumn("_one", F.lit(1)),
+        "_one",
+        [
+            F.col("l_shipdate").asc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        out_col="_rn",
+    )
+    n_df = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    sorted_ = ranked.crossJoin(F.broadcast(n_df)).select(
         F.lit("sorted").alias("layout"),
-        (
-            F.ntile(_ZM_FILES).over(
-                Window.orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-            )
-            - 1
-        ).cast("bigint").alias("file_id"),
+        (F.expr(ntile_expr("_rn", "_n", _ZM_FILES)) - 1)
+        .cast("bigint")
+        .alias("file_id"),
         "l_shipdate",
     )
     match = F.when((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi), 1).otherwise(0)

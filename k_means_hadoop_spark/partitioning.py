@@ -105,3 +105,27 @@ def prefix_sum(
         .withColumn(out_col, F.col("_local") + F.col("_off"))
         .drop("_pid", "_local", "_off")
     )
+
+
+def ntile_expr(rn_col: str, n_col: str, k: int) -> str:
+    """SQL expression reproducing ``ntile(k)`` bit-for-bit from a
+    1-based global rank ``rn_col`` (e.g. a ``prefix_sum`` of ones) and
+    the row count ``n_col`` — the scale-safe replacement for
+    ``ntile(k).over(Window.orderBy(...))``, whose unpartitioned window
+    collapses the input into ONE task.
+
+    ntile semantics: with q = n DIV k and r = n % k, the first r tiles
+    hold q+1 rows and the rest hold q, so
+
+        tile = (rn + q) DIV (q + 1)              if rn <= r*(q+1)
+             = r + (rn - r*(q+1) + q - 1) DIV q  otherwise
+
+    The q = 0 division in the ELSE branch is unreachable: q = 0 forces
+    r = n, so every rank takes the THEN branch."""
+    q = f"({n_col} DIV {k})"
+    r = f"({n_col} % {k})"
+    return (
+        f"CASE WHEN {rn_col} <= {r} * ({q} + 1)"
+        f" THEN ({rn_col} + {q}) DIV ({q} + 1)"
+        f" ELSE {r} + ({rn_col} - {r} * ({q} + 1) + {q} - 1) DIV {q} END"
+    )

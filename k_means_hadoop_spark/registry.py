@@ -650,6 +650,7 @@ from k_means_hadoop_spark.operators.stats_extra import STATS_EXTRA_QUERIES
 from k_means_hadoop_spark.operators.mining import MINING_QUERIES
 from k_means_hadoop_spark.operators.round7 import ROUND7_QUERIES
 from k_means_hadoop_spark.operators.round8 import ROUND8_QUERIES
+from k_means_hadoop_spark.operators.round9 import ROUND9_QUERIES
 from k_means_hadoop_spark.registry_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES
 
 for _name, (_fn, _sql) in {
@@ -664,6 +665,7 @@ for _name, (_fn, _sql) in {
     **MINING_QUERIES,
     **ROUND7_QUERIES,
     **ROUND8_QUERIES,
+    **ROUND9_QUERIES,
 }.items():
     ORACLES[_name] = _sql
 
@@ -707,6 +709,7 @@ QUERIES.update({name: fn for name, (fn, _sql) in STATS_EXTRA_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in MINING_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in ROUND7_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in ROUND8_QUERIES.items()})
+QUERIES.update({name: fn for name, (fn, _sql) in ROUND9_QUERIES.items()})
 QUERIES.update(RELATIONAL_ROWS_ONLY)
 QUERIES.update(CURATION_ROWS_ONLY)
 QUERIES.update(PIPELINE_QUERIES)
@@ -1003,6 +1006,24 @@ _SCHEDULE: dict[str, dict] = {
     "hypergeom_enrichment_sources": _row(defer=4),
     "gif_decode_stats": _row(defer=4),
     "jpeg_decode_stats": _row(defer=4),
+    # -- round-9 redefinitions: the six global-window queries rebuilt
+    # on prefix_sum / top-k-then-rank (round-8 verdict items 2/3/6).
+    # Hashes verified unchanged locally at sf0.001/0.01/0.1, but the
+    # old driver greens proved the OLD plans — re-verify the new ones.
+    "mannwhitney_value_groups": _row(stale_after=8),
+    "mood_median_test": _row(stale_after=8),
+    "pr_curve_quality": _row(stale_after=8),
+    "rfm_segments": _row(stale_after=8),
+    "umass_topic_coherence": _row(stale_after=8),
+    "zipf_slope_fit": _row(stale_after=8),
+    # the plan-sweep test surfaced a seventh fact-grain global window
+    # the verdict missed: ntile(64) over raw lineitem
+    "zonemap_prune_audit": _row(stale_after=8),
+    # -- round-9 addition: defer=5 (capped at ONE new entry so the
+    # window drains the r02/r03 stale-green cohort — verdict item 1:
+    # 7 redefinitions + 1 new entry leave 42 slots for the recycle).
+    # Locally oracle-verified at sf0.001/0.01/0.1.
+    "mp4_container_stats": _row(defer=5),
 }
 
 

@@ -954,3 +954,80 @@ def test_recursive_cte_bfs_steering_marker():
     doc = recursive_cte_bfs.__doc__
     assert "bfs_levels" in doc
     assert "EXHIBIT" in doc.upper()
+
+
+# ---------------------------------------------------------------------
+# Round-9 (verdict item 4): the unpartitioned-WindowExec sweep.  A bare
+# Window.orderBy() moves EVERY input row into one task — the classic
+# hidden scale-killer this repo spent rounds 7-9 draining (gini,
+# concentration, mannwhitney, mood_median, pr_curve, rfm, zonemap,
+# umass, zipf).  This test walks every headline query's optimized plan
+# and fails if an unpartitioned Window appears over an input that is
+# not limit-bounded, unless the query is explicitly allowlisted below
+# with its bounded grain.  Re-introducing the anti-pattern (e.g.
+# reverting mannwhitney to its round-6 global rank) fails here.
+
+# queries allowed to keep an unpartitioned Window, each over a
+# cardinality-bounded input a 100x corpus cannot grow:
+_BOUNDED_WINDOW_OK = {
+    # day-grain daily series (calendar-bounded: rows = distinct days)
+    "cusum_changepoints",
+    "acf_daily_events",
+    "ljung_box_daily",
+    # nation-grain (25-row dimension)
+    "bh_fdr_nation_acctbal",
+    # decile-grain cumulative shares (10 rows; the customer-grain rank
+    # below it is already a range-partitioned prefix_sum)
+    "lorenz_spend_deciles",
+    # p_size-domain suffix-min (TPC-H sizes: 50 distinct values)
+    "pareto_front_parts",
+}
+
+
+def _unbounded_global_windows(df):
+    """Unpartitioned Window nodes whose child chain has no Limit —
+    i.e. global sorts whose input grows with the corpus.  (Spark's
+    LimitPushDownThroughWindow turns rank()<=k filters into
+    GlobalLimit-under-Window = TakeOrderedAndProject + a k-row window,
+    which is the scale-safe top-k shape and is NOT flagged.)"""
+
+    def bounded_below(node):
+        name = node.getClass().getSimpleName()
+        if name in ("GlobalLimit", "LocalLimit"):
+            return True
+        if node.children().size() != 1:
+            return False
+        return bounded_below(node.children().apply(0))
+
+    out = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "Window" and node.partitionSpec().isEmpty():
+            if not bounded_below(node.children().apply(0)):
+                out.append(str(node.windowExpressions().head())[:90])
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out
+
+
+def test_headline_no_unbounded_global_windows(spark, sf_dir):
+    import bench
+
+    flagged = {}
+    for name in bench.HEADLINE:
+        df = registry.QUERIES[name](spark, sf_dir)
+        w = _unbounded_global_windows(df)
+        if w:
+            flagged[name] = w
+    offenders = {n: w for n, w in flagged.items() if n not in _BOUNDED_WINDOW_OK}
+    assert not offenders, (
+        "unpartitioned Window over non-limit-bounded input (single-task "
+        f"global sort at scale): {offenders}"
+    )
+    # keep the allowlist honest: an entry whose window disappeared no
+    # longer needs the exemption
+    stale = _BOUNDED_WINDOW_OK - set(flagged)
+    assert not stale, f"allowlist entries without a global window: {stale}"
