@@ -681,12 +681,19 @@ _NEG_K = 5
 
 def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, j, neg_doc_id, same_source) — {k} deterministic
-    negatives per anchor.  Rank ring built once (one window), then two
-    broadcast joins — corpus touched once."""
+    negatives per anchor.  Rank ring built once via the distributed
+    prefix count (a row_number window here would sort EVERY document
+    into one task — round-9 registry-wide audit), then two broadcast
+    joins — corpus touched once."""
+    from k_means_hadoop_spark.partitioning import prefix_sum
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
-    ranks = docs.withColumn(
-        "r", F.row_number().over(Window.orderBy("doc_id")) - 1
-    )
+    ranks = prefix_sum(
+        docs.withColumn("_one", F.lit(1)),
+        "_one",
+        [F.col("doc_id").asc()],
+        out_col="_rn",
+    ).withColumn("r", F.col("_rn") - 1).drop("_one", "_rn")
     n = ranks.agg(F.count(F.lit(1)).alias("n"))
     anchors = (
         ranks.filter(F.col("doc_id") < _NEG_CAP)
@@ -706,7 +713,10 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("neg_doc_id"),
         F.col("source").alias("n_source"),
     )
-    return cand.join(F.broadcast(neg), cand.c == neg.nr).select(
+    # broadcast the BOUNDED side: cand is <= _NEG_CAP x _NEG_K rows;
+    # neg is the whole corpus ring (broadcasting it — the previous
+    # form — ships every document to every executor)
+    return F.broadcast(cand).join(neg, cand.c == neg.nr).select(
         "doc_id",
         F.col("j").cast("int").alias("j"),
         "neg_doc_id",

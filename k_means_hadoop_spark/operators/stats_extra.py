@@ -548,9 +548,15 @@ def _kmv_finish(hashes: DataFrame, n: DataFrame) -> DataFrame:
     """kth-order-statistic pick + estimate — shared by the batch face
     and the streaming min-merge so both stay byte-identical to the
     single KMV_SQL oracle they register against (the _log2_finish
-    pattern)."""
-    ranked = hashes.withColumn(
-        "rn", F.row_number().over(Window.orderBy("h"))
+    pattern).  The K smallest hashes come from a distributed
+    ``orderBy().limit(K)`` (TakeOrderedAndProject — per-partition
+    top-K heads merged on the driver side), so the rank window runs
+    over <= K rows; the previous bare row_number ranked EVERY distinct
+    user hash in one task (round-9 registry-wide audit)."""
+    ranked = (
+        hashes.orderBy("h")
+        .limit(_KMV_K)
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
     )
     kth = (
         ranked.crossJoin(F.broadcast(n))

@@ -567,11 +567,15 @@ GROUP BY c_count
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) whose quarterly revenue equals the
-    global maximum — the scalar ``= (SELECT max ...)`` is an unpartitioned
-    window max over the (tiny, post-agg) per-supplier revenue table, not
-    a second scan.  DECIMAL revenue makes max-equality exact."""
-    from pyspark.sql import Window
-
+    global maximum — the scalar ``= (SELECT max ...)`` is a 1-row
+    aggregate broadcast back against the per-supplier revenue table
+    (the earlier unpartitioned window max dragged every supplier into
+    ONE task; suppliers are a corpus-growing domain — round-9
+    registry-wide audit).  The per-supplier agg is localCheckpointed
+    (the lorenz_spend_deciles convention) so the max and the filter
+    share ONE lineitem scan — Spark does not ReuseExchange across the
+    two consumers (verified), and a second fact scan would be the
+    worse trade.  DECIMAL revenue makes max-equality exact."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -580,10 +584,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy("l_suppkey")
         .agg(F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))).alias("total_revenue"))
-    )
-    w = Window.orderBy(F.lit(1))
+    ).localCheckpoint(eager=True)
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
     return (
-        rev.withColumn("max_rev", F.max("total_revenue").over(w))
+        rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("max_rev"))
         .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
         .select("s_name", F.col("total_revenue").cast("double").alias("total_revenue"))

@@ -1115,9 +1115,15 @@ def q_vocab_coverage(spark, sf_dir):
     design reads (how much of the stream a V-entry vocab explains;
     1 − coverage is the OOV mass a fallback must absorb).
 
-    One corpus token aggregate, one rank over the (Heaps-law-sublinear)
-    vocabulary, conditional exact-integer sums; the coverage ratios
-    divide exact BIGINTs so both engines agree bit-for-bit."""
+    One corpus token aggregate, one rank over the (Heaps-law-sublinear
+    but still corpus-GROWING) vocabulary, conditional exact-integer
+    sums; the coverage ratios divide exact BIGINTs so both engines
+    agree bit-for-bit.  The rank is a range-partitioned
+    ``partitioning.prefix_sum`` count, not a global row_number window
+    (round-9 registry-wide audit: the window form sorted the whole
+    vocabulary in ONE task — the zipf_slope_fit fix applied here)."""
+    from k_means_hadoop_spark.partitioning import prefix_sum
+
     docs = _docs(spark, sf_dir)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     uni = (
@@ -1126,14 +1132,12 @@ def q_vocab_coverage(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    from pyspark.sql import Window as W
-
-    ranked = uni.select(
-        "cnt",
-        F.row_number()
-        .over(W.orderBy(F.col("cnt").desc(), F.col("tok").asc()))
-        .alias("rk"),
-    )
+    ranked = prefix_sum(
+        uni.withColumn("_one", F.lit(1)),
+        "_one",
+        [F.col("cnt").desc(), F.col("tok").asc()],
+        out_col="rk",
+    ).select("cnt", "rk")
     aggs = [
         F.count(F.lit(1)).alias("n_types"),
         F.sum("cnt").alias("n_tokens"),

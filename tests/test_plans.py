@@ -150,11 +150,17 @@ def test_q13_outer_join_preserved(plans):
 
 def test_q15_single_fact_scan(plans):
     """The 'revenue = global max' scalar must reuse the aggregated
-    per-supplier table via a window — exactly two scans total (lineitem
-    once, supplier once), never a second lineitem pass."""
+    per-supplier table WITHOUT a second lineitem pass and WITHOUT the
+    old unpartitioned window max (which dragged the corpus-growing
+    supplier domain into one task — round-9 audit).  The per-supplier
+    agg is localCheckpointed, so the visible plan reads the
+    checkpointed RDD twice (max + filter) and parquet only for the
+    supplier dim."""
     p = plans("q15_top_supplier")
-    assert n_nodes(p, "Scan parquet") == 2, p
-    assert n_nodes(p, "Window") == 1
+    assert n_nodes(p, "Scan parquet") == 1, p  # supplier dim only
+    assert "lineitem" not in p  # fact scan happened once, at checkpoint
+    assert n_nodes(p, "Window") == 0
+    assert n_nodes(p, "Scan ExistingRDD") == 2  # checkpoint read twice
 
 
 def test_running_spend_one_shuffle_one_window(plans):

@@ -128,3 +128,39 @@ def test_ntile_expr_matches_window_ntile(spark):
             )
             assert got.exceptAll(want).count() == 0
             assert want.exceptAll(got).count() == 0
+
+
+def test_mp4_roundtrip_fuzz():
+    """Property fuzz: ANY track list (1-3 tracks, arbitrary sample
+    bytes/sizes/chunking, stco or co64) demuxes back bit-exact."""
+    from hypothesis import given, settings, strategies as st
+
+    sample = st.binary(min_size=0, max_size=40)
+    track = st.fixed_dictionaries(
+        {
+            "handler": st.sampled_from(["vide", "soun"]),
+            "timescale": st.integers(min_value=1, max_value=90000),
+            "delta": st.integers(min_value=1, max_value=3000),
+            "samples": st.lists(sample, min_size=1, max_size=12),
+            "chunk_size": st.integers(min_value=1, max_value=5),
+            "width": st.integers(min_value=0, max_value=4096),
+            "height": st.integers(min_value=0, max_value=4096),
+        }
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        tracks=st.lists(track, min_size=1, max_size=3),
+        co64=st.booleans(),
+    )
+    def check(tracks, co64):
+        parsed = codecs.parse_mp4(codecs.encode_mp4(tracks, use_co64=co64))
+        assert len(parsed["tracks"]) == len(tracks)
+        for want, got in zip(tracks, parsed["tracks"]):
+            assert got["samples"] == want["samples"]
+            assert got["n_samples"] == len(want["samples"])
+            assert got["duration"] == len(want["samples"]) * want["delta"]
+            assert got["timescale"] == want["timescale"]
+            assert got["handler"] == want["handler"]
+
+    check()
