@@ -193,6 +193,7 @@ HEADLINE = [
     "mp4_container_stats",
     "rfm_segments",
     "zonemap_prune_audit",
+    "fmp4_fragment_stats",
 ]
 
 

@@ -18,8 +18,9 @@ None/Sub/Up/Average/Paeth unfiltering, the LZW KwKwK self-reference
 case, JPEG byte stuffing with in-stream DQT/DHT parsing), not stubs.
 MP4's CONTAINER layer (round 9) is in-repo too — the ISO-BMFF box
 tree with real chunked sample tables and the stsc/stco/stsz demux
-walk; only the codec BITSTREAMS inside its samples (H.264/AAC) remain
-the documented ffmpeg seam.  JPEG's lossiness is
+walk, PLUS the fragmented (fMP4/DASH/CMAF) layout with its separate
+moof/traf/trun demux; only the codec BITSTREAMS inside the samples
+(H.264/AAC) remain the documented ffmpeg seam.  JPEG's lossiness is
 handled honestly — the entropy layer is proven LOSSLESS against a
 DCT-only reference, and the planted payloads are chosen where the
 quantized transform is exactly invertible (see the JPEG section).
@@ -1205,6 +1206,194 @@ def _parse_mp4_inner(data: bytes) -> dict:
         "duration": int(duration),
         "tracks": tracks,
     }
+
+
+# ------------------------------------------------- fragmented MP4 (fMP4)
+#
+# The streaming-media layout of ISO-BMFF (DASH/HLS segments, CMAF):
+# sample tables move out of moov (whose stbl is empty, with mvex/trex
+# declaring defaults) into per-fragment moof boxes — mfhd carries the
+# fragment sequence number and each traf's trun carries the
+# per-sample sizes/durations plus a data offset into the fragment's
+# own mdat.  The demux walk is genuinely different from the stbl path
+# (tfhd default-base-is-moof addressing, trun flag-driven field
+# layout), so it is implemented and proven separately.  Codec
+# bitstreams inside samples remain the documented ffmpeg seam.
+
+_TFHD_DEFAULT_BASE_IS_MOOF = 0x20000
+_TRUN_DATA_OFFSET = 0x1
+_TRUN_SAMPLE_DURATION = 0x100
+_TRUN_SAMPLE_SIZE = 0x200
+
+
+def encode_fmp4(timescale: int, delta: int, fragments: list) -> bytes:
+    """Encode opaque sample payloads as a fragmented ISO-BMFF stream:
+    ftyp + moov(mvhd, mvex(trex), trak with an EMPTY stbl) followed by
+    one moof+mdat pair per entry of ``fragments`` (each a list of
+    sample byte strings).  One video track, tfhd default-base-is-moof,
+    trun with data-offset + per-sample size + per-sample duration."""
+    ftyp = _mp4_box(
+        b"ftyp", b"iso5" + struct.pack(">I", 0x200) + b"iso5iso6cmfc"
+    )
+    trex = _mp4_full(
+        b"trex", 0, 0, struct.pack(">IIIII", 1, 1, delta, 0, 0)
+    )
+    mvhd = _mp4_full(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, _MP4_MOVIE_TIMESCALE, 0)  # duration in
+        # the movie header is 0 by convention: fragments are open-ended
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + _MP4_MATRIX
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _mp4_full(
+        b"tkhd",
+        0,
+        3,
+        struct.pack(">IIIII", 0, 0, 1, 0, 0)
+        + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)
+        + _MP4_MATRIX
+        + struct.pack(">II", 16 << 16, 9 << 16),
+    )
+    mdhd = _mp4_full(
+        b"mdhd",
+        0,
+        0,
+        struct.pack(">IIII", 0, 0, timescale, 0) + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _mp4_full(
+        b"hdlr",
+        0,
+        0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    empty32 = struct.pack(">I", 0)
+    # the honest zero-entry sample table an fMP4 moov carries
+    stbl = _mp4_box(
+        b"stbl",
+        _mp4_stsd("vide", 16, 9)
+        + _mp4_full(b"stts", 0, 0, empty32)
+        + _mp4_full(b"stsc", 0, 0, empty32)
+        + _mp4_full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+        + _mp4_full(b"stco", 0, 0, empty32),
+    )
+    vmhd = _mp4_full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dinf = _mp4_box(
+        b"dinf",
+        _mp4_full(b"dref", 0, 0, struct.pack(">I", 1) + _mp4_full(b"url ", 0, 1, b"")),
+    )
+    minf = _mp4_box(b"minf", vmhd + dinf + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"mvex", trex) + trak)
+    out = bytearray(ftyp + moov)
+    for seq, samples in enumerate(fragments, start=1):
+        mfhd = _mp4_full(b"mfhd", 0, 0, struct.pack(">I", seq))
+        tfhd = _mp4_full(
+            b"tfhd", 0, _TFHD_DEFAULT_BASE_IS_MOOF, struct.pack(">I", 1)
+        )
+        trun_flags = (
+            _TRUN_DATA_OFFSET | _TRUN_SAMPLE_DURATION | _TRUN_SAMPLE_SIZE
+        )
+        # data_offset is from the MOOF START to the first sample byte:
+        # moof size isn't known until trun is sized, but trun's size
+        # depends only on the sample count — compute it directly
+        trun_body_len = 4 + 4 + 8 * len(samples)  # count + offset + rows
+        trun_len = 12 + trun_body_len
+        # moof hdr(8) + mfhd(16) + traf hdr(8) + tfhd(16) + trun
+        moof_len = 8 + 16 + 8 + 16 + trun_len
+        data_offset = moof_len + 8  # + mdat header
+        trun = _mp4_full(
+            b"trun",
+            0,
+            trun_flags,
+            struct.pack(">Ii", len(samples), data_offset)
+            + b"".join(
+                struct.pack(">II", delta, len(s)) for s in samples
+            ),
+        )
+        traf = _mp4_box(b"traf", tfhd + trun)
+        moof = _mp4_box(b"moof", mfhd + traf)
+        assert len(moof) == moof_len
+        out += moof + _mp4_box(b"mdat", b"".join(samples))
+    return bytes(out)
+
+
+def parse_fmp4(data: bytes) -> dict:
+    """Parse a fragmented ISO-BMFF stream: moov/mvex/trex defaults +
+    the per-fragment moof(mfhd, traf(tfhd, trun)) demux with
+    default-base-is-moof addressing.  Returns {brand, timescale,
+    fragments: [{seq, n_samples, duration, samples: list[bytes]}]}.
+    Unsupported trun/tfhd flag layouts and truncation raise ValueError
+    (the decode_wav rejection contract)."""
+    try:
+        return _parse_fmp4_inner(data)
+    except (struct.error, IndexError, EOFError) as e:
+        raise ValueError(f"truncated or corrupt fMP4 payload: {e}") from e
+
+
+def _parse_fmp4_inner(data: bytes) -> dict:
+    fb, _ = _mp4_first(data, 0, len(data), b"ftyp")
+    brand = data[fb : fb + 4].decode("ascii", "replace")
+    mb, me = _mp4_first(data, 0, len(data), b"moov")
+    db, de = _mp4_first(data, mb, me, b"trak")
+    db, de = _mp4_first(data, db, de, b"mdia")
+    hb, _ = _mp4_first(data, db, de, b"mdhd")
+    ver, _, p = _mp4_fullbox(data, hb)
+    if ver == 1:
+        _, _, timescale, _ = struct.unpack_from(">QQIQ", data, p)
+    else:
+        _, _, timescale, _ = struct.unpack_from(">IIII", data, p)
+    fragments = []
+    for btype, bb, be in _mp4_walk(data, 0, len(data)):
+        if btype != b"moof":
+            continue
+        moof_start = bb - 8
+        hb2, _ = _mp4_first(data, bb, be, b"mfhd")
+        _, _, p = _mp4_fullbox(data, hb2)
+        (seq,) = struct.unpack_from(">I", data, p)
+        tb, te = _mp4_first(data, bb, be, b"traf")
+        fh, _ = _mp4_first(data, tb, te, b"tfhd")
+        _, tf_flags, _ = _mp4_fullbox(data, fh)
+        if not tf_flags & _TFHD_DEFAULT_BASE_IS_MOOF:
+            raise ValueError(
+                f"unsupported tfhd addressing (flags {tf_flags:#x}): only "
+                "default-base-is-moof is implemented"
+            )
+        rb, _ = _mp4_first(data, tb, te, b"trun")
+        _, tr_flags, p = _mp4_fullbox(data, rb)
+        need = _TRUN_DATA_OFFSET | _TRUN_SAMPLE_DURATION | _TRUN_SAMPLE_SIZE
+        if tr_flags != need:
+            raise ValueError(
+                f"unsupported trun layout (flags {tr_flags:#x}): need "
+                f"data-offset + per-sample duration/size ({need:#x})"
+            )
+        n, off = struct.unpack_from(">Ii", data, p)
+        p += 8
+        samples, dur = [], 0
+        at = moof_start + off
+        for _i in range(n):
+            d, sz = struct.unpack_from(">II", data, p)
+            p += 8
+            if at + sz > len(data):
+                raise ValueError("truncated fMP4: sample past end of stream")
+            samples.append(bytes(data[at : at + sz]))
+            at += sz
+            dur += d
+        fragments.append(
+            {
+                "seq": int(seq),
+                "n_samples": int(n),
+                "duration": int(dur),
+                "samples": samples,
+            }
+        )
+    return {"brand": brand, "timescale": int(timescale), "fragments": fragments}
 
 
 # ------------------------------------------------------- format sniffing

@@ -204,6 +204,132 @@ FROM d JOIN vbytes v USING (doc_id)
 """
 
 
+# --------------------------------------------- fMP4 fragment stats
+#
+# Planted spec per doc_id d (doc_id % 7 == 2 slice): one video track,
+# timescale 30, delta 1, nf = 2 + d%3 fragments; fragment f carries
+# ns = 3 + (d+f)%4 samples; sample i of fragment f is the
+# 15 + (d+f+i)%9 bytes ((d*17 + f*5 + i*3 + j) % 256).  The kernel
+# encodes the fragmented stream (moov with EMPTY stbl + mvex/trex,
+# then moof(mfhd, traf(tfhd default-base-is-moof, trun)) + mdat per
+# fragment), re-parses it through the trun demux walk, and verifies
+# every field and every sample byte; the oracle computes the same
+# stats from the arithmetic.
+
+
+def _fmp4_plant(did: int) -> list:
+    """Fragment sample payloads for doc_id ``did`` (shared with the
+    roundtrip pins in tests/test_round9_ops.py)."""
+    nf = 2 + did % 3
+    return [
+        [
+            bytes(
+                ((did * 17 + f * 5 + i * 3 + j) % 256)
+                for j in range(15 + (did + f + i) % 9)
+            )
+            for i in range(3 + (did + f) % 4)
+        ]
+        for f in range(nf)
+    ]
+
+
+def fmp4_fragment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, parse_ok, n_fragments, n_samples, payload_bytes,
+    total_duration_units) — REAL fragmented-MP4 encode→parse roundtrip
+    over planted DASH-style segment streams (spec in ``_fmp4_plant``)."""
+    import pandas as pd
+
+    from k_means_hadoop_spark.functions import codecs
+    from k_means_hadoop_spark.partitioning import fan_out
+
+    _pickle_round9_by_value()
+    ids = fan_out(
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 7 == 2)
+    )
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frags = _fmp4_plant(did)
+                blob = codecs.encode_fmp4(30, 1, frags)
+                try:
+                    parsed = codecs.parse_fmp4(blob)
+                    got = parsed["fragments"]
+                    ok = (
+                        parsed["brand"] == "iso5"
+                        and parsed["timescale"] == 30
+                        and len(got) == len(frags)
+                        and all(
+                            g["seq"] == f + 1
+                            and g["samples"] == want
+                            and g["n_samples"] == len(want)
+                            and g["duration"] == len(want)
+                            for f, (want, g) in enumerate(zip(frags, got))
+                        )
+                    )
+                    rows.append(
+                        (
+                            did,
+                            bool(ok),
+                            len(got),
+                            sum(g["n_samples"] for g in got),
+                            sum(
+                                sum(len(s) for s in g["samples"]) for g in got
+                            ),
+                            sum(g["duration"] for g in got),
+                        )
+                    )
+                except ValueError:
+                    rows.append((did, False, 0, 0, 0, 0))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "parse_ok",
+                    "n_fragments",
+                    "n_samples",
+                    "payload_bytes",
+                    "total_duration_units",
+                ],
+            )
+
+    return ids.mapInPandas(
+        _batches,
+        schema=(
+            "media_id bigint, parse_ok boolean, n_fragments int,"
+            " n_samples bigint, payload_bytes bigint,"
+            " total_duration_units bigint"
+        ),
+    )
+
+
+FMP4_STATS_SQL = """
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 3 AS nf
+  FROM documents WHERE doc_id % 7 = 2),
+fr AS (
+  SELECT d.doc_id, f.range AS f, 3 + (d.doc_id + f.range) % 4 AS ns
+  FROM d CROSS JOIN range(4) f WHERE f.range < d.nf),
+sm AS (
+  SELECT fr.doc_id,
+         count(*)::BIGINT AS n_samples,
+         SUM(15 + (fr.doc_id + fr.f + i.range) % 9)::BIGINT AS payload_bytes
+  FROM fr CROSS JOIN range(6) i WHERE i.range < fr.ns
+  GROUP BY fr.doc_id)
+SELECT d.doc_id AS media_id, true AS parse_ok,
+       d.nf::INT AS n_fragments,
+       sm.n_samples,
+       sm.payload_bytes,
+       sm.n_samples AS total_duration_units
+FROM d JOIN sm USING (doc_id)
+"""
+
+
 ROUND9_QUERIES: dict = {
     "mp4_container_stats": (mp4_container_stats, MP4_STATS_SQL),
+    "fmp4_fragment_stats": (fmp4_fragment_stats, FMP4_STATS_SQL),
 }

@@ -1019,11 +1019,13 @@ _SCHEDULE: dict[str, dict] = {
     # the plan-sweep test surfaced a seventh fact-grain global window
     # the verdict missed: ntile(64) over raw lineitem
     "zonemap_prune_audit": _row(stale_after=8),
-    # -- round-9 addition: defer=5 (capped at ONE new entry so the
+    # -- round-9 additions: defer=5 (capped at TWO new entries so the
     # window drains the r02/r03 stale-green cohort — verdict item 1:
-    # 7 redefinitions + 1 new entry leave 42 slots for the recycle).
-    # Locally oracle-verified at sf0.001/0.01/0.1.
+    # 7 redefinitions + 2 new entries leave 41 slots for the recycle,
+    # still above the >= 40 bar).  Locally oracle-verified at
+    # sf0.001/0.01/0.1.
     "mp4_container_stats": _row(defer=5),
+    "fmp4_fragment_stats": _row(defer=5),
 }
 
 

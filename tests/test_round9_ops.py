@@ -164,3 +164,82 @@ def test_mp4_roundtrip_fuzz():
             assert got["handler"] == want["handler"]
 
     check()
+
+
+# ------------------------------------------------- fragmented MP4
+
+
+def _fblob(did: int) -> bytes:
+    from k_means_hadoop_spark.operators.round9 import _fmp4_plant
+
+    return codecs.encode_fmp4(30, 1, _fmp4_plant(did))
+
+
+@pytest.mark.parametrize("did", [0, 1, 2, 7, 12345])
+def test_fmp4_roundtrip_bit_exact(did):
+    from k_means_hadoop_spark.operators.round9 import _fmp4_plant
+
+    frags = _fmp4_plant(did)
+    parsed = codecs.parse_fmp4(_fblob(did))
+    assert parsed["brand"] == "iso5"
+    assert parsed["timescale"] == 30
+    assert len(parsed["fragments"]) == len(frags)
+    for f, (want, got) in enumerate(zip(frags, parsed["fragments"])):
+        assert got["seq"] == f + 1
+        assert got["samples"] == want  # every demuxed byte
+        assert got["n_samples"] == len(want)
+        assert got["duration"] == len(want)
+
+
+def test_fmp4_init_segment_prefix_parses_empty():
+    """A stream cut exactly after the moov (the DASH init segment) is
+    a VALID zero-fragment stream, and any cut that severs a fragment
+    either drops whole trailing fragments or raises ValueError —
+    never yields corrupt samples."""
+    from k_means_hadoop_spark.operators.round9 import _fmp4_plant
+
+    blob = _fblob(3)
+    full = codecs.parse_fmp4(blob)["fragments"]
+    spans = [(t, b, e) for t, b, e in codecs._mp4_walk(blob, 0, len(blob))]
+    moov_end = next(e for t, b, e in spans if t == b"moov")
+    assert codecs.parse_fmp4(blob[:moov_end])["fragments"] == []
+    for cut in range(0, len(blob), 13):
+        try:
+            got = codecs.parse_fmp4(blob[:cut])["fragments"]
+        except ValueError:
+            continue
+        assert got == full[: len(got)]
+
+
+def test_fmp4_unsupported_flags_rejected():
+    """Flag layouts the parser does not implement raise loudly instead
+    of silently mis-demuxing."""
+    import struct
+
+    blob = bytearray(_fblob(1))
+    i = bytes(blob).find(b"tfhd")
+    # clear default-base-is-moof
+    blob[i + 4 : i + 8] = struct.pack(">B3s", 0, (0).to_bytes(3, "big"))
+    with pytest.raises(ValueError):
+        codecs.parse_fmp4(bytes(blob))
+
+
+def test_fmp4_fuzz_roundtrip():
+    from hypothesis import given, settings, strategies as st
+
+    frag = st.lists(st.binary(min_size=0, max_size=30), min_size=1, max_size=6)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        frags=st.lists(frag, min_size=1, max_size=5),
+        ts=st.integers(min_value=1, max_value=90000),
+        delta=st.integers(min_value=1, max_value=3000),
+    )
+    def check(frags, ts, delta):
+        parsed = codecs.parse_fmp4(codecs.encode_fmp4(ts, delta, frags))
+        assert parsed["timescale"] == ts
+        got = parsed["fragments"]
+        assert [g["samples"] for g in got] == frags
+        assert [g["duration"] for g in got] == [len(f) * delta for f in frags]
+
+    check()
