@@ -1796,7 +1796,7 @@ _ZIPF_SLOPE = (
 def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row (n_terms, slope, intercept) — the Zipf log-log fit over
     the top-200 terms."""
-    from k_means_hadoop_spark.partitioning import prefix_sum
+    from pyspark.sql import Window
 
     toks = F.filter(text._tokens(F.col("text")), lambda x: x != "")
     tf = (
@@ -1807,15 +1807,14 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c").desc(), F.col("tok").asc())
         .limit(_ZIPF_TOP)
     )
-    # the top-K cut is a distributed TakeOrderedAndProject; rank the
-    # K survivors with the prefix count too so the whole query plans
-    # without any unpartitioned WindowExec (round-8 verdict item 6)
-    pts = prefix_sum(
-        tf.withColumn("_one", F.lit(1)),
-        "_one",
-        [F.col("c").desc(), F.col("tok").asc()],
-        out_col="rk",
-    ).select(
+    # top-k-then-rank (the pr_curve_quality / _kmv_finish shape): the
+    # top-K cut is a distributed TakeOrderedAndProject, so the rank
+    # window runs over <= 200 limit-bounded rows — the plan-sweep
+    # detector's sanctioned form.  (A prefix_sum here was tried and
+    # reverted: range shuffle + checkpoint + collect for 200 rows is
+    # strictly more machinery than the window it replaced.)
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    pts = tf.withColumn("rk", F.row_number().over(w)).select(
         F.expr(
             "CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000 + 0.5) / 1000000"
             " AS DECIMAL(18,6))"

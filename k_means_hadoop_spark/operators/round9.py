@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from k_means_hadoop_spark.operators.relational import _t
-from k_means_hadoop_spark.operators.trends import _FL6_SQL
 
 
 def _pickle_round9_by_value() -> None:

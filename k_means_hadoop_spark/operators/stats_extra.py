@@ -50,9 +50,11 @@ def mannwhitney_value_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     with m_v the pooled count and p_v the group-'{a}' count at v.
     B_v = cumm_v − m_v is a distributed ``partitioning.prefix_sum``
     over the (small, value-grain) histogram — one range shuffle
-    instead of an all-to-one sort of the fact sample.  2·R1 is an
-    EXACT bigint, so r1 = (2·R1)/2 reproduces the window form's
-    half-integer rank sum bit-for-bit."""
+    instead of an all-to-one sort of the fact sample.  2·R1 ≈ n² and
+    the tie sum ≈ m³, so BOTH accumulate in DECIMAL(38,0) (a bigint
+    sum wraps silently past ~3·10⁹ pooled rows — exactly the fact
+    scale this rewrite exists for); r1 = (2·R1)/2 then reproduces the
+    window form's half-integer rank sum bit-for-bit."""
     from k_means_hadoop_spark.partitioning import prefix_sum
 
     ev = _t(spark, sf_dir, "events").filter(
@@ -64,23 +66,25 @@ def mannwhitney_value_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("event_type") == _MW_A).cast("bigint")).alias("p"),
     )
     cum = prefix_sum(hist, "m", [F.col("value").asc()], out_col="cumm")
+    dec = "decimal(38,0)"
     g = cum.agg(
         F.sum("p").alias("n1"),
         F.sum(F.col("m") - F.col("p")).alias("n2"),
         (
             F.sum(
-                F.col("p")
+                F.col("p").cast(dec)
                 * (
                     F.lit(2) * (F.col("cumm") - F.col("m"))
                     + F.col("m")
                     + F.lit(1)
-                )
+                ).cast(dec)
             ).cast("double")
             / F.lit(2.0)
         ).alias("r1"),
         F.sum(
-            F.col("m") * F.col("m") * F.col("m") - F.col("m")
-        ).alias("tie_sum"),
+            F.col("m").cast(dec) * F.col("m").cast(dec) * F.col("m").cast(dec)
+            - F.col("m").cast(dec)
+        ).cast(dec).alias("tie_sum"),
     )
     expr = (
         "CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"

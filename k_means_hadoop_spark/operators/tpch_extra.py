@@ -575,7 +575,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the lorenz_spend_deciles convention) so the max and the filter
     share ONE lineitem scan — Spark does not ReuseExchange across the
     two consumers (verified), and a second fact scan would be the
-    worse trade.  DECIMAL revenue makes max-equality exact."""
+    worse trade.  eager=False so merely BUILDING the query (plan
+    tests, the window audit, .explain()) runs no job; the checkpoint
+    materializes on the first action.  DECIMAL revenue makes
+    max-equality exact."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -584,7 +587,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy("l_suppkey")
         .agg(F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))).alias("total_revenue"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     mx = rev.agg(F.max("total_revenue").alias("max_rev"))
     return (
         rev.crossJoin(F.broadcast(mx))

@@ -30,7 +30,7 @@ def prefix_sum(
     value_col: str,
     order_cols: list,
     out_col: str = "cum",
-    num_parts: int | None = None,
+    num_parts: int = 8,
 ):
     """Distributed inclusive prefix sum of ``value_col`` under the
     total order ``order_cols`` — the two-phase scan that replaces a
@@ -58,8 +58,6 @@ def prefix_sum(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    if num_parts is None:
-        num_parts = 8
     ordered = df.repartitionByRange(num_parts, *order_cols)
     # PIN the partition assignment: repartitionByRange samples its
     # bounds per evaluation, so computing the local cumsums and the

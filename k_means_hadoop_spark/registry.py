@@ -865,7 +865,9 @@ _SCHEDULE: dict[str, dict] = {
     #    CORRECTNESS_r04, these 44 unverified entries plus the 6 new
     #    round-5 queries fill the 50-slot window exactly -------------
     "retention_cohorts": _row(front=True),
-    "rfm_segments": _row(front=True),
+    # round-9 redefinition (prefix-sum ntile): stale_after merged IN
+    # PLACE — a duplicate dict key would silently drop front=True
+    "rfm_segments": _row(front=True, stale_after=8),
     "vocab_coverage": _row(front=True),
     "source_lang_entropy": _row(front=True),
     "quality_percentile_gate": _row(front=True),
@@ -934,10 +936,10 @@ _SCHEDULE: dict[str, dict] = {
     "kneser_ney_bigrams": _row(defer=True),
     "vocab_richness_stats": _row(defer=True),
     "good_turing_counts": _row(defer=True),
-    "zipf_slope_fit": _row(defer=True),
+    "zipf_slope_fit": _row(defer=True, stale_after=8),  # round-9 redefinition
     "js_divergence_langs": _row(defer=True),
     "vocab_growth_curve": _row(defer=True),
-    "umass_topic_coherence": _row(defer=True),
+    "umass_topic_coherence": _row(defer=True, stale_after=8),  # round-9 redefinition
     "bootstrap_ci_quality": _row(defer=True),
     # round 6 changed cusum's rounding from round(x,6) to the
     # tie-stable floor form (ADVICE item) — its r05 green row verified
@@ -1010,12 +1012,12 @@ _SCHEDULE: dict[str, dict] = {
     # on prefix_sum / top-k-then-rank (round-8 verdict items 2/3/6).
     # Hashes verified unchanged locally at sf0.001/0.01/0.1, but the
     # old driver greens proved the OLD plans — re-verify the new ones.
+    # (rfm_segments / umass_topic_coherence / zipf_slope_fit carry their
+    # stale_after=8 on their ORIGINAL rows above — a second dict key here
+    # would silently override the earlier row and drop its front/defer.)
     "mannwhitney_value_groups": _row(stale_after=8),
     "mood_median_test": _row(stale_after=8),
     "pr_curve_quality": _row(stale_after=8),
-    "rfm_segments": _row(stale_after=8),
-    "umass_topic_coherence": _row(stale_after=8),
-    "zipf_slope_fit": _row(stale_after=8),
     # the plan-sweep test surfaced a seventh fact-grain global window
     # the verdict missed: ntile(64) over raw lineitem
     "zonemap_prune_audit": _row(stale_after=8),
