@@ -2233,7 +2233,12 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     — bit-identical to the window ntile for every n.  The corpus max
     date is a 1-row aggregate broadcast in."""
-    from k_means_hadoop_spark.partitioning import ntile_expr, prefix_sum
+    from k_means_hadoop_spark.partitioning import (
+        ntile_expr,
+        prefix_sum,
+        scan_parts,
+    )
+
     o = _t(spark, sf_dir, "orders")
     asof = o.agg(F.max(F.to_date("o_orderdate")).alias("asof"))
     per_cust = (
@@ -2254,24 +2259,32 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = per_cust.withColumn("_one", F.lit(1))
     # chained prefix sums: each call range-shuffles on its own order
     # and localCheckpoints, so the three ranks never meet in a join
-    # and no single task ever holds the whole customer table
+    # and no single task ever holds the whole customer table.
+    # customer grain GROWS with the data (fact-grain in prefix_sum's
+    # contract), so size the range shuffle from the orders SCAN's
+    # split count — the pre-aggregation volume proxy; floors at the
+    # measured-best 8 locally
+    rfm_parts = scan_parts(o)
     ranked = prefix_sum(
         ranked,
         "_one",
         [F.col("recency_days").asc(), F.col("c_custkey").asc()],
         out_col="rn_r",
+        num_parts=rfm_parts,
     )
     ranked = prefix_sum(
         ranked,
         "_one",
         [F.col("frequency").desc(), F.col("c_custkey").asc()],
         out_col="rn_f",
+        num_parts=rfm_parts,
     )
     ranked = prefix_sum(
         ranked,
         "_one",
         [F.col("monetary").desc(), F.col("c_custkey").asc()],
         out_col="rn_m",
+        num_parts=rfm_parts,
     )
     # n from the (checkpointed) ranked tail — a cheap count, not a
     # second pass over orders

@@ -142,13 +142,40 @@ FROM h
 # complete-blocks guard: a missing (block, treatment) cell would rank
 # only the present treatments — invalid, and invisible to parity.
 #
-# Tie calibration caveat: within-block ties get MIDRANKS (the doubled-
-# rank trick keeps them exact), but z standardizes with the no-tie
-# variance k(k+1)·sqrt(n(k−1))/12 — the textbook Page statistic has no
-# standard tie-corrected variance, so when count cells tie within a
-# block the z is conservatively mis-scaled.  This affects CALIBRATION
-# only (how z maps to a p-value), never cross-engine parity: both
-# engines rank and standardize identically.
+# Tie calibration (round-10, replacing the round-9 documented no-tie
+# caveat): within-block ties get MIDRANKS (the doubled-rank trick keeps
+# them exact), and z now standardizes with the midrank tie-corrected
+# variance.  Derivation: under H0 each block's L_i = Σ_j j·r_ij pairs
+# the fixed sequence j with a random permutation of the block's
+# midranks, so Var(L_i) = Sa·Sb/(k−1) with Sa = Σ(j−j̄)² = k(k²−1)/12
+# and Sb = Σ(r−r̄)² = [k(k²−1) − T_i]/12, T_i = Σ_g (t³−t) over the
+# block's tie groups (the standard midrank sum-of-squares reduction).
+# Blocks are independent, so
+#
+#     Var(L) = k(k+1)·[n·k(k²−1) − ΣT] / 144
+#     z      = (12L − 3nk(k+1)²) / sqrt(k(k+1)·(n·k(k²−1) − ΣT))
+#
+# which collapses to the textbook k(k+1)·sqrt(n(k−1))/12 form when
+# ΣT = 0.  ΣT stays an exact integer (tie-group sizes from the same
+# cells aggregate); fully-tied blocks make Var(L) = 0 and raise loudly
+# via an in-plan guard instead of returning the silent 0/0 NaN.
+
+# vr = n·k(k²−1) − ΣT (144·Var(L) / (k(k+1))): EXACT decimal — the
+# narrow casts keep every DuckDB intermediate width ≤ 38 (9+9=18,
+# 18+18=36, sub 38; DuckDB errors on widths ABOVE 38, Spark merely
+# caps) — so the vr > 0 guard is an exact-integer comparison, and the
+# double conversion happens once inside z's division
+_PAGE_VR = (
+    "CAST(n AS DECIMAL(9,0)) * CAST(k AS DECIMAL(9,0))"
+    " * CAST(k * k - 1 AS DECIMAL(18,0)) - tt"
+)
+_PAGE_Z = (
+    "(CAST(6 AS DOUBLE) * CAST(l2 AS DOUBLE)"
+    " - CAST(3 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(k AS DOUBLE)"
+    "   * CAST(k + 1 AS DOUBLE) * CAST(k + 1 AS DOUBLE))"
+    " / sqrt(CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE)"
+    "        * CAST(vr AS DOUBLE))"
+)
 
 
 def page_trend_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,20 +209,39 @@ def page_trend_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = jr.agg(
         F.sum(F.col("j") * F.col("r2_sum")).cast("decimal(38,0)").alias("l2")
     )
-    # L = L2/2; z = (12L − 3nk(k+1)²) / (k(k+1)·sqrt(n(k−1)))
-    z = (
-        "(CAST(6 AS DOUBLE) * CAST(l2 AS DOUBLE)"
-        " - CAST(3 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(k AS DOUBLE)"
-        "   * CAST(k + 1 AS DOUBLE) * CAST(k + 1 AS DOUBLE))"
-        " / (CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE)"
-        "    * sqrt(CAST(n AS DOUBLE) * CAST(k - 1 AS DOUBLE)))"
+    # ΣT = Σ_{(b,v)} (t³ − t): tie-group sizes are treatments sharing a
+    # count value within a block — exact integers from the same cells
+    tsum = (
+        cells.groupBy("b", "v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            )
+            .cast("decimal(38,0)")
+            .alias("tt")
+        )
     )
+    # L = L2/2; z = (12L − 3nk(k+1)²) / sqrt(k(k+1)·(n·k(k²−1) − ΣT)),
+    # the midrank tie-corrected variance (see the derivation above);
+    # vr (= 144·Var(L)) stays an exact DECIMAL until the one division
     lstat = _FL6_SQL.format(x="CAST(l2 AS DOUBLE) / CAST(2 AS DOUBLE)")
-    return dims.crossJoin(F.broadcast(s)).select(
-        F.col("n").cast("int").alias("n_blocks"),
-        F.col("k").cast("int").alias("k_treatments"),
-        F.expr(lstat).alias("l_stat"),
-        _fl6(F.expr(z)).alias("z_stat"),
+    guarded_z = (
+        "CASE WHEN vr > 0 THEN "
+        + _FL6_SQL.format(x=_PAGE_Z)
+        + " ELSE raise_error('page_trend_event_dow: every block fully "
+        "tied — Var(L) = 0, z is undefined') END"
+    )
+    return (
+        dims.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(tsum))
+        .withColumn("vr", F.expr(_PAGE_VR))
+        .select(
+            F.col("n").cast("int").alias("n_blocks"),
+            F.col("k").cast("int").alias("k_treatments"),
+            F.expr(lstat).alias("l_stat"),
+            F.expr(guarded_z).alias("z_stat"),
+        )
     )
 
 
@@ -210,20 +256,19 @@ r2 AS (SELECT l.b, l.t,
 per_t AS (SELECT t, SUM(r2)::BIGINT AS r2_sum FROM r2 GROUP BY 1),
 jr AS (SELECT t, r2_sum, row_number() OVER (ORDER BY t) AS j FROM per_t),
 dims AS (SELECT count(DISTINCT b)::BIGINT AS n, count(DISTINCT t)::BIGINT AS k FROM cells),
-s AS (SELECT CAST(SUM(j * r2_sum) AS DECIMAL(38,0)) AS l2 FROM jr)
+s AS (SELECT CAST(SUM(j * r2_sum) AS DECIMAL(38,0)) AS l2 FROM jr),
+ties AS (SELECT b, v, count(*)::BIGINT AS t FROM cells GROUP BY 1, 2),
+ts AS (SELECT CAST(SUM(t * t * t - t) AS DECIMAL(38,0)) AS tt FROM ties),
+g AS (SELECT n, k, l2, {vr} AS vr
+      FROM dims CROSS JOIN s CROSS JOIN ts)
 SELECT n::INT AS n_blocks, k::INT AS k_treatments,
        {l} AS l_stat,
        {z} AS z_stat
-FROM dims CROSS JOIN s
+FROM g
 """.format(
+    vr=_PAGE_VR,
     l=_FL6_SQL.format(x="CAST(l2 AS DOUBLE) / CAST(2 AS DOUBLE)"),
-    z=_FL6_SQL.format(
-        x="(CAST(6 AS DOUBLE) * CAST(l2 AS DOUBLE)"
-        " - CAST(3 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(k AS DOUBLE)"
-        "   * CAST(k + 1 AS DOUBLE) * CAST(k + 1 AS DOUBLE))"
-        " / (CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE)"
-        "    * sqrt(CAST(n AS DOUBLE) * CAST(k - 1 AS DOUBLE)))"
-    ),
+    z=_FL6_SQL.format(x=_PAGE_Z),
 )
 
 

@@ -559,8 +559,16 @@ def zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A window ntile would collapse every row into ONE task; the
     # range-partitioned prefix count + closed-form ntile (the
     # rfm_segments treatment, round-9) keeps the sort parallel.
-    from k_means_hadoop_spark.partitioning import ntile_expr, prefix_sum
+    from k_means_hadoop_spark.partitioning import (
+        ntile_expr,
+        prefix_sum,
+        scan_parts,
+    )
 
+    # fact-grain input: size the range shuffle from the scan's split
+    # count (grows with the data; floors at the measured-best 8
+    # locally) so no checkpointed slice outgrows an executor —
+    # partitioning.prefix_sum's documented fact-grain contract
     ranked = prefix_sum(
         li.withColumn("_one", F.lit(1)),
         "_one",
@@ -570,6 +578,7 @@ def zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber").asc(),
         ],
         out_col="_rn",
+        num_parts=scan_parts(li),
     )
     n_df = ranked.agg(F.count(F.lit(1)).alias("_n"))
     sorted_ = ranked.crossJoin(F.broadcast(n_df)).select(

@@ -25,6 +25,21 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def scan_parts(df: DataFrame, floor_parts: int = 8) -> int:
+    """``num_parts`` estimate for ``prefix_sum`` over FACT-GRAIN input:
+    the plan's physical partition count — file splits for a scan-rooted
+    frame, so it GROWS with the data (one split ≈ maxPartitionBytes =
+    128 MB) — floored at the measured-best local default 8.  Runs no
+    Spark job (partition counting is plan-side).  At test scale the
+    single-file tables yield 1-4 splits so the floor keeps the measured
+    sweet spot; at 100 TB a lineitem scan is tens of thousands of
+    splits and the prefix sum range-shuffles to match, keeping each
+    checkpointed slice executor-sized.  Call it on the SCAN-side frame
+    (pre-aggregation): a post-shuffle frame would just report
+    spark.sql.shuffle.partitions, which says nothing about volume."""
+    return max(floor_parts, df.rdd.getNumPartitions())
+
+
 def prefix_sum(
     df,
     value_col: str,
@@ -51,10 +66,37 @@ def prefix_sum(
     alternatives worse at sf0.1 (defaultParallelism=32: +20-40% task
     overhead on gini/rfm/zonemap; AQE-sized ``repartitionByRange``
     with no count: the same or worse) — and at cluster scale a caller
-    ranking truly fact-sized input should pass an explicit count
-    sized to the cluster (8-way over 10^8 rows = 12.5M rows/task:
-    heavy but parallel and spill-safe, vs the ONE task of the window
-    form this helper replaces)."""
+    ranking truly fact-sized input must pass an explicit count
+    (``scan_parts`` derives one from the input's scan splits; the
+    fact-grain call sites — zonemap_prune_audit, rfm_segments — do).
+
+    Execution/fault-tolerance caveats (round-9 ADVICE), accepted
+    deliberately and re-stated here so callers size with eyes open:
+
+    * **Build-time jobs.** The eager ``localCheckpoint`` plus the
+      ``num_parts``-row totals collect run 1-2 Spark jobs when the
+      query is BUILT, not when it is executed — plan-shape tests and
+      audits over prefix-sum queries execute real scans.  This is the
+      pin against ``repartitionByRange`` re-sampling its bounds per
+      evaluation (two evaluations = two different _pid assignments =
+      off-by-one phases, observed at sf0.1), which is a correctness
+      requirement, not an optimization.
+    * **Not fault-tolerant.** ``localCheckpoint`` truncates lineage
+      into executor-local storage: lose an executor and the
+      checkpointed partitions are unrecoverable — the JOB fails and
+      must be resubmitted (results are never wrong, and the stock
+      k-means driver loop retries iterations).  A recompute-safe
+      variant would compute the range bounds ONCE driver-side (e.g. an
+      explicit-quantile sample) and re-apply them as literal range
+      predicates, making every evaluation reproducible without
+      materialization; that trades an extra input pass for
+      replayability and is the documented upgrade path if this ever
+      runs inside a preemptible-executor cluster.
+    * **Storage.** The checkpoint materializes the ranked INPUT
+      (post-projection) to executor-local disk/memory — fine for the
+      aggregate-grain histograms most callers rank, a real cost for
+      fact-grain input; size ``num_parts`` so each partition's slice
+      fits an executor (see ``scan_parts``)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 

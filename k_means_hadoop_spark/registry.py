@@ -998,7 +998,12 @@ _SCHEDULE: dict[str, dict] = {
     # re-land from commit 8aa4c28.  All locally oracle-verified at
     # sf0.001/0.01/0.1.
     "theil_u_lang_source": _row(defer=4),
-    "page_trend_event_dow": _row(defer=4),
+    # round-10 redefinition: midrank tie-corrected variance replaces the
+    # documented no-tie z (round-9 verdict item 6) — HASH CHANGES, so
+    # the r04 green proved the old statistic; re-verify the new one
+    # (the round's ONE hash-changing entry: window budget <= 5 keeps
+    # >= 45 slots draining the r03/r04 cohort)
+    "page_trend_event_dow": _row(defer=4, stale_after=9),
     "mann_kendall_daily": _row(defer=4),
     "ljung_box_daily": _row(defer=4),
     "permutation_entropy_daily": _row(defer=4),

@@ -87,15 +87,22 @@ def test_hypergeom_two_sources_pass(spark, tmp_path):
 
 
 def test_page_trend_documents_tie_variance_caveat():
-    """ADVICE 3: the no-tie-variance calibration caveat is documented."""
+    """ADVICE 3, superseded in round 10: the no-tie variance the round-9
+    advice flagged is GONE — z now uses the midrank tie-corrected
+    variance, and the derivation is documented where the caveat was
+    (round-9 verdict item 6; value pin in tests/test_round8_ops.py::
+    test_page_trend_against_local_reference)."""
     import inspect
 
     from k_means_hadoop_spark.operators import round8
 
     src = inspect.getsource(round8)
     blurb = src.split("def page_trend_event_dow")[0]
-    assert "no-tie" in blurb and "CALIBRATION" in blurb, (
-        "page_trend tie-variance caveat is no longer documented"
+    assert "tie-corrected" in blurb and "Var(L)" in blurb, (
+        "page_trend tie-corrected variance is no longer documented"
+    )
+    assert "no standard tie-corrected variance" not in blurb, (
+        "the superseded round-9 no-tie caveat text is back"
     )
 
 

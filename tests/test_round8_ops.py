@@ -126,6 +126,70 @@ def test_mann_kendall_against_local_reference(spark, sf_dir):
     assert row["z_stat"] == pytest.approx(z, abs=1e-6)
 
 
+def test_page_trend_against_local_reference(spark, sf_dir):
+    """L, ΣT, and the midrank tie-corrected z recomputed from the
+    collected (weekday, event_type) count cells with plain Python —
+    the definition, not the SQL (round-9 verdict item 6)."""
+    import math
+    from collections import Counter
+
+    from k_means_hadoop_spark.operators.round8 import page_trend_event_dow
+
+    cells = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            (
+                F.datediff(
+                    F.to_date("ts"), F.lit("2024-01-01").cast("date")
+                )
+                % 7
+            ).alias("b"),
+            F.col("event_type").alias("t"),
+        )
+        .groupBy("b", "t")
+        .agg(F.count(F.lit(1)).alias("v"))
+        .collect()
+    )
+    blocks: dict = {}
+    for r in cells:
+        blocks.setdefault(r["b"], {})[r["t"]] = r["v"]
+    treatments = sorted({r["t"] for r in cells})
+    k, n = len(treatments), len(blocks)
+    L = 0.0
+    tsum = 0
+    for row_ in blocks.values():
+        vals = [row_[t] for t in treatments]
+        for j, t in enumerate(treatments, start=1):
+            v = row_[t]
+            less = sum(1 for u in vals if u < v)
+            eq = sum(1 for u in vals if u == v)
+            L += j * (less + (eq + 1) / 2)
+        tsum += sum(c**3 - c for c in Counter(vals).values())
+    assert tsum > 0, "sf fixture has no within-block ties — pin is vacuous"
+    var144 = k * (k + 1) * (n * k * (k * k - 1) - tsum)
+    z = (12 * L - 3 * n * k * (k + 1) ** 2) / math.sqrt(var144)
+    row = page_trend_event_dow(spark, sf_dir).first()
+    assert row["n_blocks"] == n and row["k_treatments"] == k
+    assert row["l_stat"] == pytest.approx(L, abs=1e-6)
+    assert row["z_stat"] == pytest.approx(z, abs=1e-6)
+
+
+def test_page_trend_fully_tied_raises_in_plan(spark, tmp_path):
+    """Every block fully tied -> Var(L) = 0: the in-plan guard fires at
+    action time (build stays job-free modulo the complete-blocks
+    guard's own documented job)."""
+    rows = []
+    for d in range(1, 8):
+        rows.append((f"2024-01-{d:02d} 01:00:00", "A"))
+        rows.append((f"2024-01-{d:02d} 02:00:00", "B"))
+    _write_events(tmp_path, rows)
+    from k_means_hadoop_spark.operators.round8 import page_trend_event_dow
+
+    df = page_trend_event_dow(spark, str(tmp_path))
+    with pytest.raises(Exception, match="fully\\s+tied"):
+        df.first()
+
+
 def test_ljung_box_nonnegative_and_reference(spark, sf_dir):
     """Q recomputed from the collected series via the exact same
     rational A_k/B definition in Python floats — and Q >= 0 always."""
