@@ -883,7 +883,9 @@ def _mp4_chunks(samples: list, chunk_size: int) -> list:
     return [samples[i : i + chunk_size] for i in range(0, len(samples), chunk_size)]
 
 
-def _mp4_stsd(handler: str, width: int, height: int) -> bytes:
+def _mp4_stsd(
+    handler: str, width: int, height: int, timescale: int = 0
+) -> bytes:
     if handler == "vide":
         # VisualSampleEntry 'mp4v' (no esds: codec config is the
         # documented seam; the container fields are real)
@@ -900,14 +902,18 @@ def _mp4_stsd(handler: str, width: int, height: int) -> bytes:
             + struct.pack(">Hh", 24, -1),  # depth, pre_defined
         )
     else:
-        # AudioSampleEntry 'mp4a' (no esds — same seam)
+        # AudioSampleEntry 'mp4a' (no esds — same seam).  samplerate is
+        # the mdhd timescale in 16.16 fixed point (ISO/IEC 14496-12
+        # §12.2.3: "the sampling rate ... <timescale of media>"); the
+        # round-9 encoder wrote 0 here, which an external demuxer reads
+        # as 0 Hz (round-9 ADVICE item 2)
         entry = _mp4_box(
             b"mp4a",
             b"\x00" * 6
             + struct.pack(">H", 1)
             + b"\x00" * 8
             + struct.pack(">HHI", 1, 16, 0)  # channels, samplesize
-            + struct.pack(">I", 0),  # samplerate 16.16 (0: in mdhd)
+            + struct.pack(">I", (int(timescale) & 0xFFFF) << 16),
         )
     return _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
 
@@ -1014,7 +1020,12 @@ def encode_mp4(tracks: list, use_co64: bool = False) -> bytes:
             ),
         )
         stbl = _mp4_box(
-            b"stbl", _mp4_stsd(handler, w, h) + stts + stsc + stsz + stco
+            b"stbl",
+            _mp4_stsd(handler, w, h, timescale=int(t["timescale"]))
+            + stts
+            + stsc
+            + stsz
+            + stco,
         )
         minf = _mp4_box(b"minf", mhd + dinf + stbl)
         mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)

@@ -45,6 +45,20 @@ def test_mp4_roundtrip_bit_exact(did):
     assert parsed["tracks"][0]["n_chunks"] == (nv + 2) // 3
 
 
+def test_mp4a_samplerate_is_timescale_16_16():
+    """ISO/IEC 14496-12 §12.2.3: the AudioSampleEntry samplerate is the
+    mdhd timescale in 16.16 fixed point — round-9 wrote 0 (a third-party
+    demuxer reads 0 Hz); round-10 ADVICE fix, pinned on raw bytes since
+    the in-repo parser intentionally never reads the field."""
+    blob = _blob(3)
+    idx = blob.index(b"mp4a")
+    # AudioSampleEntry payload starts 4 bytes after the type tag:
+    # 6 reserved + 2 dref_index + 8 reserved + 2 ch + 2 bits + 4 = 24
+    rate = struct.unpack_from(">I", blob, idx + 4 + 24)[0]
+    assert rate == 48 << 16  # the planted audio track's timescale
+    assert rate & 0xFFFF == 0  # fractional half must be zero
+
+
 def test_mp4_movie_duration_is_max_track():
     parsed = codecs.parse_mp4(_blob(11))
     nv, na = 5 + 11 % 4, 8 + 11 % 5
