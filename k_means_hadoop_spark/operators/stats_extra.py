@@ -53,8 +53,17 @@ def mannwhitney_value_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of an all-to-one sort of the fact sample.  2·R1 ≈ n² and
     the tie sum ≈ m³, so BOTH accumulate in DECIMAL(38,0) (a bigint
     sum wraps silently past ~3·10⁹ pooled rows — exactly the fact
-    scale this rewrite exists for); r1 = (2·R1)/2 then reproduces the
-    window form's half-integer rank sum bit-for-bit."""
+    scale this rewrite exists for); r1 = (2·R1)/2 reproduces the
+    window form's half-integer rank sum bit-for-bit while 2·R1 < 2⁵³,
+    and past that both engines round the SAME exact decimal with the
+    same IEEE conversion, so cross-engine parity holds at ANY scale —
+    the DuckDB oracle computes 2·R1 from the identical exact
+    histogram form, NOT a double sum of avg_ranks whose accumulation
+    error would diverge exactly where the exactness matters (round-10
+    ADVICE fix).  Known output-column bound, shared by both engines'
+    z: the REPORTED tie_sum column is bigint and wraps past m³ ≈ 2⁶³
+    (a single value carrying ~2×10⁶ rows); sigma² itself consumes the
+    exact decimal, so z never does."""
     from k_means_hadoop_spark.partitioning import prefix_sum
 
     ev = _t(spark, sf_dir, "events").filter(
@@ -125,24 +134,26 @@ _MW_U1 = "r1 - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE) / CAST(2 AS DOUBLE)"
 MANNWHITNEY_SQL = """
 WITH pooled AS (SELECT event_type, value FROM events
                 WHERE event_type IN ('{a}', '{b}')),
-ranked AS (
-  SELECT event_type,
-         CAST(rank() OVER (ORDER BY value) AS DOUBLE)
-           + CAST(count(*) OVER (PARTITION BY value) - 1 AS DOUBLE)
-             / CAST(2 AS DOUBLE) AS avg_rank
-  FROM pooled),
-ties AS (SELECT sum(t * t * t - t)::BIGINT AS tie_sum
-         FROM (SELECT count(*)::BIGINT AS t FROM pooled GROUP BY value)),
-g AS (SELECT sum(CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END)::BIGINT AS n1,
-             sum(CASE WHEN event_type = '{b}' THEN 1 ELSE 0 END)::BIGINT AS n2,
-             sum(CASE WHEN event_type = '{a}' THEN avg_rank ELSE 0.0 END) AS r1
-      FROM ranked)
+hist AS (SELECT value, count(*)::BIGINT AS m,
+                sum(CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END)::BIGINT AS p
+         FROM pooled GROUP BY value),
+cum AS (SELECT m, p, sum(m) OVER (ORDER BY value) AS cumm FROM hist),
+g AS (SELECT sum(p)::BIGINT AS n1,
+             sum(m - p)::BIGINT AS n2,
+             CAST(CAST(sum(CAST(p AS DECIMAL(19,0))
+                           * CAST(2 * (cumm - m) + m + 1 AS DECIMAL(19,0)))
+                       AS DECIMAL(38,0)) AS DOUBLE)
+               / CAST(2 AS DOUBLE) AS r1,
+             CAST(sum(CAST(m AS DECIMAL(12,0)) * CAST(m AS DECIMAL(12,0))
+                      * CAST(m AS DECIMAL(12,0))
+                      - CAST(m AS DECIMAL(12,0))) AS DECIMAL(38,0)) AS tie_sum
+      FROM cum)
 SELECT n1, n2, r1,
        {u1} AS u1,
        CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) - ({u1}) AS u2,
-       tie_sum,
+       tie_sum::BIGINT AS tie_sum,
        {z} AS z
-FROM g CROSS JOIN ties
+FROM g
 """.format(
     a=_MW_A,
     b=_MW_B,
