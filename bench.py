@@ -194,6 +194,9 @@ HEADLINE = [
     "rfm_segments",
     "zonemap_prune_audit",
     "fmp4_fragment_stats",
+    # round 10: the Matroska/WebM EBML container roundtrip (streaming
+    # containers two-for-two next to MP4/fMP4)
+    "mkv_container_stats",
 ]
 
 

@@ -1407,6 +1407,301 @@ def _parse_fmp4_inner(data: bytes) -> dict:
     return {"brand": brand, "timescale": int(timescale), "fragments": fragments}
 
 
+# ------------------------------------------------- Matroska / WebM (EBML)
+#
+# Container-level Matroska walk — the round-9 verdict's item 7: with
+# MP4 + fMP4 done, this makes streaming-video containers two-for-two.
+# EBML (RFC 8794) is pure byte arithmetic: variable-length element IDs
+# (stored WITH their length-marker bits) and VINT data sizes (marker
+# bit stripped), nested master elements.  The implemented subset is
+# the standard stats surface: EBML header (DocType), Segment > Info
+# (TimestampScale, Duration), Tracks > TrackEntry (number, type,
+# CodecID, Video/Audio settings), Cluster > Timestamp + SimpleBlock
+# (track VINT + int16 relative timestamp + flags + frame bytes, no
+# lacing).  Frame payloads stay opaque — VP9/Opus/AVC bitstream decode
+# is the same documented ffmpeg seam as the MP4 samples.
+
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+
+# Element IDs (Matroska spec values, written verbatim with marker bits)
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TIMESTAMPSCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACKENTRY = 0xAE
+_MKV_TRACKNUMBER = 0xD7
+_MKV_TRACKTYPE = 0x83
+_MKV_CODECID = 0x86
+_MKV_VIDEO = 0xE0
+_MKV_PIXELWIDTH = 0xB0
+_MKV_PIXELHEIGHT = 0xBA
+_MKV_AUDIO = 0xE1
+_MKV_SAMPLINGFREQ = 0xB5
+_MKV_CHANNELS = 0x9F
+_MKV_CLUSTER = 0x1F43B675
+_MKV_TIMESTAMP = 0xE7
+_MKV_SIMPLEBLOCK = 0xA3
+_MKV_EBML_VERSION = 0x4286
+_MKV_EBML_READVERSION = 0x42F7
+_MKV_EBML_MAXIDLENGTH = 0x42F2
+_MKV_EBML_MAXSIZELENGTH = 0x42F3
+_MKV_DOCTYPE = 0x4282
+_MKV_DOCTYPE_VERSION = 0x4287
+_MKV_DOCTYPE_READVERSION = 0x4285
+
+
+def _ebml_id(eid: int) -> bytes:
+    """Element IDs are stored verbatim (marker bits included)."""
+    return eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+
+
+def _ebml_size(n: int) -> bytes:
+    """VINT data size: minimal length l with n < 2^(7l) - 1 (the
+    all-ones pattern means 'unknown size' and is never emitted)."""
+    l = 1
+    while n >= (1 << (7 * l)) - 1:
+        l += 1
+        if l > 8:
+            raise ValueError(f"EBML size too large: {n}")
+    return (n | (1 << (7 * l))).to_bytes(l, "big")
+
+
+def _ebml_el(eid: int, payload: bytes) -> bytes:
+    return _ebml_id(eid) + _ebml_size(len(payload)) + payload
+
+
+def _ebml_uint(eid: int, v: int) -> bytes:
+    body = v.to_bytes(max(1, (int(v).bit_length() + 7) // 8), "big")
+    return _ebml_el(eid, body)
+
+
+def _ebml_float(eid: int, v: float) -> bytes:
+    return _ebml_el(eid, struct.pack(">d", float(v)))
+
+
+def _ebml_string(eid: int, s: str) -> bytes:
+    return _ebml_el(eid, s.encode("ascii"))
+
+
+def encode_mkv(
+    doctype: str,
+    timescale_ns: int,
+    duration_ticks: int,
+    tracks: list,
+    clusters: list,
+) -> bytes:
+    """Encode opaque frame payloads as a real Matroska/WebM container.
+
+    ``tracks``: dicts with ``number``, ``type`` ('video' | 'audio'),
+    ``codec_id``, and for video ``width``/``height``, for audio
+    ``sampling``/``channels``.  ``clusters``: dicts with ``timestamp``
+    (ticks) and ``blocks`` = list of (track_number, rel_ts, payload)
+    SimpleBlocks.  Frame bytes stay opaque (the MP4-sample seam)."""
+    header = _ebml_el(
+        int.from_bytes(_EBML_MAGIC, "big"),
+        _ebml_uint(_MKV_EBML_VERSION, 1)
+        + _ebml_uint(_MKV_EBML_READVERSION, 1)
+        + _ebml_uint(_MKV_EBML_MAXIDLENGTH, 4)
+        + _ebml_uint(_MKV_EBML_MAXSIZELENGTH, 8)
+        + _ebml_string(_MKV_DOCTYPE, doctype)
+        + _ebml_uint(_MKV_DOCTYPE_VERSION, 4)
+        + _ebml_uint(_MKV_DOCTYPE_READVERSION, 2),
+    )
+    info = _ebml_el(
+        _MKV_INFO,
+        _ebml_uint(_MKV_TIMESTAMPSCALE, int(timescale_ns))
+        + _ebml_float(_MKV_DURATION, float(duration_ticks)),
+    )
+    entries = b""
+    for t in tracks:
+        settings = (
+            _ebml_el(
+                _MKV_VIDEO,
+                _ebml_uint(_MKV_PIXELWIDTH, int(t["width"]))
+                + _ebml_uint(_MKV_PIXELHEIGHT, int(t["height"])),
+            )
+            if t["type"] == "video"
+            else _ebml_el(
+                _MKV_AUDIO,
+                _ebml_float(_MKV_SAMPLINGFREQ, float(t["sampling"]))
+                + _ebml_uint(_MKV_CHANNELS, int(t["channels"])),
+            )
+        )
+        entries += _ebml_el(
+            _MKV_TRACKENTRY,
+            _ebml_uint(_MKV_TRACKNUMBER, int(t["number"]))
+            + _ebml_uint(_MKV_TRACKTYPE, 1 if t["type"] == "video" else 2)
+            + _ebml_string(_MKV_CODECID, t["codec_id"])
+            + settings,
+        )
+    body = info + _ebml_el(_MKV_TRACKS, entries)
+    for c in clusters:
+        blocks = b""
+        for tn, rel_ts, payload in c["blocks"]:
+            blocks += _ebml_el(
+                _MKV_SIMPLEBLOCK,
+                _ebml_size(int(tn))  # track number is itself a VINT
+                + struct.pack(">h", int(rel_ts))
+                + b"\x80"  # keyframe, no lacing
+                + bytes(payload),
+            )
+        body += _ebml_el(
+            _MKV_CLUSTER,
+            _ebml_uint(_MKV_TIMESTAMP, int(c["timestamp"])) + blocks,
+        )
+    return header + _ebml_el(_MKV_SEGMENT, body)
+
+
+def _ebml_read_vint(data: bytes, at: int, keep_marker: bool):
+    """Read one VINT at ``at``: (value, next_offset).  Element IDs keep
+    the marker bit (spec stores them verbatim); sizes strip it."""
+    if at >= len(data):
+        raise ValueError("EBML: VINT past end of buffer")
+    first = data[at]
+    if first == 0:
+        raise ValueError("EBML: invalid VINT (leading byte 0)")
+    l = 9 - first.bit_length()  # leading zero bits + 1
+    if at + l > len(data):
+        raise ValueError("EBML: truncated VINT")
+    v = int.from_bytes(data[at : at + l], "big")
+    if not keep_marker:
+        marker = 1 << (7 * l)
+        if v == marker * 2 - 1:
+            raise ValueError("EBML: unknown-size element unsupported")
+        v -= marker
+    return v, at + l
+
+
+def _ebml_walk(data: bytes, start: int, end: int):
+    """Yield (element_id, body_start, body_end) for the siblings in
+    [start, end) — the _mp4_walk of EBML."""
+    at = start
+    while at < end:
+        eid, p = _ebml_read_vint(data, at, keep_marker=True)
+        size, p = _ebml_read_vint(data, p, keep_marker=False)
+        if p + size > end:
+            raise ValueError("EBML: element overruns its parent")
+        yield eid, p, p + size
+        at = p + size
+
+
+def _ebml_first(data: bytes, start: int, end: int, eid: int):
+    for e, b, en in _ebml_walk(data, start, end):
+        if e == eid:
+            return b, en
+    raise ValueError(f"EBML: missing element 0x{eid:X}")
+
+
+def _ebml_uint_at(data: bytes, b: int, e: int) -> int:
+    return int.from_bytes(data[b:e], "big")
+
+
+def parse_mkv(data: bytes) -> dict:
+    """Parse a Matroska/WebM container: EBML walk + SimpleBlock demux.
+    Returns {doctype, timescale, duration, n_clusters, n_blocks,
+    tracks: [{number, type, codec_id, width, height, sampling,
+    channels, frames: list[bytes]}]}.  Malformed or truncated payloads
+    raise ValueError (the decode_wav rejection contract)."""
+    try:
+        return _parse_mkv_inner(data)
+    except (struct.error, IndexError, EOFError, UnicodeDecodeError) as e:
+        raise ValueError(f"truncated or corrupt MKV payload: {e}") from e
+
+
+def _parse_mkv_inner(data: bytes) -> dict:
+    if data[:4] != _EBML_MAGIC:
+        raise ValueError("EBML: bad magic")
+    hb, he = _ebml_first(data, 0, len(data), int.from_bytes(_EBML_MAGIC, "big"))
+    db, de = _ebml_first(data, hb, he, _MKV_DOCTYPE)
+    doctype = data[db:de].decode("ascii")
+    sb, se = _ebml_first(data, he, len(data), _MKV_SEGMENT)
+    ib, ie = _ebml_first(data, sb, se, _MKV_INFO)
+    tsb, tse = _ebml_first(data, ib, ie, _MKV_TIMESTAMPSCALE)
+    timescale = _ebml_uint_at(data, tsb, tse)
+    dub, due = _ebml_first(data, ib, ie, _MKV_DURATION)
+    if due - dub == 8:
+        (duration,) = struct.unpack_from(">d", data, dub)
+    elif due - dub == 4:
+        (duration,) = struct.unpack_from(">f", data, dub)
+    else:
+        raise ValueError("EBML: Duration must be a 4- or 8-byte float")
+    kb, ke = _ebml_first(data, sb, se, _MKV_TRACKS)
+    tracks, by_number = [], {}
+    for eid, tb, te in _ebml_walk(data, kb, ke):
+        if eid != _MKV_TRACKENTRY:
+            continue
+        t = {
+            "number": 0,
+            "type": "",
+            "codec_id": "",
+            "width": 0,
+            "height": 0,
+            "sampling": 0.0,
+            "channels": 0,
+            "frames": [],
+        }
+        for fid, fb, fe in _ebml_walk(data, tb, te):
+            if fid == _MKV_TRACKNUMBER:
+                t["number"] = _ebml_uint_at(data, fb, fe)
+            elif fid == _MKV_TRACKTYPE:
+                v = _ebml_uint_at(data, fb, fe)
+                t["type"] = {1: "video", 2: "audio"}.get(v, str(v))
+            elif fid == _MKV_CODECID:
+                t["codec_id"] = data[fb:fe].decode("ascii")
+            elif fid == _MKV_VIDEO:
+                for vid, vb, ve in _ebml_walk(data, fb, fe):
+                    if vid == _MKV_PIXELWIDTH:
+                        t["width"] = _ebml_uint_at(data, vb, ve)
+                    elif vid == _MKV_PIXELHEIGHT:
+                        t["height"] = _ebml_uint_at(data, vb, ve)
+            elif fid == _MKV_AUDIO:
+                for aid, ab, ae in _ebml_walk(data, fb, fe):
+                    if aid == _MKV_SAMPLINGFREQ:
+                        if ae - ab == 8:
+                            (t["sampling"],) = struct.unpack_from(
+                                ">d", data, ab
+                            )
+                        elif ae - ab == 4:
+                            (t["sampling"],) = struct.unpack_from(
+                                ">f", data, ab
+                            )
+                        else:
+                            raise ValueError(
+                                "EBML: SamplingFrequency must be a float"
+                            )
+                    elif aid == _MKV_CHANNELS:
+                        t["channels"] = _ebml_uint_at(data, ab, ae)
+        if not t["number"]:
+            raise ValueError("EBML: TrackEntry without TrackNumber")
+        tracks.append(t)
+        by_number[t["number"]] = t
+    n_clusters = n_blocks = 0
+    for eid, cb, ce in _ebml_walk(data, sb, se):
+        if eid != _MKV_CLUSTER:
+            continue
+        n_clusters += 1
+        for bid, bb, be in _ebml_walk(data, cb, ce):
+            if bid != _MKV_SIMPLEBLOCK:
+                continue
+            n_blocks += 1
+            tn, p = _ebml_read_vint(data, bb, keep_marker=False)
+            if p + 3 > be:
+                raise ValueError("EBML: truncated SimpleBlock header")
+            if tn not in by_number:
+                raise ValueError(f"EBML: SimpleBlock for unknown track {tn}")
+            # rel_ts (int16) + flags byte, then the opaque frame
+            by_number[tn]["frames"].append(bytes(data[p + 3 : be]))
+    return {
+        "doctype": doctype,
+        "timescale": timescale,
+        "duration": duration,
+        "n_clusters": n_clusters,
+        "n_blocks": n_blocks,
+        "tracks": tracks,
+    }
+
+
 # ------------------------------------------------------- format sniffing
 
 

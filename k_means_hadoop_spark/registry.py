@@ -651,6 +651,7 @@ from k_means_hadoop_spark.operators.mining import MINING_QUERIES
 from k_means_hadoop_spark.operators.round7 import ROUND7_QUERIES
 from k_means_hadoop_spark.operators.round8 import ROUND8_QUERIES
 from k_means_hadoop_spark.operators.round9 import ROUND9_QUERIES
+from k_means_hadoop_spark.operators.round10 import ROUND10_QUERIES
 from k_means_hadoop_spark.registry_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES
 
 for _name, (_fn, _sql) in {
@@ -666,6 +667,7 @@ for _name, (_fn, _sql) in {
     **ROUND7_QUERIES,
     **ROUND8_QUERIES,
     **ROUND9_QUERIES,
+    **ROUND10_QUERIES,
 }.items():
     ORACLES[_name] = _sql
 
@@ -710,6 +712,7 @@ QUERIES.update({name: fn for name, (fn, _sql) in MINING_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in ROUND7_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in ROUND8_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in ROUND9_QUERIES.items()})
+QUERIES.update({name: fn for name, (fn, _sql) in ROUND10_QUERIES.items()})
 QUERIES.update(RELATIONAL_ROWS_ONLY)
 QUERIES.update(CURATION_ROWS_ONLY)
 QUERIES.update(PIPELINE_QUERIES)
@@ -1033,6 +1036,12 @@ _SCHEDULE: dict[str, dict] = {
     # sf0.001/0.01/0.1.
     "mp4_container_stats": _row(defer=5),
     "fmp4_fragment_stats": _row(defer=5),
+    # -- round-10 addition: defer=6 (budget: this new entry + the
+    # page_trend_event_dow stale_after=9 redefinition above are the
+    # round's ONLY window-head charges — 2 of the <= 5 cap, leaving
+    # 48 slots to drain the r03/r04 cohort per round-9 verdict item 1).
+    # Locally oracle-verified at sf0.001/0.01/0.1.
+    "mkv_container_stats": _row(defer=6),
 }
 
 
