@@ -396,18 +396,10 @@ def ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degenerate-input guards: a span shorter than the lag depth leaves
     # empty autocorrelation lags (a silently mis-normalized Q both
     # engines would agree on), and a CONSTANT series has B = 0 — every
-    # rho_k would divide by zero
-    _gn, _gt, _gq = g.first()
-    if _gn is None or _gn <= _LB_LAGS:
-        raise ValueError(
-            f"ljung_box_daily: {_gn or 0} distinct days <= {_LB_LAGS} "
-            "lags — every lag needs at least one pair"
-        )
-    if _gn * _gq == _gt * _gt:
-        raise ValueError(
-            "ljung_box_daily: constant daily series — the "
-            "autocorrelation denominator B is zero"
-        )
+    # rho_k would divide by zero.  IN-PLAN (raise_error branches on the
+    # q_stat output, fed by the g aggregate the final select already
+    # carries) so building the query runs zero Spark jobs — round-9
+    # verdict item 4 extended to the whole round8 family.
     a = d.select("rn", F.col("x").alias("xt")).withColumn(
         "lag", F.explode(F.sequence(F.lit(1), F.lit(_LB_LAGS)))
     )
@@ -434,23 +426,40 @@ def ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = _FL6_SQL.format(
         x="CAST(ak * ak AS DOUBLE) / CAST(bb * bb * CAST(n - lag AS DECIMAL(38,0)) AS DOUBLE)"
     )
+    # bb = 0 (constant series) must yield NULL here, not an ANSI
+    # divide-by-zero, so the plan reaches the guarded final row where
+    # raise_error reports the degeneracy with its real message
     t6 = j.select(
         F.col("lag"),
         a_k.alias("ak"),
         b_.alias("bb"),
         F.col("n"),
-    ).select(F.expr(f"CAST({term} AS DECIMAL(28,6))").alias("t6"))
+    ).select(
+        F.expr(
+            "CASE WHEN bb = 0 THEN CAST(NULL AS DECIMAL(28,6))"
+            f" ELSE CAST({term} AS DECIMAL(28,6)) END"
+        ).alias("t6")
+    )
     ssum = t6.agg(F.sum("t6").alias("s6"))
     qexpr = _FL6_SQL.format(
         x="CAST(n * (n + 2) AS DOUBLE) * CAST(s6 AS DOUBLE)"
     )
+    guarded_q = (
+        f"CASE WHEN n <= {_LB_LAGS} THEN raise_error(concat("
+        f"'ljung_box_daily: ', CAST(n AS STRING), ' distinct days <= "
+        f"{_LB_LAGS} lags — every lag needs at least one pair'))"
+        " WHEN CAST(n AS DECIMAL(38,0)) * q"
+        "      = CAST(t AS DECIMAL(19,0)) * t"
+        " THEN raise_error('ljung_box_daily: constant daily series — "
+        "the autocorrelation denominator B is zero')"
+        f" ELSE {qexpr} END"
+    )
     return (
-        g.select("n")
-        .crossJoin(F.broadcast(ssum))
+        g.crossJoin(F.broadcast(ssum))
         .select(
             F.col("n").cast("bigint").alias("n_days"),
             F.lit(_LB_LAGS).cast("int").alias("n_lags"),
-            F.expr(qexpr).alias("q_stat"),
+            F.expr(guarded_q).alias("q_stat"),
         )
     )
 
@@ -762,15 +771,11 @@ def kendall_tau_grid_qty_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dc"),
     )
     cells = li.groupBy("q", "dc").agg(F.count(F.lit(1)).alias("n"))
-    _nq, _nd = cells.agg(
-        F.countDistinct("q"), F.countDistinct("dc")
-    ).first()
-    if (_nq or 0) < 2 or (_nd or 0) < 2:
-        raise ValueError(
-            f"kendall_tau_grid_qty_disc: degenerate marginal "
-            f"({_nq} quantity / {_nd} discount levels) — tau-b's "
-            "denominator is zero when either ordinal is constant"
-        )
+    # degenerate-marginal guard — IN-PLAN (raise_error branch on tau_b,
+    # fed by level counts riding the tq/td marginal aggregates) so
+    # building the query runs zero Spark jobs (round-9 verdict item 4
+    # extended): tau-b's denominator is zero when either ordinal is
+    # constant
     a = cells.select(
         F.col("q").alias("qa"), F.col("dc").alias("da"), F.col("n").alias("na")
     )
@@ -798,17 +803,31 @@ def kendall_tau_grid_qty_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     tq = (
         cells.groupBy("q")
         .agg(F.sum("n").alias("t"))
-        .agg(F.sum(F.col("t") * (F.col("t") - 1)).alias("tq2"))
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1)).alias("tq2"),
+            F.count(F.lit(1)).alias("nq"),
+        )
     )
     td = (
         cells.groupBy("dc")
         .agg(F.sum("n").alias("t"))
-        .agg(F.sum(F.col("t") * (F.col("t") - 1)).alias("td2"))
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1)).alias("td2"),
+            F.count(F.lit(1)).alias("nd"),
+        )
     )
     tau = _FL6_SQL.format(
         x="CAST(c - d AS DOUBLE)"
         " / sqrt(CAST(CAST((n * (n - 1) - tq2) DIV 2 AS DECIMAL(38,0))"
         " * CAST((n * (n - 1) - td2) DIV 2 AS DECIMAL(38,0)) AS DOUBLE))"
+    )
+    guarded_tau = (
+        "CASE WHEN nq < 2 OR nd < 2 THEN raise_error(concat("
+        "'kendall_tau_grid_qty_disc: degenerate marginal (',"
+        " CAST(nq AS STRING), ' quantity / ', CAST(nd AS STRING),"
+        " ' discount levels) — tau-b''s denominator is zero when"
+        " either ordinal is constant'))"
+        f" ELSE {tau} END"
     )
     return (
         nn.crossJoin(F.broadcast(cd))
@@ -819,7 +838,7 @@ def kendall_tau_grid_qty_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_cells").cast("bigint").alias("n_cells"),
             F.col("c").cast("bigint").alias("concordant"),
             F.col("d").cast("bigint").alias("discordant"),
-            F.expr(tau).alias("tau_b"),
+            F.expr(guarded_tau).alias("tau_b"),
         )
     )
 
@@ -872,26 +891,21 @@ def hypergeom_enrichment_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("ns"), F.sum("g").alias("ks")
     )
-    tot = d.agg(F.count(F.lit(1)).alias("nn"), F.sum("g").alias("kk"))
-    # one guard job for BOTH degeneracies: the corpus-level gate
-    # (0 < K < N) and the single-source corpus (ns == nn makes the
-    # variance factor (nn - ns) zero, so every z is 0/0 NaN and would
-    # slip past parity instead of failing loudly)
-    _nn, _kk, _nsrc = d.agg(
-        F.count(F.lit(1)), F.sum("g"), F.countDistinct("source")
-    ).first()
-    if not _nn or _nn < 2 or not (0 < _kk < _nn):
-        raise ValueError(
-            f"hypergeom_enrichment_sources: gate does not split the "
-            f"corpus (N={_nn}, K={_kk}) — the hypergeometric variance "
-            "is zero and every z divides by zero"
-        )
-    if _nsrc < 2:
-        raise ValueError(
-            f"hypergeom_enrichment_sources: corpus has {_nsrc} distinct "
-            "source(s); with one source ns == N makes the variance "
-            "factor (N - ns) zero and z = 0/0 NaN"
-        )
+    tot = d.agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.sum("g").alias("kk"),
+        F.countDistinct("source").alias("nsrc"),
+    )
+    # degenerate-input guards, IN-PLAN (raise_error branches on z, fed
+    # by counts riding the tot aggregate) so building the query runs
+    # zero Spark jobs — round-9 verdict item 4 extended: the
+    # corpus-level gate must split the corpus (0 < K < N, else the
+    # hypergeometric variance is zero) and a single-source corpus makes
+    # the variance factor (N - ns) zero, so every z is 0/0 NaN and
+    # would slip past parity instead of failing loudly.  The one
+    # semantics shift vs the old build-time guard: an EMPTY corpus now
+    # yields an empty result (no per-source rows exist to carry the
+    # raise) instead of raising — no sources, no report.
     j = per.crossJoin(F.broadcast(tot))
     expected = _FL6_SQL.format(
         x="CAST(ns * kk AS DOUBLE) / CAST(nn AS DOUBLE)"
@@ -901,12 +915,23 @@ def hypergeom_enrichment_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / sqrt(CAST(CAST(ns AS DECIMAL(38,0)) * kk * (nn - kk) * (nn - ns)"
         " AS DOUBLE) / CAST(nn - 1 AS DOUBLE))"
     )
+    guarded_z = (
+        "CASE WHEN nn < 2 OR kk <= 0 OR kk >= nn THEN raise_error(concat("
+        "'hypergeom_enrichment_sources: gate does not split the corpus"
+        " (N=', CAST(nn AS STRING), ', K=', CAST(kk AS STRING), ') — the"
+        " hypergeometric variance is zero and every z divides by zero'))"
+        " WHEN nsrc < 2 THEN raise_error(concat("
+        "'hypergeom_enrichment_sources: corpus has ', CAST(nsrc AS STRING),"
+        " ' distinct source(s); with one source ns == N makes the"
+        " variance factor (N - ns) zero and z = 0/0 NaN'))"
+        f" ELSE {z} END"
+    )
     return j.select(
         "source",
         F.col("ns").cast("bigint").alias("n_docs"),
         F.col("ks").cast("bigint").alias("n_gated"),
         F.expr(expected).alias("expected"),
-        F.expr(z).alias("z"),
+        F.expr(guarded_z).alias("z"),
     )
 
 

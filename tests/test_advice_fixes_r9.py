@@ -70,8 +70,10 @@ def test_hypergeom_single_source_raises(spark, tmp_path):
     )
 
     sf_dir = _docs_parquet(tmp_path, ["only_src"] * 6)
-    with pytest.raises(ValueError, match="distinct source"):
-        hypergeom_enrichment_sources(spark, sf_dir)
+    # round 10: the guard moved in-plan (raise_error on z) so building
+    # runs no Spark job; it fires at action time with the same message
+    with pytest.raises(Exception, match="distinct source"):
+        hypergeom_enrichment_sources(spark, sf_dir).collect()
 
 
 def test_hypergeom_two_sources_pass(spark, tmp_path):

@@ -926,7 +926,9 @@ def test_round8_ops_bounded_join_shapes(plans):
     a refactor that adds an unbounded NL join fails loudly."""
     caps = {
         "theil_u_lang_source": 2,
-        "page_trend_event_dow": 1,
+        # round 10: +1 for the broadcast 1-row tie-sum aggregate the
+        # midrank tie-corrected variance folds in
+        "page_trend_event_dow": 2,
         "mann_kendall_daily": 3,
         "ljung_box_daily": 2,
         "permutation_entropy_daily": 2,

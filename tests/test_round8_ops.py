@@ -562,15 +562,16 @@ def test_ljung_box_short_and_constant_raise(spark, tmp_path):
     _write_events(
         tmp_path, [(f"2024-01-0{d} 01:00:00", "A") for d in range(1, 6)]
     )
-    with pytest.raises(ValueError, match="distinct days <="):
-        ljung_box_daily(spark, str(tmp_path))
+    df = _build_runs_no_jobs(spark, ljung_box_daily, spark, str(tmp_path))
+    with pytest.raises(Exception, match="distinct days <="):
+        df.first()
     # 10 days, one event each: a CONSTANT series -> B = 0
     _write_events(
         tmp_path,
         [(f"2024-01-{d:02d} 01:00:00", "A") for d in range(1, 11)],
     )
-    with pytest.raises(ValueError, match="constant daily series"):
-        ljung_box_daily(spark, str(tmp_path))
+    with pytest.raises(Exception, match="constant daily series"):
+        ljung_box_daily(spark, str(tmp_path)).first()
 
 
 def test_permutation_entropy_two_days_raises(spark, tmp_path):
@@ -631,8 +632,12 @@ def test_kendall_grid_constant_marginal_raises(spark, tmp_path):
     pd.DataFrame(
         {"l_quantity": [5.0] * 4, "l_discount": [0.01, 0.02, 0.03, 0.04]}
     ).to_parquet(tmp_path / "lineitem.parquet", index=False)
-    with pytest.raises(ValueError, match="degenerate marginal"):
-        kendall_tau_grid_qty_disc(spark, str(tmp_path))
+    df = _build_runs_no_jobs(
+        spark, kendall_tau_grid_qty_disc, spark, str(tmp_path),
+        table="lineitem",
+    )
+    with pytest.raises(Exception, match="degenerate marginal"):
+        df.first()
 
 
 def test_hypergeom_nonsplitting_gate_raises(spark, tmp_path):
@@ -650,8 +655,12 @@ def test_hypergeom_nonsplitting_gate_raises(spark, tmp_path):
             "text": ["x"] * 3,
         }
     ).to_parquet(tmp_path / "documents.parquet", index=False)
-    with pytest.raises(ValueError, match="does not split"):
-        hypergeom_enrichment_sources(spark, str(tmp_path))
+    df = _build_runs_no_jobs(
+        spark, hypergeom_enrichment_sources, spark, str(tmp_path),
+        table="documents",
+    )
+    with pytest.raises(Exception, match="does not split"):
+        df.first()
 
 
 def test_gif_jpeg_truncation_normalized_to_valueerror():
