@@ -1706,10 +1706,11 @@ def _parse_mkv_inner(data: bytes) -> dict:
 
 
 def sniff_format(data: bytes) -> str:
-    """Identify a payload by magic bytes across the five in-repo
-    codecs: 'bmp' | 'wav' | 'png' | 'gif' | 'jpeg' | 'unknown'.  The
-    multimodal pipeline dispatches on THIS, not on the declared kind
-    column — container metadata lies; magic bytes don't."""
+    """Identify a payload by magic bytes across the in-repo codecs:
+    'bmp' | 'wav' | 'png' | 'gif' | 'jpeg' | 'mp4' | 'mkv' |
+    'unknown'.  The multimodal pipeline dispatches on THIS, not on the
+    declared kind column — container metadata lies; magic bytes
+    don't."""
     if data[:8] == _PNG_SIG:
         return "png"
     if data[:6] in (b"GIF87a", b"GIF89a"):
@@ -1722,4 +1723,6 @@ def sniff_format(data: bytes) -> str:
         return "wav"
     if len(data) >= 12 and data[4:8] == b"ftyp":
         return "mp4"
+    if data[:4] == _EBML_MAGIC:
+        return "mkv"
     return "unknown"

@@ -116,6 +116,11 @@ def test_ebml_size_vint_boundaries():
         assert (v, nxt) == (n, len(enc))
 
 
+def test_mkv_sniff_format():
+    assert codecs.sniff_format(_blob(1)) == "mkv"
+    assert codecs.sniff_format(b"\x1a\x45\xdf") == "unknown"  # short
+
+
 def test_mkv_roundtrip_fuzz():
     """Property fuzz: ANY doctype/track/cluster spec (arbitrary frame
     bytes, dimensions, channel counts) roundtrips bit-exact."""
