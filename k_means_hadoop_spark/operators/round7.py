@@ -1683,26 +1683,39 @@ WHERE n_priorities = n_dom
 # the (dow, type) cell aggregate.
 
 
-def _require_complete_blocks(cells: DataFrame, op: str) -> None:
-    """Within-block rank tests (Friedman, Page) assume COMPLETE blocks:
-    every (block, treatment) cell present.  A missing cell would rank
-    only the present treatments while k stays the global count — a
-    statistically invalid statistic that BOTH engines would compute
-    identically (parity cannot catch it).  Guard loudly instead."""
-    n_cells, nb, kt = cells.agg(
-        F.count(F.lit(1)), F.countDistinct("b"), F.countDistinct("t")
-    ).first()
-    if n_cells != nb * kt:
-        raise ValueError(
-            f"{op}: incomplete blocks — {n_cells} (block, treatment) "
-            f"cells for {nb} blocks x {kt} treatments; within-block "
-            "ranks require every cell present"
-        )
-    if kt < 2:
-        raise ValueError(
-            f"{op}: {kt} treatment(s) — within-block rank statistics "
-            "need k >= 2 (the normalizer is k(k+1)- or (k-1)-scaled)"
-        )
+def _complete_blocks_guard(cells: DataFrame) -> DataFrame:
+    """1-row (gc, gb, gk) aggregate feeding the IN-PLAN complete-blocks
+    guard (round-9 verdict item 4: guards are raise_error branches, not
+    build-time jobs).  Within-block rank tests (Friedman, Page) assume
+    COMPLETE blocks: every (block, treatment) cell present.  A missing
+    cell would rank only the present treatments while k stays the
+    global count — a statistically invalid statistic that BOTH engines
+    would compute identically (parity cannot catch it).  Guard loudly,
+    at action time, via ``_complete_blocks_case``."""
+    return cells.agg(
+        F.count(F.lit(1)).alias("gc"),
+        F.countDistinct("b").alias("gb"),
+        F.countDistinct("t").alias("gk"),
+    )
+
+
+def _complete_blocks_case(op: str, inner: str) -> str:
+    """Wrap ``inner`` (a SQL expression) in the complete-blocks +
+    k >= 2 raise_error branches over the ``_complete_blocks_guard``
+    columns.  An empty cells table passes the completeness arithmetic
+    (0 == 0*0) and fails the k >= 2 branch."""
+    return (
+        f"CASE WHEN gc != gb * gk THEN raise_error(concat('{op}:"
+        " incomplete blocks — ', CAST(gc AS STRING), ' (block,"
+        " treatment) cells for ', CAST(gb AS STRING), ' blocks x ',"
+        " CAST(gk AS STRING), ' treatments; within-block ranks require"
+        " every cell present'))"
+        f" WHEN gk < 2 THEN raise_error(concat('{op}: ',"
+        " CAST(gk AS STRING), ' treatment(s) — within-block rank"
+        " statistics need k >= 2 (the normalizer is k(k+1)- or"
+        " (k-1)-scaled)'))"
+        f" ELSE {inner} END"
+    )
 
 
 def friedman_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1714,7 +1727,7 @@ def friedman_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("t"),
     )
     cells = ev.groupBy("b", "t").agg(F.count(F.lit(1)).alias("v"))
-    _require_complete_blocks(cells, "friedman_event_dow")
+    guard = _complete_blocks_guard(cells)
     l, r = cells.alias("l"), cells.alias("r")
     r2 = (
         l.join(r, F.col("l.b") == F.col("r.b"))
@@ -1739,11 +1752,18 @@ def friedman_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE))"
         " - CAST(3 AS DOUBLE) * CAST(n AS DOUBLE) * CAST(k + 1 AS DOUBLE)"
     )
-    return dims.crossJoin(F.broadcast(s)).select(
-        F.col("n").cast("int").alias("n_blocks"),
-        F.col("k").cast("int").alias("k_treatments"),
-        (F.col("k") - 1).cast("int").alias("df"),
-        _fl6(F.expr(q)).alias("q_stat"),
+    guarded_q = _complete_blocks_case(
+        "friedman_event_dow", _FL6_SQL.format(x=q)
+    )
+    return (
+        dims.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(guard))
+        .select(
+            F.col("n").cast("int").alias("n_blocks"),
+            F.col("k").cast("int").alias("k_treatments"),
+            (F.col("k") - 1).cast("int").alias("df"),
+            F.expr(guarded_q).alias("q_stat"),
+        )
     )
 
 

@@ -22,7 +22,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from k_means_hadoop_spark.operators.relational import _t
-from k_means_hadoop_spark.operators.round7 import _require_complete_blocks
+from k_means_hadoop_spark.operators.round7 import (
+    _complete_blocks_case,
+    _complete_blocks_guard,
+)
 from k_means_hadoop_spark.operators.trends import _FL6_SQL, _fl6
 
 
@@ -187,7 +190,7 @@ def page_trend_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("t"),
     )
     cells = ev.groupBy("b", "t").agg(F.count(F.lit(1)).alias("v"))
-    _require_complete_blocks(cells, "page_trend_event_dow")
+    guard = _complete_blocks_guard(cells)
     l_, r_ = cells.alias("l"), cells.alias("r")
     r2 = (
         l_.join(r_, F.col("l.b") == F.col("r.b"))
@@ -226,15 +229,17 @@ def page_trend_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the midrank tie-corrected variance (see the derivation above);
     # vr (= 144·Var(L)) stays an exact DECIMAL until the one division
     lstat = _FL6_SQL.format(x="CAST(l2 AS DOUBLE) / CAST(2 AS DOUBLE)")
-    guarded_z = (
+    guarded_z = _complete_blocks_case(
+        "page_trend_event_dow",
         "CASE WHEN vr > 0 THEN "
         + _FL6_SQL.format(x=_PAGE_Z)
         + " ELSE raise_error('page_trend_event_dow: every block fully "
-        "tied — Var(L) = 0, z is undefined') END"
+        "tied — Var(L) = 0, z is undefined') END",
     )
     return (
         dims.crossJoin(F.broadcast(s))
         .crossJoin(F.broadcast(tsum))
+        .crossJoin(F.broadcast(guard))
         .withColumn("vr", F.expr(_PAGE_VR))
         .select(
             F.col("n").cast("int").alias("n_blocks"),

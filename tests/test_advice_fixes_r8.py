@@ -72,8 +72,10 @@ def test_friedman_incomplete_blocks_raise(spark, tmp_path):
             ("2024-01-02 01:00:00", "A"),
         ],
     )
-    with pytest.raises(ValueError, match="incomplete blocks"):
-        friedman_event_dow(spark, d)
+    # round 10: the guard moved in-plan (raise_error on q_stat) so
+    # building runs no Spark job; it fires at action time
+    with pytest.raises(Exception, match="incomplete blocks"):
+        friedman_event_dow(spark, d).first()
 
 
 def test_friedman_fixture_blocks_complete():

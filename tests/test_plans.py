@@ -927,8 +927,9 @@ def test_round8_ops_bounded_join_shapes(plans):
     caps = {
         "theil_u_lang_source": 2,
         # round 10: +1 for the broadcast 1-row tie-sum aggregate the
-        # midrank tie-corrected variance folds in
-        "page_trend_event_dow": 2,
+        # midrank tie-corrected variance folds in, +1 for the in-plan
+        # complete-blocks guard aggregate (both 1-row broadcasts)
+        "page_trend_event_dow": 3,
         "mann_kendall_daily": 3,
         "ljung_box_daily": 2,
         "permutation_entropy_daily": 2,

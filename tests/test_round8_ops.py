@@ -84,8 +84,8 @@ def test_page_incomplete_blocks_raise(spark, tmp_path):
             "props": ["{}"] * len(rows),
         }
     ).to_parquet(tmp_path / "events.parquet", index=False)
-    with pytest.raises(ValueError, match="incomplete blocks"):
-        page_trend_event_dow(spark, str(tmp_path))
+    with pytest.raises(Exception, match="incomplete blocks"):
+        page_trend_event_dow(spark, str(tmp_path)).first()
 
 
 def test_mann_kendall_against_local_reference(spark, sf_dir):
@@ -599,8 +599,11 @@ def test_page_single_treatment_raises(spark, tmp_path):
         tmp_path,
         [(f"2024-01-{d:02d} 01:00:00", "A") for d in range(1, 8)],
     )
-    with pytest.raises(ValueError, match="k >= 2"):
-        page_trend_event_dow(spark, str(tmp_path))
+    df = _build_runs_no_jobs(
+        spark, page_trend_event_dow, spark, str(tmp_path)
+    )
+    with pytest.raises(Exception, match="k >= 2"):
+        df.first()
 
 
 def test_theil_u_single_language_raises(spark, tmp_path):

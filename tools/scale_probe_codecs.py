@@ -1,11 +1,13 @@
-"""Scaling probe: the round-8 codec kernels (GIF/LZW, baseline JPEG).
+"""Scaling probe: the codec kernels (GIF/LZW, baseline JPEG, and the
+round-9/10 container walks MP4 + MKV/EBML).
 
-`gif_decode_stats` and `jpeg_decode_stats` run their full REAL
-encode->decode pipelines inside Arrow-batched ``mapInPandas`` kernels
-over an id-sliced documents scan — the shard/partition is the unit of
-parallelism, so throughput (images/sec) must RISE with data volume
-until the 32 cores saturate, exactly like the other mapInPandas
-families (PNG/WAV/BMP probes in earlier rounds).
+`gif_decode_stats`, `jpeg_decode_stats`, `mp4_container_stats`, and
+`mkv_container_stats` run their full REAL encode->parse pipelines
+inside Arrow-batched ``mapInPandas`` kernels over an id-sliced
+documents scan — the shard/partition is the unit of parallelism, so
+throughput (items/sec) must RISE with data volume until the 32 cores
+saturate, exactly like the other mapInPandas families (PNG/WAV/BMP
+probes in earlier rounds).
 
 Method: synthetic documents tables of n, 4n, 16n doc_ids are written
 to a temp dir (the ops read only doc_id and slice doc_id % 7), and
@@ -30,6 +32,8 @@ from k_means_hadoop_spark.operators.round8 import (
     gif_decode_stats,
     jpeg_decode_stats,
 )
+from k_means_hadoop_spark.operators.round9 import mp4_container_stats
+from k_means_hadoop_spark.operators.round10 import mkv_container_stats
 from k_means_hadoop_spark.session import get_spark
 
 BASE_N = 10_000  # ~1.4k planted images per op at 1x (the sf0.1 scale)
@@ -46,7 +50,9 @@ def main() -> None:
             os.path.join(tmp, "documents.parquet"), index=False
         )
         for name, fn in (("gif_decode_stats", gif_decode_stats),
-                         ("jpeg_decode_stats", jpeg_decode_stats)):
+                         ("jpeg_decode_stats", jpeg_decode_stats),
+                         ("mp4_container_stats", mp4_container_stats),
+                         ("mkv_container_stats", mkv_container_stats)):
             fn(spark, tmp).count()  # warm-up (codegen + Arrow init)
             t0 = time.perf_counter()
             n = fn(spark, tmp).count()
