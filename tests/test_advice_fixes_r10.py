@@ -27,6 +27,64 @@ def test_scan_parts_grows_with_splits(spark):
     assert scan_parts(df) == 64
 
 
+def test_literal_bounds_matches_checkpoint_form(spark):
+    """prefix_sum_literal_bounds (the recompute-safe variant) must be
+    value-identical to prefix_sum for a mixed asc/desc multi-key order
+    with ties."""
+    from k_means_hadoop_spark.partitioning import prefix_sum_literal_bounds
+
+    data = [((i * 7) % 13, (i * 3) % 5, i % 4 + 1) for i in range(400)]
+    df = spark.createDataFrame(data, "a int, b int, v int")
+    ck = prefix_sum(
+        df, "v", [F.col("a").asc(), F.col("b").desc()], num_parts=5
+    )
+    lb = prefix_sum_literal_bounds(
+        df, "v", [("a", True), ("b", False)], num_parts=5
+    )
+    got_ck = {(r["a"], r["b"], r["v"], r["cum"]) for r in ck.collect()}
+    got_lb = {(r["a"], r["b"], r["v"], r["cum"]) for r in lb.collect()}
+    assert got_ck == got_lb
+
+
+def test_literal_bounds_degenerate_inputs(spark):
+    """Constant keys (every boundary equal) and tiny inputs (empty
+    sample -> one range) both stay correct."""
+    from k_means_hadoop_spark.partitioning import prefix_sum_literal_bounds
+
+    const = spark.createDataFrame([(1, 1)] * 50, "k int, v int")
+    out = prefix_sum_literal_bounds(const, "v", [("k", True)], num_parts=4)
+    assert sorted(r["cum"] for r in out.collect()) == list(range(1, 51))
+    tiny = spark.createDataFrame([(3, 1), (1, 1), (2, 1)], "k int, v int")
+    out2 = prefix_sum_literal_bounds(tiny, "v", [("k", True)], num_parts=8)
+    assert {(r["k"], r["cum"]) for r in out2.collect()} == {
+        (1, 1),
+        (2, 2),
+        (3, 3),
+    }
+
+
+def test_literal_bounds_preserves_decimal_and_float(spark):
+    import decimal as dec
+
+    from pyspark.sql.types import DecimalType, LongType, StructField, StructType
+
+    from k_means_hadoop_spark.partitioning import prefix_sum_literal_bounds
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("v", DecimalType(10, 2))]
+    )
+    data = [(i, dec.Decimal(i % 5) / 4) for i in range(1, 101)]
+    df = spark.createDataFrame(data, schema)
+    out = prefix_sum_literal_bounds(df, "v", [("k", True)], num_parts=4)
+    assert isinstance(out.schema["cum"].dataType, DecimalType)
+    got = {r["k"]: r["cum"] for r in out.collect()}
+    running, exp = dec.Decimal(0), {}
+    for k, v in sorted(data):
+        running += v
+        exp[k] = running
+    assert got == exp
+
+
 def test_prefix_sum_invariant_to_sized_parts(spark):
     """The sized count changes execution shape only — same ranks."""
     data = [((i * 53) % 211, 1) for i in range(500)]
