@@ -116,6 +116,46 @@ def test_ebml_size_vint_boundaries():
         assert (v, nxt) == (n, len(enc))
 
 
+def test_mkv_parse_random_bytes_never_crashes():
+    """Hostile input: arbitrary bytes either parse or raise ValueError —
+    never IndexError/struct.error/hangs (the decode_wav rejection
+    contract, fuzz-checked)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=200))
+    def check(data):
+        try:
+            codecs.parse_mkv(data)
+        except ValueError:
+            pass
+
+    check()
+
+
+def test_mkv_bitflip_never_crashes():
+    """Single-byte corruption of a VALID container either still parses
+    or raises ValueError — no other exception class escapes."""
+    from hypothesis import given, settings, strategies as st
+
+    blob = _blob(7)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        pos=st.integers(min_value=0, max_value=len(blob) - 1),
+        delta=st.integers(min_value=1, max_value=255),
+    )
+    def check(pos, delta):
+        mutated = bytearray(blob)
+        mutated[pos] = (mutated[pos] + delta) % 256
+        try:
+            codecs.parse_mkv(bytes(mutated))
+        except ValueError:
+            pass
+
+    check()
+
+
 def test_mkv_sniff_format():
     assert codecs.sniff_format(_blob(1)) == "mkv"
     assert codecs.sniff_format(b"\x1a\x45\xdf") == "unknown"  # short
