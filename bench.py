@@ -195,8 +195,11 @@ HEADLINE = [
     "zonemap_prune_audit",
     "fmp4_fragment_stats",
     # round 10: the Matroska/WebM EBML container roundtrip (streaming
-    # containers two-for-two next to MP4/fMP4)
+    # containers two-for-two next to MP4/fMP4) and the exact
+    # edit-distance near-dup verifier (threshold levenshtein over
+    # length-banded candidates)
     "mkv_container_stats",
+    "dedup_edit_distance",
 ]
 
 

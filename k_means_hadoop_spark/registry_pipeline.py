@@ -291,6 +291,51 @@ def q_dedup_prefix_filter(spark, sf_dir):
     )
 
 
+EDIT_DIST_MAX = 5  # sf0.01 fixture carries 24 pairs at this bound
+
+
+def q_dedup_edit_distance(spark, sf_dir):
+    """Exact character-level near-dup verify: length-banded candidates,
+    threshold levenshtein (see dedup.edit_distance_pairs)."""
+    return dedup.edit_distance_pairs(
+        _docs(spark, sf_dir), max_dist=EDIT_DIST_MAX
+    )
+
+
+def _edit_distance_sql(t: int) -> str:
+    # The oracle's candidate scheme deliberately differs from the
+    # engine's bucket band — BOTH are lossless supersets of the true
+    # pair set, so the dist <= t outputs must match (two candidate
+    # generators, one answer).  DuckDB's levenshtein has no threshold
+    # early-exit, so the oracle adds the classic character-histogram
+    # prefilter: one edit moves the char multiset by at most 2 L1
+    # units (substitution +1/-1, insert/delete +1... counted against
+    # the length delta), hence dist <= t implies L1 <= 2t — the full
+    # O(m*n) distance then runs only on near-matches.
+    return f"""
+WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM d a JOIN range(-{t}, {t + 1}) r ON true
+         JOIN d b ON b.len = a.len + r.range AND a.doc_id < b.doc_id),
+hist AS (SELECT doc_id, u.c, count(*)::BIGINT AS n
+         FROM d, unnest(string_split(text, '')) AS u(c) GROUP BY 1, 2),
+contrib AS (
+  SELECT c.a_id, c.b_id, h.c AS ch, h.n AS na, 0::BIGINT AS nb
+  FROM cand c JOIN hist h ON h.doc_id = c.a_id
+  UNION ALL
+  SELECT c.a_id, c.b_id, h.c, 0::BIGINT, h.n
+  FROM cand c JOIN hist h ON h.doc_id = c.b_id),
+l1 AS (SELECT a_id, b_id, SUM(abs(na - nb))::BIGINT AS l1
+       FROM (SELECT a_id, b_id, ch, SUM(na) AS na, SUM(nb) AS nb
+             FROM contrib GROUP BY 1, 2, 3) GROUP BY 1, 2),
+surv AS (SELECT a_id, b_id FROM l1 WHERE l1 <= {2 * t}),
+outp AS (SELECT s.a_id, s.b_id, levenshtein(da.text, db.text)::INT AS dist
+         FROM surv s JOIN d da ON da.doc_id = s.a_id
+                     JOIN d db ON db.doc_id = s.b_id)
+SELECT a_id, b_id, dist FROM outp WHERE dist <= {t}
+"""
+
+
 def q_ngram_jaccard_capped(spark, sf_dir):
     """Scale-safe n-gram Jaccard: identical pipeline with the
     stop-shingle document-frequency cap engaged — hot shingles are
@@ -3005,6 +3050,7 @@ PIPELINE_ORACLES: dict[str, str] = {
         "count(*)::BIGINT AS n_copies FROM documents GROUP BY md5(text)"
     ),
     "dedup_ngram_jaccard": _ngram_jaccard_sql(NGRAM_N, NGRAM_THRESHOLD),
+    "dedup_edit_distance": _edit_distance_sql(EDIT_DIST_MAX),
     # deliberately the SAME oracle: prefix filtering must be lossless
     "dedup_prefix_filter": _ngram_jaccard_sql(NGRAM_N, NGRAM_THRESHOLD),
     "dedup_incremental": _incremental_sql(
@@ -3110,6 +3156,7 @@ PIPELINE_QUERIES = {
     "streaming_kmeans_foreachbatch": q_streaming_kmeans_foreachbatch,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_ngram_jaccard,
+    "dedup_edit_distance": q_dedup_edit_distance,
     "dedup_prefix_filter": q_dedup_prefix_filter,
     "dedup_ngram_jaccard_capped": q_ngram_jaccard_capped,
     "dedup_simhash_banded": q_simhash_banded,

@@ -101,3 +101,53 @@ def test_prefix_sum_invariant_to_sized_parts(spark):
         ).collect()
     }
     assert small == sized
+
+
+def test_edit_distance_pairs_reference(spark):
+    """edit_distance_pairs vs plain-Python Levenshtein on a fixture
+    with pairs straddling length-bucket boundaries (the lossless ±1
+    band) and distances at/over the threshold."""
+    from k_means_hadoop_spark.operators.dedup import edit_distance_pairs
+
+    docs = [
+        (1, "abcdefgh"),          # len 8  -> bucket 1
+        (2, "abcdefg"),           # len 7  -> bucket 0; dist(1,2)=1 across buckets
+        (3, "abcdefgh"),          # dup of 1: dist 0
+        (4, "abXdeYgh"),          # dist(1,4)=2
+        (5, "zzzzzzzz"),          # dist(1,5)=8 > t: excluded
+        (6, "abcdefgh" + "i" * 9),  # len 17: outside the length band of 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in edit_distance_pairs(df, max_dist=3, band=4).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    exp = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            d = lev(docs[i][1], docs[j][1])
+            if d <= 3:
+                exp[(docs[i][0], docs[j][0])] = d
+    assert got == exp
+    assert (1, 2) in got  # the cross-bucket pair survived the band
+
+
+def test_edit_distance_band_guard():
+    from k_means_hadoop_spark.operators.dedup import edit_distance_pairs
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="band"):
+        edit_distance_pairs(None, max_dist=8, band=8)
