@@ -8,6 +8,12 @@ plans a single-task global sort.  Flagged != wrong — the output is
 the triage list (bounded grain vs fact grain) for the next round's
 rewrite budget.
 
+Since round 10 the registry-wide sweep is ALSO pinned as an opt-in
+test with an exact two-sided allowlist —
+``SPARK_GRAFT_SLOW=1 pytest tests/test_registry_window_audit.py`` —
+so prefer that for the round-close check; this tool remains the
+interactive triage view (it prints the window expressions).
+
 Run: python tools/audit_global_windows.py [sf_dir]
 """
 
