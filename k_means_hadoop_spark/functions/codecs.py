@@ -906,14 +906,18 @@ def _mp4_stsd(
         # the mdhd timescale in 16.16 fixed point (ISO/IEC 14496-12
         # §12.2.3: "the sampling rate ... <timescale of media>"); the
         # round-9 encoder wrote 0 here, which an external demuxer reads
-        # as 0 Hz (round-9 ADVICE item 2)
+        # as 0 Hz (round-9 ADVICE item 2).  The 16.16 field only holds
+        # rates < 2^16; for higher timescales (the v1 SamplingRateBox
+        # territory) write 0 — the old "rate lives in mdhd" convention
+        # — rather than silently masking to a WRONG nonzero rate.
+        rate = int(timescale)
         entry = _mp4_box(
             b"mp4a",
             b"\x00" * 6
             + struct.pack(">H", 1)
             + b"\x00" * 8
             + struct.pack(">HHI", 1, 16, 0)  # channels, samplesize
-            + struct.pack(">I", (int(timescale) & 0xFFFF) << 16),
+            + struct.pack(">I", rate << 16 if rate <= 0xFFFF else 0),
         )
     return _mp4_full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
 

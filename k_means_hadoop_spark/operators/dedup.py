@@ -325,7 +325,14 @@ def edit_distance_pairs(
     run this verifier over ``minhash_lsh_candidates`` instead of the
     length join — for the bounded-candidates story, exactly like
     ``minhash_verified_pairs``.  The verify stage itself is the point
-    here: exact distances, JVM-side, candidates ∝ band cohorts."""
+    here: exact distances, JVM-side, candidates ∝ band cohorts.
+
+    Unicode seam: Spark's levenshtein counts CHARACTERS while DuckDB's
+    counts BYTES, so the registered oracle pairing is exact only for
+    single-byte (ASCII/latin1) text — true of every shipped fixture
+    (verified at all 3 SFs).  On multi-byte corpora the engine's
+    character distances are the semantically right ones; the oracle
+    would need a byte-projected comparison column to follow."""
     if band <= max_dist:
         raise ValueError(
             f"edit_distance_pairs: band ({band}) must exceed max_dist "

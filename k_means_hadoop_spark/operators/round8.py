@@ -907,10 +907,12 @@ def hypergeom_enrichment_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-level gate must split the corpus (0 < K < N, else the
     # hypergeometric variance is zero) and a single-source corpus makes
     # the variance factor (N - ns) zero, so every z is 0/0 NaN and
-    # would slip past parity instead of failing loudly.  The one
-    # semantics shift vs the old build-time guard: an EMPTY corpus now
-    # yields an empty result (no per-source rows exist to carry the
-    # raise) instead of raising — no sources, no report.
+    # would slip past parity instead of failing loudly.  An EMPTY
+    # corpus has no per-source rows to carry the raise, so the
+    # empty-corpus arm rides a unioned branch of the 1-row tot
+    # aggregate instead (filtered empty — zero rows, zero cost — the
+    # moment the corpus is non-empty), keeping every degenerate input
+    # loud like the rest of the guarded family.
     j = per.crossJoin(F.broadcast(tot))
     expected = _FL6_SQL.format(
         x="CAST(ns * kk AS DOUBLE) / CAST(nn AS DOUBLE)"
@@ -931,13 +933,23 @@ def hypergeom_enrichment_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         " variance factor (N - ns) zero and z = 0/0 NaN'))"
         f" ELSE {z} END"
     )
+    empty_guard = tot.where(F.col("nn") == 0).select(
+        F.expr(
+            "CAST(raise_error('hypergeom_enrichment_sources: empty "
+            "corpus — no documents to gate (N=0)') AS STRING)"
+        ).alias("source"),
+        F.lit(0).cast("bigint").alias("n_docs"),
+        F.lit(0).cast("bigint").alias("n_gated"),
+        F.lit(0.0).alias("expected"),
+        F.lit(0.0).alias("z"),
+    )
     return j.select(
         "source",
         F.col("ns").cast("bigint").alias("n_docs"),
         F.col("ks").cast("bigint").alias("n_gated"),
         F.expr(expected).alias("expected"),
         F.expr(guarded_z).alias("z"),
-    )
+    ).unionByName(empty_guard)
 
 
 HYPERGEOM_SQL = """

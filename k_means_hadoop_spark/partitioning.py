@@ -115,15 +115,19 @@ def prefix_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = part.withColumn("_local", F.sum(value_col).over(w_in))
-    # per-partition totals via SUM of the raw values (not max of the
-    # cumsum — that identity needs non-negative values; sum is sign-safe)
-    totals_df = part.groupBy("_pid").agg(F.sum(value_col).alias("_ptot"))
-    sum_type = totals_df.schema["_ptot"].dataType
-    totals = totals_df.orderBy("_pid").collect()
-    # offsets must keep the SUM's type: int() here would silently
-    # truncate fractional totals for float/decimal value columns
+    return _attach_offsets(part, local, value_col, out_col)
+
+
+def _attach_offsets(part, local, value_col: str, out_col: str):
+    """Shared phase 2 of both prefix-sum variants: per-_pid totals via
+    SUM of the raw values (not max of the cumsum — that identity needs
+    non-negative values; sum is sign-safe), driver-folded into running
+    offsets that KEEP the sum's type (int() would silently truncate
+    fractional totals for float/decimal value columns), broadcast back
+    onto the per-partition cumsums."""
     import decimal
 
+    from pyspark.sql import functions as F
     from pyspark.sql.types import (
         DecimalType,
         DoubleType,
@@ -134,6 +138,9 @@ def prefix_sum(
         StructType,
     )
 
+    totals_df = part.groupBy("_pid").agg(F.sum(value_col).alias("_ptot"))
+    sum_type = totals_df.schema["_ptot"].dataType
+    totals = totals_df.orderBy("_pid").collect()
     if isinstance(sum_type, DecimalType):
         zero, conv = decimal.Decimal(0), decimal.Decimal
     elif isinstance(sum_type, (DoubleType, FloatType)):
@@ -145,12 +152,17 @@ def prefix_sum(
     for r in totals:
         offsets[r["_pid"]] = running
         running += conv(r["_ptot"]) if r["_ptot"] is not None else zero
-    off_df = df.sparkSession.createDataFrame(
+    off_df = part.sparkSession.createDataFrame(
         [(int(k), v) for k, v in offsets.items()],
         StructType(
             [
                 StructField("_pid", IntegerType()),
-                StructField("_off", sum_type if not isinstance(sum_type, IntegerType) else LongType()),
+                StructField(
+                    "_off",
+                    sum_type
+                    if not isinstance(sum_type, IntegerType)
+                    else LongType(),
+                ),
             ]
         ),
     )
@@ -253,51 +265,7 @@ def prefix_sum_literal_bounds(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = part.withColumn("_local", F.sum(value_col).over(w_in))
-    totals_df = part.groupBy("_pid").agg(F.sum(value_col).alias("_ptot"))
-    sum_type = totals_df.schema["_ptot"].dataType
-    totals = totals_df.orderBy("_pid").collect()
-    import decimal
-
-    from pyspark.sql.types import (
-        DecimalType,
-        DoubleType,
-        FloatType,
-        IntegerType,
-        LongType,
-        StructField,
-        StructType,
-    )
-
-    if isinstance(sum_type, DecimalType):
-        zero, conv = decimal.Decimal(0), decimal.Decimal
-    elif isinstance(sum_type, (DoubleType, FloatType)):
-        zero, conv = 0.0, float
-    else:
-        zero, conv = 0, int
-    offsets = {}
-    running = zero
-    for r in totals:
-        offsets[r["_pid"]] = running
-        running += conv(r["_ptot"]) if r["_ptot"] is not None else zero
-    off_df = df.sparkSession.createDataFrame(
-        [(int(k), v) for k, v in offsets.items()],
-        StructType(
-            [
-                StructField("_pid", IntegerType()),
-                StructField(
-                    "_off",
-                    sum_type
-                    if not isinstance(sum_type, IntegerType)
-                    else LongType(),
-                ),
-            ]
-        ),
-    )
-    return (
-        local.join(F.broadcast(off_df), "_pid")
-        .withColumn(out_col, F.col("_local") + F.col("_off"))
-        .drop("_pid", "_local", "_off")
-    )
+    return _attach_offsets(part, local, value_col, out_col)
 
 
 def ntile_expr(rn_col: str, n_col: str, k: int) -> str:

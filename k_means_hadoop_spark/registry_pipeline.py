@@ -306,7 +306,10 @@ def _edit_distance_sql(t: int) -> str:
     # The oracle's candidate scheme deliberately differs from the
     # engine's bucket band — BOTH are lossless supersets of the true
     # pair set, so the dist <= t outputs must match (two candidate
-    # generators, one answer).  DuckDB's levenshtein has no threshold
+    # generators, one answer) — on SINGLE-BYTE text: DuckDB levenshtein
+    # counts bytes, Spark's counts characters; all shipped fixtures are
+    # ASCII (see edit_distance_pairs' unicode-seam note).  DuckDB's
+    # levenshtein also has no threshold
     # early-exit, so the oracle adds the classic character-histogram
     # prefilter: one edit moves the char multiset by at most 2 L1
     # units (substitution +1/-1, insert/delete +1... counted against

@@ -76,6 +76,18 @@ def test_hypergeom_single_source_raises(spark, tmp_path):
         hypergeom_enrichment_sources(spark, sf_dir).collect()
 
 
+def test_hypergeom_empty_corpus_raises(spark, tmp_path):
+    """Round 10: the empty-corpus arm rides a unioned 1-row branch of
+    the tot aggregate, so even ZERO per-source rows raise loudly."""
+    from k_means_hadoop_spark.operators.round8 import (
+        hypergeom_enrichment_sources,
+    )
+
+    sf_dir = _docs_parquet(tmp_path, [])
+    with pytest.raises(Exception, match="empty\\s+corpus"):
+        hypergeom_enrichment_sources(spark, sf_dir).collect()
+
+
 def test_hypergeom_two_sources_pass(spark, tmp_path):
     """The guard must NOT fire on a healthy 2-source corpus."""
     from k_means_hadoop_spark.operators.round8 import (

@@ -9,7 +9,7 @@ honest-allowlist discipline: a new unbounded-window operator fails it,
 and an allowlist entry whose window disappeared fails it too (stale
 exemption).
 
-Opt-in because building all 337 queries takes minutes (prefix_sum
+Opt-in because building every registry query takes minutes (prefix_sum
 queries execute their documented build-time checkpoint jobs):
 
     SPARK_GRAFT_SLOW=1 python -m pytest tests/test_registry_window_audit.py

@@ -57,6 +57,21 @@ def test_mp4a_samplerate_is_timescale_16_16():
     rate = struct.unpack_from(">I", blob, idx + 4 + 24)[0]
     assert rate == 48 << 16  # the planted audio track's timescale
     assert rate & 0xFFFF == 0  # fractional half must be zero
+    # timescales past 2^16 don't fit 16.16: the encoder must write 0
+    # (the rate-in-mdhd convention), never a masked WRONG nonzero rate
+    big = codecs.encode_mp4(
+        [
+            {
+                "handler": "soun",
+                "timescale": 90000,
+                "delta": 1,
+                "samples": [b"x"],
+                "chunk_size": 1,
+            }
+        ]
+    )
+    bidx = big.index(b"mp4a")
+    assert struct.unpack_from(">I", big, bidx + 4 + 24)[0] == 0
 
 
 def test_mp4_movie_duration_is_max_track():
