@@ -195,11 +195,13 @@ HEADLINE = [
     "zonemap_prune_audit",
     "fmp4_fragment_stats",
     # round 10: the Matroska/WebM EBML container roundtrip (streaming
-    # containers two-for-two next to MP4/fMP4) and the exact
-    # edit-distance near-dup verifier (threshold levenshtein over
-    # length-banded candidates)
+    # containers two-for-two next to MP4/fMP4), the exact edit-distance
+    # near-dup verifier (threshold levenshtein over length-banded
+    # candidates), and the Ogg container walk (the first with a REAL
+    # verified checksum layer: per-page CRC-32)
     "mkv_container_stats",
     "dedup_edit_distance",
+    "ogg_container_stats",
 ]
 
 

@@ -1706,12 +1706,188 @@ def _parse_mkv_inner(data: bytes) -> dict:
     }
 
 
+# --------------------------------------------------------- Ogg container
+#
+# The third streaming container next to MP4/fMP4 and MKV, and the first
+# with a real CHECKSUM layer: every Ogg page carries a CRC-32 computed
+# with polynomial 0x04C11DB7, init 0, no reflection, no final xor, over
+# the whole page with the CRC field zeroed (RFC 3533 §6).  Pages carry
+# a lacing table — packet lengths run-length-coded as 255-valued
+# segments plus a terminal segment < 255 — and packets may CONTINUE
+# across pages (header flag 0x01); BOS (0x02) marks the first page of a
+# logical stream, EOS (0x04) the last.  The granule position is -1
+# (all ones) on pages where no packet completes — the real convention.
+# Packet payloads stay opaque (the Vorbis/Opus bitstream seam).
+
+_OGG_MAGIC = b"OggS"
+
+_OGG_CRC_TABLE = []
+for _b in range(256):
+    _r = _b << 24
+    for _ in range(8):
+        _r = ((_r << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if _r & 0x80000000 else (_r << 1) & 0xFFFFFFFF
+    _OGG_CRC_TABLE.append(_r)
+
+
+def _ogg_crc(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[((crc >> 24) & 0xFF) ^ byte]
+    return crc
+
+
+def _ogg_page(
+    flags: int, granule: int, serial: int, seq: int, laces: list, body: bytes
+) -> bytes:
+    header = (
+        _OGG_MAGIC
+        + struct.pack("<BB", 0, flags)  # version 0
+        + struct.pack("<q", granule)
+        + struct.pack("<III", serial & 0xFFFFFFFF, seq, 0)  # CRC zeroed
+        + struct.pack("<B", len(laces))
+        + bytes(laces)
+    )
+    page = bytearray(header + body)
+    crc = _ogg_crc(bytes(page))
+    struct.pack_into("<I", page, 22, crc)
+    return bytes(page)
+
+
+def encode_ogg(serial: int, packets: list, max_laces: int = 16) -> bytes:
+    """Encode opaque packets as a real Ogg stream (RFC 3533): lacing
+    segmentation, ``max_laces`` segments per page (small so long
+    packets exercise the continued-packet flag), BOS on the first
+    page, EOS on the last, granule = packets completed so far (-1
+    when a page completes none), real per-page CRC-32."""
+    # segment every packet into its lacing values up front
+    segs = []  # (packet_idx, lace_value, payload_slice)
+    for pi, p in enumerate(packets):
+        p = bytes(p)
+        at = 0
+        while True:
+            chunk = p[at : at + 255]
+            segs.append((pi, len(chunk), chunk))
+            at += len(chunk)
+            if len(chunk) < 255:
+                break
+    pages = []
+    completed = 0
+    i = 0
+    first = True
+    while i < len(segs):
+        take = segs[i : i + max_laces]
+        i += len(take)
+        laces = [t[1] for t in take]
+        body = b"".join(t[2] for t in take)
+        done_here = sum(1 for t in take if t[1] < 255)
+        completed += done_here
+        flags = 0
+        if first:
+            flags |= 0x02  # BOS
+            first = False
+        else:
+            # continued iff the previous page's LAST lace was 255
+            if pages and pages[-1][1] == 255:
+                flags |= 0x01
+        if i >= len(segs):
+            flags |= 0x04  # EOS
+        granule = completed if done_here else -1
+        pages.append((
+            _ogg_page(flags, granule, serial, len(pages), laces, body),
+            laces[-1],
+        ))
+    return b"".join(p for p, _ in pages)
+
+
+def parse_ogg(data: bytes) -> dict:
+    """Parse an Ogg stream: page walk, CRC-32 verification, lacing
+    reassembly across continued pages.  Returns {serial, n_pages,
+    n_packets, packets, bos_pages, eos_pages, continued_pages,
+    max_granule}.  Malformed, truncated, or CRC-corrupt input raises
+    ValueError (the decode_wav rejection contract)."""
+    try:
+        return _parse_ogg_inner(data)
+    except (struct.error, IndexError, EOFError) as e:
+        raise ValueError(f"truncated or corrupt Ogg payload: {e}") from e
+
+
+def _parse_ogg_inner(data: bytes) -> dict:
+    if data[:4] != _OGG_MAGIC:
+        raise ValueError("Ogg: bad magic")
+    at = 0
+    serial = None
+    n_pages = bos = eos = cont = 0
+    packets, current = [], bytearray()
+    open_packet = False
+    max_granule = None
+    while at < len(data):
+        if data[at : at + 4] != _OGG_MAGIC:
+            raise ValueError("Ogg: page boundary without OggS capture")
+        if at + 27 > len(data):
+            raise ValueError("Ogg: truncated page header")
+        version, flags = struct.unpack_from("<BB", data, at + 4)
+        if version != 0:
+            raise ValueError(f"Ogg: unsupported version {version}")
+        (granule,) = struct.unpack_from("<q", data, at + 6)
+        pserial, _seq, crc = struct.unpack_from("<III", data, at + 14)
+        n_laces = data[at + 26]
+        laces = data[at + 27 : at + 27 + n_laces]
+        if len(laces) != n_laces:
+            raise ValueError("Ogg: truncated lacing table")
+        body_at = at + 27 + n_laces
+        body_len = sum(laces)
+        if body_at + body_len > len(data):
+            raise ValueError("Ogg: page body past end of stream")
+        page = bytearray(data[at : body_at + body_len])
+        struct.pack_into("<I", page, 22, 0)
+        if _ogg_crc(bytes(page)) != crc:
+            raise ValueError("Ogg: page CRC mismatch")
+        if serial is None:
+            serial = pserial
+        elif pserial != serial:
+            raise ValueError("Ogg: multiplexed streams unsupported")
+        if flags & 0x01:
+            cont += 1
+            if not open_packet:
+                raise ValueError("Ogg: continued flag with no open packet")
+        elif open_packet:
+            raise ValueError("Ogg: open packet dropped without continuation")
+        bos += 1 if flags & 0x02 else 0
+        eos += 1 if flags & 0x04 else 0
+        p = body_at
+        for lv in laces:
+            current += data[p : p + lv]
+            p += lv
+            if lv < 255:
+                packets.append(bytes(current))
+                current = bytearray()
+                open_packet = False
+            else:
+                open_packet = True
+        if granule != -1:
+            max_granule = granule if max_granule is None else max(max_granule, granule)
+        n_pages += 1
+        at = body_at + body_len
+    if open_packet:
+        raise ValueError("Ogg: stream ends inside a packet")
+    return {
+        "serial": serial,
+        "n_pages": n_pages,
+        "n_packets": len(packets),
+        "packets": packets,
+        "bos_pages": bos,
+        "eos_pages": eos,
+        "continued_pages": cont,
+        "max_granule": max_granule,
+    }
+
+
 # ------------------------------------------------------- format sniffing
 
 
 def sniff_format(data: bytes) -> str:
     """Identify a payload by magic bytes across the in-repo codecs:
-    'bmp' | 'wav' | 'png' | 'gif' | 'jpeg' | 'mp4' | 'mkv' |
+    'bmp' | 'wav' | 'png' | 'gif' | 'jpeg' | 'mp4' | 'mkv' | 'ogg' |
     'unknown'.  The multimodal pipeline dispatches on THIS, not on the
     declared kind column — container metadata lies; magic bytes
     don't."""
@@ -1729,4 +1905,6 @@ def sniff_format(data: bytes) -> str:
         return "mp4"
     if data[:4] == _EBML_MAGIC:
         return "mkv"
+    if data[:4] == _OGG_MAGIC:
+        return "ogg"
     return "unknown"

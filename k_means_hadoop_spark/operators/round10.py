@@ -255,6 +255,135 @@ FROM d JOIN vb USING (doc_id) JOIN ab USING (doc_id)
 """
 
 
+# --------------------------------------------- Ogg container stats
+#
+# Planted spec per doc_id d (doc_id % 7 == 6 slice — the last free
+# one): serial d, ONE long packet of 5101 + d%253 bytes (byte j =
+# (d*29 + j) % 256 — always 21 lacing values, so with max_laces=16 it
+# SPANS two pages and exercises the continued-packet flag and the
+# granule = -1 convention) followed by 2 + d%3 short packets (packet
+# i: 40 + (d + 37i) % 113 bytes of (d*31 + i*7 + j) % 256).  The
+# encoder paginates deterministically: page 0 = BOS + 16 laces of the
+# long packet (completes nothing -> granule -1), page 1 = continued +
+# the rest + every short packet + EOS (granule = all packets).  The
+# kernel re-parses through the full page walk — REAL per-page CRC-32
+# verification (poly 0x04C11DB7), lacing reassembly — and verifies
+# every field and every packet byte; the oracle computes the same
+# stats from the arithmetic.  Packet payloads stay opaque (the
+# Vorbis/Opus bitstream seam).
+
+
+def _ogg_plant(did: int) -> dict:
+    big = bytes(((did * 29 + j) % 256) for j in range(5101 + did % 253))
+    ns = 2 + did % 3
+    small = [
+        bytes(
+            ((did * 31 + i * 7 + j) % 256)
+            for j in range(40 + (did + 37 * i) % 113)
+        )
+        for i in range(1, ns + 1)
+    ]
+    return {"serial": did & 0xFFFFFFFF, "packets": [big] + small}
+
+
+def ogg_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, parse_ok, n_pages, n_packets, payload_bytes,
+    continued_pages, bos_pages, eos_pages, max_granule) — REAL Ogg
+    (RFC 3533) encode→parse roundtrip with per-page CRC-32
+    verification over planted streams (spec in ``_ogg_plant``)."""
+    import pandas as pd
+
+    from k_means_hadoop_spark.functions import codecs
+    from k_means_hadoop_spark.partitioning import fan_out
+
+    _pickle_round10_by_value()
+    ids = fan_out(
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 7 == 6)
+    )
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                want = _ogg_plant(did)
+                blob = codecs.encode_ogg(want["serial"], want["packets"])
+                try:
+                    p = codecs.parse_ogg(blob)
+                    ok = (
+                        p["serial"] == want["serial"]
+                        and p["packets"] == want["packets"]
+                        and p["n_pages"] == 2
+                        and p["bos_pages"] == 1
+                        and p["eos_pages"] == 1
+                        and p["continued_pages"] == 1
+                        and p["max_granule"] == len(want["packets"])
+                    )
+                    rows.append(
+                        (
+                            did,
+                            bool(ok),
+                            p["n_pages"],
+                            p["n_packets"],
+                            sum(len(x) for x in p["packets"]),
+                            p["continued_pages"],
+                            p["bos_pages"],
+                            p["eos_pages"],
+                            p["max_granule"],
+                        )
+                    )
+                except ValueError:
+                    rows.append((did, False, 0, 0, 0, 0, 0, 0, 0))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "parse_ok",
+                    "n_pages",
+                    "n_packets",
+                    "payload_bytes",
+                    "continued_pages",
+                    "bos_pages",
+                    "eos_pages",
+                    "max_granule",
+                ],
+            )
+
+    return ids.mapInPandas(
+        _batches,
+        schema=(
+            "media_id bigint, parse_ok boolean, n_pages int,"
+            " n_packets int, payload_bytes bigint, continued_pages int,"
+            " bos_pages int, eos_pages int, max_granule bigint"
+        ),
+    )
+
+
+# Closed form: ns = 2 + d%3 short packets (i = 1..ns, 40 + (d+37i)%113
+# bytes each) + the 5101 + d%253 long packet; 2 pages, 1 continued,
+# 1 BOS, 1 EOS, max granule = 1 + ns.
+OGG_STATS_SQL = """
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 3 AS ns
+  FROM documents WHERE doc_id % 7 = 6),
+sm AS (
+  SELECT d.doc_id,
+         SUM(40 + (d.doc_id + 37 * i.range) % 113)::BIGINT AS sbytes
+  FROM d CROSS JOIN range(1, 5) i WHERE i.range <= d.ns
+  GROUP BY d.doc_id)
+SELECT d.doc_id AS media_id, true AS parse_ok,
+       2::INT AS n_pages,
+       (1 + d.ns)::INT AS n_packets,
+       (5101 + d.doc_id % 253 + sm.sbytes)::BIGINT AS payload_bytes,
+       1::INT AS continued_pages, 1::INT AS bos_pages, 1::INT AS eos_pages,
+       (1 + d.ns)::BIGINT AS max_granule
+FROM d JOIN sm USING (doc_id)
+"""
+
+
 ROUND10_QUERIES: dict = {
     "mkv_container_stats": (mkv_container_stats, MKV_STATS_SQL),
+    "ogg_container_stats": (ogg_container_stats, OGG_STATS_SQL),
 }

@@ -1036,13 +1036,14 @@ _SCHEDULE: dict[str, dict] = {
     # sf0.001/0.01/0.1.
     "mp4_container_stats": _row(defer=5),
     "fmp4_fragment_stats": _row(defer=5),
-    # -- round-10 additions: defer=6 (budget: these two new entries +
+    # -- round-10 additions: defer=6 (budget: these three new entries +
     # the page_trend_event_dow stale_after=9 redefinition above are the
-    # round's ONLY window-head charges — 3 of the <= 5 cap, leaving
-    # 47 slots to drain the r03/r04 cohort per round-9 verdict item 1).
+    # round's ONLY window-head charges — 4 of the <= 5 cap, leaving
+    # 46 slots to drain the r03/r04 cohort per round-9 verdict item 1).
     # Locally oracle-verified at sf0.001/0.01/0.1.
     "mkv_container_stats": _row(defer=6),
     "dedup_edit_distance": _row(defer=6),
+    "ogg_container_stats": _row(defer=6),
 }
 
 

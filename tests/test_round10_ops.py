@@ -161,6 +161,133 @@ def test_mkv_sniff_format():
     assert codecs.sniff_format(b"\x1a\x45\xdf") == "unknown"  # short
 
 
+# --------------------------------------------------------- Ogg container
+
+
+def _ogg_blob(did: int) -> bytes:
+    from k_means_hadoop_spark.operators.round10 import _ogg_plant
+
+    w = _ogg_plant(did)
+    return codecs.encode_ogg(w["serial"], w["packets"])
+
+
+def test_ogg_crc_reference_vector():
+    """The page CRC is the documented Ogg variant: poly 0x04C11DB7,
+    init 0, unreflected, no final xor — check value 0x89A1897F."""
+    assert codecs._ogg_crc(b"123456789") == 0x89A1897F
+    assert codecs._ogg_crc(b"") == 0
+
+
+@pytest.mark.parametrize("did", [0, 1, 2, 3, 6, 13, 999983])
+def test_ogg_roundtrip_bit_exact(did):
+    from k_means_hadoop_spark.operators.round10 import _ogg_plant
+
+    w = _ogg_plant(did)
+    p = codecs.parse_ogg(_ogg_blob(did))
+    assert p["serial"] == w["serial"]
+    assert p["packets"] == w["packets"]  # every reassembled byte
+    assert p["n_pages"] == 2  # the long packet spans pages
+    assert (p["bos_pages"], p["eos_pages"], p["continued_pages"]) == (
+        1,
+        1,
+        1,
+    )
+    assert p["max_granule"] == len(w["packets"])
+
+
+def test_ogg_crc_corruption_rejected():
+    blob = bytearray(_ogg_blob(4))
+    blob[50] ^= 0x01  # flip one body bit on page 0
+    with pytest.raises(ValueError, match="CRC"):
+        codecs.parse_ogg(bytes(blob))
+
+
+def test_ogg_truncation_always_value_error():
+    blob = _ogg_blob(9)
+    for cut in range(0, len(blob), 97):
+        with pytest.raises(ValueError):
+            codecs.parse_ogg(blob[:cut])
+
+
+def test_ogg_lacing_edge_cases():
+    """Zero-length packets and exact-multiple-of-255 packets take the
+    terminal-0-lace path; both must reassemble bit-exact."""
+    packets = [b"", b"x" * 255, b"y" * 510, b"tail"]
+    p = codecs.parse_ogg(codecs.encode_ogg(7, packets))
+    assert p["packets"] == packets
+    assert p["n_packets"] == 4
+
+
+def test_ogg_multiplexed_serial_rejected():
+    a = codecs.encode_ogg(1, [b"one"])
+    b = codecs.encode_ogg(2, [b"two"])
+    # strip BOS/EOS coherence concerns: concatenation changes serial
+    with pytest.raises(ValueError, match="multiplexed"):
+        codecs.parse_ogg(a + b)
+
+
+def test_ogg_sniff_format():
+    assert codecs.sniff_format(_ogg_blob(2)) == "ogg"
+
+
+def test_ogg_parse_random_bytes_never_crashes():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=200))
+    def check(data):
+        try:
+            codecs.parse_ogg(data)
+        except ValueError:
+            pass
+
+    check()
+
+
+def test_ogg_bitflip_never_crashes():
+    from hypothesis import given, settings, strategies as st
+
+    blob = _ogg_blob(5)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        pos=st.integers(min_value=0, max_value=len(blob) - 1),
+        delta=st.integers(min_value=1, max_value=255),
+    )
+    def check(pos, delta):
+        mutated = bytearray(blob)
+        mutated[pos] = (mutated[pos] + delta) % 256
+        try:
+            codecs.parse_ogg(bytes(mutated))
+        except ValueError:
+            pass
+
+    check()
+
+
+def test_ogg_roundtrip_fuzz():
+    """Property fuzz: ANY packet list (arbitrary bytes and sizes, any
+    max_laces >= 1) reassembles bit-exact with correct page flags."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        packets=st.lists(st.binary(max_size=700), min_size=1, max_size=6),
+        max_laces=st.integers(min_value=1, max_value=20),
+        serial=st.integers(min_value=0, max_value=0xFFFFFFFF),
+    )
+    def check(packets, max_laces, serial):
+        p = codecs.parse_ogg(
+            codecs.encode_ogg(serial, packets, max_laces=max_laces)
+        )
+        assert p["packets"] == packets
+        assert p["serial"] == serial
+        assert p["bos_pages"] == 1 and p["eos_pages"] == 1
+        assert p["max_granule"] == len(packets)
+
+    check()
+
+
 def test_mkv_roundtrip_fuzz():
     """Property fuzz: ANY doctype/track/cluster spec (arbitrary frame
     bytes, dimensions, channel counts) roundtrips bit-exact."""

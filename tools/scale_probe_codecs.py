@@ -33,7 +33,10 @@ from k_means_hadoop_spark.operators.round8 import (
     jpeg_decode_stats,
 )
 from k_means_hadoop_spark.operators.round9 import mp4_container_stats
-from k_means_hadoop_spark.operators.round10 import mkv_container_stats
+from k_means_hadoop_spark.operators.round10 import (
+    mkv_container_stats,
+    ogg_container_stats,
+)
 from k_means_hadoop_spark.session import get_spark
 
 BASE_N = 10_000  # ~1.4k planted images per op at 1x (the sf0.1 scale)
@@ -52,7 +55,8 @@ def main() -> None:
         for name, fn in (("gif_decode_stats", gif_decode_stats),
                          ("jpeg_decode_stats", jpeg_decode_stats),
                          ("mp4_container_stats", mp4_container_stats),
-                         ("mkv_container_stats", mkv_container_stats)):
+                         ("mkv_container_stats", mkv_container_stats),
+                         ("ogg_container_stats", ogg_container_stats)):
             fn(spark, tmp).count()  # warm-up (codegen + Arrow init)
             t0 = time.perf_counter()
             n = fn(spark, tmp).count()
