@@ -1421,9 +1421,10 @@ def _parse_fmp4_inner(data: bytes) -> dict:
 # the standard stats surface: EBML header (DocType), Segment > Info
 # (TimestampScale, Duration), Tracks > TrackEntry (number, type,
 # CodecID, Video/Audio settings), Cluster > Timestamp + SimpleBlock
-# (track VINT + int16 relative timestamp + flags + frame bytes, no
-# lacing).  Frame payloads stay opaque — VP9/Opus/AVC bitstream decode
-# is the same documented ffmpeg seam as the MP4 samples.
+# (track VINT + int16 relative timestamp + flags + frame bytes, with
+# full Xiph/fixed/EBML lacing reassembly on both sides).  Frame
+# payloads stay opaque — VP9/Opus/AVC bitstream decode is the same
+# documented ffmpeg seam as the MP4 samples.
 
 _EBML_MAGIC = b"\x1a\x45\xdf\xa3"
 
@@ -1488,6 +1489,51 @@ def _ebml_string(eid: int, s: str) -> bytes:
     return _ebml_el(eid, s.encode("ascii"))
 
 
+def _ebml_svint(v: int) -> bytes:
+    """Signed VINT (EBML-lacing size deltas): stored as the unsigned
+    VINT of ``v + 2^(7l-1) - 1`` at the minimal length l that fits."""
+    l = 1
+    while not -((1 << (7 * l - 1)) - 1) <= v <= (1 << (7 * l - 1)) - 1:
+        l += 1
+        if l > 8:
+            raise ValueError(f"EBML: signed VINT too large: {v}")
+    u = v + (1 << (7 * l - 1)) - 1
+    return (u | (1 << (7 * l))).to_bytes(l, "big")
+
+
+_MKV_LACING_BITS = {"xiph": 0x02, "fixed": 0x04, "ebml": 0x06}
+
+
+def _mkv_lace(frames: list, lacing: str) -> bytes:
+    """SimpleBlock payload for ``frames`` under the given lacing mode
+    (RFC 9559 §10.3): frame count − 1, the sizes of every frame but the
+    last (Xiph 255-run-length / EBML first-size-then-signed-deltas /
+    fixed none), then the concatenated frame bytes."""
+    if not frames:
+        raise ValueError("EBML: laced SimpleBlock needs at least one frame")
+    if len(frames) > 256:
+        raise ValueError("EBML: lacing holds at most 256 frames")
+    frames = [bytes(f) for f in frames]
+    out = bytearray([len(frames) - 1])
+    if lacing == "fixed":
+        if len({len(f) for f in frames}) > 1:
+            raise ValueError("EBML: fixed lacing needs equal-size frames")
+    elif lacing == "xiph":
+        for f in frames[:-1]:
+            sz = len(f)
+            out += b"\xff" * (sz // 255) + bytes([sz % 255])
+    elif lacing == "ebml":
+        if len(frames) > 1:  # sizes cover every frame but the last
+            prev = len(frames[0])
+            out += _ebml_size(prev)
+            for f in frames[1:-1]:
+                out += _ebml_svint(len(f) - prev)
+                prev = len(f)
+    else:
+        raise ValueError(f"EBML: unknown lacing mode {lacing!r}")
+    return bytes(out) + b"".join(frames)
+
+
 def encode_mkv(
     doctype: str,
     timescale_ns: int,
@@ -1501,7 +1547,9 @@ def encode_mkv(
     ``codec_id``, and for video ``width``/``height``, for audio
     ``sampling``/``channels``.  ``clusters``: dicts with ``timestamp``
     (ticks) and ``blocks`` = list of (track_number, rel_ts, payload)
-    SimpleBlocks.  Frame bytes stay opaque (the MP4-sample seam)."""
+    SimpleBlocks, or (track_number, rel_ts, [frames], lacing) for a
+    LACED SimpleBlock with lacing 'xiph' | 'fixed' | 'ebml' (RFC 9559
+    §10.3).  Frame bytes stay opaque (the MP4-sample seam)."""
     header = _ebml_el(
         int.from_bytes(_EBML_MAGIC, "big"),
         _ebml_uint(_MKV_EBML_VERSION, 1)
@@ -1542,13 +1590,21 @@ def encode_mkv(
     body = info + _ebml_el(_MKV_TRACKS, entries)
     for c in clusters:
         blocks = b""
-        for tn, rel_ts, payload in c["blocks"]:
+        for blk in c["blocks"]:
+            if len(blk) == 4:  # (tn, rel_ts, [frames], lacing)
+                tn, rel_ts, frames, lacing = blk
+                frame_region = _mkv_lace(list(frames), lacing)  # validates
+                flags = 0x80 | _MKV_LACING_BITS[lacing]
+            else:
+                tn, rel_ts, payload = blk
+                flags = 0x80  # keyframe, no lacing
+                frame_region = bytes(payload)
             blocks += _ebml_el(
                 _MKV_SIMPLEBLOCK,
                 _ebml_size(int(tn))  # track number is itself a VINT
                 + struct.pack(">h", int(rel_ts))
-                + b"\x80"  # keyframe, no lacing
-                + bytes(payload),
+                + bytes([flags])
+                + frame_region,
             )
         body += _ebml_el(
             _MKV_CLUSTER,
@@ -1599,6 +1655,59 @@ def _ebml_first(data: bytes, start: int, end: int, eid: int):
 
 def _ebml_uint_at(data: bytes, b: int, e: int) -> int:
     return int.from_bytes(data[b:e], "big")
+
+
+def _ebml_read_svint(data: bytes, at: int):
+    """Read a signed VINT (EBML-lacing size delta): unsigned VINT data
+    minus ``2^(7l-1) - 1``.  The all-ones pattern is a plain value here
+    (the 'unknown size' reservation applies to element sizes only)."""
+    if at >= len(data):
+        raise ValueError("EBML: VINT past end of buffer")
+    first = data[at]
+    if first == 0:
+        raise ValueError("EBML: invalid VINT (leading byte 0)")
+    l = 9 - first.bit_length()
+    if at + l > len(data):
+        raise ValueError("EBML: truncated VINT")
+    u = int.from_bytes(data[at : at + l], "big") - (1 << (7 * l))
+    return u - ((1 << (7 * l - 1)) - 1), at + l
+
+
+def _mkv_lace_sizes(data: bytes, q: int, be: int, lace_mode: int, cnt: int):
+    """Decode a SimpleBlock lacing table at ``q`` (RFC 9559 §10.3):
+    sizes of every frame but the last for Xiph (1) / fixed (2) /
+    EBML (3) lacing.  Returns (sizes, frames_start)."""
+    sizes: list[int] = []
+    if lace_mode == 1:  # Xiph: 255-run-length per size
+        for _ in range(cnt - 1):
+            sz = 0
+            while True:
+                if q >= be:
+                    raise ValueError("EBML: truncated Xiph lacing table")
+                b8 = data[q]
+                q += 1
+                sz += b8
+                if b8 < 255:
+                    break
+            sizes.append(sz)
+    elif lace_mode == 3:  # EBML: first size VINT, then signed deltas
+        if cnt > 1:
+            sz, q = _ebml_read_vint(data, q, keep_marker=False)
+            sizes.append(sz)
+            for _ in range(cnt - 2):
+                delta, q = _ebml_read_svint(data, q)
+                sizes.append(sizes[-1] + delta)
+            if q > be:
+                raise ValueError("EBML: truncated EBML lacing table")
+    else:  # fixed: equal division, no table
+        if cnt < 1 or (be - q) % cnt:
+            raise ValueError("EBML: fixed lacing with non-divisible payload")
+        sizes = [(be - q) // cnt] * (cnt - 1)
+    if any(s < 0 for s in sizes):
+        raise ValueError("EBML: negative laced frame size")
+    if sum(sizes) > be - q:
+        raise ValueError("EBML: laced frames overrun the SimpleBlock")
+    return sizes, q
 
 
 def parse_mkv(data: bytes) -> dict:
@@ -1694,8 +1803,20 @@ def _parse_mkv_inner(data: bytes) -> dict:
                 raise ValueError("EBML: truncated SimpleBlock header")
             if tn not in by_number:
                 raise ValueError(f"EBML: SimpleBlock for unknown track {tn}")
-            # rel_ts (int16) + flags byte, then the opaque frame
-            by_number[tn]["frames"].append(bytes(data[p + 3 : be]))
+            # rel_ts (int16) + flags byte, then the frame region
+            lace_mode = (data[p + 2] >> 1) & 0x03
+            q = p + 3
+            if lace_mode == 0:
+                by_number[tn]["frames"].append(bytes(data[q:be]))
+                continue
+            if q >= be:
+                raise ValueError("EBML: laced SimpleBlock missing frame count")
+            cnt = data[q] + 1
+            sizes, q = _mkv_lace_sizes(data, q + 1, be, lace_mode, cnt)
+            for sz in sizes:
+                by_number[tn]["frames"].append(bytes(data[q : q + sz]))
+                q += sz
+            by_number[tn]["frames"].append(bytes(data[q:be]))
     return {
         "doctype": doctype,
         "timescale": timescale,
@@ -1758,7 +1879,8 @@ def encode_ogg(serial: int, packets: list, max_laces: int = 16) -> bytes:
     segmentation, ``max_laces`` segments per page (small so long
     packets exercise the continued-packet flag), BOS on the first
     page, EOS on the last, granule = packets completed so far (-1
-    when a page completes none), real per-page CRC-32."""
+    when a page completes none), real per-page CRC-32.  A zero-packet
+    stream encodes to one BOS+EOS page with an empty lacing table."""
     # segment every packet into its lacing values up front
     segs = []  # (packet_idx, lace_value, payload_slice)
     for pi, p in enumerate(packets):
@@ -1770,6 +1892,11 @@ def encode_ogg(serial: int, packets: list, max_laces: int = 16) -> bytes:
             at += len(chunk)
             if len(chunk) < 255:
                 break
+    if not segs:
+        # zero-packet stream: one BOS+EOS page with an empty lacing
+        # table, granule -1 (no packet completes) — its own parser
+        # reads it back as n_packets 0 rather than rejecting b''
+        return _ogg_page(0x02 | 0x04, -1, serial, 0, [], b"")
     pages = []
     completed = 0
     i = 0
@@ -1816,6 +1943,7 @@ def _parse_ogg_inner(data: bytes) -> dict:
         raise ValueError("Ogg: bad magic")
     at = 0
     serial = None
+    prev_seq = None
     n_pages = bos = eos = cont = 0
     packets, current = [], bytearray()
     open_packet = False
@@ -1829,7 +1957,7 @@ def _parse_ogg_inner(data: bytes) -> dict:
         if version != 0:
             raise ValueError(f"Ogg: unsupported version {version}")
         (granule,) = struct.unpack_from("<q", data, at + 6)
-        pserial, _seq, crc = struct.unpack_from("<III", data, at + 14)
+        pserial, seq, crc = struct.unpack_from("<III", data, at + 14)
         n_laces = data[at + 26]
         laces = data[at + 27 : at + 27 + n_laces]
         if len(laces) != n_laces:
@@ -1846,6 +1974,14 @@ def _parse_ogg_inner(data: bytes) -> dict:
             serial = pserial
         elif pserial != serial:
             raise ValueError("Ogg: multiplexed streams unsupported")
+        # RFC 3533: the page sequence number exists exactly for page-loss
+        # detection — a dropped page whose packet boundaries happen to
+        # align would otherwise pass every CRC and continuation check
+        if prev_seq is not None and seq != prev_seq + 1:
+            raise ValueError(
+                f"Ogg: page loss (sequence {seq} after {prev_seq})"
+            )
+        prev_seq = seq
         if flags & 0x01:
             cont += 1
             if not open_packet:
