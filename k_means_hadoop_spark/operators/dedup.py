@@ -372,6 +372,44 @@ def edit_distance_pairs(
     )
 
 
+def edit_verified_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    max_dist: int = 5,
+    bands: int = LSH_BANDS,
+    text_col: str = "text",
+) -> DataFrame:
+    """(a_id, b_id, dist) — the 100 TB composition the
+    ``edit_distance_pairs`` docstring prescribes: MinHash LSH candidate
+    pairs (content banding — shuffle ∝ corpus, candidates ∝ Σ|bucket|²)
+    verified with the THRESHOLD form of the JVM levenshtein, exactly
+    the ``minhash_verified_pairs`` two-stage pattern with the exact
+    character measure in the verify seat.
+
+    Length-banding alone (the candidate scheme inside
+    ``edit_distance_pairs``) leaves huge cohorts at corpus scale —
+    millions of documents share a length bucket — while near-identical
+    texts share nearly all their shingles and so collide in an LSH
+    band with near-certainty.  The cheap ``|len(a)−len(b)| ≤ max_dist``
+    necessary condition still prunes candidates BEFORE any levenshtein
+    runs.  Output ⊆ edit_distance_pairs (recall < 1 by LSH
+    construction, precision 1 — every emitted distance is exact); the
+    registered oracle mirrors the candidate set, so the driver
+    hash-checks banding + prune + verify end to end."""
+    cand = minhash_lsh_candidates(docs, n, bands, text_col)
+    d = docs.select("doc_id", F.col(text_col).alias("_txt"), F.length(text_col).alias("_len"))
+    a = d.select(F.col("doc_id").alias("a_id"), F.col("_txt").alias("ta"), F.col("_len").alias("la"))
+    b = d.select(F.col("doc_id").alias("b_id"), F.col("_txt").alias("tb"), F.col("_len").alias("lb"))
+    dist = F.levenshtein(F.col("ta"), F.col("tb"), max_dist)
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .filter(F.abs(F.col("la") - F.col("lb")) <= max_dist)
+        .select("a_id", "b_id", dist.alias("dist"))
+        .filter(F.col("dist") >= 0)
+    )
+
+
 def incremental_dedup(
     docs: DataFrame,
     is_batch,

@@ -302,6 +302,15 @@ def q_dedup_edit_distance(spark, sf_dir):
     )
 
 
+def q_dedup_edit_verified(spark, sf_dir):
+    """The 100 TB composition of the exact edit-distance tier (round-10
+    verdict item 3): MinHash LSH candidates → threshold levenshtein
+    verify (see dedup.edit_verified_pairs)."""
+    return dedup.edit_verified_pairs(
+        _docs(spark, sf_dir), n=NGRAM_N, max_dist=EDIT_DIST_MAX
+    )
+
+
 def _edit_distance_sql(t: int) -> str:
     # The oracle's candidate scheme deliberately differs from the
     # engine's bucket band — BOTH are lossless supersets of the true
@@ -2749,6 +2758,47 @@ FROM cand c JOIN arrs a ON c.a_id = a.doc_id JOIN arrs b ON c.b_id = b.doc_id
 WHERE round({jac}, 6) >= {threshold}"""
 
 
+def _edit_verified_sql(n: int, t: int) -> str:
+    """Mirror of dedup.edit_verified_pairs: the LSH candidate CTE chain
+    (identical to _minhash_sql — banding has recall < 1, so the oracle
+    must REPRODUCE the candidate set, not approximate it), then the
+    length necessary-condition prune and the exact levenshtein at
+    threshold t.  DuckDB's levenshtein has no early-exit, so the L1
+    char-histogram prefilter from _edit_distance_sql (dist <= t implies
+    L1 <= 2t — lossless) keeps the full O(m*n) matrix off the
+    still-too-similar-to-prune candidates only.  Byte-vs-character
+    parity holds on the ASCII fixtures (enforced by
+    tests/test_advice_fixes_r11.py's fixture pin)."""
+    return f"""
+WITH {_minhash_ctes(n)},
+cand0 AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM stacked a JOIN stacked b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+cand AS (SELECT c.a_id, c.b_id
+         FROM cand0 c JOIN d da ON da.doc_id = c.a_id
+                      JOIN d db ON db.doc_id = c.b_id
+         WHERE abs(da.len - db.len) <= {t}),
+hist AS (SELECT doc_id, u.c, count(*)::BIGINT AS n
+         FROM d, unnest(string_split(text, '')) AS u(c)
+         WHERE doc_id IN (SELECT a_id FROM cand UNION SELECT b_id FROM cand)
+         GROUP BY 1, 2),
+contrib AS (
+  SELECT c.a_id, c.b_id, h.c AS ch, h.n AS na, 0::BIGINT AS nb
+  FROM cand c JOIN hist h ON h.doc_id = c.a_id
+  UNION ALL
+  SELECT c.a_id, c.b_id, h.c, 0::BIGINT, h.n
+  FROM cand c JOIN hist h ON h.doc_id = c.b_id),
+l1 AS (SELECT a_id, b_id, SUM(abs(na - nb))::BIGINT AS l1
+       FROM (SELECT a_id, b_id, ch, SUM(na) AS na, SUM(nb) AS nb
+             FROM contrib GROUP BY 1, 2, 3) GROUP BY 1, 2),
+surv AS (SELECT a_id, b_id FROM l1 WHERE l1 <= {2 * t})
+SELECT s.a_id, s.b_id, levenshtein(da.text, db.text)::INT AS dist
+FROM surv s JOIN d da ON da.doc_id = s.a_id
+            JOIN d db ON db.doc_id = s.b_id
+WHERE levenshtein(da.text, db.text) <= {t}"""
+
+
 def _incremental_sql(n: int, threshold: float, mod: int, rem: int) -> str:
     """Mirror of dedup.incremental_dedup: per-doc signatures are identical
     whether computed over the union or per side, so the oracle reuses the
@@ -3054,6 +3104,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     ),
     "dedup_ngram_jaccard": _ngram_jaccard_sql(NGRAM_N, NGRAM_THRESHOLD),
     "dedup_edit_distance": _edit_distance_sql(EDIT_DIST_MAX),
+    "dedup_edit_verified": _edit_verified_sql(NGRAM_N, EDIT_DIST_MAX),
     # deliberately the SAME oracle: prefix filtering must be lossless
     "dedup_prefix_filter": _ngram_jaccard_sql(NGRAM_N, NGRAM_THRESHOLD),
     "dedup_incremental": _incremental_sql(
@@ -3160,6 +3211,7 @@ PIPELINE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_ngram_jaccard,
     "dedup_edit_distance": q_dedup_edit_distance,
+    "dedup_edit_verified": q_dedup_edit_verified,
     "dedup_prefix_filter": q_dedup_prefix_filter,
     "dedup_ngram_jaccard_capped": q_ngram_jaccard_capped,
     "dedup_simhash_banded": q_simhash_banded,
