@@ -2018,15 +2018,219 @@ def _parse_ogg_inner(data: bytes) -> dict:
     }
 
 
+# --------------------------------------------------------- ZIP archive
+#
+# The archive container next to the media containers, and the second
+# with a real checksum layer: every member carries the REFLECTED
+# CRC-32 (polynomial 0xEDB88320 — stdlib ``zlib.crc32``, the same
+# checksum the PNG chunks use) computed over the UNCOMPRESSED bytes,
+# complementing Ogg's unreflected 0x04C11DB7.  Structure per the
+# PKWARE APPNOTE: local file headers (PK\x03\x04) + member data, a
+# central directory (PK\x01\x02) whose entries must agree with the
+# local headers, and the end-of-central-directory record (PK\x05\x06)
+# found by scanning back past an optional archive comment.  Members
+# are 'stored' (method 0) or 'deflate' (method 8, raw DEFLATE via
+# stdlib zlib, wbits=-15).  parse_zip verifies EVERYTHING it reads:
+# per-member CRC and size against the decompressed bytes, central
+# against local metadata, and the EOCD counts/offsets.
+
+_ZIP_LOCAL_SIG = b"PK\x03\x04"
+_ZIP_CENTRAL_SIG = b"PK\x01\x02"
+_ZIP_EOCD_SIG = b"PK\x05\x06"
+_ZIP_STORED = 0
+_ZIP_DEFLATE = 8
+# fixed DOS timestamp (1980-01-01 00:00) — deterministic archives
+_ZIP_DOSTIME = 0
+_ZIP_DOSDATE = 0x21
+
+
+def encode_zip(members: list, comment: bytes = b"") -> bytes:
+    """Encode ``members`` — dicts with ``name`` (ascii str), ``data``
+    (bytes) and ``method`` ('stored' | 'deflate') — as a real ZIP
+    archive: local headers, central directory, EOCD.  Deterministic
+    (fixed DOS timestamp, fixed deflate level)."""
+    import zlib
+
+    out = bytearray()
+    central = bytearray()
+    for m in members:
+        name = m["name"].encode("ascii")
+        data = bytes(m["data"])
+        if m["method"] == "stored":
+            method, payload = _ZIP_STORED, data
+        elif m["method"] == "deflate":
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            method, payload = _ZIP_DEFLATE, co.compress(data) + co.flush()
+        else:
+            raise ValueError(f"zip: unknown method {m['method']!r}")
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        offset = len(out)
+        fixed = struct.pack(
+            "<HHHHHIIIHH",
+            20,  # version needed
+            0,  # flags
+            method,
+            _ZIP_DOSTIME,
+            _ZIP_DOSDATE,
+            crc,
+            len(payload),
+            len(data),
+            len(name),
+            0,  # extra length
+        )
+        out += _ZIP_LOCAL_SIG + fixed + name + payload
+        central += (
+            _ZIP_CENTRAL_SIG
+            + struct.pack("<HH", 20, 20)  # made-by, needed
+            + fixed[2:]  # flags..extra-len are byte-identical
+            + struct.pack("<HHHII", 0, 0, 0, 0, offset)
+            + name
+        )
+    cd_offset = len(out)
+    out += central
+    out += _ZIP_EOCD_SIG + struct.pack(
+        "<HHHHIIH",
+        0,
+        0,
+        len(members),
+        len(members),
+        len(central),
+        cd_offset,
+        len(comment),
+    ) + bytes(comment)
+    return bytes(out)
+
+
+def parse_zip(data: bytes) -> dict:
+    """Parse a ZIP archive: EOCD back-scan, central-directory walk,
+    local-header cross-check, raw-DEFLATE decompression, per-member
+    reflected CRC-32 + size verification.  Returns {n_members,
+    comment, members: [{name, method, compressed_size, data}],
+    total_compressed, total_uncompressed}.  Malformed, truncated,
+    inconsistent, or CRC-corrupt input raises ValueError (the
+    decode_wav rejection contract)."""
+    try:
+        return _parse_zip_inner(data)
+    except (struct.error, IndexError, EOFError, UnicodeDecodeError) as e:
+        raise ValueError(f"truncated or corrupt ZIP payload: {e}") from e
+
+
+def _parse_zip_inner(data: bytes) -> dict:
+    import zlib
+
+    if data[:4] != _ZIP_LOCAL_SIG and data[:4] != _ZIP_EOCD_SIG:
+        raise ValueError("zip: bad magic")
+    # EOCD: fixed 22 bytes + comment of up to 65535 — scan backwards
+    eocd_at = data.rfind(_ZIP_EOCD_SIG, max(0, len(data) - 22 - 0xFFFF))
+    if eocd_at < 0 or eocd_at + 22 > len(data):
+        raise ValueError("zip: missing end-of-central-directory record")
+    disk, cd_disk, n_disk, n_total, cd_size, cd_offset, clen = struct.unpack_from(
+        "<HHHHIIH", data, eocd_at + 4
+    )
+    if disk or cd_disk:
+        raise ValueError("zip: multi-disk archives unsupported")
+    if n_disk != n_total:
+        raise ValueError("zip: EOCD entry counts disagree")
+    if eocd_at + 22 + clen > len(data):
+        raise ValueError("zip: truncated archive comment")
+    comment = bytes(data[eocd_at + 22 : eocd_at + 22 + clen])
+    if cd_offset + cd_size != eocd_at:
+        raise ValueError("zip: central directory does not abut the EOCD")
+    members = []
+    at = cd_offset
+    for _ in range(n_total):
+        if data[at : at + 4] != _ZIP_CENTRAL_SIG:
+            raise ValueError("zip: bad central-directory signature")
+        (
+            _made_by,
+            _needed,
+            flags,
+            method,
+            _mtime,
+            _mdate,
+            crc,
+            csize,
+            usize,
+            nlen,
+            xlen,
+            klen,
+            _disk_start,
+            _iattr,
+            _eattr,
+            offset,
+        ) = struct.unpack_from("<HHHHHHIIIHHHHHII", data, at + 4)
+        if flags & 0x08:
+            raise ValueError("zip: streaming data descriptors unsupported")
+        name = data[at + 46 : at + 46 + nlen].decode("ascii")
+        at += 46 + nlen + xlen + klen
+        if at > eocd_at:
+            raise ValueError("zip: central directory overruns the EOCD")
+        # local header cross-check
+        if data[offset : offset + 4] != _ZIP_LOCAL_SIG:
+            raise ValueError(f"zip: bad local-header signature for {name!r}")
+        (
+            _lneeded,
+            lflags,
+            lmethod,
+            _ltime,
+            _ldate,
+            lcrc,
+            lcsize,
+            lusize,
+            lnlen,
+            lxlen,
+        ) = struct.unpack_from("<HHHHHIIIHH", data, offset + 4)
+        lname = data[offset + 30 : offset + 30 + lnlen].decode("ascii")
+        if (lname, lmethod, lcrc, lcsize, lusize) != (name, method, crc, csize, usize):
+            raise ValueError(f"zip: local header disagrees with central directory for {name!r}")
+        body_at = offset + 30 + lnlen + lxlen
+        if body_at + csize > len(data):
+            raise ValueError(f"zip: member {name!r} past end of archive")
+        payload = bytes(data[body_at : body_at + csize])
+        if method == _ZIP_STORED:
+            if csize != usize:
+                raise ValueError(f"zip: stored member {name!r} with csize != usize")
+            raw = payload
+        elif method == _ZIP_DEFLATE:
+            dec = zlib.decompressobj(-15)
+            try:
+                raw = dec.decompress(payload) + dec.flush()
+            except zlib.error as e:
+                raise ValueError(f"zip: bad DEFLATE stream in {name!r}: {e}") from e
+            if dec.unconsumed_tail or not dec.eof:
+                raise ValueError(f"zip: DEFLATE stream in {name!r} has wrong length")
+        else:
+            raise ValueError(f"zip: unsupported method {method} for {name!r}")
+        if len(raw) != usize:
+            raise ValueError(f"zip: member {name!r} inflates to {len(raw)} != {usize}")
+        if zlib.crc32(raw) & 0xFFFFFFFF != crc:
+            raise ValueError(f"zip: CRC-32 mismatch for member {name!r}")
+        members.append(
+            {
+                "name": name,
+                "method": "stored" if method == _ZIP_STORED else "deflate",
+                "compressed_size": csize,
+                "data": raw,
+            }
+        )
+    return {
+        "n_members": n_total,
+        "comment": comment,
+        "members": members,
+        "total_compressed": sum(m["compressed_size"] for m in members),
+        "total_uncompressed": sum(len(m["data"]) for m in members),
+    }
+
+
 # ------------------------------------------------------- format sniffing
 
 
 def sniff_format(data: bytes) -> str:
     """Identify a payload by magic bytes across the in-repo codecs:
     'bmp' | 'wav' | 'png' | 'gif' | 'jpeg' | 'mp4' | 'mkv' | 'ogg' |
-    'unknown'.  The multimodal pipeline dispatches on THIS, not on the
-    declared kind column — container metadata lies; magic bytes
-    don't."""
+    'zip' | 'unknown'.  The multimodal pipeline dispatches on THIS,
+    not on the declared kind column — container metadata lies; magic
+    bytes don't."""
     if data[:8] == _PNG_SIG:
         return "png"
     if data[:6] in (b"GIF87a", b"GIF89a"):
@@ -2043,4 +2247,6 @@ def sniff_format(data: bytes) -> str:
         return "mkv"
     if data[:4] == _OGG_MAGIC:
         return "ogg"
+    if data[:4] in (_ZIP_LOCAL_SIG, _ZIP_EOCD_SIG):  # EOCD-only = empty zip
+        return "zip"
     return "unknown"

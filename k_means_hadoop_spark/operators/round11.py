@@ -1,0 +1,202 @@
+"""Round-11 operators.
+
+Reference parity context: the reference engine is the Hadoop K-Means
+job (``/root/reference/KMeans.java``) plus its PCA notebook; everything
+here is the beyond-reference analytics surface (SURVEY.md §2.9) built
+Spark-first.  Each entry is a ``(spark_fn, duckdb_sql)`` pair merged
+into the registry.
+
+This round adds the ARCHIVE container next to the media containers
+(round-10 verdict item 5): ``zip_container_stats`` plants real ZIP
+archives (``functions/codecs.py`` — local headers, central directory,
+EOCD back-scan, stored + raw-DEFLATE members, per-member REFLECTED
+CRC-32 0xEDB88320 complementing Ogg's unreflected 0x04C11DB7) and
+proves encode→parse by roundtrip against a closed-form oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from k_means_hadoop_spark.operators.relational import _t
+
+
+def _pickle_round11_by_value() -> None:
+    """Ship THIS module's kernels (and codecs) inside the plan — the
+    multimodal.py portability fix, so workers never need the repo on
+    sys.path (the round-8 convention)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from k_means_hadoop_spark.operators.multimodal import _pickle_by_value
+
+    _pickle_by_value()
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+# ------------------------------------------------- ZIP archive stats
+#
+# Planted spec per doc_id d (the doc_id % 7 slices are all taken by
+# the media containers — 0/3/5 images, 1/2 MP4, 4 MKV, 6 Ogg — so the
+# archive tier slices doc_id % 11 == 7; overlap with a media slice is
+# harmless because every plant derives its bytes from doc_id
+# arithmetic independently):
+#   nm = 2 + d%3 members; member i (0-based), name 'm{i}.bin':
+#     STORED when (d+i)%2 == 0: 30 + (d+i)%23 bytes of
+#       (d*13 + i*17 + j) % 256 (high-entropy, kept verbatim);
+#     DEFLATE when (d+i)%2 == 1: the byte (d*13 + i*17) % 256 repeated
+#       100 + (d+i)%50 times (a run DEFLATE must shrink — the kernel
+#       asserts compressed_size < size for every deflated member).
+# The kernel encodes the archive, re-parses it through the EOCD
+# back-scan + central-directory walk (which verifies every member's
+# reflected CRC-32, inflated size, and central-vs-local consistency),
+# and checks EVERY member's name, method, and payload byte against the
+# plant; the oracle computes the same stats from the arithmetic.  A
+# hash match therefore certifies the archive layer end to end.
+# Compressed sizes are NOT closed-form (they depend on the DEFLATE
+# encoder), so the output carries only plant-derivable columns plus
+# the kernel-verified parse_ok.
+
+
+def _zip_plant(did: int) -> list[dict]:
+    """The planted archive spec for doc_id ``did`` (shared by the
+    kernel and the roundtrip pins in tests/test_round11_ops.py)."""
+    members = []
+    for i in range(2 + did % 3):
+        if (did + i) % 2 == 0:
+            data = bytes(
+                ((did * 13 + i * 17 + j) % 256)
+                for j in range(30 + (did + i) % 23)
+            )
+            method = "stored"
+        else:
+            data = bytes([(did * 13 + i * 17) % 256]) * (100 + (did + i) % 50)
+            method = "deflate"
+        members.append({"name": f"m{i}.bin", "data": data, "method": method})
+    return members
+
+
+def zip_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, parse_ok, n_members, stored_members, deflated_members,
+    total_uncompressed, member_names) — REAL ZIP encode→parse roundtrip
+    with per-member reflected CRC-32 verification over planted archives
+    (spec in ``_zip_plant``)."""
+    import pandas as pd
+
+    from k_means_hadoop_spark.functions import codecs
+    from k_means_hadoop_spark.partitioning import fan_out
+
+    _pickle_round11_by_value()
+    # fan_out: one small input split would serialize the kernel on a
+    # single core (the round-8 codec-kernel lesson)
+    ids = fan_out(
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 11 == 7)
+    )
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                want = _zip_plant(did)
+                blob = codecs.encode_zip(want)
+                try:
+                    p = codecs.parse_zip(blob)
+                    ok = (
+                        p["n_members"] == len(want)
+                        and p["comment"] == b""
+                        and [m["name"] for m in p["members"]]
+                        == [m["name"] for m in want]
+                        and [m["method"] for m in p["members"]]
+                        == [m["method"] for m in want]
+                        and [m["data"] for m in p["members"]]
+                        == [m["data"] for m in want]
+                        and all(
+                            m["compressed_size"] < len(m["data"])
+                            for m in p["members"]
+                            if m["method"] == "deflate"
+                        )
+                        and codecs.sniff_format(blob) == "zip"
+                    )
+                    rows.append(
+                        (
+                            did,
+                            bool(ok),
+                            p["n_members"],
+                            sum(
+                                1
+                                for m in p["members"]
+                                if m["method"] == "stored"
+                            ),
+                            sum(
+                                1
+                                for m in p["members"]
+                                if m["method"] == "deflate"
+                            ),
+                            p["total_uncompressed"],
+                            ",".join(m["name"] for m in p["members"]),
+                        )
+                    )
+                except ValueError:
+                    rows.append((did, False, 0, 0, 0, 0, ""))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "parse_ok",
+                    "n_members",
+                    "stored_members",
+                    "deflated_members",
+                    "total_uncompressed",
+                    "member_names",
+                ],
+            )
+
+    return ids.mapInPandas(
+        _batches,
+        schema=(
+            "media_id bigint, parse_ok boolean, n_members int,"
+            " stored_members int, deflated_members int,"
+            " total_uncompressed bigint, member_names string"
+        ),
+    )
+
+
+# Closed form: nm = 2 + d%3 members; member i is stored iff (d+i)%2=0
+# with 30 + (d+i)%23 bytes, else deflated with 100 + (d+i)%50
+# uncompressed bytes; nm <= 4, so range(4) with an i < nm filter
+# covers every member exactly (the MP4/MKV oracle pattern).
+ZIP_STATS_SQL = """
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 3 AS nm
+  FROM documents WHERE doc_id % 11 = 7),
+m AS (
+  SELECT d.doc_id, d.nm, i.range AS i,
+         CASE WHEN (d.doc_id + i.range) % 2 = 0
+              THEN 30 + (d.doc_id + i.range) % 23
+              ELSE 100 + (d.doc_id + i.range) % 50 END AS usize,
+         ((d.doc_id + i.range) % 2 = 0) AS is_stored
+  FROM d CROSS JOIN range(4) i WHERE i.range < d.nm),
+agg AS (
+  SELECT doc_id,
+         count(*)::INT AS n_members,
+         SUM(CASE WHEN is_stored THEN 1 ELSE 0 END)::INT AS stored_members,
+         SUM(CASE WHEN is_stored THEN 0 ELSE 1 END)::INT AS deflated_members,
+         SUM(usize)::BIGINT AS total_uncompressed,
+         string_agg('m' || i || '.bin', ',' ORDER BY i) AS member_names
+  FROM m GROUP BY doc_id)
+SELECT doc_id AS media_id, true AS parse_ok, n_members, stored_members,
+       deflated_members, total_uncompressed, member_names
+FROM agg
+"""
+
+
+ROUND11_QUERIES: dict = {
+    "zip_container_stats": (zip_container_stats, ZIP_STATS_SQL),
+}

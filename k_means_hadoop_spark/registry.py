@@ -652,6 +652,7 @@ from k_means_hadoop_spark.operators.round7 import ROUND7_QUERIES
 from k_means_hadoop_spark.operators.round8 import ROUND8_QUERIES
 from k_means_hadoop_spark.operators.round9 import ROUND9_QUERIES
 from k_means_hadoop_spark.operators.round10 import ROUND10_QUERIES
+from k_means_hadoop_spark.operators.round11 import ROUND11_QUERIES
 from k_means_hadoop_spark.registry_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES
 
 for _name, (_fn, _sql) in {
@@ -668,6 +669,7 @@ for _name, (_fn, _sql) in {
     **ROUND8_QUERIES,
     **ROUND9_QUERIES,
     **ROUND10_QUERIES,
+    **ROUND11_QUERIES,
 }.items():
     ORACLES[_name] = _sql
 
@@ -713,6 +715,7 @@ QUERIES.update({name: fn for name, (fn, _sql) in ROUND7_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in ROUND8_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in ROUND9_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in ROUND10_QUERIES.items()})
+QUERIES.update({name: fn for name, (fn, _sql) in ROUND11_QUERIES.items()})
 QUERIES.update(RELATIONAL_ROWS_ONLY)
 QUERIES.update(CURATION_ROWS_ONLY)
 QUERIES.update(PIPELINE_QUERIES)
@@ -1050,6 +1053,7 @@ _SCHEDULE: dict[str, dict] = {
     # charges, 2 of the <= 5 cap, leaving 48 drain slots for the
     # r04/r05 cohort).  Locally oracle-verified at sf0.001/0.01/0.1.
     "dedup_edit_verified": _row(defer=7),
+    "zip_container_stats": _row(defer=7),
 }
 
 

@@ -1,5 +1,5 @@
-"""Round-11 pins: the LSH→levenshtein dedup composition and the
-edit-distance ASCII parity bound.
+"""Round-11 pins: the LSH→levenshtein dedup composition, the
+edit-distance ASCII parity bound, and the ZIP archive codec.
 
 1. ``dedup.edit_verified_pairs`` (round-10 verdict item 3) is the
    100 TB composition the ``edit_distance_pairs`` docstring prescribes:
@@ -13,6 +13,11 @@ edit-distance ASCII parity bound.
    dedup.py's unicode-seam note).  Round-10 verdict item 4: that bound
    must be ENFORCED, not just stated — the fixture pin fails if a
    non-ASCII document ever enters any shipped documents table.
+3. The ZIP archive codec (round-10 verdict item 5): local headers +
+   central directory + EOCD, stored and raw-DEFLATE members, the
+   REFLECTED CRC-32 (0xEDB88320) complementing Ogg's unreflected one.
+   Pins: plant roundtrips, BOTH-WAY stdlib-zipfile interop, CRC/
+   truncation/consistency rejection, property fuzz, bitflip fuzz.
 """
 
 from __future__ import annotations
@@ -22,6 +27,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from k_means_hadoop_spark.functions import codecs
 from k_means_hadoop_spark.operators import dedup
 from k_means_hadoop_spark.registry_pipeline import EDIT_DIST_MAX, NGRAM_N, _docs
 
@@ -87,3 +93,158 @@ def test_documents_fixture_is_single_byte(spark, sf):
     docs = spark.read.parquet(path)
     multi = docs.filter(F.octet_length("text") != F.length("text")).count()
     assert multi == 0
+
+
+# ----------------------------------------------------- 3. ZIP archive
+
+
+def _zip_blob(did: int) -> bytes:
+    from k_means_hadoop_spark.operators.round11 import _zip_plant
+
+    return codecs.encode_zip(_zip_plant(did))
+
+
+@pytest.mark.parametrize("did", [7, 18, 29, 40, 12345, 999983])
+def test_zip_roundtrip_bit_exact(did):
+    from k_means_hadoop_spark.operators.round11 import _zip_plant
+
+    want = _zip_plant(did)
+    p = codecs.parse_zip(_zip_blob(did))
+    assert p["n_members"] == len(want)
+    assert [m["name"] for m in p["members"]] == [m["name"] for m in want]
+    assert [m["method"] for m in p["members"]] == [m["method"] for m in want]
+    assert [m["data"] for m in p["members"]] == [m["data"] for m in want]
+    # DEFLATE must actually shrink the constant-byte runs
+    assert all(
+        m["compressed_size"] < len(m["data"])
+        for m in p["members"]
+        if m["method"] == "deflate"
+    )
+
+
+def test_zip_stdlib_reads_ours():
+    import io
+    import zipfile
+
+    blob = _zip_blob(7)
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    assert zf.testzip() is None
+    from k_means_hadoop_spark.operators.round11 import _zip_plant
+
+    for m in _zip_plant(7):
+        assert zf.read(m["name"]) == m["data"]
+
+
+def test_zip_reads_stdlib():
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("x.txt", b"external writer " * 30)
+        z.writestr("y.txt", b"stored one", compress_type=zipfile.ZIP_STORED)
+    p = codecs.parse_zip(buf.getvalue())
+    assert [m["data"] for m in p["members"]] == [
+        b"external writer " * 30,
+        b"stored one",
+    ]
+    assert [m["method"] for m in p["members"]] == ["deflate", "stored"]
+
+
+def test_zip_empty_archive_roundtrip():
+    p = codecs.parse_zip(codecs.encode_zip([]))
+    assert p["n_members"] == 0 and p["members"] == []
+    assert codecs.sniff_format(codecs.encode_zip([])) == "zip"
+
+
+def test_zip_comment_roundtrip():
+    blob = codecs.encode_zip(
+        [{"name": "a", "data": b"x", "method": "stored"}], comment=b"hi"
+    )
+    assert codecs.parse_zip(blob)["comment"] == b"hi"
+
+
+def test_zip_crc_corruption_rejected():
+    blob = _zip_blob(7)
+    from k_means_hadoop_spark.operators.round11 import _zip_plant
+
+    stored = next(m for m in _zip_plant(7) if m["method"] == "stored")
+    bad = bytearray(blob)
+    bad[blob.index(stored["data"])] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        codecs.parse_zip(bytes(bad))
+
+
+def test_zip_truncation_always_value_error():
+    blob = _zip_blob(7)
+    for cut in range(0, len(blob), 7):
+        with pytest.raises(ValueError):
+            codecs.parse_zip(blob[:cut])
+
+
+def test_zip_eocd_count_tamper_rejected():
+    import struct
+
+    blob = _zip_blob(7)
+    eocd = blob.rindex(b"PK\x05\x06")
+    bad = bytearray(blob)
+    n = struct.unpack_from("<H", blob, eocd + 10)[0]
+    struct.pack_into("<HH", bad, eocd + 8, n + 1, n + 1)
+    with pytest.raises(ValueError):
+        codecs.parse_zip(bytes(bad))
+
+
+def test_zip_local_central_mismatch_rejected():
+    import struct
+
+    blob = _zip_blob(7)
+    # corrupt the METHOD field of the first local header: the central
+    # directory still holds the true value, so the cross-check fires
+    bad = bytearray(blob)
+    struct.pack_into("<H", bad, 8, 99)
+    with pytest.raises(ValueError, match="disagrees|method"):
+        codecs.parse_zip(bytes(bad))
+
+
+def test_zip_unknown_method_rejected_at_encode():
+    with pytest.raises(ValueError, match="method"):
+        codecs.encode_zip([{"name": "a", "data": b"x", "method": "lzma"}])
+
+
+def test_zip_bitflip_never_crashes():
+    """Every single-bit corruption either parses or raises ValueError —
+    never any other exception (the MKV/Ogg fuzz contract)."""
+    blob = _zip_blob(9 * 11 + 7)
+    for byte_at in range(len(blob)):
+        mutated = bytearray(blob)
+        mutated[byte_at] ^= 0x10
+        try:
+            codecs.parse_zip(bytes(mutated))
+        except ValueError:
+            pass
+
+
+def test_zip_roundtrip_fuzz():
+    """Property fuzz: ANY member list (arbitrary names, bytes, methods)
+    roundtrips bit-exact and stdlib-validates."""
+    from hypothesis import given, settings, strategies as st
+
+    name = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789._-", min_size=1, max_size=12
+    )
+    member = st.fixed_dictionaries(
+        {
+            "name": name,
+            "data": st.binary(max_size=600),
+            "method": st.sampled_from(["stored", "deflate"]),
+        }
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(members=st.lists(member, max_size=6, unique_by=lambda m: m["name"]))
+    def check(members):
+        p = codecs.parse_zip(codecs.encode_zip(members))
+        assert [m["name"] for m in p["members"]] == [m["name"] for m in members]
+        assert [m["data"] for m in p["members"]] == [m["data"] for m in members]
+
+    check()
