@@ -561,22 +561,23 @@ def zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rfm_segments treatment, round-9) keeps the sort parallel.
     from k_means_hadoop_spark.partitioning import (
         ntile_expr,
-        prefix_sum,
+        prefix_sum_literal_bounds,
         scan_parts,
     )
 
     # fact-grain input: size the range shuffle from the scan's split
     # count (grows with the data; floors at the measured-best 8
-    # locally) so no checkpointed slice outgrows an executor —
-    # partitioning.prefix_sum's documented fact-grain contract
-    ranked = prefix_sum(
+    # locally) so no slice outgrows an executor.  This is the ONE
+    # promoted call site of the recompute-safe literal-bounds variant
+    # (round-10 verdict item 6): fact-grain input is exactly where
+    # prefix_sum's localCheckpoint storage cost and fault-tolerance
+    # caveat bind, the measured cost is a local tie (see
+    # partitioning.py), and the result is boundary-invariant — pinned
+    # hash-identical at all three SFs.
+    ranked = prefix_sum_literal_bounds(
         li.withColumn("_one", F.lit(1)),
         "_one",
-        [
-            F.col("l_shipdate").asc(),
-            F.col("l_orderkey").asc(),
-            F.col("l_linenumber").asc(),
-        ],
+        [("l_shipdate", True), ("l_orderkey", True), ("l_linenumber", True)],
         out_col="_rn",
         num_parts=scan_parts(li),
     )

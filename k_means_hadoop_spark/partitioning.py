@@ -211,7 +211,12 @@ def prefix_sum_literal_bounds(
     cost (the full ranked input) is the binding constraint.  Measured
     round 10 on the zonemap shape (sf0.1 lineitem 600k-row 3-key
     rank): build 1.99 s vs 1.88 s, exec 1.17 s vs 1.10 s — a local
-    tie, so the checkpoint form stays the default and callers opt in
+    tie.  Promoted (round 11) at the ONE fact-grain call site where
+    the checkpoint's caveats actually bind — zonemap_prune_audit ranks
+    the raw lineitem fact table, so executor-local materialization of
+    the full ranked input is the storage worst case — pinned
+    hash-identical at all three SFs; the checkpoint form stays the
+    default elsewhere and callers opt in
     when replayability or storage dominates."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
