@@ -202,6 +202,13 @@ HEADLINE = [
     "mkv_container_stats",
     "dedup_edit_distance",
     "ogg_container_stats",
+    # round 11: the ZIP archive roundtrip (the ninth in-repo format,
+    # reflected CRC-32 verification) and the LSH→levenshtein dedup
+    # composition (the 100 TB shape of the edit-distance tier).  The
+    # zonemap entry above now runs on prefix_sum_literal_bounds, so its
+    # round-to-round timing tracks the recompute-safe variant.
+    "zip_container_stats",
+    "dedup_edit_verified",
 ]
 
 

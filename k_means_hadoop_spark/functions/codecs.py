@@ -2032,7 +2032,10 @@ def _parse_ogg_inner(data: bytes) -> dict:
 # are 'stored' (method 0) or 'deflate' (method 8, raw DEFLATE via
 # stdlib zlib, wbits=-15).  parse_zip verifies EVERYTHING it reads:
 # per-member CRC and size against the decompressed bytes, central
-# against local metadata, and the EOCD counts/offsets.
+# against local metadata, and the EOCD counts/offsets.  Scope: the
+# classic 32-bit format only — zip64 records, encryption, and
+# multi-disk archives are out of scope and raise ValueError (encode
+# guards its 16/32-bit field bounds explicitly).
 
 _ZIP_LOCAL_SIG = b"PK\x03\x04"
 _ZIP_CENTRAL_SIG = b"PK\x01\x02"
@@ -2051,11 +2054,19 @@ def encode_zip(members: list, comment: bytes = b"") -> bytes:
     (fixed DOS timestamp, fixed deflate level)."""
     import zlib
 
+    if len(members) > 0xFFFF:
+        raise ValueError("zip: more than 65535 members needs zip64")
+    if len(comment) > 0xFFFF:
+        raise ValueError("zip: archive comment longer than 65535 bytes")
     out = bytearray()
     central = bytearray()
     for m in members:
         name = m["name"].encode("ascii")
+        if not name or len(name) > 0xFFFF:
+            raise ValueError(f"zip: bad member name {m['name']!r}")
         data = bytes(m["data"])
+        if len(data) >= 1 << 32:
+            raise ValueError(f"zip: member {m['name']!r} needs zip64")
         if m["method"] == "stored":
             method, payload = _ZIP_STORED, data
         elif m["method"] == "deflate":
