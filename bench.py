@@ -209,6 +209,7 @@ HEADLINE = [
     # round-to-round timing tracks the recompute-safe variant.
     "zip_container_stats",
     "dedup_edit_verified",
+    "gzip_member_stats",
 ]
 
 

@@ -2233,13 +2233,129 @@ def _parse_zip_inner(data: bytes) -> dict:
     }
 
 
+# -------------------------------------------------------- gzip members
+#
+# The stream-compression sibling of the ZIP archive (RFC 1952), and
+# the container training-data pipelines actually ingest at 100 TB:
+# Common Crawl ships WARC/WET as MULTI-MEMBER gzip — one gzip member
+# per record, concatenated — so member-walking (not just inflating)
+# is the real operation.  Each member: magic 1F 8B, CM=8 (deflate),
+# header flags (FEXTRA / FNAME / FCOMMENT / FHCRC all parsed), raw
+# DEFLATE body, then the trailer: reflected CRC-32 of the UNCOMPRESSED
+# bytes + ISIZE (length mod 2^32) — both verified.  Member boundaries
+# come from the DEFLATE decoder's end-of-stream (unused_data), the
+# same mechanism stdlib gzip uses.
+
+_GZIP_MAGIC = b"\x1f\x8b"
+_GZ_FTEXT, _GZ_FHCRC, _GZ_FEXTRA, _GZ_FNAME, _GZ_FCOMMENT = 1, 2, 4, 8, 16
+
+
+def encode_gzip(members: list) -> bytes:
+    """Encode ``members`` — dicts with ``data`` (bytes) and optional
+    ``name`` (ascii str, emitted as FNAME) — as a multi-member gzip
+    stream (RFC 1952).  Deterministic: MTIME=0, XFL=0, OS=255."""
+    import zlib
+
+    out = bytearray()
+    for m in members:
+        data = bytes(m["data"])
+        name = m.get("name")
+        flg = _GZ_FNAME if name else 0
+        out += _GZIP_MAGIC + struct.pack("<BBIBB", 8, flg, 0, 0, 255)
+        if name:
+            out += name.encode("ascii") + b"\x00"
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        out += co.compress(data) + co.flush()
+        out += struct.pack(
+            "<II", zlib.crc32(data) & 0xFFFFFFFF, len(data) & 0xFFFFFFFF
+        )
+    return bytes(out)
+
+
+def parse_gzip(data: bytes) -> dict:
+    """Parse a (multi-member) gzip stream: header-flag walk (FEXTRA /
+    FNAME / FCOMMENT skipped per spec, FHCRC verified), raw-DEFLATE
+    inflation, per-member reflected CRC-32 + ISIZE verification.
+    Returns {n_members, members: [{name, data}], total_uncompressed}.
+    Malformed, truncated, or checksum-corrupt input raises ValueError
+    (the decode_wav rejection contract)."""
+    try:
+        return _parse_gzip_inner(data)
+    except (struct.error, IndexError, EOFError, UnicodeDecodeError) as e:
+        raise ValueError(f"truncated or corrupt gzip payload: {e}") from e
+
+
+def _parse_gzip_inner(data: bytes) -> dict:
+    import zlib
+
+    if data[:2] != _GZIP_MAGIC:
+        raise ValueError("gzip: bad magic")
+    members = []
+    at = 0
+    while at < len(data):
+        if data[at : at + 2] != _GZIP_MAGIC:
+            raise ValueError("gzip: member boundary without gzip magic")
+        if at + 10 > len(data):
+            raise ValueError("gzip: truncated member header")
+        cm, flg, _mtime, _xfl, _os = struct.unpack_from("<BBIBB", data, at + 2)
+        if cm != 8:
+            raise ValueError(f"gzip: unsupported compression method {cm}")
+        if flg & 0xE0:
+            raise ValueError(f"gzip: reserved header flag bits set ({flg:#x})")
+        p = at + 10
+        if flg & _GZ_FEXTRA:
+            if p + 2 > len(data):
+                raise ValueError("gzip: truncated FEXTRA length")
+            (xlen,) = struct.unpack_from("<H", data, p)
+            p += 2 + xlen
+        name = None
+        if flg & _GZ_FNAME:
+            z = data.index(b"\x00", p)  # IndexError->ValueError via wrapper
+            name = data[p:z].decode("latin-1")
+            p = z + 1
+        if flg & _GZ_FCOMMENT:
+            z = data.index(b"\x00", p)
+            p = z + 1
+        if flg & _GZ_FHCRC:
+            if p + 2 > len(data):
+                raise ValueError("gzip: truncated FHCRC")
+            (hcrc,) = struct.unpack_from("<H", data, p)
+            if zlib.crc32(data[at:p]) & 0xFFFF != hcrc:
+                raise ValueError("gzip: header CRC mismatch")
+            p += 2
+        if p > len(data):
+            raise ValueError("gzip: truncated member header fields")
+        dec = zlib.decompressobj(-15)
+        try:
+            raw = dec.decompress(data[p:])
+        except zlib.error as e:
+            raise ValueError(f"gzip: bad DEFLATE stream: {e}") from e
+        if not dec.eof:
+            raise ValueError("gzip: DEFLATE stream ends mid-member")
+        trailer_at = len(data) - len(dec.unused_data)
+        if trailer_at + 8 > len(data):
+            raise ValueError("gzip: truncated member trailer")
+        crc, isize = struct.unpack_from("<II", data, trailer_at)
+        if zlib.crc32(raw) & 0xFFFFFFFF != crc:
+            raise ValueError(f"gzip: CRC-32 mismatch in member {len(members)}")
+        if len(raw) & 0xFFFFFFFF != isize:
+            raise ValueError(f"gzip: ISIZE mismatch in member {len(members)}")
+        members.append({"name": name, "data": raw})
+        at = trailer_at + 8
+    return {
+        "n_members": len(members),
+        "members": members,
+        "total_uncompressed": sum(len(m["data"]) for m in members),
+    }
+
+
 # ------------------------------------------------------- format sniffing
 
 
 def sniff_format(data: bytes) -> str:
     """Identify a payload by magic bytes across the in-repo codecs:
     'bmp' | 'wav' | 'png' | 'gif' | 'jpeg' | 'mp4' | 'mkv' | 'ogg' |
-    'zip' | 'unknown'.  The multimodal pipeline dispatches on THIS,
+    'zip' | 'gzip' | 'unknown'.  The multimodal pipeline dispatches on THIS,
     not on the declared kind column — container metadata lies; magic
     bytes don't."""
     if data[:8] == _PNG_SIG:
@@ -2260,4 +2376,6 @@ def sniff_format(data: bytes) -> str:
         return "ogg"
     if data[:4] in (_ZIP_LOCAL_SIG, _ZIP_EOCD_SIG):  # EOCD-only = empty zip
         return "zip"
+    if data[:2] == _GZIP_MAGIC:
+        return "gzip"
     return "unknown"

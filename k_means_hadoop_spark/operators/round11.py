@@ -6,12 +6,15 @@ here is the beyond-reference analytics surface (SURVEY.md §2.9) built
 Spark-first.  Each entry is a ``(spark_fn, duckdb_sql)`` pair merged
 into the registry.
 
-This round adds the ARCHIVE container next to the media containers
+This round adds the ARCHIVE tier next to the media containers
 (round-10 verdict item 5): ``zip_container_stats`` plants real ZIP
 archives (``functions/codecs.py`` — local headers, central directory,
 EOCD back-scan, stored + raw-DEFLATE members, per-member REFLECTED
 CRC-32 0xEDB88320 complementing Ogg's unreflected 0x04C11DB7) and
-proves encode→parse by roundtrip against a closed-form oracle.
+``gzip_member_stats`` plants multi-member gzip streams (RFC 1952 —
+the Common Crawl WARC/WET shape: one member per record, FNAME headers,
+CRC-32 + ISIZE trailers); both prove encode→parse by roundtrip
+against closed-form oracles.
 """
 
 from __future__ import annotations
@@ -197,6 +200,139 @@ FROM agg
 """
 
 
+# ------------------------------------------------ gzip member stats
+#
+# Planted spec per doc_id d (slice doc_id % 11 == 3 — the archive tier
+# next to ZIP's % 11 == 7): nm = 1 + d%3 members concatenated as one
+# multi-member gzip stream (the Common Crawl WARC/WET shape: one
+# member per record); member i carries the byte (d*7 + i*11) % 256
+# repeated 80 + (d+i)%40 times (a run DEFLATE must shrink) and is
+# NAMED 'r{i}.warc' (FNAME flag) when (d+i)%2 == 0, anonymous
+# otherwise.  The kernel encodes, re-parses through the member walk
+# (which verifies each member's reflected CRC-32 and ISIZE trailer),
+# and checks every member's name and payload byte against the plant;
+# the oracle computes the same stats from the arithmetic.  Compressed
+# sizes are encoder-dependent, so the output carries plant-derivable
+# columns plus the kernel-verified parse_ok only.
+
+
+def _gzip_plant(did: int) -> list[dict]:
+    """The planted multi-member stream spec for doc_id ``did`` (shared
+    by the kernel and the roundtrip pins in tests/test_round11_ops.py)."""
+    members = []
+    for i in range(1 + did % 3):
+        m = {
+            "data": bytes([(did * 7 + i * 11) % 256])
+            * (80 + (did + i) % 40)
+        }
+        if (did + i) % 2 == 0:
+            m["name"] = f"r{i}.warc"
+        members.append(m)
+    return members
+
+
+def gzip_member_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, parse_ok, n_members, named_members,
+    total_uncompressed, member_names) — REAL multi-member gzip
+    encode→parse roundtrip with per-member reflected CRC-32 + ISIZE
+    verification over planted streams (spec in ``_gzip_plant``)."""
+    import pandas as pd
+
+    from k_means_hadoop_spark.functions import codecs
+    from k_means_hadoop_spark.partitioning import fan_out
+
+    _pickle_round11_by_value()
+    ids = fan_out(
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 11 == 3)
+    )
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                want = _gzip_plant(did)
+                blob = codecs.encode_gzip(want)
+                try:
+                    p = codecs.parse_gzip(blob)
+                    ok = (
+                        p["n_members"] == len(want)
+                        and [m["name"] for m in p["members"]]
+                        == [m.get("name") for m in want]
+                        and [m["data"] for m in p["members"]]
+                        == [m["data"] for m in want]
+                        and codecs.sniff_format(blob) == "gzip"
+                    )
+                    rows.append(
+                        (
+                            did,
+                            bool(ok),
+                            p["n_members"],
+                            sum(
+                                1
+                                for m in p["members"]
+                                if m["name"] is not None
+                            ),
+                            p["total_uncompressed"],
+                            ",".join(
+                                m["name"] or "-" for m in p["members"]
+                            ),
+                        )
+                    )
+                except ValueError:
+                    rows.append((did, False, 0, 0, 0, ""))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "parse_ok",
+                    "n_members",
+                    "named_members",
+                    "total_uncompressed",
+                    "member_names",
+                ],
+            )
+
+    return ids.mapInPandas(
+        _batches,
+        schema=(
+            "media_id bigint, parse_ok boolean, n_members int,"
+            " named_members int, total_uncompressed bigint,"
+            " member_names string"
+        ),
+    )
+
+
+# Closed form: nm = 1 + d%3 members; member i has 80 + (d+i)%40 bytes
+# and a name iff (d+i)%2 = 0; nm <= 3, so range(3) with an i < nm
+# filter covers every member exactly.
+GZIP_STATS_SQL = """
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 3 AS nm
+  FROM documents WHERE doc_id % 11 = 3),
+m AS (
+  SELECT d.doc_id, i.range AS i,
+         (80 + (d.doc_id + i.range) % 40) AS usize,
+         ((d.doc_id + i.range) % 2 = 0) AS named
+  FROM d CROSS JOIN range(3) i WHERE i.range < d.nm),
+agg AS (
+  SELECT doc_id,
+         count(*)::INT AS n_members,
+         SUM(CASE WHEN named THEN 1 ELSE 0 END)::INT AS named_members,
+         SUM(usize)::BIGINT AS total_uncompressed,
+         string_agg(
+           CASE WHEN named THEN 'r' || i || '.warc' ELSE '-' END,
+           ',' ORDER BY i) AS member_names
+  FROM m GROUP BY doc_id)
+SELECT doc_id AS media_id, true AS parse_ok, n_members, named_members,
+       total_uncompressed, member_names
+FROM agg
+"""
+
+
 ROUND11_QUERIES: dict = {
     "zip_container_stats": (zip_container_stats, ZIP_STATS_SQL),
+    "gzip_member_stats": (gzip_member_stats, GZIP_STATS_SQL),
 }

@@ -1054,6 +1054,7 @@ _SCHEDULE: dict[str, dict] = {
     # r04/r05 cohort).  Locally oracle-verified at sf0.001/0.01/0.1.
     "dedup_edit_verified": _row(defer=7),
     "zip_container_stats": _row(defer=7),
+    "gzip_member_stats": _row(defer=7),
 }
 
 

@@ -18,6 +18,11 @@ edit-distance ASCII parity bound, and the ZIP archive codec.
    REFLECTED CRC-32 (0xEDB88320) complementing Ogg's unreflected one.
    Pins: plant roundtrips, BOTH-WAY stdlib-zipfile interop, CRC/
    truncation/consistency rejection, property fuzz, bitflip fuzz.
+4. The gzip member codec (RFC 1952): multi-member streams — the
+   Common Crawl WARC/WET shape — with header-flag parsing (FNAME /
+   FEXTRA / FCOMMENT / FHCRC), per-member reflected CRC-32 + ISIZE
+   trailer verification.  Same pin families as ZIP, plus stdlib-gzip
+   interop in both directions.
 """
 
 from __future__ import annotations
@@ -246,5 +251,140 @@ def test_zip_roundtrip_fuzz():
         p = codecs.parse_zip(codecs.encode_zip(members))
         assert [m["name"] for m in p["members"]] == [m["name"] for m in members]
         assert [m["data"] for m in p["members"]] == [m["data"] for m in members]
+
+    check()
+
+
+# --------------------------------------------------- 4. gzip members
+
+
+def _gzip_blob(did: int) -> bytes:
+    from k_means_hadoop_spark.operators.round11 import _gzip_plant
+
+    return codecs.encode_gzip(_gzip_plant(did))
+
+
+@pytest.mark.parametrize("did", [3, 14, 25, 36, 12344, 999982])
+def test_gzip_roundtrip_bit_exact(did):
+    from k_means_hadoop_spark.operators.round11 import _gzip_plant
+
+    want = _gzip_plant(did)
+    p = codecs.parse_gzip(_gzip_blob(did))
+    assert p["n_members"] == len(want)
+    assert [m["name"] for m in p["members"]] == [m.get("name") for m in want]
+    assert [m["data"] for m in p["members"]] == [m["data"] for m in want]
+
+
+def test_gzip_stdlib_reads_ours():
+    """The stdlib gzip module must inflate our multi-member stream to
+    the concatenated payloads (the Common Crawl reader behavior)."""
+    import gzip as gz
+
+    from k_means_hadoop_spark.operators.round11 import _gzip_plant
+
+    did = 2 * 11 + 3
+    assert gz.decompress(_gzip_blob(did)) == b"".join(
+        m["data"] for m in _gzip_plant(did)
+    )
+
+
+def test_gzip_reads_stdlib():
+    import gzip as gz
+    import io
+
+    # single member with FNAME, plus a bare member, concatenated
+    buf = io.BytesIO()
+    with gz.GzipFile("rec.warc", "wb", fileobj=buf) as f:
+        f.write(b"named content")
+    blob = buf.getvalue() + gz.compress(b"anonymous member")
+    p = codecs.parse_gzip(blob)
+    assert [m["name"] for m in p["members"]] == ["rec.warc", None]
+    assert [m["data"] for m in p["members"]] == [
+        b"named content",
+        b"anonymous member",
+    ]
+
+
+def test_gzip_crc_and_isize_corruption_rejected():
+    import struct
+
+    blob = codecs.encode_gzip([{"data": b"payload " * 20}])
+    # trailer = last 8 bytes: CRC32 then ISIZE
+    bad_crc = bytearray(blob)
+    bad_crc[-8] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        codecs.parse_gzip(bytes(bad_crc))
+    bad_isize = bytearray(blob)
+    struct.pack_into("<I", bad_isize, len(blob) - 4, 1)
+    with pytest.raises(ValueError, match="ISIZE"):
+        codecs.parse_gzip(bytes(bad_isize))
+
+
+def test_gzip_header_crc_verified():
+    import struct
+    import zlib
+
+    hdr = b"\x1f\x8b" + struct.pack("<BBIBB", 8, 2, 0, 0, 255)  # FHCRC
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    body = co.compress(b"hcrc test") + co.flush()
+    trailer = struct.pack("<II", zlib.crc32(b"hcrc test"), 9)
+    good = hdr + struct.pack("<H", zlib.crc32(hdr) & 0xFFFF) + body + trailer
+    assert codecs.parse_gzip(good)["members"][0]["data"] == b"hcrc test"
+    bad = bytearray(good)
+    bad[10] ^= 1
+    with pytest.raises(ValueError, match="header CRC"):
+        codecs.parse_gzip(bytes(bad))
+
+
+def test_gzip_truncation_always_value_error():
+    blob = _gzip_blob(3)
+    for cut in range(0, len(blob), 5):
+        with pytest.raises(ValueError):
+            codecs.parse_gzip(blob[:cut])
+
+
+def test_gzip_reserved_flags_rejected():
+    import struct
+
+    hdr = b"\x1f\x8b" + struct.pack("<BBIBB", 8, 0x20, 0, 0, 255)
+    with pytest.raises(ValueError, match="reserved"):
+        codecs.parse_gzip(hdr + b"\x03\x00" + b"\x00" * 8)
+
+
+def test_gzip_bitflip_never_crashes():
+    blob = _gzip_blob(5 * 11 + 3)
+    for byte_at in range(len(blob)):
+        mutated = bytearray(blob)
+        mutated[byte_at] ^= 0x10
+        try:
+            codecs.parse_gzip(bytes(mutated))
+        except ValueError:
+            pass
+
+
+def test_gzip_roundtrip_fuzz():
+    """Property fuzz: ANY member list (arbitrary bytes, optional
+    names) reassembles bit-exact through the member walk."""
+    from hypothesis import given, settings, strategies as st
+
+    member = st.fixed_dictionaries(
+        {"data": st.binary(max_size=500)},
+        optional={
+            "name": st.text(
+                alphabet="abcdefghijklmnopqrstuvwxyz0123456789._-",
+                min_size=1,
+                max_size=10,
+            )
+        },
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(members=st.lists(member, min_size=1, max_size=5))
+    def check(members):
+        p = codecs.parse_gzip(codecs.encode_gzip(members))
+        assert [m["data"] for m in p["members"]] == [m["data"] for m in members]
+        assert [m["name"] for m in p["members"]] == [
+            m.get("name") for m in members
+        ]
 
     check()
