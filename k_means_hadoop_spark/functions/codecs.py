@@ -1657,10 +1657,12 @@ def _ebml_uint_at(data: bytes, b: int, e: int) -> int:
     return int.from_bytes(data[b:e], "big")
 
 
-def _ebml_read_svint(data: bytes, at: int):
-    """Read a signed VINT (EBML-lacing size delta): unsigned VINT data
-    minus ``2^(7l-1) - 1``.  The all-ones pattern is a plain value here
-    (the 'unknown size' reservation applies to element sizes only)."""
+def _ebml_read_vint_raw(data: bytes, at: int):
+    """Read a VINT's data value WITHOUT the unknown-size rejection —
+    for LACING fields, where the all-ones pattern is a plain value
+    (the 'unknown size' reservation applies to ELEMENT sizes only, so
+    a third-party muxer may minimally encode a first lace size of
+    127/16383/... as all data bits set)."""
     if at >= len(data):
         raise ValueError("EBML: VINT past end of buffer")
     first = data[at]
@@ -1669,8 +1671,15 @@ def _ebml_read_svint(data: bytes, at: int):
     l = 9 - first.bit_length()
     if at + l > len(data):
         raise ValueError("EBML: truncated VINT")
-    u = int.from_bytes(data[at : at + l], "big") - (1 << (7 * l))
-    return u - ((1 << (7 * l - 1)) - 1), at + l
+    return int.from_bytes(data[at : at + l], "big") - (1 << (7 * l)), at + l
+
+
+def _ebml_read_svint(data: bytes, at: int):
+    """Read a signed VINT (EBML-lacing size delta): unsigned VINT data
+    minus ``2^(7l-1) - 1``."""
+    u, nxt = _ebml_read_vint_raw(data, at)
+    l = nxt - at
+    return u - ((1 << (7 * l - 1)) - 1), nxt
 
 
 def _mkv_lace_sizes(data: bytes, q: int, be: int, lace_mode: int, cnt: int):
@@ -1692,7 +1701,7 @@ def _mkv_lace_sizes(data: bytes, q: int, be: int, lace_mode: int, cnt: int):
             sizes.append(sz)
     elif lace_mode == 3:  # EBML: first size VINT, then signed deltas
         if cnt > 1:
-            sz, q = _ebml_read_vint(data, q, keep_marker=False)
+            sz, q = _ebml_read_vint_raw(data, q)
             sizes.append(sz)
             for _ in range(cnt - 2):
                 delta, q = _ebml_read_svint(data, q)
@@ -1928,7 +1937,11 @@ def encode_ogg(serial: int, packets: list, max_laces: int = 16) -> bytes:
 
 def parse_ogg(data: bytes) -> dict:
     """Parse an Ogg stream: page walk, CRC-32 verification, lacing
-    reassembly across continued pages.  Returns {serial, n_pages,
+    reassembly across continued pages, and the full loss-detection
+    contract — page-sequence continuity (RFC 3533's stated purpose for
+    the field), BOS required on exactly the first page, EOS on exactly
+    the last — so a dropped or reordered page ANYWHERE raises even
+    when packet boundaries align.  Returns {serial, n_pages,
     n_packets, packets, bos_pages, eos_pages, continued_pages,
     max_granule}.  Malformed, truncated, or CRC-corrupt input raises
     ValueError (the decode_wav rejection contract)."""
@@ -1944,6 +1957,7 @@ def _parse_ogg_inner(data: bytes) -> dict:
     at = 0
     serial = None
     prev_seq = None
+    saw_eos = False
     n_pages = bos = eos = cont = 0
     packets, current = [], bytearray()
     open_packet = False
@@ -1974,6 +1988,10 @@ def _parse_ogg_inner(data: bytes) -> dict:
             serial = pserial
         elif pserial != serial:
             raise ValueError("Ogg: multiplexed streams unsupported")
+        if saw_eos:  # after the serial check: a concatenated second
+            # stream reads as 'multiplexed', same-stream trailing
+            # pages as data after EOS
+            raise ValueError("Ogg: data after the EOS page")
         # RFC 3533: the page sequence number exists exactly for page-loss
         # detection — a dropped page whose packet boundaries happen to
         # align would otherwise pass every CRC and continuation check
@@ -1988,8 +2006,17 @@ def _parse_ogg_inner(data: bytes) -> dict:
                 raise ValueError("Ogg: continued flag with no open packet")
         elif open_packet:
             raise ValueError("Ogg: open packet dropped without continuation")
+        # BOS/EOS placement: exactly the checks that catch a dropped
+        # FIRST or LAST page, which the sequence chain alone cannot
+        # (it stays contiguous from whatever page comes first)
+        if flags & 0x02:
+            if n_pages:
+                raise ValueError("Ogg: BOS flag on a non-first page")
+        elif not n_pages:
+            raise ValueError("Ogg: first page lacks the BOS flag")
         bos += 1 if flags & 0x02 else 0
         eos += 1 if flags & 0x04 else 0
+        saw_eos = bool(flags & 0x04)
         p = body_at
         for lv in laces:
             current += data[p : p + lv]
@@ -2006,6 +2033,8 @@ def _parse_ogg_inner(data: bytes) -> dict:
         at = body_at + body_len
     if open_packet:
         raise ValueError("Ogg: stream ends inside a packet")
+    if not eos:
+        raise ValueError("Ogg: stream ends without an EOS page")
     return {
         "serial": serial,
         "n_pages": n_pages,
@@ -2132,8 +2161,23 @@ def _parse_zip_inner(data: bytes) -> dict:
     if data[:4] != _ZIP_LOCAL_SIG and data[:4] != _ZIP_EOCD_SIG:
         raise ValueError("zip: bad magic")
     # EOCD: fixed 22 bytes + comment of up to 65535 — scan backwards
-    eocd_at = data.rfind(_ZIP_EOCD_SIG, max(0, len(data) - 22 - 0xFFFF))
-    if eocd_at < 0 or eocd_at + 22 > len(data):
+    # for a SELF-CONSISTENT record (comment length reaches exactly the
+    # end of the archive), not just the last signature occurrence: a
+    # comment containing the 4 signature bytes would otherwise hijack
+    # rfind and reject a perfectly legal archive.
+    eocd_at = -1
+    pos = len(data) - 22
+    floor = max(0, len(data) - 22 - 0xFFFF)
+    while pos >= floor:
+        pos = data.rfind(_ZIP_EOCD_SIG, floor, pos + 4)
+        if pos < 0:
+            break
+        (cand_clen,) = struct.unpack_from("<H", data, pos + 20)
+        if pos + 22 + cand_clen == len(data):
+            eocd_at = pos
+            break
+        pos -= 1
+    if eocd_at < 0:
         raise ValueError("zip: missing end-of-central-directory record")
     disk, cd_disk, n_disk, n_total, cd_size, cd_offset, clen = struct.unpack_from(
         "<HHHHIIH", data, eocd_at + 4
@@ -2208,7 +2252,11 @@ def _parse_zip_inner(data: bytes) -> dict:
                 raw = dec.decompress(payload) + dec.flush()
             except zlib.error as e:
                 raise ValueError(f"zip: bad DEFLATE stream in {name!r}: {e}") from e
-            if dec.unconsumed_tail or not dec.eof:
+            # unused_data = bytes past the DEFLATE end-of-stream marker
+            # (trailing junk hidden inside csize); eof False = stream
+            # truncated.  unconsumed_tail is always empty without
+            # max_length and would catch neither.
+            if dec.unused_data or not dec.eof:
                 raise ValueError(f"zip: DEFLATE stream in {name!r} has wrong length")
         else:
             raise ValueError(f"zip: unsupported method {method} for {name!r}")
@@ -2223,6 +2271,12 @@ def _parse_zip_inner(data: bytes) -> dict:
                 "compressed_size": csize,
                 "data": raw,
             }
+        )
+    # the walk must consume the WHOLE central directory: a tampered
+    # (decremented) EOCD count would otherwise silently hide members
+    if at != eocd_at:
+        raise ValueError(
+            "zip: central directory size disagrees with its entry count"
         )
     return {
         "n_members": n_total,
@@ -2260,6 +2314,10 @@ def encode_gzip(members: list) -> bytes:
     for m in members:
         data = bytes(m["data"])
         name = m.get("name")
+        if name is not None and (not name or "\x00" in name):
+            # FNAME is NUL-terminated: an embedded NUL would truncate
+            # the name and shift the body; '' would read back as None
+            raise ValueError(f"gzip: bad member name {name!r}")
         flg = _GZ_FNAME if name else 0
         out += _GZIP_MAGIC + struct.pack("<BBIBB", 8, flg, 0, 0, 255)
         if name:

@@ -311,26 +311,22 @@ def q_dedup_edit_verified(spark, sf_dir):
     )
 
 
-def _edit_distance_sql(t: int) -> str:
-    # The oracle's candidate scheme deliberately differs from the
-    # engine's bucket band — BOTH are lossless supersets of the true
-    # pair set, so the dist <= t outputs must match (two candidate
-    # generators, one answer) — on SINGLE-BYTE text: DuckDB levenshtein
-    # counts bytes, Spark's counts characters; all shipped fixtures are
-    # ASCII (see edit_distance_pairs' unicode-seam note).  DuckDB's
-    # levenshtein also has no threshold
-    # early-exit, so the oracle adds the classic character-histogram
-    # prefilter: one edit moves the char multiset by at most 2 L1
-    # units (substitution +1/-1, insert/delete +1... counted against
-    # the length delta), hence dist <= t implies L1 <= 2t — the full
-    # O(m*n) distance then runs only on near-matches.
+def _levenshtein_verify_tail(t: int) -> str:
+    """Shared tail of the two edit-distance oracles: expects prior
+    CTEs ``d`` (doc_id, text, len) and ``cand`` (a_id, b_id — any
+    lossless-for-the-output candidate set).  DuckDB's levenshtein has
+    no threshold early-exit, so the classic character-histogram
+    prefilter runs first: one edit moves the char multiset by at most
+    2 L1 units (substitution +1/-1, insert/delete +1 counted against
+    the length delta), hence dist <= t implies L1 <= 2t — the full
+    O(m*n) distance then runs only on near-matches.  The histogram is
+    built over candidate docs only (lossless: non-candidates can't
+    reach the output)."""
     return f"""
-WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
-cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-         FROM d a JOIN range(-{t}, {t + 1}) r ON true
-         JOIN d b ON b.len = a.len + r.range AND a.doc_id < b.doc_id),
 hist AS (SELECT doc_id, u.c, count(*)::BIGINT AS n
-         FROM d, unnest(string_split(text, '')) AS u(c) GROUP BY 1, 2),
+         FROM d, unnest(string_split(text, '')) AS u(c)
+         WHERE doc_id IN (SELECT a_id FROM cand UNION SELECT b_id FROM cand)
+         GROUP BY 1, 2),
 contrib AS (
   SELECT c.a_id, c.b_id, h.c AS ch, h.n AS na, 0::BIGINT AS nb
   FROM cand c JOIN hist h ON h.doc_id = c.a_id
@@ -344,7 +340,23 @@ surv AS (SELECT a_id, b_id FROM l1 WHERE l1 <= {2 * t}),
 outp AS (SELECT s.a_id, s.b_id, levenshtein(da.text, db.text)::INT AS dist
          FROM surv s JOIN d da ON da.doc_id = s.a_id
                      JOIN d db ON db.doc_id = s.b_id)
-SELECT a_id, b_id, dist FROM outp WHERE dist <= {t}
+SELECT a_id, b_id, dist FROM outp WHERE dist <= {t}"""
+
+
+def _edit_distance_sql(t: int) -> str:
+    # The oracle's candidate scheme deliberately differs from the
+    # engine's bucket band — BOTH are lossless supersets of the true
+    # pair set, so the dist <= t outputs must match (two candidate
+    # generators, one answer) — on SINGLE-BYTE text: DuckDB levenshtein
+    # counts bytes, Spark's counts characters; all shipped fixtures are
+    # ASCII (see edit_distance_pairs' unicode-seam note and the
+    # enforced fixture pin in tests/test_round11_ops.py).
+    return f"""
+WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM d a JOIN range(-{t}, {t + 1}) r ON true
+         JOIN d b ON b.len = a.len + r.range AND a.doc_id < b.doc_id),
+{_levenshtein_verify_tail(t)}
 """
 
 
@@ -2762,13 +2774,10 @@ def _edit_verified_sql(n: int, t: int) -> str:
     """Mirror of dedup.edit_verified_pairs: the LSH candidate CTE chain
     (identical to _minhash_sql — banding has recall < 1, so the oracle
     must REPRODUCE the candidate set, not approximate it), then the
-    length necessary-condition prune and the exact levenshtein at
-    threshold t.  DuckDB's levenshtein has no early-exit, so the L1
-    char-histogram prefilter from _edit_distance_sql (dist <= t implies
-    L1 <= 2t — lossless) keeps the full O(m*n) matrix off the
-    still-too-similar-to-prune candidates only.  Byte-vs-character
-    parity holds on the ASCII fixtures (enforced by
-    tests/test_advice_fixes_r11.py's fixture pin)."""
+    length necessary-condition prune and the shared L1-prefiltered
+    levenshtein verify tail.  Byte-vs-character parity holds on the
+    ASCII fixtures (enforced by tests/test_round11_ops.py's fixture
+    pin)."""
     return f"""
 WITH {_minhash_ctes(n)},
 cand0 AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
@@ -2779,24 +2788,7 @@ cand AS (SELECT c.a_id, c.b_id
          FROM cand0 c JOIN d da ON da.doc_id = c.a_id
                       JOIN d db ON db.doc_id = c.b_id
          WHERE abs(da.len - db.len) <= {t}),
-hist AS (SELECT doc_id, u.c, count(*)::BIGINT AS n
-         FROM d, unnest(string_split(text, '')) AS u(c)
-         WHERE doc_id IN (SELECT a_id FROM cand UNION SELECT b_id FROM cand)
-         GROUP BY 1, 2),
-contrib AS (
-  SELECT c.a_id, c.b_id, h.c AS ch, h.n AS na, 0::BIGINT AS nb
-  FROM cand c JOIN hist h ON h.doc_id = c.a_id
-  UNION ALL
-  SELECT c.a_id, c.b_id, h.c, 0::BIGINT, h.n
-  FROM cand c JOIN hist h ON h.doc_id = c.b_id),
-l1 AS (SELECT a_id, b_id, SUM(abs(na - nb))::BIGINT AS l1
-       FROM (SELECT a_id, b_id, ch, SUM(na) AS na, SUM(nb) AS nb
-             FROM contrib GROUP BY 1, 2, 3) GROUP BY 1, 2),
-surv AS (SELECT a_id, b_id FROM l1 WHERE l1 <= {2 * t})
-SELECT s.a_id, s.b_id, levenshtein(da.text, db.text)::INT AS dist
-FROM surv s JOIN d da ON da.doc_id = s.a_id
-            JOIN d db ON db.doc_id = s.b_id
-WHERE levenshtein(da.text, db.text) <= {t}"""
+{_levenshtein_verify_tail(t)}"""
 
 
 def _incremental_sql(n: int, threshold: float, mod: int, rem: int) -> str:

@@ -225,3 +225,44 @@ def test_ogg_empty_stream_roundtrip():
     assert p["continued_pages"] == 0
     assert p["max_granule"] is None  # no packet ever completed
     assert p["serial"] == 7
+
+
+# ------------------- round-11 self-review regression pins (same round)
+
+
+def test_ogg_dropped_first_and_last_page_detected():
+    """The sequence chain alone cannot catch a dropped FIRST or LAST
+    page; the BOS/EOS placement checks must."""
+    pkts = [b"p0" * 10, b"p1" * 10, b"p2" * 10]
+    blob = codecs.encode_ogg(3, pkts, max_laces=1)
+    offs = _page_offsets(blob)
+    no_first = blob[offs[0][1] :]
+    with pytest.raises(ValueError, match="BOS"):
+        codecs.parse_ogg(no_first)
+    no_last = blob[: offs[2][0]]
+    with pytest.raises(ValueError, match="EOS"):
+        codecs.parse_ogg(no_last)
+
+
+def test_ogg_same_stream_data_after_eos_rejected():
+    blob = codecs.encode_ogg(3, [b"pkt"])  # one BOS+EOS page
+    with pytest.raises(ValueError, match="after the EOS"):
+        codecs.parse_ogg(blob + blob)  # same serial, same seq 0... but
+        # the EOS check fires before the sequence check can
+
+
+def test_mkv_minimal_all_ones_first_lace_size_accepted():
+    """A third-party muxer minimally encodes a first EBML-lace size of
+    127 as the 1-byte all-ones VINT 0xFF — a LACING size, not an
+    element size, so the unknown-size reservation must not reject it."""
+    frames = [b"a" * 127, b"b" * 5]
+    body = (
+        codecs._ebml_size(1)
+        + struct.pack(">h", 0)
+        + bytes([0x80 | 0x06, len(frames) - 1])
+        + b"\xff"  # minimal 1-byte VINT for 127 (all data bits set)
+        + frames[0]
+        + frames[1]
+    )
+    p = codecs.parse_mkv(_raw_simpleblock_mkv(body))
+    assert p["tracks"][0]["frames"] == frames

@@ -388,3 +388,68 @@ def test_gzip_roundtrip_fuzz():
         ]
 
     check()
+
+
+# -------------------------------- 5. self-review regression pins (r11)
+#
+# Each of these reproduces a defect the round-11 code-review pass
+# found in the first-cut codecs; they pin the fixes.
+
+
+def test_zip_trailing_junk_inside_csize_rejected():
+    """A DEFLATE member whose csize covers trailing junk after the
+    end-of-stream marker must be rejected (dec.unused_data, not the
+    always-empty unconsumed_tail)."""
+    import struct
+
+    blob = bytearray(codecs.encode_zip(
+        [{"name": "a.bin", "data": b"payload " * 30, "method": "deflate"}]
+    ))
+    # grow the payload by 4 junk bytes and patch BOTH csize fields
+    (csize,) = struct.unpack_from("<I", blob, 18)
+    body_at = 30 + len("a.bin")
+    junk = blob[: body_at + csize] + b"\xde\xad\xbe\xef" + blob[body_at + csize :]
+    junk = bytearray(junk)
+    struct.pack_into("<I", junk, 18, csize + 4)  # local csize
+    cd_at = junk.index(b"PK\x01\x02")
+    struct.pack_into("<I", junk, cd_at + 20, csize + 4)  # central csize
+    # EOCD cd-offset moved by 4
+    eocd = junk.rindex(b"PK\x05\x06")
+    (cd_off,) = struct.unpack_from("<I", junk, eocd + 16)
+    struct.pack_into("<I", junk, eocd + 16, cd_off + 4)
+    with pytest.raises(ValueError, match="wrong length"):
+        codecs.parse_zip(bytes(junk))
+
+
+def test_zip_eocd_count_decrement_rejected():
+    """A decremented EOCD count must not silently hide members: the
+    central-directory walk has to consume exactly cd_size bytes."""
+    import struct
+
+    blob = _zip_blob(7)  # 3 members
+    eocd = blob.rindex(b"PK\x05\x06")
+    bad = bytearray(blob)
+    n = struct.unpack_from("<H", blob, eocd + 10)[0]
+    assert n == 3
+    struct.pack_into("<HH", bad, eocd + 8, n - 1, n - 1)
+    with pytest.raises(ValueError, match="entry count"):
+        codecs.parse_zip(bytes(bad))
+
+
+def test_zip_comment_containing_eocd_signature_roundtrips():
+    """encode accepts any comment bytes, so parse must scan for a
+    SELF-CONSISTENT EOCD instead of rfind-ing the last signature."""
+    blob = codecs.encode_zip(
+        [{"name": "a", "data": b"x", "method": "stored"}],
+        comment=b"see PK\x05\x06 marker",
+    )
+    p = codecs.parse_zip(blob)
+    assert p["comment"] == b"see PK\x05\x06 marker"
+    assert p["members"][0]["data"] == b"x"
+
+
+def test_gzip_bad_names_rejected_at_encode():
+    with pytest.raises(ValueError, match="name"):
+        codecs.encode_gzip([{"data": b"x", "name": "a\x00b"}])
+    with pytest.raises(ValueError, match="name"):
+        codecs.encode_gzip([{"data": b"x", "name": ""}])
