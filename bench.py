@@ -210,6 +210,8 @@ HEADLINE = [
     "zip_container_stats",
     "dedup_edit_verified",
     "gzip_member_stats",
+    "warc_ingest_stats",
+    "tar_archive_stats",
 ]
 
 

@@ -2407,15 +2407,239 @@ def _parse_gzip_inner(data: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------- TAR (ustar)
+#
+# The uncompressed archive tier: POSIX ustar, 512-byte header blocks
+# whose CHECKSUM field (sum of the header bytes with the checksum
+# field read as 8 spaces) is verified on every member — the third
+# real checksum layer after Ogg's CRC (unreflected) and ZIP/gzip's
+# (reflected).  Sizes are octal text; member data pads to 512; the
+# archive ends with two zero blocks (trailing zero padding beyond
+# them is accepted — stdlib tarfile pads to a 10240-byte recordsize).
+# Scope: regular files (typeflag '0'/NUL) with names <= 100 chars;
+# links, devices, PAX/GNU extensions raise ValueError.
+
+_TAR_BLOCK = 512
+_TAR_MAGIC = b"ustar"
+
+
+def _tar_octal(v: int, width: int) -> bytes:
+    return (f"%0{width - 1}o" % v).encode("ascii") + b"\x00"
+
+
+def encode_tar(members: list) -> bytes:
+    """Encode ``members`` — dicts with ``name`` (ascii str <= 100) and
+    ``data`` (bytes) — as a POSIX ustar archive.  Deterministic:
+    mode 0644, uid/gid 0, mtime 0, empty uname/gname."""
+    out = bytearray()
+    for m in members:
+        name = m["name"].encode("ascii")
+        if not name or len(name) > 100:
+            raise ValueError(f"tar: bad member name {m['name']!r}")
+        data = bytes(m["data"])
+        if len(data) >= 8**11:
+            raise ValueError(f"tar: member {m['name']!r} too large for octal size")
+        hdr = bytearray(_TAR_BLOCK)
+        hdr[0 : len(name)] = name
+        hdr[100:108] = _tar_octal(0o644, 8)
+        hdr[108:116] = _tar_octal(0, 8)
+        hdr[116:124] = _tar_octal(0, 8)
+        hdr[124:136] = _tar_octal(len(data), 12)
+        hdr[136:148] = _tar_octal(0, 12)
+        hdr[148:156] = b" " * 8  # checksum computed over spaces
+        hdr[156] = ord("0")  # regular file
+        hdr[257:263] = _TAR_MAGIC + b"\x00"
+        hdr[263:265] = b"00"
+        chksum = sum(hdr)
+        hdr[148:156] = (b"%06o" % chksum) + b"\x00 "
+        out += hdr + data
+        if len(data) % _TAR_BLOCK:
+            out += b"\x00" * (_TAR_BLOCK - len(data) % _TAR_BLOCK)
+    out += b"\x00" * (2 * _TAR_BLOCK)
+    return bytes(out)
+
+
+def parse_tar(data: bytes) -> dict:
+    """Parse a ustar archive: per-member header-checksum verification,
+    octal size decode, 512-block walk, two-zero-block terminator
+    (trailing zero padding accepted).  Returns {n_members, members:
+    [{name, size, data}], total_payload_bytes, archive_blocks}.
+    Malformed, truncated, or checksum-corrupt input raises ValueError
+    (the decode_wav rejection contract)."""
+    try:
+        return _parse_tar_inner(data)
+    except (struct.error, IndexError, EOFError, UnicodeDecodeError) as e:
+        raise ValueError(f"truncated or corrupt TAR payload: {e}") from e
+
+
+def _tar_read_octal(field: bytes, what: str) -> int:
+    s = field.rstrip(b"\x00 ").lstrip(b" ")
+    if not s:
+        return 0
+    try:
+        return int(s, 8)
+    except ValueError as e:
+        raise ValueError(f"tar: non-octal {what} field {field!r}") from e
+
+
+def _parse_tar_inner(data: bytes) -> dict:
+    if len(data) < 2 * _TAR_BLOCK:
+        raise ValueError("tar: shorter than the two-zero-block terminator")
+    members = []
+    at = 0
+    while True:
+        if at + _TAR_BLOCK > len(data):
+            raise ValueError("tar: truncated header block")
+        hdr = data[at : at + _TAR_BLOCK]
+        if hdr == b"\x00" * _TAR_BLOCK:
+            # terminator: a second zero block, then only zero padding
+            if at + 2 * _TAR_BLOCK > len(data):
+                raise ValueError("tar: missing second terminator block")
+            if data[at + _TAR_BLOCK : at + 2 * _TAR_BLOCK] != b"\x00" * _TAR_BLOCK:
+                raise ValueError("tar: corrupt terminator block")
+            if data[at + 2 * _TAR_BLOCK :].strip(b"\x00"):
+                raise ValueError("tar: non-zero data after the terminator")
+            break
+        if hdr[257:262] != _TAR_MAGIC:
+            raise ValueError("tar: bad ustar magic")
+        stored = _tar_read_octal(hdr[148:156], "checksum")
+        actual = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if stored != actual:
+            raise ValueError(
+                f"tar: header checksum mismatch ({stored:o} != {actual:o})"
+            )
+        typeflag = hdr[156:157]
+        if typeflag not in (b"0", b"\x00"):
+            raise ValueError(
+                f"tar: unsupported typeflag {typeflag!r} (regular files only)"
+            )
+        name = hdr[:100].rstrip(b"\x00").decode("ascii")
+        if not name:
+            raise ValueError("tar: member with empty name")
+        size = _tar_read_octal(hdr[124:136], "size")
+        body_at = at + _TAR_BLOCK
+        if body_at + size > len(data):
+            raise ValueError(f"tar: member {name!r} past end of archive")
+        members.append(
+            {"name": name, "size": size, "data": bytes(data[body_at : body_at + size])}
+        )
+        at = body_at + size
+        if size % _TAR_BLOCK:
+            pad = _TAR_BLOCK - size % _TAR_BLOCK
+            if data[at : at + pad].strip(b"\x00"):
+                raise ValueError(f"tar: non-zero padding after member {name!r}")
+            at += pad
+    return {
+        "n_members": len(members),
+        "members": members,
+        "total_payload_bytes": sum(m["size"] for m in members),
+        "archive_blocks": len(data) // _TAR_BLOCK,
+    }
+
+
+# --------------------------------------------------------- WARC records
+#
+# The record layer ON TOP of the gzip members: Common Crawl ships
+# WARC/1.0 (ISO 28500) as one gzip member per record, so parse_gzip's
+# member walk composes directly with this parser to read .warc.gz the
+# way a 100 TB ingest job actually does.  A record is a version line
+# ('WARC/1.0' | 'WARC/1.1'), CRLF-terminated named header lines (the
+# mandatory Content-Length names the payload's byte length exactly),
+# one blank line, the payload, and a CRLF CRLF trailer.  Everything
+# is verified: version, header syntax, the Content-Length bound, and
+# the trailer.
+
+_WARC_VERSIONS = (b"WARC/1.0", b"WARC/1.1")
+
+
+def encode_warc_record(headers: list, payload: bytes, version: str = "WARC/1.0") -> bytes:
+    """One WARC record: ``headers`` is a list of (name, value) pairs
+    (Content-Length is appended automatically and must not be passed)."""
+    if version not in ("WARC/1.0", "WARC/1.1"):
+        raise ValueError(f"WARC: unsupported version {version!r}")
+    payload = bytes(payload)
+    lines = [version.encode("ascii")]
+    for name, value in headers:
+        if name.lower() == "content-length":
+            raise ValueError("WARC: Content-Length is computed, not passed")
+        if ":" in name or "\r" in name + value or "\n" in name + value:
+            raise ValueError(f"WARC: bad header {name!r}: {value!r}")
+        lines.append(f"{name}: {value}".encode("ascii"))
+    lines.append(f"Content-Length: {len(payload)}".encode("ascii"))
+    return b"\r\n".join(lines) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def parse_warc(data: bytes) -> dict:
+    """Parse a concatenation of WARC records (ONE gzip member's worth,
+    or a whole uncompressed .warc file): version line, header block,
+    Content-Length-bounded payload, CRLF CRLF trailer — all verified.
+    Returns {n_records, records: [{version, headers, payload}]} with
+    ``headers`` a dict (original names, last-wins).  Malformed or
+    truncated input raises ValueError (the decode_wav rejection
+    contract)."""
+    try:
+        return _parse_warc_inner(data)
+    except (struct.error, IndexError, EOFError, UnicodeDecodeError) as e:
+        raise ValueError(f"truncated or corrupt WARC payload: {e}") from e
+
+
+def _parse_warc_inner(data: bytes) -> dict:
+    if not data.startswith(_WARC_VERSIONS):
+        raise ValueError("WARC: bad magic")
+    records = []
+    at = 0
+    while at < len(data):
+        nl = data.find(b"\r\n", at)
+        if nl < 0:
+            raise ValueError("WARC: truncated version line")
+        version = data[at:nl]
+        if version not in _WARC_VERSIONS:
+            raise ValueError(f"WARC: unsupported version {version!r}")
+        at = nl + 2
+        headers: dict = {}
+        while True:
+            nl = data.find(b"\r\n", at)
+            if nl < 0:
+                raise ValueError("WARC: truncated header block")
+            line = data[at:nl]
+            at = nl + 2
+            if not line:
+                break
+            colon = line.find(b":")
+            if colon <= 0:
+                raise ValueError(f"WARC: malformed header line {line!r}")
+            headers[line[:colon].decode("ascii")] = (
+                line[colon + 1 :].decode("ascii").strip()
+            )
+        cl = headers.get("Content-Length")
+        if cl is None or not cl.isdigit():
+            raise ValueError("WARC: missing or non-numeric Content-Length")
+        n = int(cl)
+        if at + n + 4 > len(data):
+            raise ValueError("WARC: payload past end of input")
+        payload = bytes(data[at : at + n])
+        if data[at + n : at + n + 4] != b"\r\n\r\n":
+            raise ValueError("WARC: record lacks the CRLF CRLF trailer")
+        at += n + 4
+        records.append(
+            {
+                "version": version.decode("ascii"),
+                "headers": headers,
+                "payload": payload,
+            }
+        )
+    return {"n_records": len(records), "records": records}
+
+
 # ------------------------------------------------------- format sniffing
 
 
 def sniff_format(data: bytes) -> str:
     """Identify a payload by magic bytes across the in-repo codecs:
     'bmp' | 'wav' | 'png' | 'gif' | 'jpeg' | 'mp4' | 'mkv' | 'ogg' |
-    'zip' | 'gzip' | 'unknown'.  The multimodal pipeline dispatches on THIS,
-    not on the declared kind column — container metadata lies; magic
-    bytes don't."""
+    'zip' | 'gzip' | 'tar' | 'warc' | 'unknown'.  The multimodal
+    pipeline dispatches on THIS, not on the declared kind column —
+    container metadata lies; magic bytes don't."""
     if data[:8] == _PNG_SIG:
         return "png"
     if data[:6] in (b"GIF87a", b"GIF89a"):
@@ -2436,4 +2660,8 @@ def sniff_format(data: bytes) -> str:
         return "zip"
     if data[:2] == _GZIP_MAGIC:
         return "gzip"
+    if data[257:262] == _TAR_MAGIC:  # ustar magic sits inside the header
+        return "tar"
+    if data.startswith(_WARC_VERSIONS):
+        return "warc"
     return "unknown"

@@ -332,7 +332,253 @@ FROM agg
 """
 
 
+# ------------------------------------------------ WARC ingest stats
+#
+# The full Common Crawl ingest composition, layer by layer: per
+# document (slice doc_id % 11 == 5) build a 2-record WARC — a
+# 'warcinfo' record with the fixed 32-byte payload
+# b'software: k-means-hadoop-spark\r\n' and a 'response' record whose
+# payload is the DOCUMENT'S OWN TEXT bytes — wrap one gzip member per
+# record (the .warc.gz convention), then parse back DOWN the stack:
+# gzip member walk (CRC-32 + ISIZE verified) → WARC record parse
+# (version, headers, Content-Length bound, trailer verified) → field
+# + payload-byte comparison against the plant.  Unlike the arithmetic
+# plants, this oracle depends on the REAL table: the response payload
+# length is length(text) (bytes == chars on the ASCII-pinned
+# fixtures), so a wrong text roundtrip anywhere in the stack flips
+# the driver hash.
+
+_WARCINFO_PAYLOAD = b"software: k-means-hadoop-spark\r\n"  # 32 bytes
+
+
+def warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, parse_ok, n_records, response_payload_bytes,
+    total_payload_bytes, record_types) — .warc.gz encode→parse
+    roundtrip (gzip member walk + WARC record parse, both fully
+    verified) where the response payload is the document's own
+    text."""
+    import pandas as pd
+
+    from k_means_hadoop_spark.functions import codecs
+    from k_means_hadoop_spark.partitioning import fan_out
+
+    _pickle_round11_by_value()
+    docs = fan_out(
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") % 11 == 5)
+    )
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                body = str(text).encode("ascii")
+                rid = f"<urn:uuid:{did:08x}>"
+                info = codecs.encode_warc_record(
+                    [("WARC-Type", "warcinfo"), ("WARC-Record-ID", rid)],
+                    _WARCINFO_PAYLOAD,
+                )
+                resp = codecs.encode_warc_record(
+                    [("WARC-Type", "response"), ("WARC-Record-ID", rid)],
+                    body,
+                )
+                blob = codecs.encode_gzip([{"data": info}, {"data": resp}])
+                try:
+                    g = codecs.parse_gzip(blob)
+                    recs = [
+                        codecs.parse_warc(m["data"])["records"][0]
+                        for m in g["members"]
+                    ]
+                    ok = (
+                        g["n_members"] == 2
+                        and all(
+                            len(codecs.parse_warc(m["data"])["records"]) == 1
+                            for m in g["members"]
+                        )
+                        and recs[0]["headers"]["WARC-Type"] == "warcinfo"
+                        and recs[0]["payload"] == _WARCINFO_PAYLOAD
+                        and recs[1]["headers"]["WARC-Type"] == "response"
+                        and recs[1]["payload"] == body
+                        and all(
+                            r["headers"]["WARC-Record-ID"] == rid
+                            and r["version"] == "WARC/1.0"
+                            and int(r["headers"]["Content-Length"])
+                            == len(r["payload"])
+                            for r in recs
+                        )
+                    )
+                    rows.append(
+                        (
+                            did,
+                            bool(ok),
+                            len(recs),
+                            len(recs[1]["payload"]),
+                            sum(len(r["payload"]) for r in recs),
+                            ",".join(r["headers"]["WARC-Type"] for r in recs),
+                        )
+                    )
+                except ValueError:
+                    rows.append((did, False, 0, 0, 0, ""))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "parse_ok",
+                    "n_records",
+                    "response_payload_bytes",
+                    "total_payload_bytes",
+                    "record_types",
+                ],
+            )
+
+    return docs.mapInPandas(
+        _batches,
+        schema=(
+            "media_id bigint, parse_ok boolean, n_records int,"
+            " response_payload_bytes bigint, total_payload_bytes bigint,"
+            " record_types string"
+        ),
+    )
+
+
+# The oracle reads the REAL table: response bytes = length(text)
+# (bytes == characters on the ASCII-pinned fixtures), warcinfo adds
+# the fixed 32-byte payload.
+WARC_STATS_SQL = """
+SELECT doc_id AS media_id, true AS parse_ok, 2::INT AS n_records,
+       length(text)::BIGINT AS response_payload_bytes,
+       (32 + length(text))::BIGINT AS total_payload_bytes,
+       'warcinfo,response' AS record_types
+FROM documents WHERE doc_id % 11 = 5
+"""
+
+
+# ------------------------------------------------- TAR archive stats
+#
+# Planted spec per doc_id d (slice doc_id % 11 == 9): nm = 2 + d%2
+# members; member i, name 'f{i}.dat', carries 40 + (d+i)%30 bytes of
+# (d*17 + i*23 + j) % 256.  Every payload is under one block, so the
+# archive is exactly 2*nm + 2 blocks (header + data per member, two
+# terminator blocks) — closed-form for the oracle.  The kernel
+# encodes, re-parses through the ustar walk (which verifies every
+# header checksum, octal size, padding, and the terminator), and
+# checks every member's name and payload byte against the plant.
+
+
+def _tar_plant(did: int) -> list[dict]:
+    """The planted archive spec for doc_id ``did`` (shared by the
+    kernel and the roundtrip pins in tests/test_round11_ops.py)."""
+    return [
+        {
+            "name": f"f{i}.dat",
+            "data": bytes(
+                ((did * 17 + i * 23 + j) % 256)
+                for j in range(40 + (did + i) % 30)
+            ),
+        }
+        for i in range(2 + did % 2)
+    ]
+
+
+def tar_archive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, parse_ok, n_members, total_payload_bytes,
+    archive_blocks, member_names) — POSIX ustar encode→parse roundtrip
+    with per-header checksum verification over planted archives (spec
+    in ``_tar_plant``)."""
+    import pandas as pd
+
+    from k_means_hadoop_spark.functions import codecs
+    from k_means_hadoop_spark.partitioning import fan_out
+
+    _pickle_round11_by_value()
+    ids = fan_out(
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 11 == 9)
+    )
+
+    def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                want = _tar_plant(did)
+                blob = codecs.encode_tar(want)
+                try:
+                    p = codecs.parse_tar(blob)
+                    ok = (
+                        p["n_members"] == len(want)
+                        and [m["name"] for m in p["members"]]
+                        == [m["name"] for m in want]
+                        and [m["data"] for m in p["members"]]
+                        == [m["data"] for m in want]
+                        and all(
+                            m["size"] == len(m["data"])
+                            for m in p["members"]
+                        )
+                    )
+                    rows.append(
+                        (
+                            did,
+                            bool(ok),
+                            p["n_members"],
+                            p["total_payload_bytes"],
+                            p["archive_blocks"],
+                            ",".join(m["name"] for m in p["members"]),
+                        )
+                    )
+                except ValueError:
+                    rows.append((did, False, 0, 0, 0, ""))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "parse_ok",
+                    "n_members",
+                    "total_payload_bytes",
+                    "archive_blocks",
+                    "member_names",
+                ],
+            )
+
+    return ids.mapInPandas(
+        _batches,
+        schema=(
+            "media_id bigint, parse_ok boolean, n_members int,"
+            " total_payload_bytes bigint, archive_blocks bigint,"
+            " member_names string"
+        ),
+    )
+
+
+# Closed form: nm = 2 + d%2; member i carries 40 + (d+i)%30 bytes
+# (< 512, so one data block each); archive blocks = 2*nm + 2.
+TAR_STATS_SQL = """
+WITH d AS (
+  SELECT doc_id, 2 + doc_id % 2 AS nm
+  FROM documents WHERE doc_id % 11 = 9),
+m AS (
+  SELECT d.doc_id, d.nm, i.range AS i,
+         (40 + (d.doc_id + i.range) % 30) AS usize
+  FROM d CROSS JOIN range(3) i WHERE i.range < d.nm),
+agg AS (
+  SELECT doc_id,
+         count(*)::INT AS n_members,
+         SUM(usize)::BIGINT AS total_payload_bytes,
+         (2 * count(*) + 2)::BIGINT AS archive_blocks,
+         string_agg('f' || i || '.dat', ',' ORDER BY i) AS member_names
+  FROM m GROUP BY doc_id)
+SELECT doc_id AS media_id, true AS parse_ok, n_members,
+       total_payload_bytes, archive_blocks, member_names
+FROM agg
+"""
+
+
 ROUND11_QUERIES: dict = {
     "zip_container_stats": (zip_container_stats, ZIP_STATS_SQL),
     "gzip_member_stats": (gzip_member_stats, GZIP_STATS_SQL),
+    "warc_ingest_stats": (warc_ingest_stats, WARC_STATS_SQL),
+    "tar_archive_stats": (tar_archive_stats, TAR_STATS_SQL),
 }

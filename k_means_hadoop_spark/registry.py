@@ -1048,14 +1048,18 @@ _SCHEDULE: dict[str, dict] = {
     "dedup_edit_distance": _row(defer=6),
     "ogg_container_stats": _row(defer=6),
     # -- round-11 additions (verdict items 3 and 5: the LSH→levenshtein
-    # composition of the edit-distance tier, plus the archive tier —
-    # ZIP with the reflected CRC-32 and multi-member gzip with verified
-    # trailers — the round's only window-head charges, 3 of the <= 5
-    # cap, leaving 47 drain slots for the r04/r05 cohort).  Locally
+    # composition of the edit-distance tier, plus the whole ingest
+    # archive tier — ZIP with the reflected CRC-32, multi-member gzip
+    # with verified trailers, the .warc.gz record layer whose oracle
+    # reads the REAL table, and POSIX ustar with verified header
+    # checksums — the round's window-head charges, exactly the <= 5
+    # cap, leaving 45 drain slots for the r04/r05 cohort).  Locally
     # oracle-verified at sf0.001/0.01/0.1.
     "dedup_edit_verified": _row(defer=7),
     "zip_container_stats": _row(defer=7),
     "gzip_member_stats": _row(defer=7),
+    "warc_ingest_stats": _row(defer=7),
+    "tar_archive_stats": _row(defer=7),
 }
 
 

@@ -23,6 +23,15 @@ edit-distance ASCII parity bound, and the ZIP archive codec.
    FEXTRA / FCOMMENT / FHCRC), per-member reflected CRC-32 + ISIZE
    trailer verification.  Same pin families as ZIP, plus stdlib-gzip
    interop in both directions.
+5. Self-review regression pins: each reproduces a defect the round-11
+   code-review pass found in the first-cut codecs.
+6. The WARC record layer (ISO 28500) on top of the gzip members —
+   version line, named headers, exact Content-Length bound, CRLF CRLF
+   trailer — and the .warc.gz composition through both verified
+   layers.
+7. The POSIX ustar codec: per-header checksum verification, octal
+   sizes, block padding, two-zero-block terminator; stdlib-tarfile
+   interop both ways.
 """
 
 from __future__ import annotations
@@ -453,3 +462,236 @@ def test_gzip_bad_names_rejected_at_encode():
         codecs.encode_gzip([{"data": b"x", "name": "a\x00b"}])
     with pytest.raises(ValueError, match="name"):
         codecs.encode_gzip([{"data": b"x", "name": ""}])
+
+
+# ----------------------------------------------------- 6. WARC records
+
+
+def test_warc_record_roundtrip():
+    r = codecs.encode_warc_record(
+        [("WARC-Type", "response"), ("WARC-Record-ID", "<urn:uuid:1>")],
+        b"body with\r\nnewlines and a WARC/1.0 literal inside",
+    )
+    p = codecs.parse_warc(r)
+    assert p["n_records"] == 1
+    rec = p["records"][0]
+    assert rec["version"] == "WARC/1.0"
+    assert rec["headers"]["WARC-Type"] == "response"
+    assert int(rec["headers"]["Content-Length"]) == len(rec["payload"])
+    assert rec["payload"].endswith(b"inside")
+
+
+def test_warc_concatenated_records():
+    r1 = codecs.encode_warc_record([("WARC-Type", "warcinfo")], b"a" * 10)
+    r2 = codecs.encode_warc_record([("WARC-Type", "response")], b"b" * 99)
+    p = codecs.parse_warc(r1 + r2)
+    assert [r["headers"]["WARC-Type"] for r in p["records"]] == [
+        "warcinfo",
+        "response",
+    ]
+    assert [len(r["payload"]) for r in p["records"]] == [10, 99]
+
+
+def test_warc_gz_composition():
+    """The .warc.gz convention: one gzip member per record; the stack
+    parses down through both verified layers."""
+    recs = [
+        codecs.encode_warc_record([("WARC-Type", "warcinfo")], b"info"),
+        codecs.encode_warc_record([("WARC-Type", "response")], b"payload"),
+    ]
+    g = codecs.parse_gzip(codecs.encode_gzip([{"data": r} for r in recs]))
+    parsed = [codecs.parse_warc(m["data"])["records"][0] for m in g["members"]]
+    assert [r["payload"] for r in parsed] == [b"info", b"payload"]
+
+
+def test_warc_content_length_is_exact():
+    r = codecs.encode_warc_record([("WARC-Type", "x")], b"12345")
+    # lengthen the declared Content-Length: the payload bound then
+    # swallows the trailer and the record must be rejected
+    bad = r.replace(b"Content-Length: 5", b"Content-Length: 6")
+    with pytest.raises(ValueError):
+        codecs.parse_warc(bad)
+    short = r.replace(b"Content-Length: 5", b"Content-Length: 4")
+    with pytest.raises(ValueError, match="trailer"):
+        codecs.parse_warc(short)
+
+
+def test_warc_truncation_always_value_error():
+    r1 = codecs.encode_warc_record([("WARC-Type", "response")], b"x" * 37)
+    blob = r1 + codecs.encode_warc_record([("WARC-Type", "metadata")], b"y" * 11)
+    for cut in range(1, len(blob), 3):
+        if cut == len(r1):
+            # a cut exactly on a record boundary is a VALID shorter
+            # stream (record concatenation carries no global count)
+            assert codecs.parse_warc(blob[:cut])["n_records"] == 1
+            continue
+        with pytest.raises(ValueError):
+            codecs.parse_warc(blob[:cut])
+
+
+def test_warc_malformed_header_rejected():
+    with pytest.raises(ValueError, match="malformed header"):
+        codecs.parse_warc(b"WARC/1.0\r\nno colon here\r\n\r\n\r\n\r\n")
+
+
+def test_warc_encode_guards():
+    with pytest.raises(ValueError, match="Content-Length"):
+        codecs.encode_warc_record([("Content-Length", "5")], b"x")
+    with pytest.raises(ValueError, match="bad header"):
+        codecs.encode_warc_record([("Name", "bad\r\nvalue")], b"x")
+    with pytest.raises(ValueError, match="version"):
+        codecs.encode_warc_record([], b"x", version="WARC/2.0")
+
+
+def test_warc_version_11_roundtrip():
+    r = codecs.encode_warc_record([("WARC-Type", "x")], b"v11", version="WARC/1.1")
+    assert codecs.parse_warc(r)["records"][0]["version"] == "WARC/1.1"
+
+
+def test_warc_roundtrip_fuzz():
+    """Property fuzz: ANY payload bytes (including CRLF runs and WARC
+    version literals) and header values roundtrip exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    val = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789:<>- ", max_size=20
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        payloads=st.lists(st.binary(max_size=400), min_size=1, max_size=4),
+        rid=val,
+    )
+    def check(payloads, rid):
+        blob = b"".join(
+            codecs.encode_warc_record(
+                [("WARC-Type", "response"), ("WARC-Record-ID", rid)], pl
+            )
+            for pl in payloads
+        )
+        p = codecs.parse_warc(blob)
+        assert [r["payload"] for r in p["records"]] == payloads
+        assert all(
+            r["headers"]["WARC-Record-ID"] == rid.strip() for r in p["records"]
+        )
+
+    check()
+
+
+# ------------------------------------------------------ 7. TAR (ustar)
+
+
+def _tar_blob(did: int) -> bytes:
+    from k_means_hadoop_spark.operators.round11 import _tar_plant
+
+    return codecs.encode_tar(_tar_plant(did))
+
+
+@pytest.mark.parametrize("did", [9, 20, 31, 42, 12343, 999981])
+def test_tar_roundtrip_bit_exact(did):
+    from k_means_hadoop_spark.operators.round11 import _tar_plant
+
+    want = _tar_plant(did)
+    p = codecs.parse_tar(_tar_blob(did))
+    assert p["n_members"] == len(want)
+    assert [m["name"] for m in p["members"]] == [m["name"] for m in want]
+    assert [m["data"] for m in p["members"]] == [m["data"] for m in want]
+    assert p["archive_blocks"] == 2 * len(want) + 2
+
+
+def test_tar_stdlib_reads_ours():
+    import io
+    import tarfile
+
+    from k_means_hadoop_spark.operators.round11 import _tar_plant
+
+    tf = tarfile.open(fileobj=io.BytesIO(_tar_blob(9)))
+    for m in _tar_plant(9):
+        f = tf.extractfile(m["name"])
+        assert f is not None and f.read() == m["data"]
+
+
+def test_tar_reads_stdlib():
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as t:
+        for nm, payload in [("a.txt", b"stdlib one"), ("b/c.bin", b"x" * 1000)]:
+            ti = tarfile.TarInfo(nm)
+            ti.size = len(payload)
+            t.addfile(ti, io.BytesIO(payload))
+    p = codecs.parse_tar(buf.getvalue())
+    assert [m["name"] for m in p["members"]] == ["a.txt", "b/c.bin"]
+    assert [m["data"] for m in p["members"]] == [b"stdlib one", b"x" * 1000]
+
+
+def test_tar_checksum_corruption_rejected():
+    bad = bytearray(_tar_blob(9))
+    bad[0] ^= 0x01  # flip a name byte -> header checksum mismatch
+    with pytest.raises(ValueError, match="checksum"):
+        codecs.parse_tar(bytes(bad))
+
+
+def test_tar_truncation_always_value_error():
+    blob = _tar_blob(9)
+    for cut in range(0, len(blob), 97):
+        with pytest.raises(ValueError):
+            codecs.parse_tar(blob[:cut])
+
+
+def test_tar_data_after_terminator_rejected():
+    with pytest.raises(ValueError, match="after the terminator"):
+        codecs.parse_tar(_tar_blob(9) + b"junk")
+
+
+def test_tar_unsupported_typeflag_rejected():
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT) as t:
+        ti = tarfile.TarInfo("link")
+        ti.type = tarfile.SYMTYPE
+        ti.linkname = "target"
+        t.addfile(ti)
+    with pytest.raises(ValueError, match="typeflag"):
+        codecs.parse_tar(buf.getvalue())
+
+
+def test_tar_empty_archive():
+    p = codecs.parse_tar(codecs.encode_tar([]))
+    assert p["n_members"] == 0 and p["archive_blocks"] == 2
+
+
+def test_tar_bitflip_never_crashes():
+    blob = _tar_blob(2 * 11 + 9)
+    for byte_at in range(len(blob)):
+        mutated = bytearray(blob)
+        mutated[byte_at] ^= 0x10
+        try:
+            codecs.parse_tar(bytes(mutated))
+        except ValueError:
+            pass
+
+
+def test_tar_roundtrip_fuzz():
+    """Property fuzz: ANY member list (arbitrary names, bytes incl.
+    block-boundary sizes) roundtrips bit-exact and stdlib-validates."""
+    from hypothesis import given, settings, strategies as st
+
+    name = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789._-/", min_size=1, max_size=30
+    ).filter(lambda s: s.strip("/") == s)
+    member = st.fixed_dictionaries(
+        {"name": name, "data": st.binary(max_size=1200)}
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(members=st.lists(member, max_size=5, unique_by=lambda m: m["name"]))
+    def check(members):
+        p = codecs.parse_tar(codecs.encode_tar(members))
+        assert [m["name"] for m in p["members"]] == [m["name"] for m in members]
+        assert [m["data"] for m in p["members"]] == [m["data"] for m in members]
+
+    check()
