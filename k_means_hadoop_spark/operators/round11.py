@@ -374,18 +374,22 @@ def warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 did = int(did)
-                body = str(text).encode("ascii")
                 rid = f"<urn:uuid:{did:08x}>"
-                info = codecs.encode_warc_record(
-                    [("WARC-Type", "warcinfo"), ("WARC-Record-ID", rid)],
-                    _WARCINFO_PAYLOAD,
-                )
-                resp = codecs.encode_warc_record(
-                    [("WARC-Type", "response"), ("WARC-Record-ID", rid)],
-                    body,
-                )
-                blob = codecs.encode_gzip([{"data": info}, {"data": resp}])
+                # encode INSIDE the try: a non-ASCII text (or a header
+                # an encoder rejects) must emit parse_ok=False like
+                # every other malformed case, not fail the Spark task
+                # (UnicodeEncodeError IS a ValueError subclass)
                 try:
+                    body = str(text).encode("ascii")
+                    info = codecs.encode_warc_record(
+                        [("WARC-Type", "warcinfo"), ("WARC-Record-ID", rid)],
+                        _WARCINFO_PAYLOAD,
+                    )
+                    resp = codecs.encode_warc_record(
+                        [("WARC-Type", "response"), ("WARC-Record-ID", rid)],
+                        body,
+                    )
+                    blob = codecs.encode_gzip([{"data": info}, {"data": resp}])
                     g = codecs.parse_gzip(blob)
                     recs = [
                         codecs.parse_warc(m["data"])["records"][0]
