@@ -653,6 +653,7 @@ from k_means_hadoop_spark.operators.round8 import ROUND8_QUERIES
 from k_means_hadoop_spark.operators.round9 import ROUND9_QUERIES
 from k_means_hadoop_spark.operators.round10 import ROUND10_QUERIES
 from k_means_hadoop_spark.operators.round11 import ROUND11_QUERIES
+from k_means_hadoop_spark.operators.round12 import ROUND12_QUERIES
 from k_means_hadoop_spark.registry_pipeline import PIPELINE_ORACLES, PIPELINE_QUERIES
 
 for _name, (_fn, _sql) in {
@@ -670,6 +671,7 @@ for _name, (_fn, _sql) in {
     **ROUND9_QUERIES,
     **ROUND10_QUERIES,
     **ROUND11_QUERIES,
+    **ROUND12_QUERIES,
 }.items():
     ORACLES[_name] = _sql
 
@@ -716,6 +718,7 @@ QUERIES.update({name: fn for name, (fn, _sql) in ROUND8_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in ROUND9_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in ROUND10_QUERIES.items()})
 QUERIES.update({name: fn for name, (fn, _sql) in ROUND11_QUERIES.items()})
+QUERIES.update({name: fn for name, (fn, _sql) in ROUND12_QUERIES.items()})
 QUERIES.update(RELATIONAL_ROWS_ONLY)
 QUERIES.update(CURATION_ROWS_ONLY)
 QUERIES.update(PIPELINE_QUERIES)
@@ -1060,6 +1063,18 @@ _SCHEDULE: dict[str, dict] = {
     "gzip_member_stats": _row(defer=7),
     "warc_ingest_stats": _row(defer=7),
     "tar_archive_stats": _row(defer=7),
+    # -- round-12 additions (verdict items 2-5: the Ogg codec-id layer
+    # — OpusHead/Vorbis identification headers inside BOS packets, the
+    # WET conversion-record shape, the file-based .warc.gz shard
+    # DataSource on the tar_shards pattern, and the survivor-selecting
+    # composition of the edit-distance dedup tier — the round's
+    # window-head charges, 4 of the <= 5 cap, leaving 46 drain slots
+    # for the r06 cohort).  Locally oracle-verified at
+    # sf0.001/0.01/0.1.
+    "ogg_codec_id_stats": _row(defer=8),
+    "warc_wet_stats": _row(defer=8),
+    "warc_shard_scan": _row(defer=8),
+    "dedup_edit_components": _row(defer=8),
 }
 
 

@@ -2581,6 +2581,68 @@ def q_dedup_survivors(spark, sf_dir):
     )
 
 
+def q_dedup_edit_components(spark, sf_dir):
+    """The survivor-selecting composition of the exact edit-distance
+    tier (round-11 verdict item 5): ``edit_verified_pairs`` (MinHash
+    LSH candidates → length prune → threshold levenshtein) → connected
+    components → per-component quality arg-max — exact-char near-dedup
+    as a complete production pipeline stage, the dedup_survivors shape
+    with the character measure driving the pairs.  Docs outside any
+    component are their own singleton survivors; the only data-sized
+    shuffles are the CC rounds and the per-component window."""
+    from pyspark.sql import Window
+
+    from k_means_hadoop_spark.operators import text
+
+    docs = _docs(spark, sf_dir)
+    comps = dedup.duplicate_components(
+        dedup.edit_verified_pairs(docs, n=NGRAM_N, max_dist=EDIT_DIST_MAX)
+    )
+    q = text.quality_scores(docs).select("doc_id", "quality")
+    full = (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .withColumn("comp_id", F.coalesce("comp_id", F.col("doc_id")))
+        .join(q, "doc_id")
+    )
+    w = Window.partitionBy("comp_id").orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return full.select(
+        "doc_id",
+        "comp_id",
+        (F.row_number().over(w) == 1).cast("int").alias("is_survivor"),
+    )
+
+
+def _edit_components_sql() -> str:
+    """Transitive closure of the edit-verified pair list (the
+    _components_sql recursive-CTE pattern over the LSH-mirrored
+    candidate chain + levenshtein verify of _edit_verified_sql)."""
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT a_id, b_id FROM ({_edit_verified_sql(NGRAM_N, EDIT_DIST_MAX)}) q),
+edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+reach(n, r) AS (
+  SELECT DISTINCT s, s FROM edges
+  UNION
+  SELECT rr.n, e.d FROM reach rr JOIN edges e ON e.s = rr.r
+)
+SELECT n::BIGINT AS doc_id, min(r)::BIGINT AS comp_id FROM reach GROUP BY n"""
+
+
+def _edit_survivors_sql() -> str:
+    return f"""
+WITH comps AS (SELECT * FROM ({_edit_components_sql()}) c),
+q AS (SELECT doc_id, quality FROM ({_quality_sql()}) t),
+allrows AS (SELECT d.doc_id, coalesce(c.comp_id, d.doc_id) AS comp_id, q.quality
+         FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id
+                          JOIN q ON d.doc_id = q.doc_id)
+SELECT doc_id, comp_id::BIGINT AS comp_id,
+       (row_number() OVER (PARTITION BY comp_id
+                           ORDER BY quality DESC, doc_id) = 1)::INTEGER AS is_survivor
+FROM allrows"""
+
+
 def _survivors_sql() -> str:
     return f"""
 WITH comps AS (SELECT * FROM ({_components_sql()}) c),
@@ -3179,6 +3241,7 @@ SELECT qid, nid, round(sim, 6) AS cos_sim, rank FROM ranked WHERE rank <= 5""",
     "unpivot_quality_metrics": _unpivot_quality_sql(),
     "dedup_components": _components_sql(),
     "dedup_survivors": _survivors_sql(),
+    "dedup_edit_components": _edit_survivors_sql(),
 }
 
 PIPELINE_QUERIES = {
@@ -3267,6 +3330,7 @@ PIPELINE_QUERIES = {
     "unpivot_quality_metrics": q_unpivot_quality,
     "dedup_components": q_dedup_components,
     "dedup_survivors": q_dedup_survivors,
+    "dedup_edit_components": q_dedup_edit_components,
     "pca_project": q_pca_project,  # r4: spectral-contract oracle (total var + verdicts)
     "power_iteration_pc1": q_power_iteration_pc1,  # r5: full value oracle (unrolled matvec CTE)
 }
