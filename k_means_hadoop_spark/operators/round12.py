@@ -26,6 +26,14 @@ from pyspark.sql import functions as F
 
 from k_means_hadoop_spark.operators.relational import _t
 
+# Module-level binding, NOT an in-function import: _ogg_codec_plant
+# runs INSIDE the worker kernels, and a runtime `import
+# k_means_hadoop_spark...` there re-resolves by NAME and raises
+# ModuleNotFoundError on any worker without the repo on sys.path (the
+# /tmp sweep contract).  This module is registered pickle-by-value, so
+# the global reference resolves to the by-value codecs copy instead.
+from k_means_hadoop_spark.functions import codecs
+
 
 def _pickle_round12_by_value() -> None:
     """Ship THIS module's kernels (and codecs) inside the plan — the
@@ -66,8 +74,6 @@ def _ogg_codec_plant(did: int) -> dict:
     """The planted identification-header spec for doc_id ``did``
     (shared by the kernel and the roundtrip pins in
     tests/test_round12_ops.py)."""
-    from k_means_hadoop_spark.functions import codecs
-
     if did % 2 == 1:
         pre_skip = 312 + did % 100
         if did % 3 == 0:

@@ -28,6 +28,15 @@ import os
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+# Module-level binding, NOT an in-method import: the reader executes on
+# workers that may not have the repo on sys.path (run_window_check's
+# /tmp portability contract).  register() pickles this module AND the
+# codecs module by value, and cloudpickle resolves the reader's global
+# reference to the by-value copy — a runtime `import k_means_...` in
+# read() would instead re-resolve by NAME and raise ModuleNotFoundError
+# off-path (the round-12 sweep caught exactly that).
+from k_means_hadoop_spark.functions import codecs
+
 _WET_INFO_PAYLOAD = b"Software-Info: k-means-hadoop-spark-wet\r\n"
 
 
@@ -56,8 +65,6 @@ class _WarcShardReader(DataSourceReader):
         return [_ShardPartition(p) for p in shards]
 
     def read(self, partition: _ShardPartition):
-        from k_means_hadoop_spark.functions import codecs
-
         with open(partition.path, "rb") as f:
             blob = f.read()
         g = codecs.parse_gzip(blob)
@@ -114,8 +121,6 @@ def register(spark) -> None:
 
     from pyspark import cloudpickle
 
-    from k_means_hadoop_spark.functions import codecs
-
     cloudpickle.register_pickle_by_value(sys.modules[__name__])
     cloudpickle.register_pickle_by_value(codecs)
     spark.dataSource.register(WarcShardDataSource)
@@ -129,8 +134,6 @@ def write_warc_shards(doc_rows, out_dir: str, n_shards: int = 8) -> None:
     members in doc_id order for determinism.  Staging happens
     driver-side (fixtures are test-sized); a production corpus is
     sharded by its conversion job with the identical layout."""
-    from k_means_hadoop_spark.functions import codecs
-
     by_shard: dict[int, list] = {s: [] for s in range(n_shards)}
     for did, text in doc_rows:
         by_shard[int(did) % n_shards].append((int(did), str(text)))

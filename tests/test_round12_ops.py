@@ -365,6 +365,41 @@ def test_warc_shards_reader_rejects_corruption(tmp_path):
         list(reader.read(_ShardPartition(packed)))
 
 
+def test_warc_shards_reader_has_no_runtime_package_import():
+    """The round-12 sweep regression: the reader executes on workers
+    that may lack the repo on sys.path, so ``codecs`` must be a
+    module-level binding (captured by cloudpickle's by-value
+    registration) — a runtime ``import k_means_hadoop_spark...`` inside
+    read() re-resolves by NAME and raises ModuleNotFoundError off-path.
+    The authoritative check is run_window_check from /tmp; this pin
+    catches the regression statically."""
+    import dis
+
+    import k_means_hadoop_spark.sources.warc_shards as ws
+
+    assert ws.codecs is codecs  # module-level by-value capture seam
+    imported = {
+        i.argval
+        for i in dis.get_instructions(ws._WarcShardReader.read)
+        if i.opname == "IMPORT_NAME"
+    }
+    assert not any(str(n).startswith("k_means_hadoop_spark") for n in imported)
+
+    # same seam for the worker-side plant helper (the sweep's second
+    # off-path failure): module-level codecs binding, no runtime import
+    import k_means_hadoop_spark.operators.round12 as r12
+
+    assert r12.codecs is codecs
+    plant_imports = {
+        i.argval
+        for i in dis.get_instructions(_ogg_codec_plant)
+        if i.opname == "IMPORT_NAME"
+    }
+    assert not any(
+        str(n).startswith("k_means_hadoop_spark") for n in plant_imports
+    )
+
+
 def test_record_doc_id_urn():
     from k_means_hadoop_spark.sources.warc_shards import _record_doc_id
 
