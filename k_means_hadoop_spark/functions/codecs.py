@@ -2092,6 +2092,17 @@ def encode_opus_head(
         raise ValueError(f"OpusHead: unsupported mapping family {mapping_family}")
     if not 0 <= pre_skip <= 0xFFFF:
         raise ValueError(f"OpusHead: pre_skip {pre_skip} out of uint16 range")
+    # explicit range guards: struct.error is NOT a ValueError, and the
+    # module's rejection contract (and every kernel's `except
+    # ValueError`) depends on out-of-range fields raising ValueError
+    if not 0 <= input_sample_rate <= 0xFFFFFFFF:
+        raise ValueError(
+            f"OpusHead: input_sample_rate {input_sample_rate} out of uint32 range"
+        )
+    if not -0x8000 <= output_gain_q8 <= 0x7FFF:
+        raise ValueError(
+            f"OpusHead: output_gain_q8 {output_gain_q8} out of int16 range"
+        )
     out = _OPUS_HEAD_MAGIC + struct.pack(
         "<BBHIhB",
         1,  # version
@@ -2207,8 +2218,16 @@ def encode_vorbis_id(
         )
     if channels <= 0 or channels > 255:
         raise ValueError(f"vorbis: bad channel count {channels}")
-    if sample_rate <= 0:
+    if not 0 < sample_rate <= 0xFFFFFFFF:
         raise ValueError(f"vorbis: bad sample rate {sample_rate}")
+    for label, v in (
+        ("bitrate_max", bitrate_max),
+        ("bitrate_nominal", bitrate_nominal),
+        ("bitrate_min", bitrate_min),
+    ):
+        # struct.error is not a ValueError — guard the int32 fields
+        if not -0x80000000 <= v <= 0x7FFFFFFF:
+            raise ValueError(f"vorbis: {label} {v} out of int32 range")
     return _VORBIS_ID_MAGIC + struct.pack(
         "<IBIiiiBB",
         0,  # vorbis_version

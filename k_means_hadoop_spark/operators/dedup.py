@@ -857,6 +857,7 @@ def duplicate_components(
         return df.agg(F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")).collect()[0]["s"]
 
     prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -868,8 +869,23 @@ def duplicate_components(
         s = _label_sum(neighbor_min)
         labels = neighbor_min
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # Returning the partial labels would be SILENTLY WRONG — a
+        # chain component with diameter > max_iter would carry
+        # non-minimal ids while every oracle (recursive-CTE transitive
+        # closure) computes the true fixed point, failing the hash with
+        # no Spark-side signal.  LSH duplicate clusters converge in a
+        # handful of rounds; hitting this cap means the graph has a
+        # pathological long chain and the caller should raise max_iter
+        # (or switch to the large-star/small-star variant).
+        raise ValueError(
+            f"duplicate_components: min-label propagation not converged "
+            f"after {max_iter} rounds (component diameter exceeds the "
+            f"cap); raise max_iter"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("comp_id"))
 
 

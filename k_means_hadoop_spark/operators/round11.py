@@ -391,16 +391,13 @@ def warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     blob = codecs.encode_gzip([{"data": info}, {"data": resp}])
                     g = codecs.parse_gzip(blob)
-                    recs = [
-                        codecs.parse_warc(m["data"])["records"][0]
-                        for m in g["members"]
-                    ]
+                    # parse each member ONCE; the one-record-per-member
+                    # check reads the same parse result
+                    parsed = [codecs.parse_warc(m["data"]) for m in g["members"]]
+                    recs = [p["records"][0] for p in parsed]
                     ok = (
                         g["n_members"] == 2
-                        and all(
-                            len(codecs.parse_warc(m["data"])["records"]) == 1
-                            for m in g["members"]
-                        )
+                        and all(p["n_records"] == 1 for p in parsed)
                         and recs[0]["headers"]["WARC-Type"] == "warcinfo"
                         and recs[0]["payload"] == _WARCINFO_PAYLOAD
                         and recs[1]["headers"]["WARC-Type"] == "response"

@@ -253,7 +253,11 @@ FROM documents WHERE doc_id % 11 = 1
 # chars on the ASCII-pinned fixtures), so a wrong text roundtrip
 # anywhere in the stack flips the driver hash.
 
-_WET_INFO_PAYLOAD = b"Software-Info: k-means-hadoop-spark-wet\r\n"  # 41 bytes
+# single source of truth with the shard writer: a forked copy would
+# silently split the WET fixture format between the in-memory
+# roundtrip and the on-disk shards (bytes pickle by value, so the
+# worker kernels ship it inside the plan like every other global here)
+from k_means_hadoop_spark.sources.warc_shards import _WET_INFO_PAYLOAD
 
 
 def warc_wet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,16 +309,13 @@ def warc_wet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     blob = codecs.encode_gzip([{"data": info}, {"data": conv}])
                     g = codecs.parse_gzip(blob)
-                    recs = [
-                        codecs.parse_warc(m["data"])["records"][0]
-                        for m in g["members"]
-                    ]
+                    # parse each member ONCE; the one-record-per-member
+                    # check reads the same parse result
+                    parsed = [codecs.parse_warc(m["data"]) for m in g["members"]]
+                    recs = [p["records"][0] for p in parsed]
                     ok = (
                         g["n_members"] == 2
-                        and all(
-                            len(codecs.parse_warc(m["data"])["records"]) == 1
-                            for m in g["members"]
-                        )
+                        and all(p["n_records"] == 1 for p in parsed)
                         and recs[0]["headers"]["WARC-Type"] == "warcinfo"
                         and recs[0]["headers"]["Content-Type"]
                         == "application/warc-fields"

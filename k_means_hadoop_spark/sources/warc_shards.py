@@ -152,6 +152,17 @@ def write_warc_shards(doc_rows, out_dir: str, n_shards: int = 8) -> None:
             }
         ]
         for did, text in sorted(docs):
+            try:
+                body = text.encode("ascii")
+            except UnicodeEncodeError as e:
+                # the module's ValueError rejection contract, not a bare
+                # UnicodeEncodeError escaping mid-write: WET staging
+                # requires the enforced ASCII fixture bound (a real
+                # conversion job transcodes upstream), and the scan
+                # schema has no parse_ok channel to degrade into
+                raise ValueError(
+                    f"WET staging: doc {did} text is not ASCII: {e}"
+                ) from e
             members.append(
                 {
                     "data": codecs.encode_warc_record(
@@ -161,7 +172,7 @@ def write_warc_shards(doc_rows, out_dir: str, n_shards: int = 8) -> None:
                             ("WARC-Refers-To", f"<urn:uuid:{did:08x}>"),
                             ("Content-Type", "text/plain"),
                         ],
-                        text.encode("ascii"),
+                        body,
                     )
                 }
             )

@@ -152,6 +152,26 @@ def test_vorbis_id_encode_guards():
         codecs.encode_vorbis_id(2, 0, 256, 256)
 
 
+def test_id_header_numeric_range_guards():
+    """Out-of-range numeric fields must raise ValueError (the module's
+    rejection contract), never struct.error — kernels wrap encode calls
+    in `except ValueError` (round-12 review finding)."""
+    with pytest.raises(ValueError):
+        codecs.encode_opus_head(2, 0, output_gain_q8=40000)
+    with pytest.raises(ValueError):
+        codecs.encode_opus_head(2, 0, output_gain_q8=-40000)
+    with pytest.raises(ValueError):
+        codecs.encode_opus_head(2, 0, input_sample_rate=1 << 32)
+    with pytest.raises(ValueError):
+        codecs.encode_opus_head(2, 0, input_sample_rate=-1)
+    with pytest.raises(ValueError):
+        codecs.encode_vorbis_id(2, 1 << 32, 256, 256)
+    with pytest.raises(ValueError):
+        codecs.encode_vorbis_id(2, 44100, 256, 256, bitrate_nominal=1 << 31)
+    with pytest.raises(ValueError):
+        codecs.encode_vorbis_id(2, 44100, 256, 256, bitrate_min=-(1 << 31) - 1)
+
+
 def test_vorbis_id_parse_rejections():
     good = codecs.encode_vorbis_id(2, 44100, 256, 2048)
     with pytest.raises(ValueError):  # bad magic (wrong packet type)
@@ -408,6 +428,37 @@ def test_record_doc_id_urn():
         _record_doc_id("<urn:uuid:0000002a>")
     with pytest.raises(ValueError):
         _record_doc_id("<urn:uuid:wet-zzzz>")
+
+
+def test_write_warc_shards_rejects_non_ascii(tmp_path):
+    """Staging raises the module's ValueError (naming the doc) instead
+    of a bare UnicodeEncodeError escaping mid-write: WET staging
+    requires the enforced ASCII fixture bound, and the scan schema has
+    no parse_ok channel to degrade into (round-12 review finding)."""
+    from k_means_hadoop_spark.sources.warc_shards import write_warc_shards
+
+    with pytest.raises(ValueError, match="doc 9 text is not ASCII"):
+        write_warc_shards(
+            [(1, "fine"), (9, "café au lait")], os.path.join(str(tmp_path), "w")
+        )
+
+
+def test_duplicate_components_raises_on_unconverged_chain(spark):
+    """A component whose diameter exceeds max_iter must RAISE, not
+    return silently non-minimal labels that fail the oracle hash with
+    no Spark-side signal (round-12 review finding).  A 12-node chain
+    converges under the default cap but not under max_iter=2."""
+    from k_means_hadoop_spark.operators import dedup
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a_id bigint, b_id bigint"
+    )
+    with pytest.raises(ValueError, match="not converged"):
+        dedup.duplicate_components(chain, max_iter=2)
+    comps = {
+        r["comp_id"] for r in dedup.duplicate_components(chain).collect()
+    }
+    assert comps == {0}  # ample cap: one component labelled by its min
 
 
 # --------------------------------------- 4. edit-distance components
