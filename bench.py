@@ -258,6 +258,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         timings[name] = round(run_query(spark, name, SF_DIR), 3)
+        if is_subset:
+            # --only is the isolation protocol: surface each query's
+            # number on stderr as it lands (stdout stays the one-line
+            # contract; subset runs write no BENCH_LOCAL artifact)
+            print(f"[only] {name}: {timings[name]}", file=sys.stderr, flush=True)
     total = round(sum(timings.values()), 3)
     # The headline set GROWS round over round, so the full total is not
     # comparable across rounds; also publish this run's total restricted

@@ -124,11 +124,13 @@ def prefix_filtered_jaccard(
     (ascending document frequency, shingle text as tiebreak).  The
     standard prefix-filtering theorem guarantees completeness: any pair
     with Jaccard ≥ t shares at least one shingle inside both prefixes
-    under a consistent total order.  Verification then counts the FULL
-    intersection for surviving candidates only (cost Σ_cand |A|), so
-    the quadratic explosion moves from all co-occurring pairs to pairs
-    sharing a RARE shingle — the asymptotic win at 100 TB, where hot
-    boilerplate shingles dominate the full index's fan-out.
+    under a consistent total order.  Verification then computes the
+    FULL intersection row-locally (array_intersect over the two
+    doc-sized shingle arrays, cost Σ_cand (|A|+|B|)) for surviving
+    candidates only, so the quadratic explosion moves from all
+    co-occurring pairs to pairs sharing a RARE shingle — the asymptotic
+    win at 100 TB, where hot boilerplate shingles dominate the full
+    index's fan-out.
 
     A pytest pins result-set equality with ``ngram_jaccard_pairs`` and
     that the candidate set is strictly smaller than the full index's.
@@ -163,27 +165,25 @@ def prefix_filtered_jaccard(
         )
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("shingle").alias("s_a"))
-    sb = sh.select(F.col("doc_id").alias("b_id2"), F.col("shingle").alias("s_b"))
-    common = (
-        cand.join(sa, "a_id")
-        # equi hash join on BOTH keys (doc id + shingle): cost Σ_cand |A|,
-        # never the per-pair A×B cross a filter-after-join would make
-        .join(
-            sb,
-            (F.col("b_id") == F.col("b_id2")) & (F.col("s_a") == F.col("s_b")),
-        )
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("common"))
+    # Verification (round-12): per-doc shingle ARRAYS, not the exploded
+    # table — the ``minhash_verified_pairs`` pattern.  Candidates join
+    # twice on doc_id (narrow keys + one doc-sized array column) and
+    # |A∩B| is computed row-locally with array_intersect: no second
+    # explode, no per-shingle join fan-out, no extra aggregation, and
+    # |A| / |B| fall out of F.size instead of two more count joins.
+    # word_ngrams arrays are distinct, so size(array_intersect) equals
+    # the exploded-join common count exactly; result-set equality with
+    # ngram_jaccard_pairs stays pinned in tests/test_analytics.py.
+    doc_sh = docs.select(
+        "doc_id", word_ngrams(F.col(text_col), n).alias("sh_arr")
     )
-    ca = counts.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"))
-    cb = counts.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"))
-    jac = F.col("common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("common")
-    )
+    a_sh = doc_sh.select(F.col("doc_id").alias("a_id"), F.col("sh_arr").alias("sa"))
+    b_sh = doc_sh.select(F.col("doc_id").alias("b_id"), F.col("sh_arr").alias("sb"))
+    common = F.size(F.array_intersect("sa", "sb"))
+    jac = common.cast("double") / (F.size("sa") + F.size("sb") - common)
     return (
-        common.join(ca, "a_id")
-        .join(cb, "b_id")
+        cand.join(a_sh, "a_id")
+        .join(b_sh, "b_id")
         .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -129,10 +129,14 @@ def lloyd_kmeans(
     cache: bool = True,
 ) -> KMeansResult:
     """Full Lloyd loop (C1-C5). ``max_iter=-1`` runs until convergence."""
-    d = feature_dim(points, features_col)
+    centroids = [(int(c), [float(v) for v in vec]) for c, vec in init_centroids]
+    # d from the init table (k×d, already driver-local) — the init rows
+    # come from the same points table, so this replaces feature_dim's
+    # first() scan: one Spark job saved per Lloyd invocation (the
+    # flagship, plus every IVF quantizer fit that trains on a sample).
+    d = len(centroids[0][1]) if centroids else feature_dim(points, features_col)
     if cache:
         points = points.persist(StorageLevel.MEMORY_AND_DISK)
-    centroids = [(int(c), [float(v) for v in vec]) for c, vec in init_centroids]
     iterations = 0
     converged = False
     # Hard backstop for max_iter=-1 so a pathological non-convergence

@@ -106,9 +106,14 @@ def prefix_sum(
     # partition totals from two separate evaluations can see DIFFERENT
     # _pid assignments (observed as off-by-one phases at sf0.1).  The
     # checkpoint materializes one assignment both passes share.
+    # eager=False (round-12): the phase-2 totals collect is always the
+    # first action over ``part`` and touches every partition, so it
+    # both materializes the checkpoint and reads the totals in ONE job
+    # — the eager form paid a separate materialization job per call
+    # site (3 in rfm_segments alone) for the same pinned assignment.
     part = ordered.withColumn(
         "_pid", F.spark_partition_id()
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     w_in = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)
