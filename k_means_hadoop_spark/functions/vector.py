@@ -33,6 +33,51 @@ def euclidean(a: Column | str, b: Column | str) -> Column:
     return F.sqrt(squared_distance(a, b))
 
 
+def squared_distance_unrolled(a_ref: str, b_ref: str, d: int) -> Column:
+    """``squared_distance`` for a KNOWN dimension ``d``: the Σ(aᵢ-bᵢ)²
+    chain unrolled as plain arithmetic over array accesses (one
+    ``F.expr`` parse).  Higher-order functions are CodegenFallback —
+    the fold above runs interpreted with per-element boxing — while
+    this chain stays inside whole-stage codegen and Janino compiles it
+    ONCE per expression text (round-12: the silhouette distance pass
+    measured 2.7× faster at d=64, bit-identical decimal sums).
+
+    Bit-exact vs the fold: same left-associative index-order summation,
+    and ``0.0 + t0 == t0`` for the non-negative first term — the same
+    equivalence ``assign.nearest_centroid_sql(unroll=True)`` pins.
+
+    ``a_ref``/``b_ref`` are SQL column references (e.g. ``a.features``);
+    use when d is known at build time WITHOUT an extra scan — e.g. from
+    an init/query-vector collect the caller already performs."""
+    chain = " + ".join(
+        f"({a_ref}[{i}] - {b_ref}[{i}]) * ({a_ref}[{i}] - {b_ref}[{i}])"
+        for i in range(d)
+    )
+    return F.expr(chain)
+
+
+def euclidean_unrolled(a_ref: str, b_ref: str, d: int) -> Column:
+    """Codegen'd L2 distance for a known dimension (see
+    ``squared_distance_unrolled``)."""
+    return F.sqrt(squared_distance_unrolled(a_ref, b_ref, d))
+
+
+def _dot_unrolled(a_ref: str, b_ref: str, d: int) -> Column:
+    chain = " + ".join(f"({a_ref}[{i}] * {b_ref}[{i}])" for i in range(d))
+    return F.expr(chain)
+
+
+def cosine_similarity_unrolled(a_ref: str, b_ref: str, d: int) -> Column:
+    """``cosine_similarity`` for a KNOWN dimension: the three dot folds
+    (a·b, a·a, b·b) unrolled into codegen'd chains with the identical
+    left-associative order and the identical dot/(√·√) operator tree —
+    bit-exact vs the HOF form (``0.0 + t0 == t0``, the
+    ``squared_distance_unrolled`` equivalence)."""
+    return _dot_unrolled(a_ref, b_ref, d) / (
+        F.sqrt(_dot_unrolled(a_ref, a_ref, d)) * F.sqrt(_dot_unrolled(b_ref, b_ref, d))
+    )
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
     return F.aggregate(

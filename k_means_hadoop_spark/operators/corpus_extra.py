@@ -1566,7 +1566,7 @@ def umass_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = (
         d.select("doc_id", "source", F.explode(toks).alias("tok"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     per_src = dt.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("source").orderBy(
@@ -2087,8 +2087,9 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix_sum samples its range bounds with an extra upstream
     # evaluation, which would re-run both score pipelines a second
     # time (measured: the rank stage cost ~1s more than the pipelines
-    # themselves).  The checkpoint is score-table-sized (2 rows/doc).
-    stacked = stacked.localCheckpoint(eager=True)
+    # themselves).  The checkpoint is score-table-sized (2 rows/doc);
+    # lazy — prefix_sum's totals collect materializes it in-job.
+    stacked = stacked.localCheckpoint(eager=False)
     r = prefix_sum(
         stacked.withColumn("_one", F.lit(1)),
         "_one",

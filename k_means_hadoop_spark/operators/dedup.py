@@ -802,12 +802,18 @@ def semantic_cell_pairs(
     from k_means_hadoop_spark.operators.assign import assign_expr
     from k_means_hadoop_spark.operators.kmeans import init_ids
 
-    asg = assign_expr(emb, init_ids(emb, seed_ids)).select(
+    cents = init_ids(emb, seed_ids)
+    asg = assign_expr(emb, cents).select(
         F.col("id").alias("vid"), F.col("features").alias("vec"), F.col("cluster").alias("cell")
     )
     a = asg.select(F.col("vid").alias("a_id"), F.col("vec").alias("va"), "cell")
     b = asg.select(F.col("vid").alias("b_id"), F.col("vec").alias("vb"), F.col("cell").alias("cell_b"))
-    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    # d from the already-collected seed rows → the in-cell verification
+    # cosine runs as the codegen'd unrolled chain (bit-exact vs the HOF,
+    # see vector.cosine_similarity_unrolled)
+    from k_means_hadoop_spark.functions.vector import cosine_similarity_unrolled
+
+    sim = cosine_similarity_unrolled("va", "vb", len(cents[0][1]))
     return (
         a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("a_id") < F.col("b_id")))
         .select("a_id", "b_id", "cell", F.round(sim, 6).alias("cos_sim"))
@@ -838,6 +844,10 @@ def duplicate_components(
     """
     e1 = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     e2 = pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    # eager ON PURPOSE (round-12 A/B): folding the materialization into
+    # the sum-probe job (the prefix_sum lazy treatment) measured SLOWER
+    # here — 1.85 → 2.0-2.3 s isolated — the per-round join+agg+probe
+    # pipeline schedules better against pre-materialized inputs.
     edges = e1.unionByName(e2).distinct().localCheckpoint(eager=True)
 
     labels = (

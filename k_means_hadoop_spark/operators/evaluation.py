@@ -113,14 +113,30 @@ SIL_S = (
 )
 
 
-def silhouette_by_cluster(assigned: DataFrame) -> DataFrame:
+def _pair_dist(d_dim: int | None):
+    """The rounded-decimal pairwise distance both silhouette operators
+    sum: the codegen'd unrolled chain when the caller knows the
+    dimension (bit-identical to the HOF fold — see
+    ``vector.squared_distance_unrolled``; the distance pass is ~92% of
+    the sampled operator's runtime and measured 2.7× faster unrolled),
+    else the dimension-agnostic HOF form."""
+    from k_means_hadoop_spark.functions.vector import euclidean_unrolled
+
+    dist = (
+        euclidean_unrolled("a.features", "b.features", d_dim)
+        if d_dim is not None
+        else _euclidean(F.col("a.features"), F.col("b.features"))
+    )
+    return F.round(dist, 6).cast("decimal(18,6)")
+
+
+def silhouette_by_cluster(assigned: DataFrame, d_dim: int | None = None) -> DataFrame:
     """(cluster, n_points, mean_silhouette) from an assignment carrying
-    (id, cluster, features)."""
+    (id, cluster, features).  ``d_dim``: pass the (caller-known) vector
+    dimension to run the distance chain inside whole-stage codegen."""
     pts = assigned.select("id", "cluster", "features")
     a, b = pts.alias("a"), pts.alias("b")
-    d = F.round(
-        _euclidean(F.col("a.features"), F.col("b.features")), 6
-    ).cast("decimal(18,6)")
+    d = _pair_dist(d_dim)
     grp = (
         a.join(b, F.col("a.id") != F.col("b.id"))
         .select(
@@ -215,10 +231,14 @@ def sample_per_cluster(
 
 
 def silhouette_sampled(
-    assigned: DataFrame, m: int = SIL_SAMPLE_PER_CLUSTER, salt: str = _SIL_SALT
+    assigned: DataFrame,
+    m: int = SIL_SAMPLE_PER_CLUSTER,
+    salt: str = _SIL_SALT,
+    d_dim: int | None = None,
 ) -> DataFrame:
     """(cluster, n_sampled, mean_silhouette) — exact s(i) for the
-    deterministic per-cluster sample, each against ALL points."""
+    deterministic per-cluster sample, each against ALL points.
+    ``d_dim``: see ``silhouette_by_cluster``."""
     pts = assigned.select("id", "cluster", "features")
     # k·m rows; persisted because the plan references it twice (the
     # distance build side and the final per-sample s rows) and each
@@ -229,9 +249,7 @@ def silhouette_sampled(
         .persist()
     )
     a, b = F.broadcast(sample).alias("a"), pts.alias("b")
-    d = F.round(
-        _euclidean(F.col("a.features"), F.col("b.features")), 6
-    ).cast("decimal(18,6)")
+    d = _pair_dist(d_dim)
     grp = (
         a.join(b, F.col("a.id") != F.col("b.id"))
         .select(

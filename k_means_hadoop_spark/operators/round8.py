@@ -619,7 +619,7 @@ def lorenz_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = o.groupBy("o_custkey").agg(F.sum("cents").alias("x"))
     # materialized once: prefix_sum's range-bound sampling re-evaluates
     # its input (the quantile_normalize_scores lesson)
-    spend = spend.localCheckpoint(eager=True)
+    spend = spend.localCheckpoint(eager=False)
     n = spend.agg(F.count(F.lit(1)).alias("n"))
     ranked = prefix_sum(
         spend.withColumn("_one", F.lit(1)),

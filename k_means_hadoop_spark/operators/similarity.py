@@ -22,7 +22,10 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from k_means_hadoop_spark.functions.vector import cosine_similarity
+from k_means_hadoop_spark.functions.vector import (
+    cosine_similarity,
+    cosine_similarity_unrolled,
+)
 from k_means_hadoop_spark.operators.assign import assign_expr
 from k_means_hadoop_spark.operators.kmeans import init_random, lloyd_kmeans
 
@@ -122,7 +125,10 @@ def knn_lsh(
     queries = vecs.filter(F.col("vid").isin(list(query_ids))).select(
         F.col("vid").alias("qid"), F.col("vec").alias("qvec"), F.col("sig").alias("qsig")
     )
-    sim = F.round(cosine_similarity(F.col("qvec"), F.col("vec")), 6)
+    # dim is already a caller contract (the hyperplanes need it), so the
+    # scoring cosine runs as the codegen'd unrolled chain — bit-exact vs
+    # the HOF fold (vector.cosine_similarity_unrolled)
+    sim = F.round(cosine_similarity_unrolled("qvec", "vec", dim), 6)
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
     return (
         vecs.join(F.broadcast(queries), F.col("sig") == F.col("qsig"))
@@ -242,7 +248,10 @@ def knn_ivf(
     probes = spark.createDataFrame(
         probe_rows, "qid int, qvec array<double>, cell int"
     )
-    sim = cosine_similarity(F.col("qvec"), F.col("vec"))
+    # d from the already-collected query vectors → the probe-scoring
+    # cosine runs as the codegen'd unrolled chain (bit-exact vs the HOF)
+    d_dim = len(next(iter(queries.values())))
+    sim = cosine_similarity_unrolled("qvec", "vec", d_dim)
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return (
         assigned.join(F.broadcast(probes), "cell")

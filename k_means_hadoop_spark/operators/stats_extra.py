@@ -1952,7 +1952,7 @@ def concentration_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = o.groupBy("o_custkey").agg(F.sum("cents").alias("x"))
     # materialized once: prefix_sum's range-bound sampling re-evaluates
     # its input (the quantile_normalize_scores lesson)
-    spend = spend.localCheckpoint(eager=True)
+    spend = spend.localCheckpoint(eager=False)
     ranked = prefix_sum(
         spend.withColumn("_one", F.lit(1)),
         "_one",

@@ -206,7 +206,9 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     from k_means_hadoop_spark.operators.evaluation import silhouette_by_cluster
 
     pts = _points(spark, sf_dir).where(F.col("id") <= _SIL_MAX_ID)
-    return silhouette_by_cluster(assign_expr(pts, init_ids(pts, SEEDS)))
+    cents = init_ids(pts, SEEDS)
+    # d from the already-collected init rows → codegen'd distance chain
+    return silhouette_by_cluster(assign_expr(pts, cents), d_dim=len(cents[0][1]))
 
 
 def _silhouette_sql() -> str:
@@ -251,7 +253,9 @@ def q_silhouette_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from k_means_hadoop_spark.operators.evaluation import silhouette_sampled
 
     pts = _points(spark, sf_dir)
-    return silhouette_sampled(assign_expr(pts, init_ids(pts, SEEDS)))
+    cents = init_ids(pts, SEEDS)
+    # d from the already-collected init rows → codegen'd distance chain
+    return silhouette_sampled(assign_expr(pts, cents), d_dim=len(cents[0][1]))
 
 
 def _silhouette_sampled_sql() -> str:
