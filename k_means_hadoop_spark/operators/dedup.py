@@ -461,15 +461,30 @@ def build_signature_store(
     ``bands``, verification joins ``shingles`` — the corpus text is
     never re-read and never re-shingled.  Overwrite here stands in for
     the per-increment append a live service would do."""
-    corpus.select(F.md5(F.col(text_col)).alias("text_md5")).distinct().write.mode(
-        "overwrite"
-    ).parquet(f"{store_path}/md5")
-    banded_signatures(corpus, n, bands, text_col).write.mode("overwrite").parquet(
-        f"{store_path}/bands"
-    )
-    corpus.select(
-        "doc_id", word_ngrams(F.col(text_col), n).alias("sh_arr")
-    ).write.mode("overwrite").parquet(f"{store_path}/shingles")
+    # The three tables are independent jobs over the same corpus scan —
+    # submit them from a small thread pool (guide §2.6) so each job's
+    # straggler tail back-fills with the next job's tasks instead of
+    # idling the cluster three times in a row.  Results are identical:
+    # three separate overwrite targets, no shared state.
+    from concurrent.futures import ThreadPoolExecutor
+
+    writes = [
+        lambda: corpus.select(F.md5(F.col(text_col)).alias("text_md5"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(f"{store_path}/md5"),
+        lambda: banded_signatures(corpus, n, bands, text_col)
+        .write.mode("overwrite")
+        .parquet(f"{store_path}/bands"),
+        lambda: corpus.select(
+            "doc_id", word_ngrams(F.col(text_col), n).alias("sh_arr")
+        )
+        .write.mode("overwrite")
+        .parquet(f"{store_path}/shingles"),
+    ]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for f in [pool.submit(w) for w in writes]:
+            f.result()
 
 
 def incremental_dedup_from_store(
