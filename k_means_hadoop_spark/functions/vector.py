@@ -67,12 +67,35 @@ def _dot_unrolled(a_ref: str, b_ref: str, d: int) -> Column:
     return F.expr(chain)
 
 
+def dot_unrolled(a_ref: str, b_ref: str, d: int) -> Column:
+    """Codegen'd a·b chain for a known dimension (the single-chain size
+    measured to stay inside whole-stage codegen — see
+    ``squared_distance_unrolled``)."""
+    return _dot_unrolled(a_ref, b_ref, d)
+
+
+def l2_norm_unrolled(ref: str, d: int) -> Column:
+    """Codegen'd ‖v‖ for a known dimension — bit-equal to ``l2_norm``
+    (same left-assoc self-dot chain under the same ``sqrt``)."""
+    return F.sqrt(_dot_unrolled(ref, ref, d))
+
+
 def cosine_similarity_unrolled(a_ref: str, b_ref: str, d: int) -> Column:
     """``cosine_similarity`` for a KNOWN dimension: the three dot folds
     (a·b, a·a, b·b) unrolled into codegen'd chains with the identical
     left-associative order and the identical dot/(√·√) operator tree —
     bit-exact vs the HOF form (``0.0 + t0 == t0``, the
-    ``squared_distance_unrolled`` equivalence)."""
+    ``squared_distance_unrolled`` equivalence).
+
+    Measured caveat (round 12): as ONE expression the three chains
+    (~3·d terms) can exceed Janino method limits inside a join stage —
+    whole-stage codegen then falls back to interpreted eval and the
+    "optimization" is 20-35% SLOWER than the HOF.  When the pair sits
+    under a join, prefer hoisting the per-ROW norms out of the per-PAIR
+    expression: precompute ``l2_norm_unrolled`` as a column on each
+    side and divide ``dot_unrolled`` by the product — bit-identical
+    (same operand values through the same dot/(√·√) tree) and 3×
+    less per-pair float work on top of staying inside codegen."""
     return _dot_unrolled(a_ref, b_ref, d) / (
         F.sqrt(_dot_unrolled(a_ref, a_ref, d)) * F.sqrt(_dot_unrolled(b_ref, b_ref, d))
     )

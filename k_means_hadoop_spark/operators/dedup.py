@@ -720,6 +720,9 @@ def embedding_neardup_pairs(
         emb = emb.filter(F.col("vid") < max_id)
     a = emb.select(F.col("vid").alias("a_id"), F.col("vec").alias("va"))
     b = emb.select(F.col("vid").alias("b_id"), F.col("vec").alias("vb"))
+    # HOF cosine by measurement (round 12): the unrolled 3-chain breaks
+    # whole-stage codegen inside the BNLJ condition and the norm-hoisted
+    # form measured no better than the fold — see similarity.knn_bruteforce
     sim = cosine_similarity(F.col("va"), F.col("vb"))
     return (
         a.crossJoin(b)
@@ -782,6 +785,8 @@ def embedding_neardup_bucketed(
     )
     av = emb.select(F.col("vid").alias("a_id"), F.col("vec").alias("va"))
     bv = emb.select(F.col("vid").alias("b_id"), F.col("vec").alias("vb"))
+    # HOF cosine by measurement — interleaved A/B had the norm-hoisted
+    # unrolled verify at parity, not better (see embedding_neardup_pairs)
     sim = cosine_similarity(F.col("va"), F.col("vb"))
     return (
         cand.join(av, "a_id")
@@ -825,7 +830,10 @@ def semantic_cell_pairs(
     b = asg.select(F.col("vid").alias("b_id"), F.col("vec").alias("vb"), F.col("cell").alias("cell_b"))
     # d from the already-collected seed rows → the in-cell verification
     # cosine runs as the codegen'd unrolled chain (bit-exact vs the HOF,
-    # see vector.cosine_similarity_unrolled)
+    # see vector.cosine_similarity_unrolled).  NOT norm-hoisted on
+    # purpose (round-12 A/B): the side projections carry the 8-way
+    # assign argmin already, and stacking the norm chain there measured
+    # 1.78 → 2.37 s isolated (codegen method-size hazard).
     from k_means_hadoop_spark.functions.vector import cosine_similarity_unrolled
 
     sim = cosine_similarity_unrolled("va", "vb", len(cents[0][1]))

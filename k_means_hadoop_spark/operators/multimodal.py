@@ -18,11 +18,14 @@ now visible in the output instead of raising).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# synthesize_codec_media's kind assignment: kind = doc_id % 3.
+_MEDIA_KIND_MOD = {"image": 0, "audio": 1, "video": 2}
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -342,7 +345,9 @@ def decode_media_real(media: DataFrame, thumb: tuple[int, int] = (4, 3)) -> Data
     return media.mapInPandas(_batches, schema=REAL_DECODE_SCHEMA)
 
 
-def synthesize_codec_media(docs: DataFrame) -> DataFrame:
+def synthesize_codec_media(
+    docs: DataFrame, kinds: Sequence[str] | None = None
+) -> DataFrame:
     """Planted REAL-format payloads, closed-form so an engine with no
     codec (DuckDB) can still predict every decoded statistic:
 
@@ -352,6 +357,14 @@ def synthesize_codec_media(docs: DataFrame) -> DataFrame:
       s_i = (doc_id·7 + i) mod 201 − 100;
     - video (doc_id % 3 == 2): utf-8 text bytes (no codec here — the
       honest ffmpeg seam, asserted as ok=false downstream).
+
+    ``kinds`` (optional): the subset the caller will consume.  The kind
+    assignment is pure ``doc_id % 3``, so it is applied as a JVM filter
+    BEFORE the Python kernel — excluded payloads are never synthesized
+    or shipped across the Arrow boundary — and the text column (read
+    only for video payloads) is replaced by an empty literal when video
+    is excluded, so document text stays out of the exchange entirely.
+    Emitted rows are identical to filtering the full output on kind.
     """
     import pandas as pd
 
@@ -391,7 +404,15 @@ def synthesize_codec_media(docs: DataFrame) -> DataFrame:
                 rows.append((did, kind, payload))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
 
-    return docs.select("doc_id", "text").mapInPandas(_batches, schema=out_schema)
+    inp = docs
+    if kinds is not None:
+        mods = sorted(_MEDIA_KIND_MOD[k] for k in kinds)
+        inp = inp.filter((F.col("doc_id") % 3).isin(mods))
+        if "video" not in kinds:
+            return inp.select("doc_id", F.lit("").alias("text")).mapInPandas(
+                _batches, schema=out_schema
+            )
+    return inp.select("doc_id", "text").mapInPandas(_batches, schema=out_schema)
 
 
 WAV_FRAME_SCHEMA = T.StructType(

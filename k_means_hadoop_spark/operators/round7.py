@@ -1194,7 +1194,7 @@ def wav_frame_zero_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from k_means_hadoop_spark.operators.multimodal import synthesize_codec_media
 
     _pickle_round7_by_value()
-    media = synthesize_codec_media(_docs(spark, sf_dir))
+    media = synthesize_codec_media(_docs(spark, sf_dir), kinds=("audio",))
     audio = media.filter(F.col("kind") == "audio").select("media_id", "payload")
 
     def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -1254,7 +1254,7 @@ def bmp_channel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from k_means_hadoop_spark.operators.multimodal import synthesize_codec_media
 
     _pickle_round7_by_value()
-    media = synthesize_codec_media(_docs(spark, sf_dir))
+    media = synthesize_codec_media(_docs(spark, sf_dir), kinds=("image",))
     imgs = media.filter(F.col("kind") == "image").select("media_id", "payload")
 
     def _batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

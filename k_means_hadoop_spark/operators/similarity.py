@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 from k_means_hadoop_spark.functions.vector import (
     cosine_similarity,
     cosine_similarity_unrolled,
+    dot_unrolled,
+    l2_norm_unrolled,
 )
 from k_means_hadoop_spark.operators.assign import assign_expr
 from k_means_hadoop_spark.operators.kmeans import init_random, lloyd_kmeans
@@ -44,7 +46,13 @@ def knn_bruteforce(
 
     The query side is k rows → broadcast; candidates stream through one
     codegen'd stage; per-query top-k via window (rank ties broken by nid).
-    """
+
+    The HOF cosine is the measured design of record here (round 12):
+    the unrolled 3-chain falls out of whole-stage codegen (Janino
+    CompileException → interpreted fallback, +36%), and even the
+    norm-hoisted unrolled form measured +10-14% vs the fold in
+    interleaved same-session A/B — the scan+window dominate and 64
+    bound-checked array accesses per pair beat the fold nowhere."""
     vecs = _vectors(embeddings)
     queries = vecs.filter(F.col("vid").isin(list(query_ids))).select(
         F.col("vid").alias("qid"), F.col("vec").alias("qvec")
@@ -127,7 +135,11 @@ def knn_lsh(
     )
     # dim is already a caller contract (the hyperplanes need it), so the
     # scoring cosine runs as the codegen'd unrolled chain — bit-exact vs
-    # the HOF fold (vector.cosine_similarity_unrolled)
+    # the HOF fold (vector.cosine_similarity_unrolled).  NOT norm-hoisted
+    # on purpose (round-12 A/B): this side projection already carries the
+    # 512-term plane-signature chains, and stacking the norm chain on an
+    # already-huge projection measured slower at the same-shaped
+    # semantic_cell_pairs site (codegen method-size hazard).
     sim = F.round(cosine_similarity_unrolled("qvec", "vec", dim), 6)
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
     return (
@@ -165,6 +177,7 @@ def knn_signbit_lsh(
     queries = vecs.filter(F.col("vid").isin(list(query_ids))).select(
         F.col("vid").alias("qid"), F.col("vec").alias("qvec"), F.col("sig").alias("qsig")
     )
+    # HOF cosine by measurement — see knn_bruteforce
     sim = F.round(cosine_similarity(F.col("qvec"), F.col("vec")), 6)
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid"))
     return (
@@ -248,10 +261,13 @@ def knn_ivf(
     probes = spark.createDataFrame(
         probe_rows, "qid int, qvec array<double>, cell int"
     )
-    # d from the already-collected query vectors → the probe-scoring
-    # cosine runs as the codegen'd unrolled chain (bit-exact vs the HOF)
+    # d from the already-collected query vectors → per-row norms hoisted
+    # out of the per-pair probe-scoring cosine + codegen'd unrolled pair
+    # dot, bit-identical to the HOF (see vector.cosine_similarity_unrolled)
     d_dim = len(next(iter(queries.values())))
-    sim = cosine_similarity_unrolled("qvec", "vec", d_dim)
+    assigned = assigned.withColumn("nv", l2_norm_unrolled("vec", d_dim))
+    probes = probes.withColumn("nq", l2_norm_unrolled("qvec", d_dim))
+    sim = dot_unrolled("qvec", "vec", d_dim) / (F.col("nq") * F.col("nv"))
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return (
         assigned.join(F.broadcast(probes), "cell")
@@ -763,6 +779,7 @@ def knn_filtered(
     queries = vecs.filter(F.col("vid").isin(list(query_ids))).select(
         F.col("vid").alias("qid"), F.col("vec").alias("qvec"), F.col("lang").alias("qlang")
     )
+    # HOF cosine by measurement — see knn_bruteforce
     sim = cosine_similarity(F.col("qvec"), F.col("vec"))
     w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
     return (

@@ -1814,7 +1814,9 @@ def q_wav_frame_energy(spark, sf_dir):
         wav_frame_features,
     )
 
-    out = wav_frame_features(synthesize_codec_media(_docs(spark, sf_dir)))
+    out = wav_frame_features(
+        synthesize_codec_media(_docs(spark, sf_dir), kinds=("audio",))
+    )
     return out.select(
         "media_id", "frame_idx", "energy", F.round("rms", 6).alias("rms")
     )

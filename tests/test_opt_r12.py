@@ -90,3 +90,46 @@ def test_silhouette_sampled_signature_back_compat(spark, sf_dir):
     params = list(inspect.signature(silhouette_sampled).parameters)
     assert params[:3] == ["assigned", "m", "salt"]
     assert params[3] == "d_dim"
+
+def test_synthesize_kinds_subset_identical(spark, sf_dir):
+    """synthesize_codec_media(docs, kinds=K) must emit exactly the rows
+    of the full synthesis filtered on kind — the kinds pushdown skips
+    excluded payloads BEFORE the Python kernel, it must never change
+    what the surviving rows contain (payload bytes included)."""
+    from k_means_hadoop_spark.operators.corpus_extra import _docs
+    from k_means_hadoop_spark.operators.multimodal import synthesize_codec_media
+
+    docs = _docs(spark, sf_dir)
+    full = synthesize_codec_media(docs)
+    for kinds in (("audio",), ("image",), ("image", "audio")):
+        want = sorted(
+            (r["media_id"], r["kind"], bytes(r["payload"]))
+            for r in full.filter(F.col("kind").isin(list(kinds))).collect()
+        )
+        got = sorted(
+            (r["media_id"], r["kind"], bytes(r["payload"]))
+            for r in synthesize_codec_media(docs, kinds=kinds).collect()
+        )
+        assert got == want, kinds
+
+
+def test_norm_hoisted_cosine_bit_equal(spark, sf_dir):
+    """dot(a,b)/(‖a‖·‖b‖) with the norms hoisted to per-row columns
+    (the knn_ivf probe-scoring form) must produce the IDENTICAL double
+    as the single-expression cosine — same operand values through the
+    same operator tree, per row."""
+    from k_means_hadoop_spark.functions.vector import (
+        dot_unrolled,
+        l2_norm_unrolled,
+    )
+
+    pairs = _vec_pairs(spark, sf_dir)
+    d = len(pairs.select("va").first()["va"])
+    hoisted = pairs.withColumn("na", l2_norm_unrolled("va", d)).withColumn(
+        "nb", l2_norm_unrolled("vb", d)
+    )
+    diff = hoisted.select(
+        cosine_similarity(F.col("va"), F.col("vb")).alias("h"),
+        (dot_unrolled("va", "vb", d) / (F.col("na") * F.col("nb"))).alias("u"),
+    ).where("h IS DISTINCT FROM u OR CAST(h AS STRING) != CAST(u AS STRING)")
+    assert diff.count() == 0
