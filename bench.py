@@ -1,12 +1,28 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line with contract fields only:
+Prints the contract JSON line LAST on stdout:
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "n_queries": N, "sf": "...", "full_record": "BENCH_LOCAL_rNN.json"}
-The per-query timing map lives in the BENCH_LOCAL_r*.json full record
-— the driver's stdout pipe clipped the long line three times
-(BENCH_r04/r06/r07 "parsed": null), so it never rides stdout again.
+   "n_queries": N, "sf": "...", "loadavg_1min": L, "contaminated": bool,
+   "full_record": "BENCH_LOCAL_rNN.json"}
+The full-precision per-query timing map lives in the BENCH_LOCAL_r*.json
+full record — the driver's stdout pipe clipped the long single line
+three times (BENCH_r04/r06/r07 "parsed": null), so the map never rides
+ONE line again.  Round 13 restores driver-side per-query visibility
+(round-12 PERF had per_query: {} and a null geomean) with CHUNKED
+stdout lines printed BEFORE the contract line, each well under the
+~2000-char clip and self-describing:
+  {"metric": "headline_queries_part", "part": i, "of": k,
+   "queries": {"name": 0.01-rounded sec, ...}}
+A parser that reads only the last line sees the unchanged contract
+line; a parser that reads all lines can reassemble the full map.
+
+Round 13 also acts on the loadavg it has recorded since round 8: a run
+whose 1-min loadavg at start exceeds 1.0 is stamped
+"contaminated": true in both the stdout line and the full record, so a
+load-burst run can never silently become a cross-round-comparable
+number (the round-11 and round-12 verdicts both traced bogus
+round-over-round regressions to exactly this).
 
 Each query is forced end-to-end with the noop sink (full execution, no
 driver-side result transfer) so the timing measures the plan, not
@@ -328,6 +344,11 @@ def main() -> None:
         if m
     ]
     this_round = (max(rounds) + 1) if rounds else 0
+    # Contamination stamp (round-13, verdict item 1): a 1-min loadavg
+    # above 1.0 at start means another workload owned part of the box —
+    # the record is still written (the driver needs its line) but every
+    # artifact carries the stamp so no comparison can use it silently.
+    contaminated = load_before[0] > 1.0
     full_record = {
                 "metric": "headline_queries_total",
                 "value": total,
@@ -335,6 +356,7 @@ def main() -> None:
                 "queries": timings,
                 "common_subset_totals": common,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "contaminated": contaminated,
                 "loadavg_before": load_before,
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
                 "notes": {
@@ -358,15 +380,20 @@ def main() -> None:
     }
     # The driver captures stdout through a pipe that clipped long lines
     # THREE times (BENCH_r04/r06/r07: "parsed": null — the per-query map
-    # pushed the line past the clip).  The stdout line therefore carries
-    # ONLY the contract fields (~150 bytes, unclippable); the per-query
-    # timings live exclusively in the BENCH_LOCAL_r*.json full record.
+    # pushed the line past the ~2000-char clip).  The contract line
+    # therefore carries only the small fields (~200 bytes, unclippable)
+    # and is printed LAST; the per-query map rides stdout as CHUNKED
+    # part-lines before it (round-13, verdict item 2), each ~1 KB —
+    # under the clip individually — with 0.01-s-rounded values.  The
+    # full-precision map stays in the BENCH_LOCAL_r*.json full record.
     line = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
         "sf": full_record["sf"],
+        "loadavg_1min": load_before[0],
+        "contaminated": contaminated,
     }
     local_path = os.path.join(here, f"BENCH_LOCAL_r{this_round:02d}.json")
     if not is_subset:  # --only subset runs must not clobber the artifact
@@ -374,6 +401,25 @@ def main() -> None:
             json.dump(full_record, f, indent=1, sort_keys=True)
             f.write("\n")
         line["full_record"] = os.path.basename(local_path)
+        chunk_names = sorted(timings)
+        per_chunk = 28  # ~30 bytes/entry -> ~900-byte lines
+        parts = [
+            {n: round(timings[n], 2) for n in chunk_names[i : i + per_chunk]}
+            for i in range(0, len(chunk_names), per_chunk)
+        ]
+        for i, p in enumerate(parts, 1):
+            print(
+                json.dumps(
+                    {
+                        "metric": "headline_queries_part",
+                        "part": i,
+                        "of": len(parts),
+                        "queries": p,
+                    },
+                    separators=(",", ":"),
+                ),
+                flush=True,
+            )
     print(json.dumps(line, separators=(",", ":")))
 
 

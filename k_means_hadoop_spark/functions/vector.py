@@ -48,7 +48,17 @@ def squared_distance_unrolled(a_ref: str, b_ref: str, d: int) -> Column:
 
     ``a_ref``/``b_ref`` are SQL column references (e.g. ``a.features``);
     use when d is known at build time WITHOUT an extra scan — e.g. from
-    an init/query-vector collect the caller already performs."""
+    an init/query-vector collect the caller already performs.
+
+    PRECONDITIONS (r12 ADVICE — asserted below): ``d >= 1`` (d=0 would
+    emit an empty ``F.expr("")`` parse error), and every input array
+    must have length >= d — with ANSI off, ``arr[i]`` past the end
+    returns NULL, so a short vector yields a silently-NULL
+    distance/similarity where the HOF fold sums the actual length.
+    Every current call site derives d from a collect over the SAME
+    table the expression scans, which guarantees both."""
+    if d < 1:
+        raise ValueError(f"unrolled distance needs d >= 1, got {d}")
     chain = " + ".join(
         f"({a_ref}[{i}] - {b_ref}[{i}]) * ({a_ref}[{i}] - {b_ref}[{i}])"
         for i in range(d)
@@ -63,6 +73,10 @@ def euclidean_unrolled(a_ref: str, b_ref: str, d: int) -> Column:
 
 
 def _dot_unrolled(a_ref: str, b_ref: str, d: int) -> Column:
+    # same preconditions as squared_distance_unrolled: d >= 1 and every
+    # input array at least d long (short arrays → silent NULLs)
+    if d < 1:
+        raise ValueError(f"unrolled dot needs d >= 1, got {d}")
     chain = " + ".join(f"({a_ref}[{i}] * {b_ref}[{i}])" for i in range(d))
     return F.expr(chain)
 

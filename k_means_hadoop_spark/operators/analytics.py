@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from k_means_hadoop_spark.partitioning import truncate_lineage
 
 # ------------------------------------------------------------------ helpers
 
@@ -574,7 +575,7 @@ def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("community"),
             )
             # node-sized; per-round lineage truncation (bfs_levels pattern)
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
     return labels
 
@@ -881,7 +882,7 @@ def bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         # node-sized table; truncating lineage per round keeps Catalyst
         # analysis flat instead of doubling per iteration (the
         # lloyd_kmeans pattern) — measured 3-8× on the fixture
-        labels = labels.localCheckpoint(eager=True)
+        labels = labels.transform(truncate_lineage)
     return labels.where(F.col("dist").isNotNull()).select(
         "part", F.col("dist").cast("int").alias("dist")
     )
@@ -943,7 +944,7 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         alive = (
             deg.where(F.col("degree") >= _KC_K)
             .select("part")
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
     final_deg = (
         nbrs.join(alive.withColumnRenamed("part", "pa"), "pa")
@@ -1100,7 +1101,7 @@ def shortest_paths_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = (
             labels.join(relax, "part", "left")
             .select("part", F.least(F.col("dist"), F.col("via")).alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
     return labels.where(F.col("dist").isNotNull()).select(
         "part", F.round(F.col("dist").cast("double"), 6).alias("dist")

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from k_means_hadoop_spark.functions.hashing import word_ngrams, word_ngrams_sql
 from k_means_hadoop_spark.operators import text
-from k_means_hadoop_spark.partitioning import fan_out
+from k_means_hadoop_spark.partitioning import fan_out, truncate_lineage, truncate_lineage_lazy
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1093,7 +1093,7 @@ def ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
             # lineage per round keeps the plan flat instead of
             # re-deriving every prior scaling step at each reference
             # (the label_prop/bfs pattern — was 1020 Exchanges without)
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
     # final cast to DOUBLE: the iteration carries DECIMAL(18,6) for
     # exactness, but pandas/duckdb render decimals differently — the
@@ -1211,7 +1211,7 @@ def median_polish_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("r", F.expr(_IPF_R6.format(x="CAST(r AS DOUBLE) - CAST(cm AS DOUBLE)")))
             .withColumn("col_eff", F.expr(_IPF_R6.format(x="CAST(col_eff AS DOUBLE) + CAST(cm AS DOUBLE)")))
             .drop("cm")
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
     return cells.select(
         "lang",
@@ -1566,7 +1566,7 @@ def umass_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = (
         d.select("doc_id", "source", F.explode(toks).alias("tok"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(truncate_lineage_lazy)
     )
     per_src = dt.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     w = Window.partitionBy("source").orderBy(
@@ -2089,7 +2089,7 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # time (measured: the rank stage cost ~1s more than the pipelines
     # themselves).  The checkpoint is score-table-sized (2 rows/doc);
     # lazy — prefix_sum's totals collect materializes it in-job.
-    stacked = stacked.localCheckpoint(eager=False)
+    stacked = stacked.transform(truncate_lineage_lazy)
     r = prefix_sum(
         stacked.withColumn("_one", F.lit(1)),
         "_one",

@@ -34,6 +34,7 @@ from k_means_hadoop_spark.functions.hashing import (
     word_ngrams,
 )
 from k_means_hadoop_spark.functions.vector import cosine_similarity
+from k_means_hadoop_spark.partitioning import truncate_lineage
 
 # Deterministic universal-hash parameters (a odd, b arbitrary; values are
 # arbitrary fixed constants — NOT tuned to the testdata).
@@ -871,13 +872,13 @@ def duplicate_components(
     # the sum-probe job (the prefix_sum lazy treatment) measured SLOWER
     # here — 1.85 → 2.0-2.3 s isolated — the per-round join+agg+probe
     # pipeline schedules better against pre-materialized inputs.
-    edges = e1.unionByName(e2).distinct().localCheckpoint(eager=True)
+    edges = e1.unionByName(e2).distinct().transform(truncate_lineage)
 
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
 
     # Convergence probe: comp(node) := min(comp(node), neighbor comps)
@@ -898,7 +899,7 @@ def duplicate_components(
             .unionByName(labels)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-        ).localCheckpoint(eager=True)
+        ).transform(truncate_lineage)
         s = _label_sum(neighbor_min)
         labels = neighbor_min
         if s == prev_sum:

@@ -24,6 +24,8 @@ from k_means_hadoop_spark.operators.analytics import (
 from k_means_hadoop_spark.operators.relational import _t
 from k_means_hadoop_spark.operators.trends import _FL6_SQL, _fl6
 
+from k_means_hadoop_spark.partitioning import truncate_lineage
+
 # --------------------------------------------- HITS hubs/authorities
 #
 # Kleinberg's HITS (1999) on the bipartite customer->part purchase
@@ -53,7 +55,7 @@ def _hits_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
 
 
@@ -73,7 +75,7 @@ def _renorm(df: DataFrame, key: str, col: str) -> DataFrame:
             .cast("decimal(18,6)")
             .alias(col),
         )
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
 
 
@@ -777,10 +779,10 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _copurchase_edges(spark, sf_dir)
     edges = e.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
         e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_lineage)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = deg.select(F.col("src").alias("part"), "deg").localCheckpoint(
-        eager=True
+    nodes = deg.select(F.col("src").alias("part"), "deg").transform(
+        truncate_lineage
     )
     seeds = nodes.filter(F.col("part") <= _PPR_SEED_MAX)
     n_seeds = seeds.count()
@@ -799,7 +801,7 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("part") <= _PPR_SEED_MAX, F.lit(1.0 / n_seeds))
         .otherwise(F.lit(0.0))
         .alias("tele"),
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_lineage)
     ranks = tele.select("part", F.col("tele").alias("rank"))
     for _ in range(_PPR_ITERS):
         contrib = (
@@ -821,7 +823,7 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(d) * F.coalesce(F.col("in_sum"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
     return ranks.select("part", F.round("rank", 6).alias("rank"))
 

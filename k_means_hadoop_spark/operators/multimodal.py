@@ -87,6 +87,11 @@ def decode_media(media: DataFrame) -> DataFrame:
     schema; per-batch vectorized numpy over the payload bytes.  The
     computed features (hash / mean byte / entropy) are placeholders for
     decoded-pixel or waveform statistics.
+
+    Only the three consumed columns cross the Python boundary (guide
+    §4.1 — round-13 audit: the kernel never reads ``meta``, but an
+    opaque mapInPandas over the full frame shipped it anyway AND kept
+    the scan from pruning the columns meta is derived from).
     """
     import hashlib
 
@@ -123,7 +128,9 @@ def decode_media(media: DataFrame) -> DataFrame:
                 ],
             )
 
-    return media.mapInPandas(_batches, schema=FEATURES_SCHEMA)
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        _batches, schema=FEATURES_SCHEMA
+    )
 
 
 FRAME_SCHEMA = T.StructType(
@@ -407,7 +414,13 @@ def synthesize_codec_media(
     inp = docs
     if kinds is not None:
         mods = sorted(_MEDIA_KIND_MOD[k] for k in kinds)
-        inp = inp.filter((F.col("doc_id") % 3).isin(mods))
+        # pmod, not %: Spark's % yields negative remainders for negative
+        # doc_ids while the kernel's Python `did % 3` is always in
+        # {0,1,2} — % would silently drop negative-id rows of a
+        # requested kind (r12 ADVICE; testdata ids are non-negative, but
+        # the 'identical to filtering the full output' contract must not
+        # depend on that).
+        inp = inp.filter(F.pmod(F.col("doc_id"), F.lit(3)).isin(mods))
         if "video" not in kinds:
             return inp.select("doc_id", F.lit("").alias("text")).mapInPandas(
                 _batches, schema=out_schema

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from k_means_hadoop_spark.partitioning import truncate_lineage
 
 
 def pca_project(
@@ -140,7 +141,7 @@ def power_iteration_pc1(spark, sf_dir: str) -> DataFrame:
         upper.where(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "a"
         )
-    ).localCheckpoint(eager=True)
+    ).transform(truncate_lineage)
 
     # Repeated squaring instead of 60 sequential matvecs: M <- R6(M²/max|M²|)
     # six times gives (up to positive scaling) A^64, whose dominant-direction
@@ -167,7 +168,7 @@ def power_iteration_pc1(spark, sf_dir: str) -> DataFrame:
                     _R6.format(x="CAST(p AS DOUBLE) / CAST(mx AS DOUBLE)")
                 ).alias("a"),
             )
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
     v0 = spark.range(d).select(
         F.col("id").cast("int").alias("j"),
@@ -188,7 +189,7 @@ def power_iteration_pc1(spark, sf_dir: str) -> DataFrame:
             F.col("i").alias("j"),
             F.expr(_R6.format(x="CAST(w6 AS DOUBLE) / nrm")).alias("val"),
         )
-        .localCheckpoint(eager=True)
+        .transform(truncate_lineage)
     )
     # Rayleigh quotient λ = vᵀAv / vᵀv from the final stabilized vector
     av = (

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from k_means_hadoop_spark.partitioning import truncate_lineage
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
@@ -1132,12 +1134,19 @@ def interpolate_daily_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     single neighbor.
 
     The series is deliberately thinned (purchases with event_id % 29
-    == 0) so gaps EXIST at test scale.  Neighbor lookup is two
-    IGNORE-NULLS window passes (last over the trailing frame, first
-    over the leading frame) on the calendar scaffold — the window is
-    date-range-sized, a few thousand rows even at 100 TB, so the
-    single-partition sort is irrelevant; the data-sized work is the one
-    daily aggregate feeding it."""
+    == 0) so gaps EXIST at test scale.  Neighbor lookup (round 13,
+    verdict item 4: shrink the global-window allowlist) is two
+    aggregating joins against the OBSERVED-day table — prev = the
+    max-day observed row ≤ day, next = the min-day observed row ≥ day,
+    via max_by/min_by over a broadcast-NL join of two day-grain tables
+    — replacing the two IGNORE-NULLS unpartitioned window passes, so
+    no all-to-one sort exists in the plan.  Equivalence: observed days
+    are unique (group key), the window's last(v) over the trailing
+    frame IS the value at max(observed day ≤ day) and first(v) over
+    the leading frame the value at min(observed day ≥ day); empty
+    neighbor sets yield NULL on both forms (left join + max_by of no
+    rows).  Both join sides are date-range-grain, so the pair work is
+    calendar², corpus-independent."""
     ev = _t(spark, sf_dir, "events")
     bounds = ev.agg(
         F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
@@ -1149,12 +1158,27 @@ def interpolate_daily_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("value"), 6).alias("v"))
     )
     g = days.join(daily, "day", "left")
-    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_next = Window.orderBy("day").rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    prev_v = F.last("v", ignorenulls=True).over(w_prev)
-    prev_d = F.last(F.when(F.col("v").isNotNull(), F.col("day")), ignorenulls=True).over(w_prev)
-    next_v = F.first("v", ignorenulls=True).over(w_next)
-    next_d = F.first(F.when(F.col("v").isNotNull(), F.col("day")), ignorenulls=True).over(w_next)
+    obs_p = daily.select(F.col("day").alias("od"), F.col("v").alias("ov"))
+    obs_n = daily.select(F.col("day").alias("od"), F.col("v").alias("ov"))
+    prev_t = (
+        g.join(obs_p, F.col("od") <= F.col("day"), "left")
+        .groupBy("day", "v")
+        .agg(
+            F.max("od").alias("prev_d"),
+            F.max_by("ov", "od").alias("prev_v"),
+        )
+    )
+    both = (
+        prev_t.join(obs_n, F.col("od") >= F.col("day"), "left")
+        .groupBy("day", "v", "prev_d", "prev_v")
+        .agg(
+            F.min("od").alias("next_d"),
+            F.min_by("ov", "od").alias("next_v"),
+        )
+    )
+    g = both
+    prev_v, prev_d = F.col("prev_v"), F.col("prev_d")
+    next_v, next_d = F.col("next_v"), F.col("next_d")
     gap = F.datediff(next_d, prev_d)
     frac = F.datediff(F.col("day"), prev_d).cast("double") / gap.cast("double")
     # FMA-free interpolation (same discipline as quantize_embeddings):
@@ -2558,7 +2582,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             # node-sized; per-round lineage truncation (bfs_levels /
             # label_prop pattern — the lazily chained 5-iteration plan
             # measured 256 Exchanges / 139 scans before this)
-            .localCheckpoint(eager=True)
+            .transform(truncate_lineage)
         )
     return ranks.select("part", F.round("rank", 6).alias("rank"))
 
@@ -2736,7 +2760,7 @@ def neighbor_jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(pa, pb, common, deg_a, deg_b, jaccard) per co-purchase edge."""
     from k_means_hadoop_spark.operators.analytics import _copurchase_edges
 
-    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    e = _copurchase_edges(spark, sf_dir).transform(truncate_lineage)
     undir = e.unionByName(
         e.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
     )

@@ -21,6 +21,8 @@ from k_means_hadoop_spark.functions.hashing import stable_hash64, stable_hash64_
 from k_means_hadoop_spark.operators.relational import _t
 from k_means_hadoop_spark.operators.trends import _FL6_SQL, _fl6
 
+from k_means_hadoop_spark.partitioning import truncate_lineage_lazy
+
 # ------------------------------------------- float-path power iteration
 #
 # The SCALE path for the dominant principal component (r5 verdict item
@@ -235,7 +237,7 @@ def gini_spend_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize the join ONCE: prefix_sum's range-bound sampling
     # re-evaluates its input (the quantile_normalize_scores lesson)
-    x = x.localCheckpoint(eager=False)
+    x = x.transform(truncate_lineage_lazy)
     ranked = prefix_sum(
         x.withColumn("_one", F.lit(1)),
         "_one",
@@ -772,7 +774,7 @@ def decision_stump_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantile_normalize lesson); the histogram is distinct-value-sized
     hist = q.groupBy("n_chars").agg(
         F.count(F.lit(1)).alias("m"), F.sum("y").alias("p")
-    ).localCheckpoint(eager=False)
+    ).transform(truncate_lineage_lazy)
     tot = hist.agg(
         F.sum("m").alias("n"), F.sum("p").alias("pos")
     )
@@ -955,7 +957,7 @@ def clustering_coefficient_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(node, deg, triangles, coeff) for nodes with deg >= 2."""
     from k_means_hadoop_spark.operators.analytics import _copurchase_edges
 
-    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    e = _copurchase_edges(spark, sf_dir).transform(truncate_lineage_lazy)
     e1 = e.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
     e2 = e.select(F.col("pa").alias("b2"), F.col("pb").alias("c"))
     wedges = e1.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")

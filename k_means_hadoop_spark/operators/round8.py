@@ -28,6 +28,8 @@ from k_means_hadoop_spark.operators.round7 import (
 )
 from k_means_hadoop_spark.operators.trends import _FL6_SQL, _fl6
 
+from k_means_hadoop_spark.partitioning import truncate_lineage_lazy
+
 
 def _pickle_round8_by_value() -> None:
     """Ship THIS module's kernels (and codecs) inside the plan — the
@@ -204,13 +206,20 @@ def page_trend_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_t = r2.groupBy("t").agg(F.sum("r2").alias("r2_sum"))
-    wj = Window.orderBy("t")
-    jr = per_t.withColumn("j", F.row_number().over(wj))
+    # L2 = Σ_t j(t)·r2_sum(t) where j(t) = row_number over ORDER BY t.
+    # t is the group key (distinct), so j(t) = |{t' : t' ≤ t}| and the
+    # unpartitioned rank window (round-13 verdict item 4: shrink the
+    # global-window allowlist) becomes a k×k pair sum:
+    #   Σ_t j(t)·r2_sum(t) = Σ_{(x,y): y.t ≤ x.t} r2_sum(x)
+    # — exact integers, a broadcast-NL join over the k-grain table
+    # (k = distinct treatments), no all-to-one sort anywhere.
+    px, py = per_t.alias("px"), per_t.alias("py")
     dims = cells.agg(
         F.countDistinct("b").alias("n"), F.countDistinct("t").alias("k")
     )
-    s = jr.agg(
-        F.sum(F.col("j") * F.col("r2_sum")).cast("decimal(38,0)").alias("l2")
+    s = (
+        px.join(py, F.col("py.t") <= F.col("px.t"))
+        .agg(F.sum(F.col("px.r2_sum")).cast("decimal(38,0)").alias("l2"))
     )
     # ΣT = Σ_{(b,v)} (t³ − t): tie-group sizes are treatments sharing a
     # count value within a block — exact integers from the same cells
@@ -619,7 +628,7 @@ def lorenz_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = o.groupBy("o_custkey").agg(F.sum("cents").alias("x"))
     # materialized once: prefix_sum's range-bound sampling re-evaluates
     # its input (the quantile_normalize_scores lesson)
-    spend = spend.localCheckpoint(eager=False)
+    spend = spend.transform(truncate_lineage_lazy)
     n = spend.agg(F.count(F.lit(1)).alias("n"))
     ranked = prefix_sum(
         spend.withColumn("_one", F.lit(1)),

@@ -249,6 +249,13 @@ def knn_ivf(
     )
     # nprobe nearest cells per query, driver-side (queries are few, cells k×d)
     queries = {r["vid"]: list(r["vec"]) for r in vecs.filter(F.col("vid").isin(list(query_ids))).collect()}
+    if not queries:
+        # No query_id matched a vector: degrade to the empty result the
+        # pre-r12 HOF form produced instead of StopIteration from
+        # next(iter(...)) below (r12 ADVICE).
+        return embeddings.sparkSession.createDataFrame(
+            [], "qid int, nid int, cos_sim double, rank int"
+        )
     probe_rows = []
     for qid, qvec in queries.items():
         by_dist = sorted(

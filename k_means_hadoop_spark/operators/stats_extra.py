@@ -23,6 +23,8 @@ from k_means_hadoop_spark.functions.hashing import stable_hash64, stable_hash64_
 from k_means_hadoop_spark.operators.relational import _t
 from k_means_hadoop_spark.operators.trends import _FL6_SQL, _fl6
 
+from k_means_hadoop_spark.partitioning import truncate_lineage_lazy
+
 # --------------------------------------------- Mann-Whitney U
 #
 # Rank-sum test (Mann & Whitney 1947) between the 'click' and 'view'
@@ -1952,7 +1954,7 @@ def concentration_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = o.groupBy("o_custkey").agg(F.sum("cents").alias("x"))
     # materialized once: prefix_sum's range-bound sampling re-evaluates
     # its input (the quantile_normalize_scores lesson)
-    spend = spend.localCheckpoint(eager=False)
+    spend = spend.transform(truncate_lineage_lazy)
     ranked = prefix_sum(
         spend.withColumn("_one", F.lit(1)),
         "_one",

@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from k_means_hadoop_spark.functions.hashing import stable_hash64
+from k_means_hadoop_spark.partitioning import truncate_lineage
 
 # Marker stopwords per language for the n-gram/marker-word heuristic
 # language-ID.  Deliberately tiny and deterministic; the CASE order below
@@ -211,7 +212,7 @@ def _bpe_rounds(docs: DataFrame, n_rounds: int, text_col: str, checkpoint_every:
             "doc_id", F.when(guard.isNull(), merged).alias("toks")
         )
         if checkpoint_every and r % checkpoint_every == 0 and r < n_rounds:
-            cur = cur.localCheckpoint(eager=True)
+            cur = cur.transform(truncate_lineage)
     return rounds, cur
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from k_means_hadoop_spark.operators.relational import _dec, _t
+from k_means_hadoop_spark.partitioning import truncate_lineage_lazy
 
 
 def q4_priority_late_ships(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,7 +588,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy("l_suppkey")
         .agg(F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))).alias("total_revenue"))
-    ).localCheckpoint(eager=False)
+    ).transform(truncate_lineage_lazy)
     mx = rev.agg(F.max("total_revenue").alias("max_rev"))
     return (
         rev.crossJoin(F.broadcast(mx))

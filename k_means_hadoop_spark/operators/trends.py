@@ -185,29 +185,32 @@ def acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus); the lag join and the final agg are day-sized, so corpus
     scale only affects the first aggregation.
 
-    GAPLESS-SERIES ASSUMPTION (r6 ADVICE): lags are taken over the row
-    index of the observed day series, so a calendar day with zero
-    events would make non-adjacent dates count as lag-1 neighbors.
-    The events fixture is gapless at every shipped SF (pinned by
-    tests/test_advice_fixes_r7.py::test_events_daily_series_gapless);
-    for sparse sources, switch the pair join to
-    ``datediff(a.day, b.day) == lag``."""
+    Round 13 (verdict item 4, shrinking the global-window allowlist):
+    the lag pairing joins on CALENDAR arithmetic —
+    ``date_sub(a.day, lag) == b.day`` — instead of a row index from an
+    unpartitioned ``row_number`` window, so no all-to-one sort exists
+    anywhere in the plan.  On a gapless series the two forms are
+    row-identical (rn(a) − rn(b) == lag ⟺ datediff(a.day, b.day) ==
+    lag), and the events fixture is gapless at every shipped SF
+    (pinned by tests/test_advice_fixes_r7.py::
+    test_events_daily_series_gapless).  The DuckDB oracle keeps the rn
+    form — equal under the same pin.  For sparse sources the calendar
+    form is also the semantically correct one (the r6-ADVICE caveat
+    about gaps aliasing as lag-1 neighbors disappears)."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("x")
     )
-    w = Window.orderBy("day")
-    d = daily.withColumn("rn", F.row_number().over(w))
-    g = d.agg(
+    g = daily.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("t"),
         F.sum(F.col("x") * F.col("x")).alias("q"),
     )
-    a = d.select(F.col("rn"), F.col("x").alias("xt")).withColumn(
+    a = daily.select(F.col("day"), F.col("x").alias("xt")).withColumn(
         "lag", F.explode(F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG)))
     )
-    b = d.select(F.col("rn").alias("rnb"), F.col("x").alias("xl"))
-    pairs = a.join(b, a.rn - a.lag == b.rnb)
+    b = daily.select(F.col("day").alias("dayb"), F.col("x").alias("xl"))
+    pairs = a.join(b, F.date_sub(a.day, a.lag) == b.dayb)
     per = pairs.groupBy("lag").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(F.col("xt") * F.col("xl")).alias("sxy"),

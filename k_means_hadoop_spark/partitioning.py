@@ -12,7 +12,44 @@ input.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+
+def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Lineage truncation with a reliability escape hatch (round-13
+    verdict item 7).
+
+    Default (env unset): ``localCheckpoint`` — executor-local storage,
+    fast, but NOT fault-tolerant: lose an executor and the truncated
+    job fails and must be resubmitted (the documented caveat on every
+    loop/prefix-sum site).  With ``SPARK_GRAFT_CHECKPOINT_DIR`` set,
+    the truncation routes through a RELIABLE ``checkpoint()`` into that
+    directory (HDFS/object store on a real cluster), so executor loss
+    replays from storage instead of killing the job — the 100 TB
+    preemptible-cluster switch.  Identical results either way (both
+    pin the materialized partitions both window passes share); the
+    trade is write bandwidth to the checkpoint store.
+
+    Call sites use ``.transform(truncate_lineage)`` /
+    ``.transform(truncate_lineage_lazy)`` so the policy lives in ONE
+    place and the default plan is byte-identical to the plain
+    ``localCheckpoint`` it replaces."""
+    ckpt_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt_dir:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(ckpt_dir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
+def truncate_lineage_lazy(df: DataFrame) -> DataFrame:
+    """``truncate_lineage`` with eager=False — for the rank-pass shape
+    whose first action (the prefix-sum totals collect) touches every
+    partition and materializes the pinned assignment in the same job."""
+    return truncate_lineage(df, eager=False)
 
 
 def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -113,7 +150,7 @@ def prefix_sum(
     # site (3 in rfm_segments alone) for the same pinned assignment.
     part = ordered.withColumn(
         "_pid", F.spark_partition_id()
-    ).localCheckpoint(eager=False)
+    ).transform(truncate_lineage_lazy)
     w_in = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)

