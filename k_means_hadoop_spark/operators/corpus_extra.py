@@ -1578,8 +1578,12 @@ def umass_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "tok", "rk")
     )
     # (doc_id, tok) is unique in dt (one source per document), so the
-    # document frequency is a plain count — no distinct-expand pass.
-    df_w = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("d_w"))
+    # document frequency is a plain count — and since every doc has
+    # exactly one source, d_w = Σ_src cnt: roll up the per-source
+    # aggregate instead of re-scanning the checkpointed doc-term table
+    # (round 13, guide §2.3 aggregate-before-you-shuffle/reuse — one
+    # fewer full dt pass; count ≡ sum of disjoint partition counts).
+    df_w = per_src.groupBy("tok").agg(F.sum("cnt").alias("d_w"))
     a, b = tt.alias("a"), tt.alias("b")
     pairs = a.join(
         b,
@@ -1633,18 +1637,22 @@ def umass_topic_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ids2), "tid2")
         .select("t1", "t2", "d_ij")
     )
-    co = pairs.join(
-        F.broadcast(cij),
-        (F.least("wi", "wj") == F.col("t1"))
-        & (F.greatest("wi", "wj") == F.col("t2")),
-    ).select("source", "wi", "wj", "d_ij")
     term = (
         "CAST(floor(ln((CAST(d_ij AS DOUBLE) + CAST(1 AS DOUBLE))"
         " / CAST(d_wj AS DOUBLE)) * 1000000 + 0.5) / 1000000"
         " AS DECIMAL(18,6))"
     )
+    # ONE left broadcast join instead of inner-join-then-left-rejoin
+    # (round 13): pairs is unique per (source, wi, wj) and cij per
+    # (t1, t2), so pairs ⟕ cij on least/greatest equals the former
+    # pairs ⟕ (pairs ⋈ cij) — same rows, one fewer pass over pairs.
     scored = (
-        pairs.join(co, ["source", "wi", "wj"], "left")
+        pairs.join(
+            F.broadcast(cij),
+            (F.least("wi", "wj") == F.col("t1"))
+            & (F.greatest("wi", "wj") == F.col("t2")),
+            "left",
+        )
         .join(df_w.select(F.col("tok").alias("wj"), F.col("d_w").alias("d_wj")), "wj")
         .select(
             "source",

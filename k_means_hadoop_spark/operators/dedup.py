@@ -139,6 +139,14 @@ def prefix_filtered_jaccard(
     from pyspark.sql import Window
 
     sh = shingle_table(docs, n, text_col)
+    # counts stays the aggregate over the exploded table ON PURPOSE
+    # (round-13 negative result): deriving |x| row-locally as
+    # size(word_ngrams(text)) — one fewer aggregate on paper — measured
+    # 3.2 → 7.5 s isolated at sf0.1: the aggregate's 5k-row output
+    # broadcast-joins into the ranked prefix pass and its exchange is
+    # runtime-reused, while the docs-derived frame re-tokenizes and
+    # re-plans as a non-reusable subtree on both sides of the
+    # candidate self-join.  Do not retry.
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     df_tbl = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(

@@ -264,12 +264,23 @@ def prefix_sum_literal_bounds(
     from pyspark.sql import functions as F
 
     keys = [c for c, _ in order]
+    # Round-13 fix (found by the 16x cores probe): the old
+    # ``.where(hash % mod == 0).limit(cap)`` sample is NOT uniform —
+    # LIMIT short-circuits on the FIRST partitions scanned, so on a
+    # multi-file input every boundary lands in the first files' key
+    # range and one range swallows the rest of the table (measured:
+    # zonemap_prune_audit 51.8 s on 32 cores vs 7.0 s on 8 at the 16x
+    # fixture — more cores, more first-partition bias, less balance).
+    # Instead take the ``sample_cap`` rows with the SMALLEST key hash
+    # (key columns as the collision tiebreak): a deterministic
+    # distributed top-k (TakeOrdered — no single-task sort) that is
+    # uniform over the key space regardless of file layout or
+    # parallelism.  Bounds still only affect balance, never values.
+    hcols = [F.col(k) for k in keys]
     sample = (
         df.select(*keys)
-        .where(
-            F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(sample_mod))
-            == 0
-        )
+        .where(F.pmod(F.hash(*hcols), F.lit(sample_mod)) == 0)
+        .orderBy(F.hash(*hcols), *hcols)
         .limit(sample_cap)
         .collect()
     )
@@ -299,10 +310,32 @@ def prefix_sum_literal_bounds(
             lt = this_lt | ((col == F.lit(bv)) & lt)
         return ~lt
 
-    rid = F.lit(0)
-    for b in bounds:
-        rid = rid + _geq_bound(b).cast("int")
-    part = df.withColumn("_pid", rid)
+    # rid = |{b : row >= b}| computed as a BINARY-SEARCH CASE tree, not
+    # the additive Σ geq(b) chain (round-13 fix, found by the 16x cores
+    # probe): the additive chain evaluates EVERY bound per row and its
+    # generated method grows past the JIT's huge-method limit — at 31
+    # bounds the assignment pass measured 19.5 s vs 0.31 s at 7 on the
+    # same 9.6M rows (zonemap_prune_audit read 51.8 s on 32 cores vs
+    # 7.0 s on 8, because scan_parts follows minPartitionNum = cores).
+    # The search tree holds each bound ONCE (expression size still
+    # O(num_parts)) but evaluates O(log num_parts) comparisons per row
+    # through short-circuit CASE branches: measured 0.48 s at the same
+    # 31 bounds.  Equivalence: bounds are strictly increasing under the
+    # total order, so row >= bounds[mid] implies row >= every earlier
+    # bound — the branch arithmetic counts exactly |{b : row >= b}|.
+    # Ceiling note: expression/bytecode size is still linear in
+    # num_parts, so thousands of ranges want the checkpoint-based
+    # prefix_sum (native RangePartitioner) instead; callers here pass
+    # scan-split-sized counts (tens to hundreds).
+    def _rid_expr(bs) -> F.Column:
+        if not bs:
+            return F.lit(0)
+        mid = len(bs) // 2
+        return F.when(
+            _geq_bound(bs[mid]), F.lit(mid + 1) + _rid_expr(bs[mid + 1 :])
+        ).otherwise(_rid_expr(bs[:mid]))
+
+    part = df.withColumn("_pid", _rid_expr(bounds))
     order_cols = [
         F.col(c).asc() if asc else F.col(c).desc() for c, asc in order
     ]
